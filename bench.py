@@ -1,0 +1,57 @@
+"""Headline benchmark: runs the contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query execution to a count-style sink (collect of an
+aggregated summary) so scan+compute are measured but driver transfer of
+giant results is not dominated by pickling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from gedixr_spark.session import get_spark
+
+    spark = get_spark("gedixr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + file-system caches once with the cheapest query
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution without collecting wide results
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "gedixr_spark_contract_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""gedixr_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference package ``maawoo/gedixr``
+(GEDI lidar ETL: HDF5 -> shot tables -> filter -> join -> GeoParquet ->
+raster), re-designed Spark-first for cluster scale.
+
+Design stance (SURVEY.md §7.0):
+- DataFrame/SQL API only; lazy end-to-end; no RDD code.
+- The reference's eager per-file loop becomes one lazy plan.
+- The reference's AOI dict becomes an ``aoi_name`` column.
+- Geospatial ops are pure column math (lon/lat doubles + WKB helpers);
+  no Sedona dependency is available in this environment.
+"""
+
+from gedixr_spark.session import get_spark
+from gedixr_spark import constants
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "constants", "__version__"]

@@ -1,0 +1,527 @@
+"""Driver-contract queries and DuckDB oracles.
+
+Each entry exercises one operator row from SURVEY.md §2 on the driver's
+synthetic tables (TESTDATA.md). GEDI shot semantics are exercised via a
+*derived shot view* computed deterministically from ``lineitem`` with
+integer-only arithmetic feeding single IEEE ops, so the PySpark plan and
+the DuckDB oracle produce bit-identical values (FIXTURES.md §5 mapping).
+
+Determinism rules used throughout (so order-insensitive value hashes
+match):
+- integer modulo / lpad / CASE for all categorical + flag columns;
+- doubles only via a single division/addition of exact integers —
+  identical expression trees → identical IEEE results in both engines;
+- aggregates only over integer-valued doubles (exact sums) or counts /
+  min / max; percentages as one division + round in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gedixr_spark.constants import ALL_BEAMS, POWER_BEAMS
+from gedixr_spark.functions.scalar import (
+    acq_time_from_filename,
+    month_band,
+    pct,
+    rh_percentile,
+    shot_id_str,
+)
+from gedixr_spark.operators.filters import (
+    beam_filter,
+    bbox_filter,
+    month_filter,
+    quality_filter,
+)
+from gedixr_spark.operators.joins import merge_keyed, merge_products, spatial_join_aoi
+from gedixr_spark.operators.raster import grid_aggregate
+from gedixr_spark.operators.stats import filter_stats_per_file
+from gedixr_spark.sources.vector import aoi_from_wkt
+
+# ---------------------------------------------------------------------------
+# Derived shot views (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_BEAM_SQL_LIST = "[" + ",".join(f"'{b}'" for b in ALL_BEAMS) + "]"
+
+# L2A/L2B shot views from lineitem. sn = l_orderkey*10 + l_linenumber is
+# unique per lineitem row (l_linenumber ∈ 1..7).
+SHOTS_L2A_SQL = f"""
+SELECT
+  l_orderkey * 10 + l_linenumber AS shot_number,
+  lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
+  list_extract({_BEAM_SQL_LIST}, CAST(l_linenumber % 8 AS INTEGER) + 1) AS beam,
+  (l_partkey % 2000) / 100.0 - 10.0 AS longitude,
+  40.0 + (l_orderkey % 1500) / 100.0 AS latitude,
+  CAST((l_orderkey * 10 + l_linenumber) % 3000 AS DOUBLE) AS elev,
+  CAST((l_orderkey * 10 + l_linenumber) % 3000 AS DOUBLE)
+    + CAST((l_partkey % 400) - 200 AS DOUBLE) AS elev_dem_tdx,
+  CASE WHEN (l_orderkey * 10 + l_linenumber) % 10 = 0 THEN 1 ELSE 0 END AS degrade_flag,
+  CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 = 0 THEN 0 ELSE 1 END AS quality_flag,
+  0.85 + ((l_orderkey * 10 + l_linenumber) % 150) / 1000.0 AS sensitivity,
+  CAST(l_linenumber % 7 AS INTEGER) AS num_detectedmodes,
+  l_shipdate AS acq_time,
+  CAST((l_orderkey * 10 + l_linenumber) % 6000 AS INTEGER) AS rh98
+FROM lineitem
+"""
+
+SHOTS_L2B_SQL = f"""
+SELECT
+  l_orderkey * 10 + l_linenumber AS shot_number,
+  lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
+  list_extract({_BEAM_SQL_LIST}, CAST(l_linenumber % 8 AS INTEGER) + 1) AS beam,
+  (l_partkey % 2000) / 100.0 - 10.0 AS longitude,
+  40.0 + (l_orderkey % 1500) / 100.0 AS latitude,
+  CAST((l_orderkey * 10 + l_linenumber) % 3000 AS DOUBLE) AS elev,
+  CAST((l_orderkey * 10 + l_linenumber) % 3000 AS DOUBLE)
+    + CAST((l_partkey % 400) - 200 AS DOUBLE) AS elev_dem_tdx,
+  CASE WHEN (l_orderkey * 10 + l_linenumber) % 10 = 0 THEN 1 ELSE 0 END AS degrade_flag,
+  CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 = 0 THEN 0 ELSE 1 END AS quality_flag,
+  0.85 + ((l_orderkey * 10 + l_linenumber) % 150) / 1000.0 AS sensitivity,
+  CAST(l_linenumber % 7 AS INTEGER) AS num_detectedmodes,
+  l_shipdate AS acq_time,
+  (l_partkey % 1000) / 1000.0 AS tcc,
+  (l_suppkey % 400) / 100.0 AS fhd,
+  (l_orderkey % 1000) / 100.0 AS pai,
+  ((l_orderkey * 10 + l_linenumber) % 600) / 10.0 AS rh100
+FROM lineitem
+"""
+
+QUALITY_SQL = (
+    "quality_flag = 1 AND degrade_flag = 0 AND num_detectedmodes > 0 "
+    "AND abs(elev - elev_dem_tdx) < 100"
+)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _sn() -> F.Column:
+    return F.col("l_orderkey") * 10 + F.col("l_linenumber")
+
+
+def _shot_base() -> list[F.Column]:
+    sn = _sn()
+    beams = F.array(*[F.lit(b) for b in ALL_BEAMS])
+    return [
+        sn.alias("shot_number"),
+        shot_id_str(sn).alias("shot"),
+        F.element_at(beams, (F.col("l_linenumber") % 8).cast("int") + 1).alias("beam"),
+        ((F.col("l_partkey") % 2000) / 100.0 - 10.0).alias("longitude"),
+        (F.lit(40.0) + (F.col("l_orderkey") % 1500) / 100.0).alias("latitude"),
+        (sn % 3000).cast("double").alias("elev"),
+        ((sn % 3000).cast("double") + ((F.col("l_partkey") % 400) - 200).cast("double")).alias(
+            "elev_dem_tdx"
+        ),
+        F.when(sn % 10 == 0, 1).otherwise(0).alias("degrade_flag"),
+        F.when(sn % 7 == 0, 0).otherwise(1).alias("quality_flag"),
+        (F.lit(0.85) + (sn % 150) / 1000.0).alias("sensitivity"),
+        (F.col("l_linenumber") % 7).cast("int").alias("num_detectedmodes"),
+        F.col("l_shipdate").alias("acq_time"),
+    ]
+
+
+def shots_l2a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sn = _sn()
+    return _lineitem(spark, sf_dir).select(
+        *_shot_base(),
+        (sn % 6000).cast("int").alias("rh98"),
+    )
+
+
+def shots_l2b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sn = _sn()
+    return _lineitem(spark, sf_dir).select(
+        *_shot_base(),
+        ((F.col("l_partkey") % 1000) / 1000.0).alias("tcc"),
+        ((F.col("l_suppkey") % 400) / 100.0).alias("fhd"),
+        ((F.col("l_orderkey") % 1000) / 100.0).alias("pai"),
+        ((sn % 600) / 10.0).alias("rh100"),
+    )
+
+
+# AOI fixture: two overlapping rectangles, one disjoint, one triangle
+# (exercises the general ray-casting path; oracle = half-plane algebra).
+AOI_WKT = {
+    "area_west": "POLYGON ((-8 41, -2 41, -2 52, -8 52, -8 41))",
+    "area_east": "POLYGON ((1 43, 9 43, 9 51, 1 51, 1 43))",
+    "area_far": "POLYGON ((120 -10, 130 -10, 130 0, 120 0, 120 -10))",
+    "area_tri": "POLYGON ((0 44, 6 44, 3 50, 0 44))",
+}
+
+# Half-plane test with the same boundary-inclusive 1e-9 tolerance the
+# engine's ray-casting UDF uses: shot coords are 2-decimal rationals, so
+# a true cross product is exactly 0 (on the edge) or ≥ ~5e-3; only fp
+# noise (~1e-13) lives in between and must not flip the verdict.
+_TRI_SQL = (
+    "6 * (latitude - 44) >= -1e-9 "
+    "AND -3 * (latitude - 44) - 6 * (longitude - 6) >= -1e-9 "
+    "AND -3 * (latitude - 50) + 6 * (longitude - 3) >= -1e-9"
+)
+
+_AOI_SQL_PRED = {
+    "area_west": "longitude BETWEEN -8 AND -2 AND latitude BETWEEN 41 AND 52",
+    "area_east": "longitude BETWEEN 1 AND 9 AND latitude BETWEEN 43 AND 51",
+    "area_far": "longitude BETWEEN 120 AND 130 AND latitude BETWEEN -10 AND 0",
+    "area_tri": f"longitude BETWEEN 0 AND 6 AND latitude BETWEEN 44 AND 50 AND {_TRI_SQL}",
+}
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+L2B_OUT = [
+    "shot", "beam", "acq_time", "longitude", "latitude", "elev", "elev_dem_tdx",
+    "sensitivity", "num_detectedmodes", "tcc", "fhd", "pai", "rh100",
+]
+
+
+def q_extract_l2b_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: default L2B extraction with quality filter (SURVEY §7.1;
+    reference lifecycle §3.1 — extract → quality filter → shot table)."""
+    return quality_filter(shots_l2b(spark, sf_dir)).select(*L2B_OUT)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 on the L2A view, flags dropped afterwards (extract.py:303-339)."""
+    df = quality_filter(shots_l2a(spark, sf_dir))
+    return df.select("shot", "elev", "elev_dem_tdx", "sensitivity", "num_detectedmodes", "rh98")
+
+
+def q_month_filter_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 inclusive month band [6, 8] (extract.py:138-146)."""
+    df = month_filter(shots_l2a(spark, sf_dir), 6, 8)
+    return df.select("shot", "acq_time")
+
+
+def q_month_filter_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 reversed-bounds swap: (11, 2) → band [2, 11] (extract.py:139-140)."""
+    df = month_filter(shots_l2a(spark, sf_dir), 11, 2)
+    return df.select("shot", "acq_time")
+
+
+def q_beam_filter_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 'power' beam-group selection (extract.py:112-119)."""
+    return beam_filter(shots_l2a(spark, sf_dir), "power").select("shot", "beam")
+
+
+def q_rh_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: index the 101-element rh array at 98, m→cm int
+    (extract.py:281-286). The array is synthesized deterministically."""
+    sn = _sn()
+    df = _lineitem(spark, sf_dir).select(
+        shot_id_str(sn).alias("shot"),
+        F.transform(F.sequence(F.lit(0), F.lit(100)), lambda i: i * (sn % 50) / 1000.0).alias("rh"),
+    )
+    return df.select("shot", rh_percentile("rh", 98).alias("rh98_cm"))
+
+
+def q_shot_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: 18-char zero-padded shot id (extract.py:290)."""
+    return _lineitem(spark, sf_dir).select(
+        _sn().alias("shot_number"), shot_id_str(_sn()).alias("shot")
+    )
+
+
+def q_acq_time_from_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2+P4: synthesize a granule filename, regex-extract the 13-digit
+    token, parse %Y%j%H%M%S (extract.py:232-236)."""
+    df = _lineitem(spark, sf_dir).select(
+        shot_id_str(_sn()).alias("shot"),
+        F.concat(
+            F.lit("GEDI02_B_"),
+            F.date_format("l_shipdate", "yyyyDDDHHmmss"),
+            F.lit("_O"),
+            F.lpad((F.col("l_orderkey") % 100000).cast("string"), 5, "0"),
+            F.lit("_V002.h5"),
+        ).alias("file_name"),
+    )
+    return df.select("shot", "file_name", acq_time_from_filename("file_name").alias("acq_time"))
+
+
+def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 axis-aligned case: bbox range predicates (pushdown-able)."""
+    df = bbox_filter(shots_l2a(spark, sf_dir), -5.0, 42.0, 5.0, 50.0)
+    return df.select("shot", "longitude", "latitude")
+
+
+def q_spatial_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F4: shot×AOI intersects-join replicating shots into every AOI
+    they hit (extract.py:176-184); includes a non-rectangular AOI so the
+    ray-casting path is oracle-checked."""
+    aois = aoi_from_wkt(spark, AOI_WKT)
+    out = spatial_join_aoi(shots_l2a(spark, sf_dir), aois)
+    return out.select("aoi_name", "shot", "longitude", "latitude")
+
+
+def q_merge_l2a_l2b_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner product merge on (shot, acq_time) with pandas-style
+    suffixes on colliding non-key columns (xr.py:56-112)."""
+    l2a = shots_l2a(spark, sf_dir).filter(F.col("shot_number") % 5 != 0).drop("shot_number")
+    l2b = shots_l2b(spark, sf_dir).filter(F.col("shot_number") % 4 != 0).drop("shot_number")
+    j = merge_products(
+        l2b.select("shot", "acq_time", "sensitivity", "tcc", "fhd", "pai", "rh100"),
+        l2a.select("shot", "acq_time", "sensitivity", "rh98"),
+        how="inner",
+        on=("shot", "acq_time"),
+    )
+    return j.select(
+        "shot", "acq_time", "rh98", "tcc", "fhd", "pai", "rh100",
+        "sensitivity_l2b", "sensitivity_l2a",
+    )
+
+
+def q_merge_l2a_l2b_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with how='left' — unmatched L2B shots keep NULL L2A columns."""
+    l2a = shots_l2a(spark, sf_dir).filter(F.col("shot_number") % 5 != 0).drop("shot_number")
+    l2b = shots_l2b(spark, sf_dir).filter(F.col("shot_number") % 4 != 0).drop("shot_number")
+    j = merge_products(
+        l2b.select("shot", "acq_time", "tcc"),
+        l2a.select("shot", "acq_time", "rh98"),
+        how="left",
+        on=("shot", "acq_time"),
+    )
+    return j.select("shot", "acq_time", "tcc", "rh98")
+
+
+def q_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: keyed (per-AOI) merge — J1 with aoi_name prepended to the join
+    keys (xr.py:87-106)."""
+    band = F.when(F.col("latitude") >= 47.5, "north").otherwise("south").alias("aoi_name")
+    l2a = shots_l2a(spark, sf_dir).filter(F.col("shot_number") % 5 != 0).select(
+        band, "shot", "acq_time", "rh98"
+    )
+    l2b = shots_l2b(spark, sf_dir).filter(F.col("shot_number") % 4 != 0).select(
+        band, "shot", "acq_time", "pai"
+    )
+    return merge_keyed(l2b, l2a, on=("shot", "acq_time")).select(
+        "aoi_name", "shot", "acq_time", "pai", "rh98"
+    )
+
+
+def q_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-granule quality-filter statistics (extract.py:334-338) —
+    granule id synthesized as orderkey % 20."""
+    df = shots_l2a(spark, sf_dir).withColumn(
+        "source_file", (F.col("shot_number") % 20).cast("int")
+    )
+    return filter_stats_per_file(df)
+
+
+def q_grid_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: rasterization as grid-cell aggregation at 0.3° with a fixed
+    origin; deterministic avg/max over integer-valued measurements
+    (xr.py:144-174, deviation documented in SURVEY §7.3)."""
+    df = quality_filter(shots_l2a(spark, sf_dir))
+    g = grid_aggregate(
+        df, ["elev", "rh98"], resolution=(-0.3, 0.3), origin=(-10.0, 55.0), agg="avg"
+    )
+    return g.select("row", "col", "avg_elev", "avg_rh98", "n_shots")
+
+
+def q_dataset_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: bbox of the shot set (total_bounds, download.py:232-233)."""
+    return shots_l2a(spark, sf_dir).agg(
+        F.min("longitude").alias("xmin"),
+        F.min("latitude").alias("ymin"),
+        F.max("longitude").alias("xmax"),
+        F.max("latitude").alias("ymax"),
+    )
+
+
+def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: cross-file union (pd.concat → unionByName) then a per-beam
+    count over the unioned table."""
+    df = shots_l2a(spark, sf_dir)
+    a = df.filter(F.col("shot_number") % 2 == 0)
+    b = df.filter(F.col("shot_number") % 2 == 1)
+    return a.unionByName(b).groupBy("beam").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_L2B_OUT_SQL = ", ".join(L2B_OUT)
+
+ORACLES: dict[str, str] = {
+    "extract_l2b_default": f"""
+        WITH shots AS ({SHOTS_L2B_SQL})
+        SELECT {_L2B_OUT_SQL} FROM shots WHERE {QUALITY_SQL}
+    """,
+    "quality_filter": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, elev, elev_dem_tdx, sensitivity, num_detectedmodes, rh98
+        FROM shots WHERE {QUALITY_SQL}
+    """,
+    "month_filter_band": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, acq_time FROM shots WHERE month(acq_time) BETWEEN 6 AND 8
+    """,
+    "month_filter_reversed": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, acq_time FROM shots WHERE month(acq_time) BETWEEN 2 AND 11
+    """,
+    "beam_filter_power": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, beam FROM shots
+        WHERE beam IN ('BEAM0101','BEAM0110','BEAM1000','BEAM1011')
+    """,
+    "rh_percentile": """
+        SELECT
+          lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
+          CAST(round(98 * ((l_orderkey * 10 + l_linenumber) % 50) / 1000.0 * 100) AS INTEGER)
+            AS rh98_cm
+        FROM lineitem
+    """,
+    "shot_id_format": """
+        SELECT l_orderkey * 10 + l_linenumber AS shot_number,
+               lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot
+        FROM lineitem
+    """,
+    # DuckDB's strptime ignores %j on parse, so the oracle rebuilds the
+    # timestamp from the 13-digit token explicitly (year + day-of-year).
+    "acq_time_from_filename": r"""
+        WITH f AS (
+          SELECT
+            lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
+            concat('GEDI02_B_', strftime(l_shipdate, '%Y%j%H%M%S'), '_O',
+                   lpad(CAST(l_orderkey % 100000 AS VARCHAR), 5, '0'), '_V002.h5')
+              AS file_name
+          FROM lineitem
+        ),
+        t AS (
+          SELECT shot, file_name,
+                 regexp_extract(file_name, '[AB]_(\d{13})', 1) AS tok
+          FROM f
+        )
+        SELECT shot, file_name,
+               make_timestamp(CAST(substr(tok, 1, 4) AS BIGINT), 1, 1,
+                              CAST(substr(tok, 8, 2) AS BIGINT),
+                              CAST(substr(tok, 10, 2) AS BIGINT),
+                              CAST(substr(tok, 12, 2) AS DOUBLE))
+                 + (CAST(substr(tok, 5, 3) AS INTEGER) - 1) * INTERVAL 1 DAY
+                 AS acq_time
+        FROM t
+    """,
+    "bbox_subset": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, longitude, latitude FROM shots
+        WHERE longitude BETWEEN -5.0 AND 5.0 AND latitude BETWEEN 42.0 AND 50.0
+    """,
+    "spatial_join_aoi": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT 'area_west' AS aoi_name, shot, longitude, latitude FROM shots
+          WHERE {_AOI_SQL_PRED['area_west']}
+        UNION ALL
+        SELECT 'area_east', shot, longitude, latitude FROM shots
+          WHERE {_AOI_SQL_PRED['area_east']}
+        UNION ALL
+        SELECT 'area_far', shot, longitude, latitude FROM shots
+          WHERE {_AOI_SQL_PRED['area_far']}
+        UNION ALL
+        SELECT 'area_tri', shot, longitude, latitude FROM shots
+          WHERE {_AOI_SQL_PRED['area_tri']}
+    """,
+    "merge_l2a_l2b_inner": f"""
+        WITH l2a AS (
+          SELECT shot, acq_time, sensitivity, rh98 FROM ({SHOTS_L2A_SQL})
+          WHERE shot_number % 5 <> 0
+        ),
+        l2b AS (
+          SELECT shot, acq_time, sensitivity, tcc, fhd, pai, rh100 FROM ({SHOTS_L2B_SQL})
+          WHERE shot_number % 4 <> 0
+        )
+        SELECT l2b.shot, l2b.acq_time, rh98, tcc, fhd, pai, rh100,
+               l2b.sensitivity AS sensitivity_l2b, l2a.sensitivity AS sensitivity_l2a
+        FROM l2b JOIN l2a ON l2b.shot = l2a.shot AND l2b.acq_time = l2a.acq_time
+    """,
+    "merge_l2a_l2b_left": f"""
+        WITH l2a AS (
+          SELECT shot, acq_time, rh98 FROM ({SHOTS_L2A_SQL}) WHERE shot_number % 5 <> 0
+        ),
+        l2b AS (
+          SELECT shot, acq_time, tcc FROM ({SHOTS_L2B_SQL}) WHERE shot_number % 4 <> 0
+        )
+        SELECT l2b.shot, l2b.acq_time, tcc, rh98
+        FROM l2b LEFT JOIN l2a ON l2b.shot = l2a.shot AND l2b.acq_time = l2a.acq_time
+    """,
+    "merge_keyed": f"""
+        WITH l2a AS (
+          SELECT CASE WHEN latitude >= 47.5 THEN 'north' ELSE 'south' END AS aoi_name,
+                 shot, acq_time, rh98
+          FROM ({SHOTS_L2A_SQL}) WHERE shot_number % 5 <> 0
+        ),
+        l2b AS (
+          SELECT CASE WHEN latitude >= 47.5 THEN 'north' ELSE 'south' END AS aoi_name,
+                 shot, acq_time, pai
+          FROM ({SHOTS_L2B_SQL}) WHERE shot_number % 4 <> 0
+        )
+        SELECT l2b.aoi_name, l2b.shot, l2b.acq_time, pai, rh98
+        FROM l2b JOIN l2a
+          ON l2b.aoi_name = l2a.aoi_name AND l2b.shot = l2a.shot
+         AND l2b.acq_time = l2a.acq_time
+    """,
+    "filter_stats": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT CAST(shot_number % 20 AS INTEGER) AS source_file,
+               count(*) AS total,
+               CAST(sum(CASE WHEN {QUALITY_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+               count(*) - CAST(sum(CASE WHEN {QUALITY_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS filtered,
+               round((count(*) - sum(CASE WHEN {QUALITY_SQL} THEN 1 ELSE 0 END))
+                     * 100.0 / count(*), 2) AS pct_filtered
+        FROM shots GROUP BY 1
+    """,
+    "grid_aggregate": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT CAST(floor((55.0 - latitude) / 0.3) AS BIGINT) AS row,
+               CAST(floor((longitude - -10.0) / 0.3) AS BIGINT) AS col,
+               avg(elev) AS avg_elev,
+               avg(rh98) AS avg_rh98,
+               count(*) AS n_shots
+        FROM shots WHERE {QUALITY_SQL}
+        GROUP BY 1, 2
+    """,
+    "dataset_bounds": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT min(longitude) AS xmin, min(latitude) AS ymin,
+               max(longitude) AS xmax, max(latitude) AS ymax
+        FROM shots
+    """,
+    "union_batches": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT beam, count(*) AS n FROM (
+          SELECT * FROM shots WHERE shot_number % 2 = 0
+          UNION ALL
+          SELECT * FROM shots WHERE shot_number % 2 = 1
+        ) GROUP BY beam
+    """,
+}
+
+
+def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "extract_l2b_default": q_extract_l2b_default,
+        "quality_filter": q_quality_filter,
+        "month_filter_band": q_month_filter_band,
+        "month_filter_reversed": q_month_filter_reversed,
+        "beam_filter_power": q_beam_filter_power,
+        "rh_percentile": q_rh_percentile,
+        "shot_id_format": q_shot_id_format,
+        "acq_time_from_filename": q_acq_time_from_filename,
+        "bbox_subset": q_bbox_subset,
+        "spatial_join_aoi": q_spatial_join_aoi,
+        "merge_l2a_l2b_inner": q_merge_l2a_l2b_inner,
+        "merge_l2a_l2b_left": q_merge_l2a_l2b_left,
+        "merge_keyed": q_merge_keyed,
+        "filter_stats": q_filter_stats,
+        "grid_aggregate": q_grid_aggregate,
+        "dataset_bounds": q_dataset_bounds,
+        "union_batches": q_union_batches,
+    }

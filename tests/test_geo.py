@@ -1,0 +1,76 @@
+"""geo layer: WKT parsing, struct geometry, WKB boundary, point-in-polygon."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.geo import (
+    is_rectangle,
+    parse_wkt_polygon,
+    point_struct_to_wkb,
+    polygon_bounds,
+    st_intersects_polygon,
+    st_point,
+    st_x,
+    st_y,
+    wkb_point_xy,
+)
+
+
+def test_parse_wkt_polygon_closes_ring():
+    verts = parse_wkt_polygon("POLYGON ((0 0, 1 0, 1 1, 0 1))")
+    assert verts[0] == verts[-1] and len(verts) == 5
+
+
+def test_parse_wkt_rejects_holes():
+    with pytest.raises(ValueError):
+        parse_wkt_polygon("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+
+
+def test_is_rectangle():
+    assert is_rectangle(parse_wkt_polygon("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    assert not is_rectangle(parse_wkt_polygon("POLYGON ((0 0, 6 0, 3 5, 0 0))"))
+
+
+def test_polygon_bounds():
+    assert polygon_bounds(parse_wkt_polygon("POLYGON ((0 1, 2 1, 2 3, 0 3, 0 1))")) == (
+        0.0, 1.0, 2.0, 3.0,
+    )
+
+
+def test_st_point_struct_roundtrip(spark):
+    df = spark.createDataFrame([(1.5, -2.5)], ["lon", "lat"])
+    g = df.select(st_point(F.col("lon"), F.col("lat")).alias("geometry"))
+    row = g.select(st_x("geometry").alias("x"), st_y("geometry").alias("y")).first()
+    assert (row["x"], row["y"]) == (1.5, -2.5)
+
+
+def test_wkb_encode_decode(spark):
+    df = spark.createDataFrame([(12.25, -60.5), (0.0, 1.0)], ["lon", "lat"])
+    wkb = df.select(
+        point_struct_to_wkb(st_point(F.col("lon"), F.col("lat"))).alias("g")
+    ).collect()
+    assert wkb[0]["g"][:5] == b"\x01\x01\x00\x00\x00"  # LE WKB Point header
+    x, y = wkb_point_xy(pd.Series([r["g"] for r in wkb]))
+    assert list(x) == [12.25, 0.0] and list(y) == [-60.5, 1.0]
+
+
+def test_point_in_polygon_general(spark):
+    tri = "POLYGON ((0 0, 6 0, 3 6, 0 0))"
+    df = spark.createDataFrame(
+        [(3.0, 2.0, True), (3.0, 0.0, True), (0.0, 0.0, True), (5.9, 5.9, False), (-1.0, 0.0, False)],
+        ["x", "y", "expect"],
+    )
+    out = df.withColumn("hit", st_intersects_polygon(F.col("x"), F.col("y"), tri))
+    for r in out.collect():
+        assert r["hit"] == r["expect"], (r["x"], r["y"])
+
+
+def test_rectangle_predicate_has_no_udf(spark):
+    rect = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    df = spark.createDataFrame([(0.5, 0.5)], ["x", "y"])
+    plan = df.filter(
+        st_intersects_polygon(F.col("x"), F.col("y"), rect)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # pure range predicates
