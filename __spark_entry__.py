@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gedixr_spark import contract
+from gedixr_spark import contract, contract_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,10 +20,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(contract.reference_queries())
+    """One entry per implemented operator: SURVEY.md §2 reference
+    surface + §7.4 extension operators (dedup/similarity/text/events/
+    multimodal)."""
+    return {**contract.reference_queries(), **contract_ext.extension_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry."""
-    return dict(contract.ORACLES)
+    return {**contract.ORACLES, **contract_ext.ORACLES_EXT}

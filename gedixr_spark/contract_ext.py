@@ -1,0 +1,523 @@
+"""Driver-contract queries for the §7.4 extension operators (dedup,
+similarity search, text analysis, event-time ops, multimodal plumbing)
+with DuckDB oracles where SQL-expressible.
+
+Parity techniques (same discipline as contract.py):
+- md5 is byte-identical across engines → all text hashing/minhash.
+- Jaccard / ratios: integer counts into one division.
+- Embeddings: quantized to ints (round(e*1000)) → exact dot products;
+  cosine = one division of exact values.
+- Event value sums: decimal(18,2) cast → exact, order-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators import dedup, events, similarity, text
+from gedixr_spark.operators.multimodal import attach_fake_payload
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    rejects by default. Read nanos as long (runtime conf, so it works
+    under the driver's session too) and floor-divide to microseconds —
+    exactly what DuckDB's parquet reader does (verified: ns remainders
+    ≥ 500 are floored, not rounded), so oracle parity holds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-of-normalized-text survivor table."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Bag-of-words fingerprint dedup key per doc."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", text.doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at 0.5."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+
+
+def q_minhash_signature(spark, sf_dir):
+    """8-hash MinHash signatures (seeded md5 minima)."""
+    return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=4)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs (k=4, 2 bands of 2)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=4, bands=2)
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", dedup.simhash16("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force quantized-cosine top-5 for query vectors vec_id<3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs (cosine ≥ 0.3 — the
+    synthetic embeddings are random unit vectors, so 'near-dup' means
+    top-tail cosine; real corpora would use ≥ 0.95)."""
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucket histogram (the ANN partitioning shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplanes(64, 8, 42)
+    return (
+        emb.select(similarity.lsh_bucket("embedding", planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    df = text.quality_features(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "upper_ratio"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    df = text.lang_id(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "lang_pred")
+
+
+def q_word_topk(spark, sf_dir):
+    """Corpus-level token frequency top-20 (explode → count → rank)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = df.select(F.explode(text.tokens("text")).alias("token"))
+    from pyspark.sql.window import Window
+
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# Events
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    return events.tumbling_agg(_t(spark, sf_dir, "events"))
+
+
+def q_sliding_2h(spark, sf_dir):
+    return events.sliding_agg(_t(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark, sf_dir):
+    s = events.sessionize(_t(spark, sf_dir, "events"))
+    return s.select("event_id", "user_id", "session_n")
+
+
+def q_session_stats(spark, sf_dir):
+    return events.session_stats(_t(spark, sf_dir, "events"))
+
+
+def q_top_users(spark, sf_dir):
+    return events.top_users_by_activity(_t(spark, sf_dir, "events"), k=10)
+
+
+def q_props_extract(spark, sf_dir):
+    df = events.json_props_extract(_t(spark, sf_dir, "events"))
+    return df.select("event_id", "prop_k")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column; oracle-checkable part)
+# ---------------------------------------------------------------------------
+
+
+def q_binary_payload_meta(spark, sf_dir):
+    """Binary payload + typed metadata projection: the oracle checks
+    payload bytes (via hex), byte length, and the metadata fields."""
+    df = attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("payload_hex"),
+        F.length("payload").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SHINGLES = f"""
+  list_distinct(
+    CASE WHEN len({_TOKENS}) >= 3
+         THEN list_transform(range(1, len({_TOKENS}) - 1),
+              i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1], {_TOKENS}[i+2]))
+         ELSE [] END)
+"""
+
+_QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Exact integer dot product: reduce over the zipped product list."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2]), (x, y) -> x + y)"
+    )
+
+
+def _plane_proj_sql(vec: str, plane: list[float]) -> str:
+    """Fixed left-assoc chain of quantized-element × literal products —
+    mirrors similarity.lsh_bucket exactly."""
+    terms = " + ".join(f"{vec}[{j + 1}] * {w!r}" for j, w in enumerate(plane))
+    return f"({terms})"
+
+
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_proj_sql('qv', p)} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({bits})"
+
+
+_STOPWORDS_SQL = "['the','a','and','of','to','in','is','it']"
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(list_transform({_TOKENS}, t -> lower(t)), t -> list_contains({arr}, t)))"
+
+
+def build_oracles() -> dict[str, str]:
+    from gedixr_spark.operators.similarity import hyperplanes
+    from gedixr_spark.operators.text import LANG_MARKERS
+
+    planes = hyperplanes(64, 8, 42)
+
+    lang_cases = []
+    langs = list(LANG_MARKERS)
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{_lang_score(LANG_MARKERS[lang])} >= {_lang_score(LANG_MARKERS[o])}"
+            for o in langs[i + 1 :]
+        )
+        lang_cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case_sql = "CASE " + " ".join(lang_cases) + f" ELSE '{langs[-1]}' END"
+
+    # 16-bit simhash: digit = first-4-hex-chars of md5(token) as int
+    digit = (
+        "(strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(t),4,1)) - 1)"
+    )
+    sim_bits = " + ".join(
+        f"(CASE WHEN sum(((d // {2 ** i}) % 2) * 2 - 1) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(16)
+    )
+
+    oracles = {
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+                   min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(list_aggregate(list_sort(list_distinct({_TOKENS})), 'string_agg', ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "minhash_signature": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            )
+            SELECT doc_id,
+                   min(md5(concat('0|', shingle))) AS mh0,
+                   min(md5(concat('1|', shingle))) AS mh1,
+                   min(md5(concat('2|', shingle))) AS mh2,
+                   min(md5(concat('3|', shingle))) AS mh3
+            FROM sh GROUP BY 1
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM sh GROUP BY 1
+            ),
+            banded AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sig
+            )
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded x JOIN banded y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        """,
+        "simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+            ),
+            dig AS (SELECT doc_id, {digit} AS d FROM tok)
+            SELECT doc_id, {sim_bits} AS simhash
+            FROM dig GROUP BY doc_id
+        """,
+        "cosine_topk": f"""
+            WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     {_dot_sql('q.qv', 'c.qv')}
+                       / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.qv', 'c.qv')}))
+                       AS cosine
+              FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (
+              SELECT vec_id, {_QVEC} AS qv FROM embeddings
+            ),
+            s AS (SELECT vec_id, qv, {_lsh_bucket_sql(planes)} AS bucket FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_dot_sql('a.qv', 'b.qv')}
+                     / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
+                     AS cosine
+            FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_dot_sql('a.qv', 'b.qv')}
+                    / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
+                  >= 0.3
+        """,
+        "lsh_buckets": f"""
+            WITH e AS (SELECT {_QVEC} AS qv FROM embeddings)
+            SELECT {_lsh_bucket_sql(planes)} AS bucket, count(*) AS n_vectors
+            FROM e GROUP BY 1
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                   CAST(len({_TOKENS})
+                        + list_reduce(list_prepend(0,
+                            list_transform({_TOKENS}, w -> CAST(length(w) // 6 AS BIGINT))),
+                          (a, b) -> a + b) AS INTEGER) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                   CAST(list_reduce(list_prepend(0,
+                          list_transform({_TOKENS}, w -> CAST(length(w) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE) / len({_TOKENS}) AS mean_token_len,
+                   CAST(len(list_filter({_TOKENS},
+                        t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS DOUBLE)
+                     / len({_TOKENS}) AS stopword_ratio,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                     / length(text) AS upper_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang, {lang_case_sql} AS lang_pred FROM documents
+        """,
+        "word_topk": f"""
+            WITH tok AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+            ranked AS (
+              SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+              FROM counts
+            )
+            SELECT token, n, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 20
+        """,
+        "tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_2h": """
+            WITH exploded AS (
+              SELECT unnest([date_trunc('hour', ts),
+                             date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+                     value
+              FROM events
+            )
+            SELECT window_start, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM exploded GROUP BY 1
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+                       AS is_new
+              FROM lagged
+            )
+            SELECT event_id, user_id,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_n
+            FROM flagged
+        """,
+        "session_stats": """
+            WITH lagged AS (
+              SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+                          AS is_new
+              FROM lagged
+            ),
+            sessions AS (
+              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_n
+              FROM flagged
+            )
+            SELECT user_id, session_n, count(*) AS n_events,
+                   epoch(max(ts)) - epoch(min(ts)) AS duration_s,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM sessions GROUP BY 1, 2
+        """,
+        "top_users": """
+            WITH counts AS (
+              SELECT user_id, count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+              FROM counts
+            )
+            SELECT user_id, n_events, sum_value, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "props_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+            FROM events
+        """,
+        "binary_payload_meta": """
+            SELECT doc_id,
+                   upper(md5(text)) AS payload_hex,
+                   16 AS n_bytes,
+                   'image/fake' AS media_type,
+                   CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+                   CAST(length(text) % 480 + 1 AS BIGINT) AS height
+            FROM documents
+        """,
+    }
+    return oracles
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "lsh_buckets": q_lsh_buckets,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "word_topk": q_word_topk,
+        "tumbling_hourly": q_tumbling_hourly,
+        "sliding_2h": q_sliding_2h,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "top_users": q_top_users,
+        "props_extract": q_props_extract,
+        "binary_payload_meta": q_binary_payload_meta,
+    }
+
+
+ORACLES_EXT = build_oracles()

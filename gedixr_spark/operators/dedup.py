@@ -1,0 +1,192 @@
+"""Deduplication operators (SURVEY.md §7.4 — LLM-pipeline surface).
+
+Scale design notes (the point of each variant):
+- exact_dedup: one hash shuffle on the fingerprint; at 100 TB the key
+  is a 128-bit digest, so the shuffle carries ~48 B/row, not documents.
+- ngram_jaccard_pairs: exact all-pairs *verification* — quadratic in
+  docs sharing a shingle; only run it on LSH candidates at scale.
+- MinHash+LSH: the scale path. Signatures are k min-aggregations over
+  one shingle explosion (one shuffle); banding turns near-dup search
+  into an equi-join on band keys — no cross join ever materializes.
+- simhash16: 16-bit SimHash from md5 hex digits — pure integer column
+  math so the DuckDB oracle can replay it bit-for-bit.
+- embedding near-dup lives in operators/similarity.py (shares the
+  quantized-cosine machinery).
+
+Everything is md5-based: Spark's and DuckDB's md5 agree byte-for-byte,
+which makes every op here oracle-checkable (lexicographic min over hex
+digests is deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators.text import tokens
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Normalization used for exact dedup: lowercase + collapse runs of
+    whitespace (cheap canonicalization before hashing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the md5 of normalized text; the survivor is the
+    minimum id per group (deterministic under any partitioning)."""
+    key = F.md5(normalized_text(text_col)).alias("content_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(empty))
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold). intersection/union counts are integers, so the jaccard
+    division is a single exact-input IEEE op — oracle-stable."""
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(
+    df: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash via seeded md5: mh_i = min(md5(i || '|' ||
+    shingle)). One shingle explosion, one groupBy with k min-aggs."""
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding over the MinHash signature: docs sharing any band
+    key become candidate pairs (id_a < id_b, distinct). Equi-join per
+    band — broadcastable when candidates are rare, shuffle-join
+    otherwise; never a cross join."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signature(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    pairs = None
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+        banded = sig.select(F.col(id_col), key.alias("band_key"))
+        x = banded.alias("x")
+        y = banded.alias("y")
+        p = (
+            x.join(y, on="band_key")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    threshold: float,
+    k: int = 8,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full scale pipeline: LSH candidates → exact Jaccard verify.
+    Identical output to ngram_jaccard_pairs minus pairs LSH missed
+    (tunable recall via k/bands)."""
+    cand = minhash_lsh_pairs(df, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col)
+    exact = ngram_jaccard_pairs(df, threshold, n=n, text_col=text_col, id_col=id_col)
+    return cand.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over word tokens: the first 4 hex digits of each
+    token's md5 give a 16-bit value; per bit, sum +1/-1 across tokens;
+    the sign vector packs back into an int. One pass: a 16-bit digit
+    per token (via conv base16→10), then a single fold with a 16-field
+    struct accumulator. Integer-only math — replayable in ANSI SQL
+    (hex digits via strpos in the oracle)."""
+    digits = F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    zero = F.struct(*[F.lit(0).alias(f"b{i}") for i in range(16)])
+    folded = F.aggregate(
+        digits,
+        zero,
+        lambda acc, d: F.struct(
+            *[
+                (acc[f"b{i}"] + ((F.floor(d / (2**i)) % 2) * 2 - 1).cast("int")).alias(f"b{i}")
+                for i in range(16)
+            ]
+        ),
+    )
+    out = F.lit(0)
+    for i in range(16):
+        out = out + F.when(folded[f"b{i}"] > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out

@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §7.4; driver north star). All pure built-in column
+expressions — JVM-side, whole-stage-codegen friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small fixed marker sets for the n-gram/stopword language heuristic;
+# deterministic and engine-portable (the point is the operator shape,
+# not linguistic accuracy)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "de"),
+    "fr": ("le", "la", "les", "des"),
+    "de": ("der", "die", "das", "und"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces plus one extra
+    token per 6 chars of long words (a cheap BPE proxy that only needs
+    built-ins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokens(c)
+    extra = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.floor(F.length(w) / 6).cast("int")
+    )
+    return F.size(words) + extra
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token count, char count, mean token
+    length, stopword ratio, uppercase ratio — the standard cheap
+    filters a 100 TB corpus pass computes in one scan."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", ""))
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        (sum_len.cast("double") / n_tok).alias("mean_token_len"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_upper.cast("double") / F.length(text_col)).alias("upper_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID with a deterministic preference order on
+    ties (en > es > fr > de). Pure column math: per-language marker hit
+    counts, then a when-chain argmax."""
+    toks = F.transform(tokens(text_col), F.lower)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    langs = list(LANG_MARKERS)
+    # CASE chain in preference order: lang k only needs >= vs LATER
+    # langs — if an earlier lang lost its own WHEN, it can't exceed k
+    # (it lost to something k already dominates). First-true-wins gives
+    # a deterministic tie-break identical to the SQL oracle's CASE.
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            ge = scores[lang] >= scores[other]
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return df.withColumn(out_col, expr.otherwise(langs[-1]))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (bag-of-words signature). Used for fuzzy-exact
+    dedup where token order/dup noise shouldn't matter."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))

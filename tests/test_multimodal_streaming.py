@@ -1,0 +1,85 @@
+"""Multimodal binary plumbing + Structured Streaming variants."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators import multimodal
+from gedixr_spark.streaming import events as st
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "another document")], ["doc_id", "text"]
+    )
+
+
+def test_attach_payload_schema(spark):
+    df = multimodal.attach_fake_payload(_docs(spark))
+    types = dict(df.dtypes)
+    assert types["payload"] == "binary"
+    assert types["media_meta"].startswith("struct")
+    r = df.filter(F.col("doc_id") == 1).first()
+    assert len(r["payload"]) == 16  # md5 digest bytes
+    assert r["media_meta"]["media_type"] == "image/fake"
+
+
+def test_extract_features_mapinpandas(spark):
+    feats = multimodal.extract_features(multimodal.attach_fake_payload(_docs(spark)))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == 16
+    assert rows[1]["decode_status"] == "stub"
+    assert sum(rows[1]["byte_histogram4"]) == 16
+    assert 0.0 <= rows[1]["mean_byte"] <= 255.0
+
+
+def test_resize_and_frame_sample_are_explicit_stubs(spark):
+    df = _docs(spark)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(df, 64, 64)
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample_stub(df, 10)
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts0, 1, "click", 1.0),
+        (2, ts0 + datetime.timedelta(minutes=10), 1, "view", 2.0),
+        (3, ts0 + datetime.timedelta(hours=2), 2, "click", 3.0),
+        # watermark sentinel: pushes event-time far past the sessions
+        # above so append-mode emits them in the no-data finalization
+        # micro-batch
+        (99, ts0 + datetime.timedelta(hours=10), 9, "click", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    p = str(tmp_path / "stream_in")
+    df.write.parquet(p)
+    return p, df.schema
+
+
+def test_streaming_tumbling_counts(spark, event_dir):
+    path, schema = event_dir
+    stream = st.read_event_stream(spark, path, schema)
+    assert stream.isStreaming
+    agg = st.streaming_tumbling_counts(stream, width="1 hour")
+    rows = st.run_available_now(agg, "t_tumble", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in rows}
+    ts0 = datetime.datetime(2024, 1, 1)
+    assert got[(ts0, "click")] == 1 and got[(ts0, "view")] == 1
+    assert got[(ts0 + datetime.timedelta(hours=2), "click")] == 1
+
+
+def test_streaming_sessionize(spark, event_dir):
+    path, schema = event_dir
+    stream = st.read_event_stream(spark, path, schema)
+    sess = st.streaming_sessionize(stream, gap="30 minutes", watermark="30 minutes")
+    rows = st.run_available_now(sess, "t_sess", output_mode="append")
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events 10 min apart merge into one session of 2
+    assert len(by_user.get(1, [])) == 1 and by_user[1][0]["n_events"] == 2
+    assert len(by_user.get(2, [])) == 1 and by_user[2][0]["n_events"] == 1

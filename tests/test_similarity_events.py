@@ -1,0 +1,104 @@
+"""Similarity-search + event-time operator tests (§7.4 extensions)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators import events, similarity
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),     # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    out = similarity.cosine_topk(
+        _emb(spark).filter(F.col("vec_id") == 0), _emb(spark), k=3
+    ).collect()
+    ranked = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # nearest
+    assert ranked[-1] == 3  # opposite direction last
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_cosine_topk_excludes_self(spark):
+    out = similarity.cosine_topk(_emb(spark), _emb(spark), k=10).collect()
+    assert all(r["query_id"] != r["cand_id"] for r in out)
+
+
+def test_lsh_bucket_groups_similar_vectors(spark):
+    planes = similarity.hyperplanes(4, 6, seed=7)
+    df = _emb(spark).select(
+        "vec_id", similarity.lsh_bucket("embedding", planes).alias("bucket")
+    )
+    b = {r["vec_id"]: r["bucket"] for r in df.collect()}
+    assert b[0] == b[1]  # near-identical directions share all sign bits
+    assert b[0] != b[3]  # opposite vectors flip every plane
+
+
+def test_embedding_neardup_pairs(spark):
+    out = similarity.embedding_neardup_pairs(
+        _emb(spark), threshold=0.99, n_planes=6, dim=4, seed=7
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark):
+    def t(minutes):
+        return TS0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions (gap 45 min > 30)
+        (1, t(0), 1, "click", 1.0),
+        (2, t(10), 1, "view", 2.0),
+        (3, t(55), 1, "click", 3.0),
+        # user 2: one session
+        (4, t(5), 2, "view", 4.0),
+        (5, t(20), 2, "view", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    out = events.sessionize(_events(spark), gap_minutes=30).collect()
+    s = {r["event_id"]: r["session_n"] for r in out}
+    assert s[1] == s[2] == 1 and s[3] == 2  # 45-min gap starts session 2
+    assert s[4] == s[5] == 1
+
+
+def test_session_stats(spark):
+    out = events.session_stats(_events(spark), gap_minutes=30).collect()
+    by_key = {(r["user_id"], r["session_n"]): r for r in out}
+    assert by_key[(1, 1)]["n_events"] == 2
+    assert by_key[(1, 1)]["duration_s"] == 600.0
+    assert by_key[(1, 2)]["n_events"] == 1
+    assert by_key[(2, 1)]["sum_value"] == 9.0
+
+
+def test_tumbling_agg_buckets_by_hour(spark):
+    out = events.tumbling_agg(_events(spark), width="hour").collect()
+    assert {r["window_start"] for r in out} == {TS0}
+    total = sum(r["n_events"] for r in out)
+    assert total == 5
+
+
+def test_sliding_agg_two_buckets_per_event(spark):
+    out = events.sliding_agg(_events(spark)).collect()
+    # every event lands in its hour and the previous hour
+    assert sum(r["n_events"] for r in out) == 10
+
+
+def test_top_users(spark):
+    out = events.top_users_by_activity(_events(spark), k=1).collect()
+    assert len(out) == 1 and out[0]["user_id"] == 1 and out[0]["n_events"] == 3
