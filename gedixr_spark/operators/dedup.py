@@ -55,12 +55,6 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(empty))
 
 
-def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -70,19 +64,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold). intersection/union counts are integers, so the jaccard
-    division is a single exact-input IEEE op — oracle-stable."""
-    sh = _exploded_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    division is a single exact-input IEEE op — oracle-stable.
+
+    Plan shape: the self-join keys on a 64-bit shingle hash (~4× smaller
+    shuffle than shingle strings; collision odds 2^-64·|pairs| —
+    immaterial), and set sizes live in a separate per-doc table that is
+    broadcast-joined onto the aggregated pairs. Keeping n_sh OUT of the
+    pair-join stage matters: carrying the (large, nested-lambda)
+    shingle expression for both join sides into one stage blows Spark's
+    generated-method size limit and drops the stage to interpreted
+    evaluation (~50× slower, measured)."""
+    sha = word_shingles(text_col, n)
+    sh = df.select(
+        F.col(id_col), F.explode(F.transform(sha, lambda s: F.xxhash64(s))).alias("sh")
+    )
+    sizes = df.select(F.col(id_col), F.size(sha).alias("n_sh")).filter(F.col("n_sh") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
     out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -106,13 +112,27 @@ def minhash_signature(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """k-permutation MinHash via seeded md5: mh_i = min(md5(i || '|' ||
-    shingle)). One shingle explosion, one groupBy with k min-aggs."""
-    sh = _exploded_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    shingle)).
+
+    ZERO-shuffle formulation: the min over a document's shingle set is
+    an array fold (array_min over transform), evaluated per row inside
+    codegen — no explode, no groupBy. At 100 TB this is the difference
+    between a map-only stage and shuffling the entire shingle explosion
+    (~50× the corpus size). Documents with fewer than n tokens have no
+    shingles and are dropped (same as the grouped formulation)."""
+    sha = word_shingles(text_col, n)
+
+    def mh(i: int):
+        # NB: the lambda must stay single-parameter — PySpark treats a
+        # two-param lambda as (element, index)
+        return F.array_min(
+            F.transform(sha, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+
+    cols = [mh(i) for i in range(k)]
+    return df.select(F.col(id_col), F.size(sha).alias("__n"), *cols).filter(
+        F.col("__n") > 0
+    ).drop("__n")
 
 
 def minhash_lsh_pairs(
@@ -129,20 +149,36 @@ def minhash_lsh_pairs(
     otherwise; never a cross join."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signature(df, k=k, n=n, text_col=text_col, id_col=id_col)
-    pairs = None
-    for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
-        banded = sig.select(F.col(id_col), key.alias("band_key"))
-        x = banded.alias("x")
-        y = banded.alias("y")
-        p = (
-            x.join(y, on="band_key")
-            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    # grouped (explode + k min-aggs) rather than the fold formulation:
+    # the shuffle materializes compact signatures, so the band self-join
+    # stage never sees the giant shingle expression (which would drop
+    # the stage out of codegen — same failure mode as in
+    # ngram_jaccard_pairs, measured ~5-20× slower).
+    sha = word_shingles(text_col, n)
+    sh = df.select(F.col(id_col), F.explode(sha).alias("shingle"))
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    # explode band keys out of ONE signature computation: a single
+    # equi-join on (band_key) replaces one join per band.
+    keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(keys).alias("band_key"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(y, on="band_key")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_neardup(

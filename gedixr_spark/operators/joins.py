@@ -121,11 +121,31 @@ def spatial_join_aoi(
     rows = aois.select(name_col, wkt_col).collect()
     if not rows:
         raise MergeError("empty AOI table")
-    branches = []
+    # coarse-then-exact (SURVEY §4 / Sedona envelope strategy): the OR
+    # of all AOI bounding boxes is pure range predicates → pushes into
+    # the parquet scan (row-group min/max pruning at 100 TB); only the
+    # survivors reach the exact tests / the ray-cast UDF.
+    from gedixr_spark.geo import parse_wkt_polygon, polygon_bounds
+
+    coarse = None
     for r in rows:
-        pred = st_intersects_polygon(F.col(lon_col), F.col(lat_col), r[wkt_col])
-        branches.append(shots.filter(pred).withColumn(name_col, F.lit(r[name_col])))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+        xmin, ymin, xmax, ymax = polygon_bounds(parse_wkt_polygon(r[wkt_col]))
+        b = F.col(lon_col).between(xmin, xmax) & F.col(lat_col).between(ymin, ymax)
+        coarse = b if coarse is None else (coarse | b)
+    # ONE scan: evaluate every AOI predicate per surviving row, explode
+    # the names of matching AOIs (K predicates per row beats K scans).
+    entries = [
+        F.when(
+            st_intersects_polygon(F.col(lon_col), F.col(lat_col), r[wkt_col]),
+            F.lit(r[name_col]),
+        )
+        for r in rows
+    ]
+    matched = F.array_compact(F.array(*entries))
+    return (
+        shots.filter(coarse)
+        .withColumn("__aois", matched)
+        .filter(F.size("__aois") > 0)
+        .withColumn(name_col, F.explode("__aois"))
+        .drop("__aois")
+    )

@@ -20,8 +20,11 @@ of embeddings.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
 
@@ -83,25 +86,35 @@ def cosine_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
-    """Seeded random hyperplanes (4-decimal values so literals embed
-    exactly in SQL oracles)."""
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[int]]:
+    """Seeded random hyperplanes, INTEGER-scaled (×10000): with the
+    quantized vectors, every projection is an exact int64 dot product —
+    the sign (the LSH bit) is identical under ANY summation order, so
+    a BLAS matmul, a SQL sum, and a fold all agree bit-for-bit."""
     rng = np.random.default_rng(seed)
-    return [[round(float(v), 4) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+    return [
+        [int(round(float(v) * 10000)) for v in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
 
 
-def lsh_bucket(vec_col: Column | str, planes: list[list[float]], scale: int = 1000) -> Column:
+def lsh_bucket(vec_col: Column | str, planes: list[list[int]], scale: int = 1000) -> Column:
     """Random-hyperplane signature: bit i = sign(q · plane_i), packed
-    into an int. Uses the quantized vector so the projection is a fixed
-    left-assoc chain of exact-int × literal products — deterministic."""
-    v = quantize(vec_col, scale)
-    out = F.lit(0)
-    for i, plane in enumerate(planes):
-        proj = F.lit(0.0)
-        for j, w in enumerate(plane):
-            proj = proj + F.element_at(v, j + 1) * F.lit(w)
-        out = out + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return out
+    into an int. Vectorized numpy int64 matmul in an Arrow UDF — exact
+    integer arithmetic (|q|≤~1000·64 terms ·10⁴ ≈ 2^40 per plane, far
+    inside int64), ~100× less plan-compile + eval cost than a
+    512-term codegen expression, and the realistic kernel at 100 TB."""
+    pl = np.asarray(planes, dtype=np.int64).T  # dim × n_planes
+    weights = (2 ** np.arange(len(planes))).astype(np.int64)
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    @pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # n × dim (quantized int64)
+        proj = m.astype(np.int64) @ pl  # exact
+        return pd.Series(((proj > 0) @ weights).astype(np.int32))
+
+    return _bucket(quantize(c, scale))
 
 
 def lsh_ann_topk(
