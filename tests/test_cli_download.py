@@ -1,0 +1,68 @@
+"""CLI parsing + S7 download-utility semantics (fake client)."""
+
+import pytest
+
+from gedixr_spark.cli import build_parser, parse_beams, parse_variables
+from gedixr_spark.sources.download import (
+    CHECKPOINT_NAME,
+    FakeHarmonyClient,
+    bbox_from_vector,
+    download_data,
+)
+
+
+def test_parse_variables_spec():
+    # reference cli.py:93-105 format
+    assert parse_variables("rh98=rh98,tcc=cover") == [("rh98", "rh98"), ("tcc", "cover")]
+    assert parse_variables(None) is None
+    with pytest.raises(ValueError):
+        parse_variables("not_a_pair")
+
+
+def test_parse_beams_spec():
+    assert parse_beams("power") == "power"
+    assert parse_beams("BEAM0000,BEAM0101") == ["BEAM0000", "BEAM0101"]
+    assert parse_beams(None) is None
+
+
+def test_parser_accepts_reference_flags():
+    args = build_parser().parse_args(
+        ["extract", "/data", "--gedi-product", "L2A", "--filter-month", "6", "8",
+         "--subset-vector", "a.geojson", "--subset-vector", "b.geojson"]
+    )
+    assert args.filter_month == [6, 8]
+    assert args.subset_vector == ["a.geojson", "b.geojson"]
+
+
+def test_bbox_from_wkt():
+    assert bbox_from_vector("POLYGON ((0 1, 2 1, 2 3, 0 3, 0 1))") == (0, 1, 2, 3)
+
+
+def test_download_submits_and_checkpoints(tmp_path):
+    client = FakeHarmonyClient(granules=["GEDI02_B_x_V002.h5"])
+    paths, job_id = download_data(
+        tmp_path, "L2B", subset_bbox=(0, 0, 1, 1), client=client
+    )
+    assert [p.name for p in paths] == ["GEDI02_B_x_V002.h5"]
+    assert client.submitted[0]["collection"] == "GEDI02_B"
+    # checkpoint removed after success (download.py:156-157)
+    assert not (tmp_path / CHECKPOINT_NAME).exists()
+
+
+def test_download_resumes_from_checkpoint(tmp_path):
+    (tmp_path / CHECKPOINT_NAME).write_text("job-42")
+    client = FakeHarmonyClient(granules=["g.h5"])
+    paths, job_id = download_data(tmp_path, "L2B", client=client)
+    assert job_id == "job-42"
+    assert client.submitted == []  # no new submission — resumed
+
+
+def test_download_warns_on_failures(tmp_path):
+    client = FakeHarmonyClient(granules=["g.h5"], failed=["bad.h5"])
+    with pytest.warns(UserWarning, match="1 granules failed"):
+        download_data(tmp_path, "L2A", subset_bbox=(0, 0, 1, 1), client=client)
+
+
+def test_download_rejects_bad_product(tmp_path):
+    with pytest.raises(ValueError):
+        download_data(tmp_path, "L9Z", client=FakeHarmonyClient())
