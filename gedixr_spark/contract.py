@@ -334,6 +334,22 @@ def q_dataset_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/P6: EPSG:4326 → EPSG:3857 web-mercator transform in pure
+    column math (geo.st_transform_4326_to_3857). Values rounded to
+    whole meters in BOTH engines: JVM Math.log/tan and libm differ at
+    the ulp level, and 1 m ≫ that noise."""
+    from gedixr_spark.geo import st_transform_4326_to_3857
+
+    df = shots_l2a(spark, sf_dir)
+    x, y = st_transform_4326_to_3857(F.col("longitude"), F.col("latitude"))
+    return df.select(
+        "shot",
+        F.round(x, 0).cast("long").alias("x_3857_m"),
+        F.round(y, 0).cast("long").alias("y_3857_m"),
+    )
+
+
 def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: cross-file union (pd.concat → unionByName) then a per-beam
     count over the unioned table."""
@@ -494,6 +510,14 @@ ORACLES: dict[str, str] = {
                max(longitude) AS xmax, max(latitude) AS ymax
         FROM shots
     """,
+    "web_mercator": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot,
+               CAST(round(radians(longitude) * 6378137.0, 0) AS BIGINT) AS x_3857_m,
+               CAST(round(ln(tan(pi() / 4 + radians(latitude) / 2)) * 6378137.0, 0)
+                    AS BIGINT) AS y_3857_m
+        FROM shots
+    """,
     "union_batches": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT beam, count(*) AS n FROM (
@@ -523,5 +547,6 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_stats": q_filter_stats,
         "grid_aggregate": q_grid_aggregate,
         "dataset_bounds": q_dataset_bounds,
+        "web_mercator": q_web_mercator,
         "union_batches": q_union_batches,
     }

@@ -69,6 +69,48 @@ def wkb_point_xy(wkb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return coords[:, 0], coords[:, 1]
 
 
+# --- CRS transforms (X10 / P6) ---------------------------------------------
+
+_WGS84_R = 6378137.0  # WGS84 semi-major axis, the web-mercator sphere radius
+
+
+def st_transform_4326_to_3857(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:4326 → EPSG:3857 (web mercator), the spherical formulas
+    (public: EPSG guidance note 7-2): x = R·λ, y = R·ln(tan(π/4+φ/2)).
+    Pure column math — the common ST_Transform case without geo libs;
+    other CRS pairs need pyproj and stay import-gated."""
+    x = F.radians(lon) * _WGS84_R
+    y = F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2)) * _WGS84_R
+    return x, y
+
+
+def st_transform_3857_to_4326(x: Column, y: Column) -> tuple[Column, Column]:
+    """Inverse web mercator: λ = x/R, φ = 2·atan(exp(y/R)) − π/2."""
+    lon = F.degrees(x / _WGS84_R)
+    lat = F.degrees(F.atan(F.exp(y / _WGS84_R)) * 2 - F.lit(math.pi / 2))
+    return lon, lat
+
+
+def st_transform(df, lon_col: str, lat_col: str, src: str, dst: str):
+    """General CRS transform dispatcher: 4326↔3857 in pure column math;
+    anything else requires pyproj (absent here → import-gated)."""
+    key = (src.upper(), dst.upper())
+    if key == ("EPSG:4326", "EPSG:3857"):
+        x, y = st_transform_4326_to_3857(F.col(lon_col), F.col(lat_col))
+        return df.withColumn("x_3857", x).withColumn("y_3857", y)
+    if key == ("EPSG:3857", "EPSG:4326"):
+        lon, lat = st_transform_3857_to_4326(F.col(lon_col), F.col(lat_col))
+        return df.withColumn("longitude", lon).withColumn("latitude", lat)
+    try:  # pragma: no cover
+        import pyproj  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            f"CRS transform {src}->{dst} requires pyproj (not in this "
+            "environment); 4326<->3857 are built in"
+        ) from e
+    raise NotImplementedError("wire pyproj Transformer here")
+
+
 # --- Polygons (driver-side values; broadcast as literals/UDF closures) ---
 
 _WKT_POLYGON_RE = re.compile(r"^\s*POLYGON\s*\(\((.*)\)\)\s*$", re.IGNORECASE | re.DOTALL)

@@ -1,0 +1,95 @@
+"""Property-based checks (SURVEY.md §5.4): algebraic laws the operators
+must satisfy on arbitrary inputs. Hypothesis generates the data; one
+shared SparkSession keeps runs fast (examples are small by design)."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gedixr_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from gedixr_spark.operators.events import sessionize
+from gedixr_spark.operators.filters import quality_filter
+from gedixr_spark.operators.joins import merge_products
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+shot_row = st.fixed_dictionaries(
+    {
+        "quality_flag": st.integers(0, 1),
+        "degrade_flag": st.integers(0, 1),
+        "num_detectedmodes": st.integers(0, 6),
+        "elev": st.floats(0, 3000, allow_nan=False),
+        "elev_dem_tdx": st.floats(-200, 3200, allow_nan=False),
+    }
+)
+
+
+@given(rows=st.lists(shot_row, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_quality_filter_output_is_subset_and_predicate_holds(spark, rows):
+    df = spark.createDataFrame(rows)
+    out = quality_filter(df, drop_flags=False).collect()
+    assert len(out) <= len(rows)
+    for r in out:  # every surviving row satisfies the predicate exactly
+        assert r["quality_flag"] == 1 and r["degrade_flag"] == 0
+        assert r["num_detectedmodes"] > 0
+        assert abs(r["elev"] - r["elev_dem_tdx"]) < 100
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=15, unique=True),
+    other=st.lists(st.integers(0, 50), min_size=1, max_size=15, unique=True),
+)
+@settings(**SETTINGS)
+def test_merge_on_unique_keys_never_duplicates(spark, keys, other):
+    ts = datetime.datetime(2020, 1, 1)
+    l2a = spark.createDataFrame([(str(k), ts, k) for k in keys], ["shot", "acq_time", "rh98"])
+    l2b = spark.createDataFrame([(str(k), ts, k / 10) for k in other], ["shot", "acq_time", "tcc"])
+    out = merge_products(l2b, l2a, on=("shot", "acq_time"))
+    n = out.count()
+    assert n == len(set(keys) & set(other))  # inner join on unique keys
+    assert out.select("shot").distinct().count() == n
+
+
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_the_input(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = exact_dedup(df).collect()
+    # group sizes partition the input; survivors are distinct ids
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+
+
+@given(texts=st.lists(st.text(alphabet="xy z", min_size=6, max_size=40), min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_jaccard_pairs_bounded_and_ordered(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = ngram_jaccard_pairs(df, threshold=0.0, n=2).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0 + 1e-12
+
+
+@given(
+    gaps=st.lists(st.integers(1, 120), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_sessionize_session_count_matches_gap_count(spark, gaps):
+    """#sessions == 1 + #gaps>30min, for a single user's ordered events."""
+    t = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    times = [t]
+    for g in gaps:
+        times.append(times[-1] + datetime.timedelta(minutes=g))
+    rows = [(i, ts, 1, "e", 0.0) for i, ts in enumerate(times)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = sessionize(df, gap_minutes=30)
+    n_sessions = out.agg({"session_n": "max"}).first()[0]
+    assert n_sessions == 1 + sum(1 for g in gaps if g > 30)
