@@ -69,6 +69,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=4, bands=2)
 
 
+def q_minhash_lsh_neardup(spark, sf_dir):
+    """Full scale dedup pipeline: LSH candidates → exact Jaccard verify
+    at 0.5 (recall bounded by banding; the oracle replays the same
+    candidate restriction)."""
+    return dedup.minhash_lsh_neardup(
+        _t(spark, sf_dir, "documents"), threshold=0.5, k=4, bands=2
+    )
+
+
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints."""
     df = _t(spark, sf_dir, "documents")
@@ -93,6 +102,13 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8
     )
+
+
+def q_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-3 for query vectors vec_id<5 — the scale
+    path for similarity search (only same-bucket candidates scored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_planes=8)
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -329,6 +345,64 @@ def build_oracles() -> dict[str, str]:
             FROM banded x JOIN banded y
               ON x.band_key = y.band_key AND x.doc_id < y.doc_id
         """,
+        "minhash_lsh_neardup": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM sh GROUP BY 1
+            ),
+            banded AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT id_a, id_b,
+                     CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            )
+            SELECT exact.id_a, exact.id_b, jaccard
+            FROM cand JOIN exact ON cand.id_a = exact.id_a AND cand.id_b = exact.id_b
+        """,
+        "ann_topk": f"""
+            WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+            s AS (SELECT vec_id, qv, {_lsh_bucket_sql(planes)} AS bucket FROM e),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     {_dot_sql('q.qv', 'c.qv')}
+                       / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.qv', 'c.qv')}))
+                       AS cosine
+              FROM s q JOIN s c
+                ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "simhash": f"""
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
@@ -502,9 +576,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,

@@ -74,11 +74,20 @@ def wkb_point_xy(wkb: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 _WGS84_R = 6378137.0  # WGS84 semi-major axis, the web-mercator sphere radius
 
 
-def st_transform_4326_to_3857(lon: Column, lat: Column) -> tuple[Column, Column]:
+_MERCATOR_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) — the square-world bound
+
+
+def st_transform_4326_to_3857(lon: Column, lat: Column, clamp: bool = True) -> tuple[Column, Column]:
     """EPSG:4326 → EPSG:3857 (web mercator), the spherical formulas
     (public: EPSG guidance note 7-2): x = R·λ, y = R·ln(tan(π/4+φ/2)).
     Pure column math — the common ST_Transform case without geo libs;
-    other CRS pairs need pyproj and stay import-gated."""
+    other CRS pairs need pyproj and stay import-gated.
+
+    ``clamp`` bounds latitude to ±85.0511° (the standard web-mercator
+    valid range) so poles can't produce ±inf; GEDI data (±51.6°) never
+    hits it."""
+    if clamp:
+        lat = F.greatest(F.lit(-_MERCATOR_MAX_LAT), F.least(F.lit(_MERCATOR_MAX_LAT), lat))
     x = F.radians(lon) * _WGS84_R
     y = F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2)) * _WGS84_R
     return x, y

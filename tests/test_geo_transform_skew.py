@@ -23,6 +23,15 @@ def test_web_mercator_known_points(spark):
     assert abs(rows[2]["y"] - 6446275.841017158) < 1e-6
 
 
+def test_web_mercator_clamps_poles(spark):
+    df = spark.createDataFrame([(0.0, 90.0), (0.0, -90.0)], ["lon", "lat"])
+    x, y = st_transform_4326_to_3857(F.col("lon"), F.col("lat"))
+    rows = df.select(y.alias("y")).collect()
+    # clamped to the ±85.0511° square-world bound, never ±inf
+    assert abs(abs(rows[0]["y"]) - 20037508.342789244) < 1e-6
+    assert abs(abs(rows[1]["y"]) - 20037508.342789244) < 1e-6
+
+
 def test_web_mercator_roundtrip(spark):
     df = spark.createDataFrame([(-73.99, 40.73), (139.69, 35.68)], ["lon", "lat"])
     x, y = st_transform_4326_to_3857(F.col("lon"), F.col("lat"))
