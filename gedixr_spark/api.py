@@ -32,6 +32,7 @@ def extract_data(
     save: bool = True,
     output_dir: str | Path | None = None,
     granule_opener: Callable | None = None,
+    error_acc=None,
 ) -> tuple[DataFrame, str | None]:
     """Lazy Spark re-expression of the reference's primary entry point
     (``extract_data``, extract.py:20-229; lifecycle SURVEY.md §3.1).
@@ -47,6 +48,10 @@ def extract_data(
     layers = effective_schema(gedi_product, variables)  # extract.py:124
 
     inventory = discover_granules(spark, directory, gedi_product)
+    if error_acc is None:
+        from gedixr_spark.operators.stats import error_accumulator
+
+        error_acc = error_accumulator(spark)  # A2, ancillary.py:10-20
     shots = read_granules(
         inventory,
         gedi_product,
@@ -54,6 +59,7 @@ def extract_data(
         beams=beams,
         filter_month=filter_month,
         granule_opener=granule_opener,
+        error_acc=error_acc,
     )
     if filter_month is not None:
         # inventory pruning already skipped whole files; this row-level

@@ -350,6 +350,38 @@ def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (median/p95/quartiles) — the sort-based
+    aggregation surface SURVEY §2.5 notes Spark adds for free. Exact
+    `percentile` (linear interpolation) is bit-identical to DuckDB's
+    quantile_cont on integer-valued inputs."""
+    return shots_l2a(spark, sf_dir).groupBy("beam").agg(
+        F.expr("percentile(elev, 0.5)").alias("elev_p50"),
+        F.expr("percentile(elev, 0.95)").alias("elev_p95"),
+        F.expr("percentile(rh98, 0.25)").alias("rh98_q1"),
+        F.expr("percentile(rh98, 0.75)").alias("rh98_q3"),
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (set-op surface): distinct shots and
+    acquisition days per beam."""
+    return shots_l2a(spark, sf_dir).groupBy("beam").agg(
+        F.countDistinct("shot").alias("n_shots"),
+        F.countDistinct(F.to_date("acq_time")).alias("n_days"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct count — the 100 TB cardinality tool.
+    No oracle entry on purpose: DuckDB's approx algorithm differs, so
+    the driver records the weaker rows-only check; q_distinct_counts is
+    the exact, fully-checked twin."""
+    return shots_l2a(spark, sf_dir).groupBy("beam").agg(
+        F.approx_count_distinct("shot").alias("approx_shots")
+    )
+
+
 def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: cross-file union (pd.concat → unionByName) then a per-beam
     count over the unioned table."""
@@ -510,6 +542,22 @@ ORACLES: dict[str, str] = {
                max(longitude) AS xmax, max(latitude) AS ymax
         FROM shots
     """,
+    "percentiles": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT beam,
+               quantile_cont(elev, 0.5) AS elev_p50,
+               quantile_cont(elev, 0.95) AS elev_p95,
+               quantile_cont(rh98, 0.25) AS rh98_q1,
+               quantile_cont(rh98, 0.75) AS rh98_q3
+        FROM shots GROUP BY beam
+    """,
+    "distinct_counts": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT beam,
+               count(DISTINCT shot) AS n_shots,
+               count(DISTINCT CAST(acq_time AS DATE)) AS n_days
+        FROM shots GROUP BY beam
+    """,
     "web_mercator": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT shot,
@@ -548,5 +596,8 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_aggregate": q_grid_aggregate,
         "dataset_bounds": q_dataset_bounds,
         "web_mercator": q_web_mercator,
+        "percentiles": q_percentiles,
+        "distinct_counts": q_distinct_counts,
+        "approx_distinct": q_approx_distinct,  # rows-only by design
         "union_batches": q_union_batches,
     }

@@ -91,7 +91,9 @@ def build_opener(granules: dict):
 
     @contextlib.contextmanager
     def opener(path):
-        if "corrupt" in path:
+        # match on the file NAME only — test tmp dirs can contain the
+        # word 'corrupt' in their path
+        if "corrupt" in Path(path).name:
             raise OSError("truncated HDF5 file")
         yield granules[Path(path).name]
 
