@@ -34,6 +34,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what DuckDB's parquet reader does (verified: ns remainders
     ≥ 500 are floored, not rounded), so oracle parity holds."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events timestamps are instants; pin the session to UTC so
+    # date_trunc/month agree with DuckDB's naive reading even if the
+    # driver's session runs in another timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -27,7 +27,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, BooleanType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    StructField,
+    StructType,
+)
 
 POINT_FIELDS = ("x", "y")
 
@@ -51,14 +57,45 @@ def st_y(geom: Column | str) -> Column:
 
 _WKB_POINT_LE = b"\x01\x01\x00\x00\x00"
 
+# NB: these codec UDFs are closure FACTORIES, not module-level
+# pandas_udfs — nested functions pickle by value, so they run on
+# workers of any session, including ones without this repo on the
+# worker PYTHONPATH (the driver's own session, bare clusters). Their
+# bodies reference only stdlib/site-packages modules and literals.
 
-@pandas_udf(BinaryType())
-def point_struct_to_wkb(geom: pd.DataFrame) -> pd.Series:
+
+def point_struct_to_wkb(geom: Column) -> Column:
     """struct<x,y> → little-endian WKB Point bytes (GeoParquet geometry)."""
-    x = geom["x"].to_numpy(dtype=np.float64)
-    y = geom["y"].to_numpy(dtype=np.float64)
-    pack = _struct.Struct("<dd").pack
-    return pd.Series([_WKB_POINT_LE + pack(a, b) for a, b in zip(x, y)])
+
+    @pandas_udf(BinaryType())
+    def _enc(g: pd.DataFrame) -> pd.Series:
+        import struct as _s
+
+        x = g["x"].to_numpy(dtype=np.float64)
+        y = g["y"].to_numpy(dtype=np.float64)
+        pack = _s.Struct("<dd").pack
+        return pd.Series([b"\x01\x01\x00\x00\x00" + pack(a, b) for a, b in zip(x, y)])
+
+    return _enc(geom)
+
+
+_POINT_STRUCT = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+
+
+def wkb_to_point_struct(wkb: Column) -> Column:
+    """WKB Point bytes → struct<x,y> (the GeoParquet source boundary,
+    inverse of point_struct_to_wkb)."""
+
+    @pandas_udf(_POINT_STRUCT)
+    def _dec(w: pd.Series) -> pd.DataFrame:
+        buf = np.frombuffer(b"".join(w.to_numpy()), dtype=np.uint8)
+        rec = buf.reshape(len(w), 21)
+        coords = rec[:, 5:].copy().view(np.float64).reshape(len(w), 2)
+        return pd.DataFrame({"x": coords[:, 0], "y": coords[:, 1]})
+
+    return _dec(wkb)
 
 
 def wkb_point_xy(wkb: pd.Series) -> tuple[np.ndarray, np.ndarray]:

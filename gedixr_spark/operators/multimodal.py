@@ -65,33 +65,35 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     swaps `_decode_batch` for PIL/ffmpeg and keeps every other line.
     """
 
+    # _decode_batch is NESTED so the mapInPandas closure pickles by
+    # value and runs on workers that can't import this package (bare
+    # driver sessions) — same rule as the geo codec factories
+    def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            # the real path would be: from PIL import Image  # noqa
+            raise ImportError("no image codec in this environment")
+        except ImportError:
+            status = "stub"
+        out = []
+        for _id, payload in zip(pdf[id_col], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 6, minlength=4).astype(np.int64)
+            out.append(
+                {
+                    "doc_id": _id,
+                    "n_bytes": int(arr.size),
+                    "mean_byte": float(arr.mean()),
+                    "byte_histogram4": hist.tolist(),
+                    "decode_status": status,
+                }
+            )
+        return pd.DataFrame(out)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_batch(pdf, id_col)
+            yield _decode_batch(pdf)
 
     return df.select(id_col, "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
-
-
-def _decode_batch(pdf: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    try:
-        # the real path would be: from PIL import Image  # noqa
-        raise ImportError("no image codec in this environment")
-    except ImportError:
-        status = "stub"
-    out = []
-    for _id, payload in zip(pdf[id_col], pdf["payload"]):
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr >> 6, minlength=4).astype(np.int64)
-        out.append(
-            {
-                "doc_id": _id,
-                "n_bytes": int(arr.size),
-                "mean_byte": float(arr.mean()),
-                "byte_histogram4": hist.tolist(),
-                "decode_status": status,
-            }
-        )
-    return pd.DataFrame(out)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -14,13 +14,19 @@ from pyspark.sql import functions as F
 from gedixr_spark.operators.joins import MergeError, merge_products
 
 
-def read_shots(spark: SparkSession, path: str) -> DataFrame:
-    """Suffix-dispatched reader (reference xr.py:44-53)."""
+def read_shots(spark: SparkSession, path: str, decode_geometry: bool = True) -> DataFrame:
+    """Suffix-dispatched reader (reference xr.py:44-53). A WKB binary
+    ``geometry`` column (our GeoParquet sink format) is decoded back to
+    the engine's struct<x,y> representation so write→read round-trips."""
     if path.endswith(".gpkg"):
         return _read_geopackage(spark, path)
     df = spark.read.parquet(path)
     if "acq_time" in df.columns and dict(df.dtypes)["acq_time"] != "timestamp":
         df = df.withColumn("acq_time", F.to_timestamp("acq_time"))  # xr.py:40
+    if decode_geometry and dict(df.dtypes).get("geometry") == "binary":
+        from gedixr_spark.geo import wkb_to_point_struct
+
+        df = df.withColumn("geometry", wkb_to_point_struct(F.col("geometry")))
     return df
 
 

@@ -36,6 +36,11 @@ def test_write_geoparquet_stamps_geo_metadata(spark, tmp_path):
     # geometry readable back as WKB binary
     back = spark.read.parquet(str(out))
     assert dict(back.dtypes)["geometry"] == "binary"
+    # full round trip: read_shots decodes WKB back to struct<x,y>
+    rt = read_shots(spark, str(out))
+    assert dict(rt.dtypes)["geometry"].startswith("struct")
+    g = rt.first()["geometry"]
+    assert (g["x"], g["y"]) == (1.0, 2.0)
 
 
 def test_write_geoparquet_partitioned_by_aoi(spark, tmp_path):
