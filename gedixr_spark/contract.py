@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gedixr_spark.constants import ALL_BEAMS, POWER_BEAMS
+from gedixr_spark.constants import ALL_BEAMS
 from gedixr_spark.functions.scalar import (
     acq_time_from_filename,
     month_band,

@@ -1,0 +1,74 @@
+"""Plan-quality regression tests: the scale properties SCALE.md claims
+must be visible in the physical plan, not just asserted in prose.
+These run against a REAL parquet shot table (not the derived contract
+view) so predicate pushdown has a scan to push into."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators.filters import bbox_filter, quality_filter
+from gedixr_spark.operators.joins import spatial_join_aoi
+from gedixr_spark.sources.vector import aoi_from_wkt
+
+
+@pytest.fixture(scope="module")
+def shots_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "shots")
+    rows = [
+        (f"{i:018d}", "BEAM0000", float(i % 20 - 10), 40.0 + i % 15, float(i % 3000),
+         float(i % 3000) + 10.0, 0, 1, 0.9, 3, i % 6000)
+        for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows,
+        ["shot", "beam", "longitude", "latitude", "elev", "elev_dem_tdx",
+         "degrade_flag", "quality_flag", "sensitivity", "num_detectedmodes", "rh98"],
+    ).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_filter_pushes_down_to_scan(spark, shots_path):
+    df = quality_filter(spark.read.parquet(shots_path))
+    plan = _plan(df)
+    # the flag equalities reach the parquet reader as pushed filters
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "quality_flag" in pushed and "degrade_flag" in pushed
+
+
+def test_bbox_filter_pushes_down(spark, shots_path):
+    df = bbox_filter(spark.read.parquet(shots_path), -5, 42, 5, 50)
+    pushed = _plan(df).split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "longitude" in pushed and "latitude" in pushed
+
+
+def test_projection_prunes_scan_schema(spark, shots_path):
+    df = spark.read.parquet(shots_path).select("shot", "rh98")
+    plan = _plan(df)
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "rh98" in schema and "sensitivity" not in schema
+
+
+def test_spatial_join_is_single_scan_with_coarse_pushdown(spark, shots_path):
+    aois = aoi_from_wkt(
+        spark,
+        {"r1": "POLYGON ((0 44, 4 44, 4 46, 0 46, 0 44))",
+         "tri": "POLYGON ((0 44, 6 44, 3 50, 0 44))"},
+    )
+    out = spatial_join_aoi(spark.read.parquet(shots_path), aois)
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1  # membership explode, not K scans
+    # the coarse OR-of-bbox prefilter reaches the scan (Or pushed filter)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "Or(" in pushed or "longitude" in pushed
+
+
+def test_merge_broadcasts_small_dim(spark, shots_path):
+    shots = spark.read.parquet(shots_path)
+    dim = spark.createDataFrame([("BEAM0000", "coverage")], ["beam", "kind"])
+    plan = _plan(shots.join(F.broadcast(dim), "beam"))
+    assert "BroadcastHashJoin" in plan
