@@ -382,6 +382,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY §2.6: the reference has union only; except/
+    intersect come free): even-shot rows minus multiple-of-3 rows."""
+    df = shots_l2a(spark, sf_dir)
+    a = df.filter(F.col("shot_number") % 2 == 0).select("shot", "beam")
+    b = df.filter(F.col("shot_number") % 3 == 0).select("shot", "beam")
+    return a.exceptAll(b)
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = shots_l2a(spark, sf_dir)
+    a = df.filter(F.col("shot_number") % 2 == 0).select("shot", "beam")
+    b = df.filter(F.col("shot_number") % 3 == 0).select("shot", "beam")
+    return a.intersectAll(b)
+
+
 def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: cross-file union (pd.concat → unionByName) then a per-beam
     count over the unioned table."""
@@ -566,6 +582,18 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS y_3857_m
         FROM shots
     """,
+    "set_except": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
+        EXCEPT ALL
+        SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
+    """,
+    "set_intersect": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
+        INTERSECT ALL
+        SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
+    """,
     "union_batches": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT beam, count(*) AS n FROM (
@@ -599,5 +627,7 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "distinct_counts": q_distinct_counts,
         "approx_distinct": q_approx_distinct,  # rows-only by design
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
         "union_batches": q_union_batches,
     }

@@ -152,6 +152,13 @@ def q_lang_id(spark, sf_dir):
     return df.select("doc_id", "lang", "lang_pred")
 
 
+def q_rolling_hash(spark, sf_dir):
+    """Order-sensitive document fingerprint (Rabin-Karp polynomial fold
+    over token digests)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", text.rolling_hash("text").alias("rhash"))
+
+
 def q_word_topk(spark, sf_dir):
     """Corpus-level token frequency top-20 (explode → count → rank)."""
     df = _t(spark, sf_dir, "documents")
@@ -476,6 +483,18 @@ def build_oracles() -> dict[str, str]:
         "lang_id": f"""
             SELECT doc_id, lang, {lang_case_sql} AS lang_pred FROM documents
         """,
+        "rolling_hash": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform({_TOKENS},
+                         t -> CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096
+                              + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256
+                              + (strpos('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(md5(t),4,1)) - 1) AS BIGINT))),
+                     (acc, d) -> (acc * 31 + d) % 1000000007) AS rhash
+            FROM documents
+        """,
         "word_topk": f"""
             WITH tok AS (SELECT unnest({_TOKENS}) AS token FROM documents),
             counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
@@ -589,6 +608,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "rolling_hash": q_rolling_hash,
         "word_topk": q_word_topk,
         "tumbling_hourly": q_tumbling_hourly,
         "sliding_2h": q_sliding_2h,

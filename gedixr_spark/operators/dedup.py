@@ -190,12 +190,29 @@ def minhash_lsh_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The full scale pipeline: LSH candidates → exact Jaccard verify.
-    Identical output to ngram_jaccard_pairs minus pairs LSH missed
-    (tunable recall via k/bands)."""
+    """The full scale pipeline: LSH candidates → exact Jaccard verify,
+    computed ONLY for candidate pairs (never all-pairs): each candidate
+    pair joins in both docs' shingle-hash sets and intersects them with
+    array_intersect — O(|candidates|·shingles) instead of
+    O(pairs-sharing-a-shingle). Identical output to ngram_jaccard_pairs
+    minus pairs LSH missed (tunable recall via k/bands)."""
     cand = minhash_lsh_pairs(df, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col)
-    exact = ngram_jaccard_pairs(df, threshold, n=n, text_col=text_col, id_col=id_col)
-    return cand.join(exact, on=["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # shingle-hash SETS per doc, materialized through the join shuffle
+    # so the giant shingle expression never rides into the join stage
+    sets_df = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias("shs"),
+    )
+    sa = sets_df.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets_df.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jaccard = n_inter.cast("double") / (
+        F.size("shs_a") + F.size("shs_b") - n_inter
+    )
+    return joined.select("id_a", "id_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 _HEX = "0123456789abcdef"

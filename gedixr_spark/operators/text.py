@@ -87,6 +87,20 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, expr.otherwise(langs[-1]))
 
 
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over tokens (Rabin-Karp
+    style): h = Σ h·base + digest16(token) (mod p). Complements the
+    order-insensitive doc_fingerprint; pure integer fold, so the SQL
+    oracle replays it exactly. digest16 = first 4 hex chars of the
+    token's md5 (engine-portable)."""
+    digits = F.transform(
+        tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        digits, F.lit(0).cast("long"), lambda acc, d: (acc * base + d) % mod
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact
