@@ -137,6 +137,7 @@ def q_token_counts(spark, sf_dir):
         "doc_id",
         text.token_count("text").alias("n_tokens"),
         text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        text.regex_token_count("text").alias("n_regex_tokens"),
     )
 
 
@@ -464,7 +465,9 @@ def build_oracles() -> dict[str, str]:
                    CAST(len({_TOKENS})
                         + list_reduce(list_prepend(0,
                             list_transform({_TOKENS}, w -> CAST(length(w) // 6 AS BIGINT))),
-                          (a, b) -> a + b) AS INTEGER) AS n_bpe_tokens
+                          (a, b) -> a + b) AS INTEGER) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER)
+                     AS n_regex_tokens
             FROM documents
         """,
         "text_quality": f"""

@@ -31,6 +31,14 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def regex_token_count(col: Column | str, pattern: str = "[a-z0-9]+") -> Column:
+    """Regex tokenization count over the lowercased text — the
+    'BPE-ish regex' counting path (engine-portable pattern, so the
+    DuckDB oracle replays it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)))
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token estimate: word-boundary pieces plus one extra
     token per 6 chars of long words (a cheap BPE proxy that only needs
