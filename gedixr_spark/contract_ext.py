@@ -115,6 +115,23 @@ def q_ann_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_planes=8)
 
 
+def q_ivf_cells(spark, sf_dir):
+    """IVF cell histogram (the inverted-file partitioning shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(64, 8, 7)
+    return (
+        emb.select(similarity.ivf_cell("embedding", cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-3 (nprobe=1) for query vectors vec_id<5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_cells=8)
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucket histogram (the ANN partitioning shape)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -268,11 +285,32 @@ def _lang_score(markers: tuple[str, ...]) -> str:
     return f"len(list_filter(list_transform({_TOKENS}, t -> lower(t)), t -> list_contains({arr}, t)))"
 
 
+def _ivf_cell_cte(centroids: list[list[int]]) -> str:
+    """CTEs computing per-vector centroid dots d0..dk-1 and the argmax
+    cell via a preference CASE chain (first max wins — matching
+    numpy argmax)."""
+    k = len(centroids)
+    dots = ", ".join(
+        f"{_plane_proj_sql('qv', c)} AS d{i}" for i, c in enumerate(centroids)
+    )
+    cases = []
+    for i in range(k - 1):
+        conds = " AND ".join(f"d{i} >= d{j}" for j in range(i + 1, k))
+        cases.append(f"WHEN {conds} THEN {i}")
+    argmax = "CASE " + " ".join(cases) + f" ELSE {k - 1} END"
+    return (
+        f"e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),\n"
+        f"d AS (SELECT vec_id, qv, {dots} FROM e),\n"
+        f"s AS (SELECT vec_id, qv, {argmax} AS cell FROM d)"
+    )
+
+
 def build_oracles() -> dict[str, str]:
-    from gedixr_spark.operators.similarity import hyperplanes
+    from gedixr_spark.operators.similarity import hyperplanes, ivf_centroids
     from gedixr_spark.operators.text import LANG_MARKERS
 
     planes = hyperplanes(64, 8, 42)
+    centroids = ivf_centroids(64, 8, 7)
 
     lang_cases = []
     langs = list(LANG_MARKERS)
@@ -454,6 +492,28 @@ def build_oracles() -> dict[str, str]:
                     / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
                   >= 0.3
         """,
+        "ivf_cells": f"""
+            WITH {_ivf_cell_cte(centroids)}
+            SELECT cell, count(*) AS n_vectors FROM s GROUP BY 1
+        """,
+        "ivf_ann_topk": f"""
+            WITH {_ivf_cell_cte(centroids)},
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     {_dot_sql('q.qv', 'c.qv')}
+                       / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.qv', 'c.qv')}))
+                       AS cosine
+              FROM s q JOIN s c
+                ON q.cell = c.cell AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "lsh_buckets": f"""
             WITH e AS (SELECT {_QVEC} AS qv FROM embeddings)
             SELECT {_lsh_bucket_sql(planes)} AS bucket, count(*) AS n_vectors
@@ -608,6 +668,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "lsh_buckets": q_lsh_buckets,
+        "ivf_cells": q_ivf_cells,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

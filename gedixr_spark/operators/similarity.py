@@ -157,6 +157,81 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> list[list[int]]:
+    """Deterministic IVF 'centroids': seeded random directions,
+    integer-scaled (×10000) like the LSH planes, so cell assignment is
+    exact integer math. A real deployment would k-means these; fixed
+    seeded centroids keep the operator reproducible and oracle-checkable
+    (the partitioning quality differs, the plan shape doesn't)."""
+    rng = np.random.default_rng(seed)
+    return [
+        [int(round(float(v) * 10000)) for v in rng.standard_normal(dim)]
+        for _ in range(n_cells)
+    ]
+
+
+def ivf_cell(vec_col: Column | str, centroids: list[list[int]], scale: int = 1000) -> Column:
+    """Nearest-centroid cell id by max exact-int dot product; ties break
+    to the lowest centroid index (first max), matching the SQL oracle's
+    CASE chain."""
+    cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    @pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.int64)
+        dots = m @ cen  # exact
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))  # first max
+
+    return _cell(quantize(c, scale))
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: score only candidates in the query's cell
+    (nprobe=1). Same equi-join shape as lsh_ann_topk with a coarse
+    quantizer instead of hyperplane signs — the inverted-file layout a
+    100 TB vector store would partition by.
+
+    Recall note (measured): with seeded random centroids on UNclustered
+    random vectors, nprobe=1 top-1 recall is poor (~10%) — a single
+    coarse cell barely correlates with angular nearest-ness. IVF earns
+    its keep when embeddings are clustered and centroids are learned
+    (k-means); on unclustered data prefer lsh_ann_topk, whose buckets
+    encode angular similarity directly."""
+    centroids = ivf_centroids(dim, n_cells, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col, scale).alias("qv"),
+        ivf_cell(vec_col, centroids, scale).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        quantize(vec_col, scale).alias("cv"),
+        ivf_cell(vec_col, centroids, scale).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
