@@ -132,6 +132,16 @@ def q_ivf_ann_topk(spark, sf_dir):
     return similarity.ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_cells=8)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means cluster sizes (k=8, 5 Lloyd iterations,
+    deterministic init). Iterative ⇒ intentionally no SQL oracle; the
+    driver records the rows-only check (per the build brief's rule for
+    iterative algorithms)."""
+    from gedixr_spark.operators.clustering import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8, n_iter=5)
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucket histogram (the ANN partitioning shape)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -670,6 +680,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ivf_cells": q_ivf_cells,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "kmeans_clusters": q_kmeans_clusters,  # rows-only: iterative
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

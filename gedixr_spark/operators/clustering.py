@@ -1,0 +1,100 @@
+"""Distributed k-means over embedding columns — the iterative-algorithm
+surface (SURVEY.md §7.4; also the production path to IVF centroids in
+operators/similarity.py).
+
+Plan shape per Lloyd iteration: one Arrow-batched assignment pass
+(numpy matmul per batch — no per-row Python) + one groupBy(cluster)
+aggregation for the centroid update. Driver holds only the k×dim
+centroid matrix; executors never see global state. At 100 TB this is
+the canonical iterate-broadcast-aggregate loop, k·dim doubles over the
+wire per iteration.
+
+Determinism: init = first-k rows by id (not random), assignment ties
+break to the lowest cluster index, updates are exact-count averages —
+reruns produce identical clusterings on identical data. (Iterative ⇒
+not SQL-expressible; the driver records a rows-only check for the
+contract query, per the build brief.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+
+def _assign_udf(centroids: np.ndarray) -> Column:
+    """Factory: nearest-centroid (squared-L2) assignment, vectorized;
+    first minimum wins. Closure pickles by value (bare-worker safe)."""
+    cen = centroids.astype(np.float64)
+    cen_sq = (cen * cen).sum(axis=1)
+
+    def build(col: Column) -> Column:
+        @pandas_udf(IntegerType())
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            # argmin over ||x-c||² = c·c - 2x·c (x·x constant per row)
+            d = cen_sq[None, :] - 2.0 * (m @ cen.T)
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        return _assign(col)
+
+    return build
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, DataFrame]:
+    """Lloyd's algorithm; returns (centroids k×dim, assignments df).
+
+    Empty clusters keep their previous centroid (no re-seeding — keeps
+    determinism). Convergence is fixed-iteration by design: at scale
+    you bound cost, not chase epsilon.
+    """
+    init_rows = (
+        df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
+    )
+    centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
+    dim = centroids.shape[1]
+
+    for _ in range(n_iter):
+        assign = _assign_udf(centroids)
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+        )
+        # centroid update: per-dimension exact-count means via one
+        # aggregation of element-wise array sums
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = centroids.copy()
+        for r in sums.collect():
+            c = r["cluster"]
+            new[c] = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+        centroids = new
+
+    assign = _assign_udf(centroids)
+    final = df.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("cluster")
+    )
+    return centroids, final
+
+
+def kmeans_cluster_sizes(
+    df: DataFrame, k: int = 8, n_iter: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Cluster-size summary after fitting — the contract-facing shape
+    (rows-only check: iterative, not SQL-expressible)."""
+    _, assigned = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))

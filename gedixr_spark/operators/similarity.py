@@ -196,6 +196,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     scale: int = 1000,
     seed: int = 7,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: score only candidates in the query's cell
     (nprobe=1). Same equi-join shape as lsh_ann_topk with a coarse
@@ -207,8 +208,10 @@ def ivf_ann_topk(
     coarse cell barely correlates with angular nearest-ness. IVF earns
     its keep when embeddings are clustered and centroids are learned
     (k-means); on unclustered data prefer lsh_ann_topk, whose buckets
-    encode angular similarity directly."""
-    centroids = ivf_centroids(dim, n_cells, seed)
+    encode angular similarity directly. Pass ``centroids=`` learned
+    ones (e.g. quantized output of clustering.kmeans_fit) for the
+    production path."""
+    centroids = centroids or ivf_centroids(dim, n_cells, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(vec_col, scale).alias("qv"),
