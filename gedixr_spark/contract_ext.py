@@ -133,13 +133,13 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_kmeans_clusters(spark, sf_dir):
-    """Distributed k-means cluster sizes (k=8, 5 Lloyd iterations,
-    deterministic init). Iterative ⇒ intentionally no SQL oracle; the
-    driver records the rows-only check (per the build brief's rule for
-    iterative algorithms)."""
+    """Distributed k-means cluster sizes (k=8, 3 Lloyd iterations —
+    iterative algorithms bound cost, not epsilon; deterministic init).
+    Iterative ⇒ intentionally no SQL oracle; the driver records the
+    rows-only check (per the build brief's rule)."""
     from gedixr_spark.operators.clustering import kmeans_cluster_sizes
 
-    return kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8, n_iter=5)
+    return kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
 
 
 def q_lsh_buckets(spark, sf_dir):
