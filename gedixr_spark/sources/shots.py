@@ -30,21 +30,16 @@ def read_shots(spark: SparkSession, path: str, decode_geometry: bool = True) -> 
     return df
 
 
-def _read_geopackage(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
-    """GeoPackage source — requires fiona/geopandas (absent here); the
-    shape is: driver-side read → createDataFrame (AOI-sized inputs only)."""
-    try:
-        import geopandas as gpd
-    except ImportError as e:
-        raise NotImplementedError(
-            "GeoPackage reading requires geopandas, not available in this "
-            "environment; convert to (Geo)Parquet upstream"
-        ) from e
-    gdf = gpd.read_file(path)
-    pdf = gdf.drop(columns=gdf.geometry.name).assign(
-        longitude=gdf.geometry.x, latitude=gdf.geometry.y
-    )
-    return spark.createDataFrame(pdf)
+def _read_geopackage(spark: SparkSession, path: str) -> DataFrame:
+    """GeoPackage source via stdlib sqlite3 + GeoPackage-Binary parsing
+    (sources/geopackage.py) — no fiona/geopandas needed. Driver-side
+    read (gpkg inputs are AOI/export-sized, not bronze tables)."""
+    from gedixr_spark.sources.geopackage import read_geopackage
+
+    df = read_geopackage(spark, path)
+    if "acq_time" in df.columns and dict(df.dtypes)["acq_time"] != "timestamp":
+        df = df.withColumn("acq_time", F.to_timestamp("acq_time"))  # xr.py:40
+    return df
 
 
 def load_shots(
