@@ -252,10 +252,14 @@ def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_spatial_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/F4: shot×AOI intersects-join replicating shots into every AOI
-    they hit (extract.py:176-184); includes a non-rectangular AOI so the
-    ray-casting path is oracle-checked."""
+    they hit (extract.py:176-184); includes a non-rectangular AOI so
+    the ray-casting path is oracle-checked. Uses the grid-indexed
+    variant — the many-AOI scale plan (cell equi-join + exact refine);
+    tests assert it's row-identical to the per-AOI-predicate plan."""
+    from gedixr_spark.operators.joins import spatial_join_aoi_indexed
+
     aois = aoi_from_wkt(spark, AOI_WKT)
-    out = spatial_join_aoi(shots_l2a(spark, sf_dir), aois)
+    out = spatial_join_aoi_indexed(shots_l2a(spark, sf_dir), aois)
     return out.select("aoi_name", "shot", "longitude", "latitude")
 
 

@@ -8,6 +8,7 @@ instead of geometry bytes, and broadcast the small side.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -84,6 +85,84 @@ def merge_keyed(
     if key_col not in on:
         on = [key_col] + on
     return merge_products(l2b, l2a, how=how, on=on, suffixes=suffixes)
+
+
+def spatial_join_aoi_indexed(
+    shots: DataFrame,
+    aois: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    name_col: str = "aoi_name",
+    wkt_col: str = "geometry_wkt",
+) -> DataFrame:
+    """J2 at many-AOI scale: grid-indexed spatial join.
+
+    spatial_join_aoi compiles one predicate per AOI into a single
+    projection — ideal for a handful of AOIs, impossible for 10k (the
+    expression outgrows codegen, and every row pays every predicate).
+    This variant builds a coarse grid index instead:
+
+      1. each AOI explodes into the grid cells its bbox covers
+         (driver-side — AOI tables are small even at 10k polygons);
+      2. shots compute their (single) cell id — pure column math;
+      3. equi-join on cell id (broadcast: the cell→AOI index is small)
+         pairs each shot with only the AOIs whose bbox shares its cell;
+      4. exact bbox + polygon refinement on the few candidates.
+
+    Per-shot work is O(AOIs overlapping its cell), not O(all AOIs) —
+    the same cell-index strategy a spatial engine's partitioned join
+    uses, in plain DataFrame ops. Exact-polygon refinement currently
+    covers rectangles JVM-side and uses a per-AOI ray-cast only for
+    the non-rectangular minority (grouped, not per-row)."""
+    from gedixr_spark.geo import is_rectangle, parse_wkt_polygon, polygon_bounds
+
+    rows = aois.select(name_col, wkt_col).collect()
+    if not rows:
+        raise MergeError("empty AOI table")
+
+    # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, wkt)
+    index_rows = []
+    polys = {}
+    for r in rows:
+        verts = parse_wkt_polygon(r[wkt_col])
+        xmin, ymin, xmax, ymax = polygon_bounds(verts)
+        polys[r[name_col]] = (xmin, ymin, xmax, ymax, r[wkt_col], is_rectangle(verts))
+        for cx in range(int(math.floor(xmin / cell_deg)), int(math.floor(xmax / cell_deg)) + 1):
+            for cy in range(int(math.floor(ymin / cell_deg)), int(math.floor(ymax / cell_deg)) + 1):
+                index_rows.append((cx, cy, r[name_col], xmin, ymin, xmax, ymax))
+    spark = shots.sparkSession
+    index = spark.createDataFrame(
+        index_rows,
+        "cell_x int, cell_y int, aoi_name string, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+
+    # 2-3. shot cell id + broadcast equi-join on the cell
+    with_cell = shots.withColumn(
+        "__cx", F.floor(F.col(lon_col) / cell_deg).cast("int")
+    ).withColumn("__cy", F.floor(F.col(lat_col) / cell_deg).cast("int"))
+    cand = with_cell.join(
+        F.broadcast(index),
+        (F.col("__cx") == F.col("cell_x")) & (F.col("__cy") == F.col("cell_y")),
+    )
+
+    # 4. exact refinement: bbox for all; ray-cast only for non-rects
+    bbox_ok = (
+        F.col(lon_col).between(F.col("xmin"), F.col("xmax"))
+        & F.col(lat_col).between(F.col("ymin"), F.col("ymax"))
+    )
+    refined = cand.filter(bbox_ok)
+    non_rects = [n for n, p in polys.items() if not p[5]]
+    if non_rects:
+        keep = F.lit(True)
+        for n in non_rects:
+            pred = st_intersects_polygon(F.col(lon_col), F.col(lat_col), polys[n][4])
+            keep = keep & F.when(F.col(name_col) == n, pred).otherwise(F.lit(True))
+        refined = refined.filter(keep)
+    return refined.drop(
+        "__cx", "__cy", "cell_x", "cell_y", "xmin", "ymin", "xmax", "ymax"
+    )
 
 
 def check_key_overlap(l2b: DataFrame, l2a: DataFrame, key_col: str = "aoi_name") -> int:

@@ -235,6 +235,64 @@ def ivf_ann_topk(
     )
 
 
+def lsh_probe_buckets(
+    vec_col: Column | str,
+    planes: list[list[int]],
+    n_probes: int = 1,
+    scale: int = 1000,
+) -> Column:
+    """Multi-probe LSH: the vector's bucket plus the buckets reached by
+    flipping each of the first ``n_probes`` sign bits (nearest
+    alternative hypotheses). Returns an array of bucket ids — explode
+    and equi-join to trade 1+n_probes× candidate work for recall
+    without adding hash tables."""
+    base = lsh_bucket(vec_col, planes, scale)
+    buckets = [base]
+    for i in range(min(n_probes, len(planes))):
+        buckets.append(base.bitwiseXOR(F.lit(2**i)))
+    return F.array(*buckets)
+
+
+def lsh_ann_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """lsh_ann_topk with multi-probe queries: each query searches its
+    own bucket AND n_probes bit-flip neighbors; corpus vectors stay
+    single-bucketed (index unchanged — only query fan-out grows)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col, scale).alias("qv"),
+        F.explode(lsh_probe_buckets(vec_col, planes, n_probes, scale)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        quantize(vec_col, scale).alias("cv"),
+        lsh_bucket(vec_col, planes, scale).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
