@@ -86,14 +86,39 @@ _POINT_STRUCT = StructType(
 
 def wkb_to_point_struct(wkb: Column) -> Column:
     """WKB Point bytes → struct<x,y> (the GeoParquet source boundary,
-    inverse of point_struct_to_wkb)."""
+    inverse of point_struct_to_wkb). Honors the WKB byte-order byte
+    (external writers may emit big-endian), tolerates nulls (→ null
+    coords), and raises a clear error for non-Point geometry types —
+    instead of silently mis-decoding."""
 
     @pandas_udf(_POINT_STRUCT)
     def _dec(w: pd.Series) -> pd.DataFrame:
-        buf = np.frombuffer(b"".join(w.to_numpy()), dtype=np.uint8)
-        rec = buf.reshape(len(w), 21)
-        coords = rec[:, 5:].copy().view(np.float64).reshape(len(w), 2)
-        return pd.DataFrame({"x": coords[:, 0], "y": coords[:, 1]})
+        import struct as _s
+
+        vals = w.to_numpy()
+        # fast path: the homogeneous little-endian 21-byte points our
+        # own sink writes
+        if len(vals) and all(
+            v is not None and len(v) == 21 and v[0] == 1 for v in vals
+        ):
+            buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+            rec = buf.reshape(len(vals), 21)
+            coords = rec[:, 5:].copy().view("<f8").reshape(len(vals), 2)
+            return pd.DataFrame({"x": coords[:, 0], "y": coords[:, 1]})
+        xs, ys = [], []
+        for v in vals:
+            if v is None:
+                xs.append(None)
+                ys.append(None)
+                continue
+            order = "<" if v[0] == 1 else ">"
+            (gtype,) = _s.unpack_from(f"{order}I", v, 1)
+            if gtype % 1000 != 1:
+                raise ValueError(f"expected WKB Point, got geometry type {gtype}")
+            x, y = _s.unpack_from(f"{order}dd", v, 5)
+            xs.append(x)
+            ys.append(y)
+        return pd.DataFrame({"x": xs, "y": ys}, dtype="float64")
 
     return _dec(wkb)
 

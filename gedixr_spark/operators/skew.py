@@ -75,7 +75,16 @@ def salted_join(
     key finds its match. The shuffle key becomes (on, salt) — a hot key
     spreads over ``buckets`` reducers. Use when the dim side is small
     enough to replicate but too large (or too hot) to broadcast whole.
+
+    Only inner/left are valid: the replicated dim side would emit one
+    spurious row per salt bucket for unmatched keys under right/full
+    joins, silently corrupting results — rejected explicitly.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}); "
+            "right/full would duplicate unmatched dim keys per salt bucket"
+        )
     fact_s = fact.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))
