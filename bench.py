@@ -31,13 +31,20 @@ def main() -> None:
     # warm the JVM + file-system caches once with the cheapest query
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full execution without collecting wide results
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # force full execution without collecting wide results
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        # best-of-N: strips JIT/codegen warmup + transient host
+        # contention from the per-query number (N=2 default)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

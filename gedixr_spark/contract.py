@@ -97,7 +97,12 @@ QUALITY_SQL = (
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # single-row-group local files plan a 1-task scan; fan_out spreads
+    # the shot-derivation expressions across cores (no-op at scale)
+    from gedixr_spark.operators.skew import fan_out
+
+    path = f"{sf_dir}/lineitem.parquet"
+    return fan_out(spark.read.parquet(path), memo_key=path)
 
 
 def _sn() -> F.Column:

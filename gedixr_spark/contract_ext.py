@@ -22,9 +22,12 @@ from gedixr_spark.operators.multimodal import attach_fake_payload
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from gedixr_spark.operators.skew import fan_out
+
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return fan_out(load_events(spark, sf_dir), memo_key=path)
+    return fan_out(spark.read.parquet(path), memo_key=path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

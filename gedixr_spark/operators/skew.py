@@ -92,6 +92,40 @@ def salted_join(
     return fact_s.join(dim_s, on=[on, "__salt"], how=how).drop("__salt")
 
 
+_FAN_OUT_MEMO: dict[tuple[str, str], bool] = {}
+
+
+def fan_out(
+    df: DataFrame, min_partitions: int | None = None, memo_key: str | None = None
+) -> DataFrame:
+    """Spread a small or unsplittable scan across the cluster before
+    CPU-heavy per-row work.
+
+    A parquet file written as a single row group is unsplittable: the
+    scan plans ONE task regardless of maxPartitionBytes, and every
+    map-side expression downstream (hashing, shingling, ray-casts) runs
+    on one core while the rest of the cluster idles. A guarded
+    round-robin repartition fixes that. The guard makes it free at real
+    scale: a 100 TB scan already has far more partitions than cores, so
+    this is a no-op there — no extra shuffle is introduced.
+
+    The partition-count probe (``df.rdd``) costs a physical-planning
+    pass; pass ``memo_key`` (e.g. the file path) to pay it once per
+    session instead of once per query.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if memo_key is not None:
+        key = (spark.sparkContext.applicationId, memo_key)
+        needs = _FAN_OUT_MEMO.get(key)
+        if needs is None:
+            needs = df.rdd.getNumPartitions() < target
+            _FAN_OUT_MEMO[key] = needs
+    else:
+        needs = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if needs else df
+
+
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Diagnostic: per-key row counts, descending — the first thing to
     look at when a stage has one straggling task."""
