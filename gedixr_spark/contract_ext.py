@@ -91,6 +91,34 @@ def q_simhash(spark, sf_dir):
     return df.select("doc_id", dedup.simhash16("text").alias("simhash"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup pair graph — the
+    cluster/survivor assignment step of real dedup. Iterative on the
+    Spark side; the oracle is a DuckDB recursive CTE computing the
+    same min-reachable-id labels, so convergence is fully checked."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=4, bands=2)
+    return dedup.dedup_clusters(pairs)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5 bucket (90/5/5)."""
+    from gedixr_spark.operators import sampling
+
+    df = sampling.hash_split(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "bucket", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample (en 50% / de 30% / fr 20%,
+    other languages dropped) — one map-side predicate, no RNG."""
+    from gedixr_spark.operators import sampling
+
+    df = sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    return df.select("doc_id", "lang", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # Similarity
 # ---------------------------------------------------------------------------
@@ -169,6 +197,11 @@ def q_token_counts(spark, sf_dir):
         text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         text.regex_token_count("text").alias("n_regex_tokens"),
     )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·(N/df) rank."""
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
 def q_text_quality(spark, sf_dir):
@@ -288,6 +321,19 @@ def _lsh_bucket_sql(planes: list[list[float]]) -> str:
         for i, p in enumerate(planes)
     )
     return f"({bits})"
+
+
+def _hex4_sql(h: str) -> str:
+    """First-4-hex-digits of the md5-string expression ``h`` as an int
+    (mirrors F.conv(substring(md5, 1, 4), 16, 10))."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
 
 
 _STOPWORDS_SQL = "['the','a','and','of','to','in','is','it']"
@@ -446,6 +492,89 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT exact.id_a, exact.id_b, jaccard
             FROM cand JOIN exact ON cand.id_a = exact.id_a AND cand.id_b = exact.id_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM sh GROUP BY 1
+            ),
+            banded AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM cand
+            ),
+            reach AS (
+              SELECT DISTINCT u AS node, u AS r FROM edges
+              UNION
+              SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id,
+                   (node = min(r)) AS is_survivor
+            FROM reach GROUP BY node
+        """,
+        "hash_split": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     {_hex4_sql("md5(concat('split|', CAST(doc_id AS VARCHAR)))")} % 10000
+                       AS bucket
+              FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "stratified_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     {_hex4_sql("md5(concat('sample|', CAST(doc_id AS VARCHAR)))")} % 10000
+                       AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                                     WHEN 'de' THEN 3000
+                                     WHEN 'fr' THEN 2000
+                                     ELSE -1 END
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN total
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "ann_topk": f"""
             WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
@@ -677,6 +806,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_topk": q_tfidf_topk,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,

@@ -215,6 +215,60 @@ def minhash_lsh_neardup(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT: connected components over a pair
+    table (e.g. minhash_lsh_pairs output). The last mile of real dedup:
+    pairs alone don't say which docs to drop — components do. Returns
+    (doc_id, cluster_id, is_survivor) for every doc appearing in a
+    pair; cluster_id = min doc id in the component (deterministic under
+    any partitioning), survivor = the doc equal to it.
+
+    Algorithm: iterative min-label propagation to convergence — each
+    round every node takes the min of its own and its neighbors'
+    labels; a driver loop over lazy plans (the MLlib pattern for
+    iterative algorithms), with localCheckpoint truncating lineage so
+    the plan doesn't grow with iterations. Rounds needed = graph
+    diameter; near-dup components are overwhelmingly tiny cliques
+    (diameter 1-2). At 100 TB-with-adversarial-chains, swap in the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log^2 n) — same
+    DataFrame-only building blocks, more rounds machinery.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = fwd.union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lbl")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        if new_labels.filter(F.col("__changed")).limit(1).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"),
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

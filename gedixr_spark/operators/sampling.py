@@ -1,0 +1,80 @@
+"""Deterministic sampling / split operators (SURVEY.md §7.4 — the
+corpus-assembly side of a training-data pipeline).
+
+Everything here derives randomness from md5 of (seed | id) instead of
+RNG state, which buys three properties a 100 TB pipeline needs:
+- reproducible across runs, partitionings, and engines (the DuckDB
+  oracle replays the same arithmetic byte-for-byte);
+- stable under incremental reprocessing — a doc's split never changes
+  when other docs are added or removed (F.rand cannot promise that:
+  it seeds per-partition, so assignment moves with the partitioning);
+- no shuffle: assignment is a map-side expression, the split column
+  is just another predicate for downstream pruning.
+
+Bucket = first 4 hex digits of md5 → uniform int in [0, 65536), taken
+mod 10000 (basis points). md5 is engine-portable (Spark == DuckDB),
+and 4 digits keep the oracle's strpos arithmetic short.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, seed: str = "split", n_buckets: int = 10_000) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from md5(seed|id)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 4), 16, 10)
+    return (h.cast("int") % n_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: Mapping[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by hash bucket: cumulative fraction
+    thresholds over basis-point buckets. Adds `bucket` and `split`
+    columns; fractions must sum to ≤ 1 (remainder falls in the last
+    named split)."""
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions must be non-empty and sum to <= 1: {fractions}")
+    b = hash_bucket(id_col, seed=seed)
+    out = df.withColumn("bucket", b)
+    expr: Column | None = None
+    hi = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += fractions[name]
+        cond = F.col("bucket") < int(round(hi * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return out.withColumn("split", last)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket
+    falls under its stratum's fraction (strata absent from `fractions`
+    are dropped). The per-stratum rates compile into ONE map-side
+    predicate — no groupBy, no sampleBy RNG, pushdown-friendly, and
+    exactly reproducible (Spark's own sampleBy is none of these)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    b = hash_bucket(id_col, seed=seed)
+    thresholds = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(int(round(v * 10_000))))]
+    )
+    return df.withColumn("bucket", b).filter(
+        F.col("bucket") < thresholds[F.col(strata_col)]
+    )

@@ -109,6 +109,48 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_000_007) ->
     )
 
 
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf rank.
+
+    idf is the RATIO N/df(term) instead of log(N/df): a monotone
+    transform, so the per-doc ranking is identical, while the score
+    tf·N/df stays an exact-integer product into one IEEE division —
+    deterministic across engines (log's last-ulp differs between
+    libms, which would break oracle hash-parity).
+
+    Plan: one explode→(doc,term) count shuffle, a term-keyed join onto
+    the doc-frequency table (AQE broadcasts it when the vocabulary is
+    small; at 100 TB vocab it stays a shuffle join — never forced), a
+    broadcast 1-row corpus count, then a per-doc window top-k. Ties
+    break by term ascending, so row_number is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact
