@@ -108,6 +108,27 @@ def q_hash_split(spark, sf_dir):
     return df.select("doc_id", "bucket", "split")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash hamming-≤3 near-dup pairs via exact 4-band pigeonhole
+    candidates; oracle is the all-pairs hamming filter (equivalent by
+    the completeness guarantee, checked end-to-end)."""
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_dist=3)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (shuffle-free per-doc fold)."""
+    df = text.repetition_features(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "dup_token_ratio", "top_bigram_ratio")
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination audit: docs sharing a 3-shingle with
+    the deterministic 'benchmark' subset (doc_id % 97 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.contamination(docs, bench)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic sample (en 50% / de 30% / fr 20%,
     other languages dropped) — one map-side predicate, no RNG."""
@@ -603,6 +624,54 @@ def build_oracles() -> dict[str, str]:
             SELECT doc_id, {sim_bits} AS simhash
             FROM dig GROUP BY doc_id
         """,
+        "simhash_neardup": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+            ),
+            dig AS (SELECT doc_id, {digit} AS d FROM tok),
+            s AS (SELECT doc_id, {sim_bits} AS sig FROM dig GROUP BY doc_id)
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+            FROM s x JOIN s y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sig, y.sig)) <= 3
+        """,
+        "repetition": f"""
+            WITH base AS (
+              SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, n),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+              FROM base WHERE n >= 2
+            ),
+            bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+            mx AS (SELECT doc_id, max(c) AS best FROM bgc GROUP BY 1)
+            SELECT b.doc_id,
+                   CASE WHEN n > 0
+                        THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n
+                   END AS dup_token_ratio,
+                   CASE WHEN n >= 2 THEN CAST(best AS DOUBLE) / (n - 1)
+                   END AS top_bigram_ratio
+            FROM base b LEFT JOIN mx USING (doc_id)
+        """,
+        "contamination": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            corp AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM corp JOIN bench USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_overlap, 0) AS n_overlap,
+                   COALESCE(n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        """,
         "cosine_topk": f"""
             WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
             scored AS (
@@ -806,6 +875,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,

@@ -269,6 +269,57 @@ def dedup_clusters(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_dist: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a < id_b, hamming) with hamming
+    distance ≤ ``max_dist`` between 16-bit simhash16 signatures.
+
+    Candidate generation is 4-nibble banding — by pigeonhole, any pair
+    within distance 3 agrees on ≥1 of the 4 bands (3 flipped bits touch
+    ≤3 bands), so the band equi-join finds EVERY qualifying pair:
+    banding here is exact, not approximate (``max_dist`` must stay ≤3).
+    Verification is one integer op: bit_count(sig_a XOR sig_b).
+
+    Scale shape: signatures materialize first (doc_id + one int — the
+    heavy simhash fold never crosses the join), the self-join is an
+    equi-join on (band_idx, band_val) — never a cross join — and
+    hamming verification runs on the joined ints before the distinct.
+    """
+    if not 0 <= max_dist <= 3:
+        raise ValueError(f"banding guarantees completeness only for max_dist<=3: {max_dist}")
+    sigs = df.select(F.col(id_col), simhash16(text_col).alias("sig"))
+    bands = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    (F.floor(F.col("sig") / (16**i)) % 16).cast("int").alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -151,6 +151,103 @@ def tfidf_topk(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    per-document filters a pretraining corpus pass applies before any
+    cross-doc dedup:
+
+    - ``dup_token_ratio``: 1 − distinct/total tokens — fraction of the
+      doc that is repeated tokens.
+    - ``top_bigram_ratio``: occurrences of the single most frequent
+      word bigram over all bigram slots.
+
+    SHUFFLE-FREE by design: the natural formulation (explode bigrams →
+    groupBy(doc, bigram) → max) shuffles the whole corpus twice; at
+    100 TB that dominates the job. Instead the max-frequency bigram is
+    computed per row as sort-then-longest-run — ``array_sort`` puts
+    equal bigrams adjacent, one ``aggregate`` fold counts the longest
+    run — keeping the whole operator inside whole-stage codegen with
+    zero exchanges. Ratios are exact-int divisions (single IEEE op),
+    NULL when the doc is too short to have bigrams.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would be DESCENDING, not empty
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
+        "*",
+        F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "dup_token_ratio"
+        ),
+        F.when(n >= 2, run.cast("double") / (n - 1)).alias("top_bigram_ratio"),
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 1,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its word
+    n-gram shingles appear anywhere in the benchmark set, and a
+    ``contaminated`` flag at ``min_overlap``. The standard eval-leakage
+    sweep a training corpus runs before a model sees it.
+
+    Plan: the benchmark's distinct shingles are a SMALL table (eval
+    suites are MBs against a 100 TB corpus) — broadcast it, so the
+    corpus side stays a map-only scan: explode shingles, broadcast-hash
+    semi-count, partial-aggregated groupBy on doc id. One shuffle total
+    (the per-doc count), no corpus self-join anywhere. Docs with zero
+    overlap are kept (left join) so the output is a full audit column.
+    """
+    from gedixr_spark.operators.dedup import word_shingles
+
+    bench_sh = F.broadcast(
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle")).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact
