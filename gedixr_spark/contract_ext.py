@@ -129,6 +129,32 @@ def q_contamination(spark, sf_dir):
     return text.contamination(docs, bench)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII audit + redaction. The synthetic corpus has no PII, so the
+    query plants a deterministic email + dotted-quad per doc first —
+    the operator then has real matches to count and redact."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    out = text.redact_pii(text.pii_features(docs))
+    return out.select("doc_id", "n_email", "n_ipv4", "text_redacted")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Broadcast anti-join source blocklist (C4-style source cleanup)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.blocklist_filter(docs, ["src3", "src7", "src13"])
+    return out.select("doc_id", "source")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic sample (en 50% / de 30% / fr 20%,
     other languages dropped) — one map-side predicate, no RNG."""
@@ -655,6 +681,33 @@ def build_oracles() -> dict[str, str]:
                    END AS top_bigram_ratio
             FROM base b LEFT JOIN mx USING (doc_id)
         """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                            '@example.com ip 10.0.',
+                            CAST(doc_id % 256 AS VARCHAR), '.1') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                        AS INTEGER) AS n_ipv4,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                     '<IPV4>', 'g') AS text_redacted
+            FROM aug
+        """,
+        "blocklist_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE source NOT IN ('src3', 'src7', 'src13')
+        """,
         "contamination": f"""
             WITH bench AS (
               SELECT DISTINCT unnest({_SHINGLES}) AS shingle
@@ -878,6 +931,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "repetition": q_repetition,
         "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
+        "blocklist_filter": q_blocklist_filter,
         "dedup_clusters": q_dedup_clusters,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,

@@ -248,6 +248,55 @@ def contamination(
     )
 
 
+# PII patterns chosen for engine portability: the same pattern strings
+# compile identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backrefs — so oracle parity holds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts (``n_email``, ``n_ipv4``) — the audit
+    pass before redaction. Pure regexp column math, one scan, counts
+    are independent per pattern."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IPV4>``), email first so address-embedded dotted quads redact as
+    part of the email. Map-side regexp_replace chain — at 100 TB this
+    is a single codegen'd projection, no UDF, no shuffle."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, out)
+
+
+def blocklist_filter(
+    df: DataFrame, blocked: list[str], col: str = "source"
+) -> DataFrame:
+    """Drop rows whose ``col`` appears in a blocklist (domain/source
+    exclusion — the C4-style cleanup step). Implemented as a BROADCAST
+    anti-join rather than ``isin``: real blocklists are millions of
+    domains — far past literal-predicate limits but tiny next to the
+    corpus, exactly the broadcast-anti-join sweet spot. The blocklist
+    arrives as a one-column DataFrame, so at true scale it can also be
+    read from storage instead of the driver."""
+    spark = df.sparkSession
+    bl = F.broadcast(spark.createDataFrame([(b,) for b in blocked], [col]))
+    return df.join(bl, on=col, how="left_anti")
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact
