@@ -439,6 +439,16 @@ def build_oracles() -> dict[str, str]:
         f"(CASE WHEN sum(((d // {2 ** i}) % 2) * 2 - 1) > 0 THEN {2 ** i} ELSE 0 END)"
         for i in range(16)
     )
+    # 32-bit variant for the near-dup query: digit = first 8 md5 hex
+    # chars as a BIGINT, sign-sum per bit as above
+    digit8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t),{i + 1},1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sim_bits32 = " + ".join(
+        f"(CASE WHEN sum(((d // {2 ** i}) % 2) * 2 - 1) > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
 
     oracles = {
         "dedup_exact": """
@@ -654,8 +664,8 @@ def build_oracles() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
             ),
-            dig AS (SELECT doc_id, {digit} AS d FROM tok),
-            s AS (SELECT doc_id, {sim_bits} AS sig FROM dig GROUP BY doc_id)
+            dig AS (SELECT doc_id, {digit8} AS d FROM tok),
+            s AS (SELECT doc_id, {sim_bits32} AS sig FROM dig GROUP BY doc_id)
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                    CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
             FROM s x JOIN s y ON x.doc_id < y.doc_id

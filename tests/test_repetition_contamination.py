@@ -79,14 +79,24 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_simhash_signatures_fold_and_groupby_agree(spark):
+    # the DataFrame-level 16-bit signature must equal the column fold
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i % 5} common text body {i % 2}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    fold = {r["doc_id"]: r["sig"]
+            for r in df.select("doc_id", dedup.simhash16("text").alias("sig")).collect()}
+    grouped = {r["doc_id"]: r["sig"]
+               for r in dedup.simhash_signatures(df, bits=16).collect()}
+    assert fold == grouped
+
+
 def test_simhash_banding_matches_bruteforce(spark):
     # completeness check: banding must find EVERY pair with hamming<=3
     docs = [(i, f"tok{i} tok{i % 4} shared common words {i % 3}") for i in range(24)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    sigs = {
-        r["doc_id"]: r["sig"]
-        for r in df.select("doc_id", dedup.simhash16("text").alias("sig")).collect()
-    }
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.simhash_signatures(df, bits=32).collect()}
     expect = {
         (a, b): bin(sigs[a] ^ sigs[b]).count("1")
         for a in sigs
