@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 
@@ -186,6 +186,30 @@ def ivf_cell(vec_col: Column | str, centroids: list[list[int]], scale: int = 100
     return _cell(quantize(c, scale))
 
 
+def ivf_probe_cells(
+    vec_col: Column | str,
+    centroids: list[list[int]],
+    nprobe: int = 1,
+    scale: int = 1000,
+) -> Column:
+    """Top-``nprobe`` nearest cells by exact-int dot product, nearest
+    first, ties to the lower centroid index (stable argsort — matches
+    ivf_cell's first-max rule for the top cell). Query-side fan-out
+    only: the corpus index stays single-celled."""
+    cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
+    n = min(nprobe, len(centroids))
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.int64)
+        dots = m @ cen  # exact
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _cells(quantize(c, scale))
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -197,6 +221,7 @@ def ivf_ann_topk(
     scale: int = 1000,
     seed: int = 7,
     centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: score only candidates in the query's cell
     (nprobe=1). Same equi-join shape as lsh_ann_topk with a coarse
@@ -210,12 +235,14 @@ def ivf_ann_topk(
     (k-means); on unclustered data prefer lsh_ann_topk, whose buckets
     encode angular similarity directly. Pass ``centroids=`` learned
     ones (e.g. quantized output of clustering.kmeans_fit) for the
-    production path."""
+    production path, and ``nprobe>1`` to probe that many nearest cells
+    per query (recall climbs with candidate work; cells are disjoint so
+    no pair dedup is needed)."""
     centroids = centroids or ivf_centroids(dim, n_cells, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(vec_col, scale).alias("qv"),
-        ivf_cell(vec_col, centroids, scale).alias("cell"),
+        F.explode(ivf_probe_cells(vec_col, centroids, nprobe, scale)).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),

@@ -61,3 +61,32 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     r_multi = sum(1 for k in bf if multi.get(k) == bf[k])
     assert r_multi >= r_single  # probing can only add candidates
     assert all(k in multi for k in single)  # multi covers single's answers
+
+
+def test_ivf_nprobe_all_cells_equals_bruteforce(spark):
+    from gedixr_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    bf = {(r["query_id"], r["rank"]): r["cand_id"]
+          for r in cosine_topk(q, emb, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in ivf_ann_topk(q, emb, k=3, n_cells=8, nprobe=8).collect()}
+    # probing every cell == exhaustive search
+    assert full == bf
+
+
+def test_ivf_nprobe_monotone_recall(spark):
+    from gedixr_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["rank"]): r["cand_id"]
+          for r in cosine_topk(q, emb, k=1).collect()}
+    one = {(r["query_id"], r["rank"]): r["cand_id"]
+           for r in ivf_ann_topk(q, emb, k=1, nprobe=1).collect()}
+    three = {(r["query_id"], r["rank"]): r["cand_id"]
+             for r in ivf_ann_topk(q, emb, k=1, nprobe=3).collect()}
+    r1 = sum(1 for k in bf if one.get(k) == bf[k])
+    r3 = sum(1 for k in bf if three.get(k) == bf[k])
+    assert r3 >= r1
