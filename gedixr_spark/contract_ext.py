@@ -100,6 +100,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end near-dedup: LSH pairs → connected components →
+    drop non-survivors from the corpus (the full pipeline the other
+    dedup queries build up to)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=4, bands=2)
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.apply_dedup(docs, clusters).select("doc_id", "lang", "source")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by md5 bucket (90/5/5)."""
     from gedixr_spark.operators import sampling
@@ -550,6 +560,44 @@ def build_oracles() -> dict[str, str]:
             SELECT exact.id_a, exact.id_b, jaccard
             FROM cand JOIN exact ON cand.id_a = exact.id_a AND cand.id_b = exact.id_b
         """,
+        "dedup_apply": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM sh GROUP BY 1
+            ),
+            banded AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM banded x JOIN banded y
+                ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM cand
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM cand
+            ),
+            reach AS (
+              SELECT DISTINCT u AS node, u AS r FROM edges
+              UNION
+              SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            ),
+            losers AS (
+              SELECT node FROM reach GROUP BY node HAVING node <> min(r)
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE sh AS (
               SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
@@ -944,6 +992,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "tfidf_topk": q_tfidf_topk,

@@ -269,6 +269,20 @@ def dedup_clusters(
     )
 
 
+def apply_dedup(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a dedup decision: keep every row of ``df`` except
+    non-survivor members of ``clusters`` (dedup_clusters output). The
+    loser set is the (small) join side — at 100 TB the corpus stays a
+    map-side scan against a broadcast/shuffled anti-join on ids only;
+    full documents never move for the decision."""
+    losers = clusters.filter(~F.col("is_survivor")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

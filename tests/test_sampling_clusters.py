@@ -123,3 +123,13 @@ def test_fan_out_is_noop_when_already_parallel(spark):
     out = fan_out(wide, min_partitions=4)
     assert out.rdd.getNumPartitions() == 8
     assert out is wide
+
+
+def test_apply_dedup_keeps_survivors_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    clusters = dedup.dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (5, 6)]))
+    out = {r["doc_id"] for r in dedup.apply_dedup(docs, clusters).collect()}
+    # components {1,2,3} -> survivor 1; {5,6} -> survivor 5; 4 untouched
+    assert out == {1, 4, 5}
