@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -96,20 +97,97 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize placeholder: real codecs are unavailable, so this
-    raises by contract (clearly-marked stub per the build brief). The
-    call signature, partitioning and schema are what a PIL-backed
-    implementation would use."""
-    raise NotImplementedError(
-        "image resize requires a codec library (PIL/opencv) not present in "
-        "this container; wire _decode_batch to the codec and emit "
-        "binary payloads of the resized frames"
-    )
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("codec", StringType()),
+    ]
+)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling placeholder — same contract as resize_stub."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg/pyav, not present in this container"
-    )
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize over binary payloads: Arrow-batched mapInPandas,
+    one output row per input with a (width × height)-byte payload.
+
+    The CODEC IS A DETERMINISTIC FAKE (no PIL/opencv in this
+    container): 'resize' = cycle the source bytes to w*h length — a
+    stand-in with the same shape contract as nearest-neighbor
+    resampling (output size depends only on target dims, content is a
+    pure function of input bytes). A real deployment replaces ONLY the
+    two numpy lines marked below; schema, batching, and partitioning
+    stay. At scale this runs one task per parquet row group, and the
+    resized payloads are ~w*h bytes/row — size output partitions
+    accordingly (maxRecordsPerBatch) to keep Arrow batches bounded."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive: {width}x{height}")
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf["payload"]):
+                src = np.frombuffer(payload, dtype=np.uint8)
+                # real impl: img = codec.decode(src); img.resize((w, h))
+                resized = np.resize(src, n_out)  # cycles bytes to length
+                out.append(
+                    {
+                        "doc_id": _id,
+                        "payload": resized.tobytes(),
+                        "width": width,
+                        "height": height,
+                        "codec": "fake-cycle",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int, frame_size: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame as its own
+    row — the 1→N row-explosion shape real frame extraction has.
+
+    The DEMUXER IS A DETERMINISTIC FAKE (no ffmpeg/pyav here): the
+    payload is treated as concatenated ``frame_size``-byte frames, and
+    a trailing partial frame is dropped (decoders don't emit partial
+    frames). A real deployment replaces only the split-into-frames
+    line with container demuxing; the iterator shape — one input batch
+    yielding a larger output batch — is exactly the PyAV pattern, and
+    the output stays within Arrow batch bounds because mapInPandas
+    re-batches per yielded DataFrame."""
+    if every_n <= 0 or frame_size <= 0:
+        raise ValueError(f"every_n and frame_size must be positive: {every_n}, {frame_size}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) // frame_size
+                # real impl: for i, frame in enumerate(container.decode(...))
+                for i in range(0, n_frames, every_n):
+                    out.append(
+                        {
+                            "doc_id": _id,
+                            "frame_idx": i,
+                            "frame": payload[i * frame_size : (i + 1) * frame_size],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -34,12 +34,40 @@ def test_extract_features_mapinpandas(spark):
     assert 0.0 <= rows[1]["mean_byte"] <= 255.0
 
 
-def test_resize_and_frame_sample_are_explicit_stubs(spark):
-    df = _docs(spark)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_stub(df, 64, 64)
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample_stub(df, 10)
+def test_resize_shape_contract(spark):
+    df = multimodal.attach_fake_payload(_docs(spark))
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(df, 8, 4).collect()}
+    # every payload resized to exactly w*h bytes; deterministic fake codec
+    assert all(len(r["payload"]) == 32 for r in rows.values())
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows.values())
+    # cycle semantics: first 16 bytes == original md5 payload
+    src = {r["doc_id"]: r["payload"] for r in df.collect()}
+    assert rows[1]["payload"][:16] == src[1]
+    assert rows[1]["payload"][16:] == src[1]  # cycled
+
+
+def test_resize_rejects_bad_dims(spark):
+    df = multimodal.attach_fake_payload(_docs(spark))
+    with pytest.raises(ValueError):
+        multimodal.resize_images(df, 0, 4)
+
+
+def test_frame_sample_explodes_rows(spark):
+    df = multimodal.attach_fake_payload(_docs(spark))  # 16-byte payloads
+    out = multimodal.sample_frames(df, every_n=2, frame_size=4)
+    rows = [r for r in out.collect() if r["doc_id"] == 1]
+    # 4 frames of 4 bytes, every 2nd -> frames 0 and 2
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2]
+    src = {r["doc_id"]: r["payload"] for r in df.collect()}
+    by_idx = {r["frame_idx"]: r["frame"] for r in rows}
+    assert by_idx[0] == src[1][0:4] and by_idx[2] == src[1][8:12]
+
+
+def test_frame_sample_drops_partial_trailing_frame(spark):
+    df = multimodal.attach_fake_payload(_docs(spark))
+    out = multimodal.sample_frames(df, every_n=1, frame_size=5)  # 16 // 5 = 3
+    n = len([r for r in out.collect() if r["doc_id"] == 1])
+    assert n == 3
 
 
 @pytest.fixture()
