@@ -637,7 +637,7 @@ def build_oracles() -> dict[str, str]:
         "hash_split": f"""
             WITH b AS (
               SELECT doc_id,
-                     {_hex4_sql("md5(concat('split|', CAST(doc_id AS VARCHAR)))")} % 10000
+                     ({_hex4_sql("md5(concat('split|', CAST(doc_id AS VARCHAR)))")} * 10000) // 65536
                        AS bucket
               FROM documents
             )
@@ -650,7 +650,7 @@ def build_oracles() -> dict[str, str]:
         "stratified_sample": f"""
             WITH b AS (
               SELECT doc_id, lang,
-                     {_hex4_sql("md5(concat('sample|', CAST(doc_id AS VARCHAR)))")} % 10000
+                     ({_hex4_sql("md5(concat('sample|', CAST(doc_id AS VARCHAR)))")} * 10000) // 65536
                        AS bucket
               FROM documents
             )

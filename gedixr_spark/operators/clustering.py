@@ -58,30 +58,31 @@ def kmeans_fit(
     determinism). Convergence is fixed-iteration by design: at scale
     you bound cost, not chase epsilon.
     """
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
     init_rows = (
         df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
     )
     centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
-    dim = centroids.shape[1]
 
     for _ in range(n_iter):
         assign = _assign_udf(centroids)
         assigned = df.select(
             F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
         )
-        # centroid update: per-dimension exact-count means via one
-        # aggregation of element-wise array sums
+        # centroid update: ONE vector-sum aggregate (Summarizer over an
+        # ml vector) instead of `dim` scalar F.sum columns — at dim 1024
+        # the per-dimension form is 1024 aggregate expressions (plan
+        # bloat + codegen pressure); the vector sum is a single
+        # JVM-side accumulator of k×dim state regardless of dim
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dim)
-            ],
+            Summarizer.sum(array_to_vector(F.col(vec_col))).alias("s"),
         )
         new = centroids.copy()
-        for r in sums.collect():
-            c = r["cluster"]
-            new[c] = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+        for r in sums.collect():  # k rows (k×dim driver state — tiny)
+            new[r["cluster"]] = np.asarray(r["s"].toArray()) / r["n"]
         centroids = new
 
     assign = _assign_udf(centroids)

@@ -244,6 +244,7 @@ def dedup_clusters(
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.v == labels.node)
@@ -258,10 +259,18 @@ def dedup_clusters(
                 (F.col("nbr_lbl") < F.col("lbl")).alias("__changed"),
             )
         ).localCheckpoint(eager=True)
-        if new_labels.filter(F.col("__changed")).limit(1).isEmpty():
-            labels = new_labels
-            break
         labels = new_labels
+        if new_labels.filter(F.col("__changed")).limit(1).isEmpty():
+            converged = True
+            break
+    if not converged:
+        # falling through with unstable labels would silently mark
+        # MULTIPLE 'survivors' per component → apply_dedup under-deletes
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise max_iter or use "
+            "large-star/small-star for adversarial chain graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

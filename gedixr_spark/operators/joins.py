@@ -52,6 +52,15 @@ def merge_products(
     maps 1:1 to Spark join types. The reference's equal-row-count
     warning (xr.py:137-141) is available separately via
     ``check_merge_counts`` — it costs two counts, so it's opt-in at scale.
+
+    INTENTIONAL naming divergence from the reference: its
+    ``l2b.merge(l2a, suffixes=('_l2a','_l2b'))`` (xr.py:84-86) attaches
+    ``_l2a`` to the LEFT frame's columns — i.e. L2B columns come out
+    named ``*_l2a`` (an upstream suffix-order slip). The default here,
+    ``suffixes=('_l2b','_l2a')``, labels each column by the product it
+    came from. To reproduce reference-compatible column names
+    byte-for-byte (e.g. when diffing against checkpoints the reference
+    wrote), pass ``suffixes=('_l2a','_l2b')``.
     """
     on = [c for c in (on or DEFAULT_MERGE_ON) if c in l2b.columns and c in l2a.columns]
     if not on:

@@ -28,13 +28,16 @@ def declared_projection(
     array_rh = "rh" in df.columns and dict(df.dtypes).get("rh", "").startswith("array")
     for out_name, layer in spec:
         base = layer.split("/")[-1]  # HDF5 nesting is flattened by the reader
+        # rh branch keyed on the SOURCE layer name (reference
+        # extract.py:281), so custom output names like
+        # ('canopy98','rh98') still index the rh array
         if (
-            out_name.startswith("rh")
-            and out_name[2:].isdigit()
+            base.startswith("rh")
+            and base[2:].isdigit()
             and base not in df.columns
             and array_rh
         ):
-            cols.append(rh_percentile("rh", int(out_name[2:])).alias(out_name))
+            cols.append(rh_percentile("rh", int(base[2:])).alias(out_name))
         elif out_name == "shot" and base in df.columns:
             cols.append(shot_id_str(base).alias(out_name))  # P3, extract.py:290
         else:

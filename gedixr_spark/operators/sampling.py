@@ -11,9 +11,13 @@ RNG state, which buys three properties a 100 TB pipeline needs:
 - no shuffle: assignment is a map-side expression, the split column
   is just another predicate for downstream pruning.
 
-Bucket = first 4 hex digits of md5 → uniform int in [0, 65536), taken
-mod 10000 (basis points). md5 is engine-portable (Spark == DuckDB),
-and 4 digits keep the oracle's strpos arithmetic short.
+Bucket = first 4 hex digits of md5 → uniform int h in [0, 65536),
+mapped to [0, n_buckets) by floor(h·n/65536) — exact integer range
+partitioning, so every bucket covers the same number of hash values
+(taking h % n would over-weight low buckets by 1/65536 each when n
+doesn't divide 65536: a requested 0.5 split would actually select
+0.5004). md5 is engine-portable (Spark == DuckDB), and 4 digits keep
+the oracle's strpos arithmetic short.
 """
 
 from __future__ import annotations
@@ -25,10 +29,13 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(col: Column | str, seed: str = "split", n_buckets: int = 10_000) -> Column:
-    """Deterministic uniform bucket in [0, n_buckets) from md5(seed|id)."""
+    """Deterministic uniform bucket in [0, n_buckets) from md5(seed|id):
+    floor(h·n/65536) over the 16-bit hash h — bias-free for any n ≤
+    65536 (h·n ≤ 2^30 is exact in both int64 and double, and /65536 is
+    a power-of-two division, so floor sees an exact value)."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 4), 16, 10)
-    return (h.cast("int") % n_buckets).alias("bucket")
+    return F.floor(h.cast("long") * n_buckets / 65536).cast("int").alias("bucket")
 
 
 def hash_split(

@@ -10,7 +10,10 @@ AOI, named ``{now}_{product}_{flt}[_{aoi}].parquet``
   parallel write, no driver loop),
 - GeoParquet ``geo`` footer metadata can't be injected through Spark's
   parquet writer, so a driver-side pyarrow pass stamps it per file after
-  the distributed write — O(#files) metadata rewrites, not a data copy.
+  the distributed write. pyarrow exposes no footer-only edit, so this IS
+  an O(data) decode/re-encode per file (codec and row-group boundaries
+  are preserved); at large scale prefer stamping in the same job that
+  writes, or a distributed mapPartitions re-write.
 """
 
 from __future__ import annotations
@@ -69,16 +72,34 @@ def write_geoparquet(
 
 
 def _stamp_geo_metadata(root: Path) -> None:
-    """Add the ``geo`` key to each parquet file's footer metadata —
-    driver-side, metadata-only rewrite via pyarrow."""
+    """Add the ``geo`` key to each parquet file's footer metadata.
+
+    NOT metadata-only: pyarrow has no public footer-in-place edit, so
+    each file is decoded and re-encoded. What IS preserved: the
+    original compression codec and the row-group boundaries (each row
+    group is read and re-written individually), so the Spark writer's
+    physical layout survives the stamp."""
     import pyarrow.parquet as pq
 
     geo = json.dumps(GEO_META_TEMPLATE).encode()
     for f in root.rglob("*.parquet"):
-        table = pq.read_table(f)
-        meta = dict(table.schema.metadata or {})
-        meta[b"geo"] = geo
-        pq.write_table(table.replace_schema_metadata(meta), f)
+        pf = pq.ParquetFile(f)
+        meta_md = pf.metadata
+        codec = (
+            meta_md.row_group(0).column(0).compression.lower()
+            if meta_md.num_row_groups
+            else "snappy"
+        )
+        if codec == "uncompressed":
+            codec = "none"
+        schema_meta = dict(pf.schema_arrow.metadata or {})
+        schema_meta[b"geo"] = geo
+        schema = pf.schema_arrow.with_metadata(schema_meta)
+        groups = [pf.read_row_group(i) for i in range(meta_md.num_row_groups)]
+        pf.close()
+        with pq.ParquetWriter(f, schema, compression=codec) as w:
+            for g in groups:
+                w.write_table(g.replace_schema_metadata(schema_meta))
         # drop the now-stale Hadoop checksum sidecar or re-reads fail CRC
         crc = f.parent / f".{f.name}.crc"
         crc.unlink(missing_ok=True)

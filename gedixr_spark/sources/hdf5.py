@@ -62,6 +62,17 @@ def discover_granules(
     )
 
 
+class GranuleSchemaError(KeyError):
+    """A declared layer is missing from a granule's beam group.
+
+    Raised (not swallowed) by the reader: a misconfigured variables
+    spec would otherwise silently produce zero rows for every granule
+    with only an accumulator bump — indistinguishable from corrupt
+    files. Schema errors are the user's bug; I/O corruption is the
+    data's (reference extract.py:191-194 isolates only the latter
+    meaningfully)."""
+
+
 def _default_opener(path: str):  # pragma: no cover - requires h5py
     try:
         import h5py
@@ -108,6 +119,8 @@ def read_granules(
                     yield _extract_one(
                         opener, row["file_path"], row["acq_time"], beam_list, layers, out_names
                     )
+                except GranuleSchemaError:
+                    raise  # misconfiguration — fail the job, don't absorb
                 except Exception:
                     if error_acc is not None:
                         error_acc.add(1)
@@ -135,15 +148,25 @@ def _extract_one(opener, path, acq_time, beam_list, layers, out_names) -> pd.Dat
             n = len(group["shot_number"])
             beams_seen.append(np.repeat(beam, n))
             for out_name, layer in layers:
+                # P2: keyed on the SOURCE layer name like the reference
+                # (extract.py:281 `v.startswith('rh')`) — a custom
+                # mapping ('canopy98','rh98') must hit this branch too;
+                # keying on the output name would KeyError into the
+                # corrupt-granule handler and silently drop the granule.
+                base = layer.split("/")[-1]
                 if (
-                    out_name.startswith("rh")
-                    and out_name[2:].isdigit()
+                    base.startswith("rh")
+                    and base[2:].isdigit()
                     and layer not in group
                     and "rh" in group
                 ):
-                    # P2: rh percentile from the 101-wide array, m→cm int
-                    idx = int(out_name[2:])
+                    # rh percentile from the 101-wide array, m→cm int
+                    idx = int(base[2:])
                     vals = np.rint(np.asarray(group["rh"])[:, idx] * 100).astype(np.int32)
+                elif layer not in group:
+                    raise GranuleSchemaError(
+                        f"layer {layer!r} missing from {path}:{beam}"
+                    )
                 elif out_name == "shot":
                     vals = np.asarray(group[layer]).astype(np.uint64)
                 else:
