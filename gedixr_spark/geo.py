@@ -184,22 +184,15 @@ def st_transform(df, lon_col: str, lat_col: str, src: str, dst: str):
 
 # --- Polygons (driver-side values; broadcast as literals/UDF closures) ---
 
-_WKT_POLYGON_RE = re.compile(r"^\s*POLYGON\s*\(\((.*)\)\)\s*$", re.IGNORECASE | re.DOTALL)
+_WKT_POLYGON_RE = re.compile(r"^\s*POLYGON\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_WKT_MULTIPOLYGON_RE = re.compile(
+    r"^\s*MULTIPOLYGON\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
 
 
-def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
-    """Parse a single-ring WKT POLYGON into a vertex list (closed ring).
-
-    Covers the reference's AOI inputs (ancillary.py:121-154 reads vector
-    files into polygons); interior rings are not supported — multi-ring
-    AOIs should be exploded upstream like the reference explodes
-    multi-feature files (ancillary.py:148-153).
-    """
-    m = _WKT_POLYGON_RE.match(wkt)
-    if not m or ")" in m.group(1):
-        raise ValueError(f"unsupported WKT (single-ring POLYGON only): {wkt[:60]}...")
+def _parse_ring(body: str) -> list[tuple[float, float]]:
     verts = []
-    for pair in m.group(1).split(","):
+    for pair in body.split(","):
         xs, ys = pair.split()
         verts.append((float(xs), float(ys)))
     if verts[0] != verts[-1]:
@@ -207,10 +200,85 @@ def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
     return verts
 
 
+def _split_parenthesized(body: str) -> list[str]:
+    """Split 'a), (b), (c' style WKT bodies on top-level ',' between
+    balanced '(...)' groups, returning the inner texts."""
+    parts, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                parts.append(body[start:i])
+    return parts
+
+
+def parse_wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:
+    """Parse POLYGON (with optional interior rings) or MULTIPOLYGON WKT
+    into a flat list of closed rings.
+
+    The flat-ring form is exactly what even-odd point membership needs
+    (reference AOIs via geopandas handle holed/multi polygons,
+    ancillary.py:148-153): a point is inside iff an upward ray crosses
+    an odd number of edges over ALL rings — holes flip parity back to
+    outside, disjoint parts contribute independent parities."""
+    m = _WKT_POLYGON_RE.match(wkt)
+    if m:
+        return [_parse_ring(b) for b in _split_parenthesized(m.group(1))]
+    m = _WKT_MULTIPOLYGON_RE.match(wkt)
+    if m:
+        rings = []
+        for poly_body in _split_parenthesized(m.group(1)):
+            rings.extend(_parse_ring(b) for b in _split_parenthesized(poly_body))
+        return rings
+    raise ValueError(f"unsupported WKT (POLYGON/MULTIPOLYGON only): {wkt[:60]}...")
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Parse a single-ring WKT POLYGON into a vertex list (closed ring).
+    Multi-ring/multi-part geometries go through ``parse_wkt_rings``."""
+    rings = parse_wkt_rings(wkt)
+    if len(rings) != 1:
+        raise ValueError(
+            f"expected single-ring POLYGON, got {len(rings)} rings: {wkt[:60]}..."
+        )
+    return rings[0]
+
+
 def polygon_bounds(verts: list[tuple[float, float]]) -> tuple[float, float, float, float]:
     xs = [v[0] for v in verts]
     ys = [v[1] for v in verts]
     return min(xs), min(ys), max(xs), max(ys)
+
+
+def rings_bounds(rings: list[list[tuple[float, float]]]) -> tuple[float, float, float, float]:
+    """bbox over every ring (= bbox of the outer ring(s))."""
+    bs = [polygon_bounds(r) for r in rings]
+    return (
+        min(b[0] for b in bs),
+        min(b[1] for b in bs),
+        max(b[2] for b in bs),
+        max(b[3] for b in bs),
+    )
+
+
+def _rings_to_arrays(rings: list[list[tuple[float, float]]]) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten rings into edge-segment endpoint arrays (x1y1 → x2y2),
+    the form the vectorized even-odd kernel consumes."""
+    x1, y1, x2, y2 = [], [], [], []
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            x1.append(ax)
+            y1.append(ay)
+            x2.append(bx)
+            y2.append(by)
+    return (
+        np.array(list(zip(x1, y1)), dtype=np.float64),
+        np.array(list(zip(x2, y2)), dtype=np.float64),
+    )
 
 
 def is_rectangle(verts: list[tuple[float, float]]) -> bool:
@@ -228,33 +296,37 @@ def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
     """X9 — ``point.intersects(polygon)`` as a Column predicate.
 
     Rectangles → pure range predicates (pushed to the scan). General
-    polygons → bbox prefilter AND a vectorized ray-casting pandas UDF;
-    boundary points count as inside (matching shapely ``intersects``).
+    polygons — including interior rings (holes) and MULTIPOLYGON —
+    → bbox prefilter AND a vectorized even-odd ray-cast pandas UDF;
+    boundary points (outer OR hole edges) count as inside, matching
+    shapely ``intersects``.
     """
-    verts = parse_wkt_polygon(wkt)
-    xmin, ymin, xmax, ymax = polygon_bounds(verts)
+    rings = parse_wkt_rings(wkt)
+    xmin, ymin, xmax, ymax = rings_bounds(rings)
     bbox = lon.between(xmin, xmax) & lat.between(ymin, ymax)
-    if is_rectangle(verts):
+    if len(rings) == 1 and is_rectangle(rings[0]):
         return bbox
 
-    vx = np.array([v[0] for v in verts], dtype=np.float64)
-    vy = np.array([v[1] for v in verts], dtype=np.float64)
+    p1, p2 = _rings_to_arrays(rings)
 
     @pandas_udf(BooleanType())
     def _pip(px: pd.Series, py: pd.Series) -> pd.Series:
+        # self-contained closure (captures p1/p2 by value): runs on
+        # bare workers without the repo on PYTHONPATH
         x = px.to_numpy(dtype=np.float64)[:, None]
         y = py.to_numpy(dtype=np.float64)[:, None]
-        x1, y1 = vx[None, :-1], vy[None, :-1]
-        x2, y2 = vx[None, 1:], vy[None, 1:]
-        # ray casting: count edges crossing the upward ray from (x, y)
+        x1, y1 = p1[None, :, 0], p1[None, :, 1]
+        x2, y2 = p2[None, :, 0], p2[None, :, 1]
+        # even-odd: count edges (over ALL rings) crossing the upward ray
         cond = (y1 <= y) != (y2 <= y)
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
         crossings = (cond & (x < xint)).sum(axis=1)
         inside = (crossings % 2) == 1
-        # boundary: a point on an edge segment counts as inside (shapely
-        # `intersects` semantics). Tolerance 1e-9: far above fp noise
-        # (~1e-13 at degree scale), far below any genuine offset.
+        # boundary: a point on any edge segment counts as inside
+        # (shapely `intersects`; hole boundaries belong to the polygon).
+        # Tolerance 1e-9: far above fp noise (~1e-13 at degree scale),
+        # far below any genuine offset.
         dx, dy = x2 - x1, y2 - y1
         cross = (x - x1) * dy - (y - y1) * dx
         t = ((x - x1) * dx + (y - y1) * dy) / (dx * dx + dy * dy)
@@ -262,3 +334,55 @@ def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
         return pd.Series(inside | on_edge)
 
     return bbox & _pip(lon, lat)
+
+
+def named_polygons_pip_udf(polys: dict[str, list[list[tuple[float, float]]]]):
+    """ONE vectorized point-in-polygon UDF over ``(lon, lat, aoi_name)``
+    for a whole dictionary of (possibly holed/multi-part) polygons.
+
+    This replaces a per-AOI ``when(name==n, udf_n)`` chain: at 10k AOIs
+    that chain is 10k UDF invocations per row and an expression far past
+    codegen limits; here every candidate row crosses into Arrow ONCE,
+    rows are grouped by AOI inside numpy, and each group runs the same
+    even-odd kernel as ``st_intersects_polygon``. Names absent from the
+    dict (e.g. rectangles already decided by bbox) pass through True.
+
+    Returns a factory ``(lon_col, lat_col, name_col) -> BooleanColumn``.
+    The vertex arrays are captured by value in the closure (pickled once
+    per task — the broadcast-dict pattern without a SparkContext
+    dependency), so it runs on bare workers."""
+    seg = {
+        name: _rings_to_arrays(rings) for name, rings in polys.items()
+    }
+
+    def build(lon: Column, lat: Column, name: Column) -> Column:
+        @pandas_udf(BooleanType())
+        def _pip_named(px: pd.Series, py: pd.Series, pn: pd.Series) -> pd.Series:
+            x = px.to_numpy(dtype=np.float64)
+            y = py.to_numpy(dtype=np.float64)
+            names = pn.to_numpy()
+            out = np.ones(len(x), dtype=bool)
+            for nm in pd.unique(names):
+                arrs = seg.get(nm)
+                if arrs is None:
+                    continue  # not in dict → bbox already decided it
+                mask = names == nm
+                xs = x[mask][:, None]
+                ys = y[mask][:, None]
+                p1, p2 = arrs
+                x1, y1 = p1[None, :, 0], p1[None, :, 1]
+                x2, y2 = p2[None, :, 0], p2[None, :, 1]
+                cond = (y1 <= ys) != (y2 <= ys)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = x1 + (ys - y1) * (x2 - x1) / (y2 - y1)
+                inside = ((cond & (xs < xint)).sum(axis=1) % 2) == 1
+                dx, dy = x2 - x1, y2 - y1
+                cross = (xs - x1) * dy - (ys - y1) * dx
+                t = ((xs - x1) * dx + (ys - y1) * dy) / (dx * dx + dy * dy)
+                on_edge = ((np.abs(cross) < 1e-9) & (t >= 0) & (t <= 1)).any(axis=1)
+                out[mask] = inside | on_edge
+            return pd.Series(out)
+
+        return _pip_named(lon, lat, name)
+
+    return build

@@ -121,30 +121,42 @@ def spatial_join_aoi_indexed(
 
     Per-shot work is O(AOIs overlapping its cell), not O(all AOIs) —
     the same cell-index strategy a spatial engine's partitioned join
-    uses, in plain DataFrame ops. Exact-polygon refinement currently
-    covers rectangles JVM-side and uses a per-AOI ray-cast only for
-    the non-rectangular minority (grouped, not per-row)."""
-    from gedixr_spark.geo import is_rectangle, parse_wkt_polygon, polygon_bounds
+    uses, in plain DataFrame ops. Exact-polygon refinement covers
+    rectangles JVM-side (bbox IS the polygon); every non-rectangular
+    candidate row goes through ONE vectorized even-odd ray-cast UDF
+    over (lon, lat, aoi_name) with the vertex arrays captured in the
+    closure — a single Arrow pass regardless of AOI count (a per-AOI
+    when/udf chain would be 10k UDF invocations per row at 10k AOIs
+    and outgrow codegen). Holed and multi-part AOIs are supported
+    (even-odd over all rings)."""
+    from gedixr_spark.geo import (
+        is_rectangle,
+        named_polygons_pip_udf,
+        parse_wkt_rings,
+        rings_bounds,
+    )
 
     rows = aois.select(name_col, wkt_col).collect()
     if not rows:
         raise MergeError("empty AOI table")
 
-    # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, wkt)
+    # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, nonrect)
     index_rows = []
-    polys = {}
+    non_rect_polys = {}
     for r in rows:
-        verts = parse_wkt_polygon(r[wkt_col])
-        xmin, ymin, xmax, ymax = polygon_bounds(verts)
-        polys[r[name_col]] = (xmin, ymin, xmax, ymax, r[wkt_col], is_rectangle(verts))
+        rings = parse_wkt_rings(r[wkt_col])
+        xmin, ymin, xmax, ymax = rings_bounds(rings)
+        nonrect = not (len(rings) == 1 and is_rectangle(rings[0]))
+        if nonrect:
+            non_rect_polys[r[name_col]] = rings
         for cx in range(int(math.floor(xmin / cell_deg)), int(math.floor(xmax / cell_deg)) + 1):
             for cy in range(int(math.floor(ymin / cell_deg)), int(math.floor(ymax / cell_deg)) + 1):
-                index_rows.append((cx, cy, r[name_col], xmin, ymin, xmax, ymax))
+                index_rows.append((cx, cy, r[name_col], xmin, ymin, xmax, ymax, nonrect))
     spark = shots.sparkSession
     index = spark.createDataFrame(
         index_rows,
         "cell_x int, cell_y int, aoi_name string, xmin double, ymin double, "
-        "xmax double, ymax double",
+        "xmax double, ymax double, nonrect boolean",
     )
 
     # 2-3. shot cell id + broadcast equi-join on the cell
@@ -156,21 +168,23 @@ def spatial_join_aoi_indexed(
         (F.col("__cx") == F.col("cell_x")) & (F.col("__cy") == F.col("cell_y")),
     )
 
-    # 4. exact refinement: bbox for all; ray-cast only for non-rects
+    # 4. exact refinement: bbox for all; ONE batched ray-cast UDF for
+    # the non-rect survivors (rect rows short-circuit on the flag —
+    # Spark still ships the whole batch to Arrow, but the kernel skips
+    # names absent from the dict, so rect rows cost one hash lookup)
     bbox_ok = (
         F.col(lon_col).between(F.col("xmin"), F.col("xmax"))
         & F.col(lat_col).between(F.col("ymin"), F.col("ymax"))
     )
     refined = cand.filter(bbox_ok)
-    non_rects = [n for n, p in polys.items() if not p[5]]
-    if non_rects:
-        keep = F.lit(True)
-        for n in non_rects:
-            pred = st_intersects_polygon(F.col(lon_col), F.col(lat_col), polys[n][4])
-            keep = keep & F.when(F.col(name_col) == n, pred).otherwise(F.lit(True))
+    if non_rect_polys:
+        pip = named_polygons_pip_udf(non_rect_polys)
+        keep = ~F.col("nonrect") | pip(
+            F.col(lon_col), F.col(lat_col), F.col(name_col)
+        )
         refined = refined.filter(keep)
     return refined.drop(
-        "__cx", "__cy", "cell_x", "cell_y", "xmin", "ymin", "xmax", "ymax"
+        "__cx", "__cy", "cell_x", "cell_y", "xmin", "ymin", "xmax", "ymax", "nonrect"
     )
 
 
@@ -213,11 +227,11 @@ def spatial_join_aoi(
     # of all AOI bounding boxes is pure range predicates → pushes into
     # the parquet scan (row-group min/max pruning at 100 TB); only the
     # survivors reach the exact tests / the ray-cast UDF.
-    from gedixr_spark.geo import parse_wkt_polygon, polygon_bounds
+    from gedixr_spark.geo import parse_wkt_rings, rings_bounds
 
     coarse = None
     for r in rows:
-        xmin, ymin, xmax, ymax = polygon_bounds(parse_wkt_polygon(r[wkt_col]))
+        xmin, ymin, xmax, ymax = rings_bounds(parse_wkt_rings(r[wkt_col]))
         b = F.col(lon_col).between(xmin, xmax) & F.col(lat_col).between(ymin, ymax)
         coarse = b if coarse is None else (coarse | b)
     # ONE scan: evaluate every AOI predicate per surviving row, explode
