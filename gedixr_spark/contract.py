@@ -198,16 +198,17 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("shot", "elev", "elev_dem_tdx", "sensitivity", "num_detectedmodes", "rh98")
 
 
-def q_month_filter_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 inclusive month band [6, 8] (extract.py:138-146)."""
-    df = month_filter(shots_l2a(spark, sf_dir), 6, 8)
-    return df.select("shot", "acq_time")
-
-
-def q_month_filter_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 reversed-bounds swap: (11, 2) → band [2, 11] (extract.py:139-140)."""
-    df = month_filter(shots_l2a(spark, sf_dir), 11, 2)
-    return df.select("shot", "acq_time")
+def q_month_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 both behaviors in one labeled union: inclusive month band
+    [6, 8] plus the reversed-bounds swap (11, 2) → [2, 11]
+    (extract.py:138-146, swap at 139-140)."""
+    a = month_filter(shots_l2a(spark, sf_dir), 6, 8).select(
+        F.lit("band_6_8").alias("band"), "shot", "acq_time"
+    )
+    b = month_filter(shots_l2a(spark, sf_dir), 11, 2).select(
+        F.lit("swap_11_2").alias("band"), "shot", "acq_time"
+    )
+    return a.unionByName(b)
 
 
 def q_beam_filter_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,29 +216,17 @@ def q_beam_filter_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return beam_filter(shots_l2a(spark, sf_dir), "power").select("shot", "beam")
 
 
-def q_rh_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: index the 101-element rh array at 98, m→cm int
-    (extract.py:281-286). The array is synthesized deterministically."""
+def q_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+X1+X2+P4 in one projection — the scalar-function surface:
+    18-char zero-padded shot id (extract.py:290), rh-array percentile
+    extraction with m→cm int (extract.py:281-286, array synthesized
+    deterministically), granule-filename synthesis, 13-digit token
+    regex extract, and %Y%j%H%M%S parse (extract.py:232-236)."""
     sn = _sn()
     df = _lineitem(spark, sf_dir).select(
+        sn.alias("shot_number"),
         shot_id_str(sn).alias("shot"),
         F.transform(F.sequence(F.lit(0), F.lit(100)), lambda i: i * (sn % 50) / 1000.0).alias("rh"),
-    )
-    return df.select("shot", rh_percentile("rh", 98).alias("rh98_cm"))
-
-
-def q_shot_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: 18-char zero-padded shot id (extract.py:290)."""
-    return _lineitem(spark, sf_dir).select(
-        _sn().alias("shot_number"), shot_id_str(_sn()).alias("shot")
-    )
-
-
-def q_acq_time_from_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1+X2+P4: synthesize a granule filename, regex-extract the 13-digit
-    token, parse %Y%j%H%M%S (extract.py:232-236)."""
-    df = _lineitem(spark, sf_dir).select(
-        shot_id_str(_sn()).alias("shot"),
         F.concat(
             F.lit("GEDI02_B_"),
             F.date_format("l_shipdate", "yyyyDDDHHmmss"),
@@ -246,7 +235,13 @@ def q_acq_time_from_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("_V002.h5"),
         ).alias("file_name"),
     )
-    return df.select("shot", "file_name", acq_time_from_filename("file_name").alias("acq_time"))
+    return df.select(
+        "shot_number",
+        "shot",
+        rh_percentile("rh", 98).alias("rh98_cm"),
+        "file_name",
+        acq_time_from_filename("file_name").alias("acq_time"),
+    )
 
 
 def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +259,35 @@ def q_spatial_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gedixr_spark.operators.joins import spatial_join_aoi_indexed
 
     aois = aoi_from_wkt(spark, AOI_WKT)
+    out = spatial_join_aoi_indexed(shots_l2a(spark, sf_dir), aois)
+    return out.select("aoi_name", "shot", "longitude", "latitude")
+
+
+# Holed + multi-part AOI fixture: exercises even-odd membership over
+# interior rings and MULTIPOLYGON parts; the oracle is outer-bbox minus
+# strict-interior-of-hole (hole boundary still intersects the polygon)
+# and an OR of part bboxes.
+AOI_HOLED_WKT = {
+    "area_holed": (
+        "POLYGON ((-8 41, -2 41, -2 52, -8 52, -8 41), "
+        "(-6 44, -4 44, -4 48, -6 48, -6 44))"
+    ),
+    "area_multi": (
+        "MULTIPOLYGON (((1 43, 4 43, 4 51, 1 51, 1 43)), "
+        "((5 43, 9 43, 9 51, 5 51, 5 43)))"
+    ),
+}
+
+
+def q_spatial_join_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 over holed / multi-part AOIs (reference handles these via
+    geopandas explode, ancillary.py:148-153): interior rings exclude
+    their strict interior, hole boundaries still count as inside, and
+    MULTIPOLYGON parts OR together. Runs the grid-indexed plan whose
+    non-rect refinement is the single batched ray-cast UDF."""
+    from gedixr_spark.operators.joins import spatial_join_aoi_indexed
+
+    aois = aoi_from_wkt(spark, AOI_HOLED_WKT)
     out = spatial_join_aoi_indexed(shots_l2a(spark, sf_dir), aois)
     return out.select("aoi_name", "shot", "longitude", "latitude")
 
@@ -391,20 +415,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops (SURVEY §2.6: the reference has union only; except/
-    intersect come free): even-shot rows minus multiple-of-3 rows."""
+    intersect come free), one labeled union: even-shot rows minus
+    multiple-of-3 rows, and their intersection."""
     df = shots_l2a(spark, sf_dir)
     a = df.filter(F.col("shot_number") % 2 == 0).select("shot", "beam")
     b = df.filter(F.col("shot_number") % 3 == 0).select("shot", "beam")
-    return a.exceptAll(b)
-
-
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = shots_l2a(spark, sf_dir)
-    a = df.filter(F.col("shot_number") % 2 == 0).select("shot", "beam")
-    b = df.filter(F.col("shot_number") % 3 == 0).select("shot", "beam")
-    return a.intersectAll(b)
+    ex = a.exceptAll(b).select(F.lit("except").alias("op"), "shot", "beam")
+    inter = a.intersectAll(b).select(F.lit("intersect").alias("op"), "shot", "beam")
+    return ex.unionByName(inter)
 
 
 def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,48 +452,37 @@ ORACLES: dict[str, str] = {
         SELECT shot, elev, elev_dem_tdx, sensitivity, num_detectedmodes, rh98
         FROM shots WHERE {QUALITY_SQL}
     """,
-    "month_filter_band": f"""
+    "month_filter": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT shot, acq_time FROM shots WHERE month(acq_time) BETWEEN 6 AND 8
-    """,
-    "month_filter_reversed": f"""
-        WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT shot, acq_time FROM shots WHERE month(acq_time) BETWEEN 2 AND 11
+        SELECT 'band_6_8' AS band, shot, acq_time FROM shots
+        WHERE month(acq_time) BETWEEN 6 AND 8
+        UNION ALL
+        SELECT 'swap_11_2', shot, acq_time FROM shots
+        WHERE month(acq_time) BETWEEN 2 AND 11
     """,
     "beam_filter_power": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT shot, beam FROM shots
         WHERE beam IN ('BEAM0101','BEAM0110','BEAM1000','BEAM1011')
     """,
-    "rh_percentile": """
-        SELECT
-          lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
-          CAST(round(98 * ((l_orderkey * 10 + l_linenumber) % 50) / 1000.0 * 100) AS INTEGER)
-            AS rh98_cm
-        FROM lineitem
-    """,
-    "shot_id_format": """
-        SELECT l_orderkey * 10 + l_linenumber AS shot_number,
-               lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot
-        FROM lineitem
-    """,
     # DuckDB's strptime ignores %j on parse, so the oracle rebuilds the
     # timestamp from the 13-digit token explicitly (year + day-of-year).
-    "acq_time_from_filename": r"""
+    "scalar_surface": r"""
         WITH f AS (
           SELECT
+            l_orderkey * 10 + l_linenumber AS shot_number,
             lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot,
+            CAST(round(98 * ((l_orderkey * 10 + l_linenumber) % 50) / 1000.0 * 100)
+                 AS INTEGER) AS rh98_cm,
             concat('GEDI02_B_', strftime(l_shipdate, '%Y%j%H%M%S'), '_O',
                    lpad(CAST(l_orderkey % 100000 AS VARCHAR), 5, '0'), '_V002.h5')
               AS file_name
           FROM lineitem
         ),
         t AS (
-          SELECT shot, file_name,
-                 regexp_extract(file_name, '[AB]_(\d{13})', 1) AS tok
-          FROM f
+          SELECT *, regexp_extract(file_name, '[AB]_(\d{13})', 1) AS tok FROM f
         )
-        SELECT shot, file_name,
+        SELECT shot_number, shot, rh98_cm, file_name,
                make_timestamp(CAST(substr(tok, 1, 4) AS BIGINT), 1, 1,
                               CAST(substr(tok, 8, 2) AS BIGINT),
                               CAST(substr(tok, 10, 2) AS BIGINT),
@@ -500,6 +509,17 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'area_tri', shot, longitude, latitude FROM shots
           WHERE {_AOI_SQL_PRED['area_tri']}
+    """,
+    "spatial_join_holed": f"""
+        WITH shots AS ({SHOTS_L2A_SQL})
+        SELECT 'area_holed' AS aoi_name, shot, longitude, latitude FROM shots
+          WHERE longitude BETWEEN -8 AND -2 AND latitude BETWEEN 41 AND 52
+            AND NOT (longitude > -6 AND longitude < -4
+                     AND latitude > 44 AND latitude < 48)
+        UNION ALL
+        SELECT 'area_multi', shot, longitude, latitude FROM shots
+          WHERE (longitude BETWEEN 1 AND 4 AND latitude BETWEEN 43 AND 51)
+             OR (longitude BETWEEN 5 AND 9 AND latitude BETWEEN 43 AND 51)
     """,
     "merge_l2a_l2b_inner": f"""
         WITH l2a AS (
@@ -591,17 +611,19 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS y_3857_m
         FROM shots
     """,
-    "set_except": f"""
+    "set_ops": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
-        EXCEPT ALL
-        SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
-    """,
-    "set_intersect": f"""
-        WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
-        INTERSECT ALL
-        SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
+        SELECT 'except' AS op, * FROM (
+          SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
+          EXCEPT ALL
+          SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
+        )
+        UNION ALL
+        SELECT 'intersect', * FROM (
+          SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
+          INTERSECT ALL
+          SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
+        )
     """,
     "union_batches": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
@@ -615,17 +637,21 @@ ORACLES: dict[str, str] = {
 
 
 def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed reference-surface queries, highest-value first.
+    The driver records CORRECTNESS rows for at most the first 50
+    registry entries, so ordering is part of the contract: every
+    oracle-backed query (here + contract_ext) must land inside that
+    window; the two rows-only-by-design queries go LAST
+    (``rows_only_queries``)."""
     return {
         "extract_l2b_default": q_extract_l2b_default,
         "quality_filter": q_quality_filter,
-        "month_filter_band": q_month_filter_band,
-        "month_filter_reversed": q_month_filter_reversed,
+        "month_filter": q_month_filter,
         "beam_filter_power": q_beam_filter_power,
-        "rh_percentile": q_rh_percentile,
-        "shot_id_format": q_shot_id_format,
-        "acq_time_from_filename": q_acq_time_from_filename,
+        "scalar_surface": q_scalar_surface,
         "bbox_subset": q_bbox_subset,
         "spatial_join_aoi": q_spatial_join_aoi,
+        "spatial_join_holed": q_spatial_join_holed,
         "merge_l2a_l2b_inner": q_merge_l2a_l2b_inner,
         "merge_l2a_l2b_left": q_merge_l2a_l2b_left,
         "merge_keyed": q_merge_keyed,
@@ -635,8 +661,19 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mercator": q_web_mercator,
         "percentiles": q_percentiles,
         "distinct_counts": q_distinct_counts,
-        "approx_distinct": q_approx_distinct,  # rows-only by design
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
+        "set_ops": q_set_ops,
         "union_batches": q_union_batches,
+    }
+
+
+def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries that intentionally have NO SQL oracle (HLL algorithms
+    differ across engines; k-means is iterative). Registered LAST so
+    every hash-checked query stays inside the driver's 50-row
+    CORRECTNESS window."""
+    from gedixr_spark.contract_ext import q_kmeans_clusters
+
+    return {
+        "approx_distinct": q_approx_distinct,
+        "kmeans_clusters": q_kmeans_clusters,
     }

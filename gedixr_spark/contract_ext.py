@@ -55,25 +55,26 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    """Bag-of-words fingerprint dedup key per doc."""
+def q_doc_signatures(spark, sf_dir):
+    """Every per-doc signature in one row: order-insensitive
+    bag-of-words fingerprint, 16-bit SimHash, Rabin-Karp rolling hash,
+    and the 4-permutation MinHash — the full fingerprinting surface
+    (exact-dup keys, near-dup sketches, order-sensitive hashes) one
+    scan produces. Left join: docs with <3 tokens have no MinHash."""
     df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", text.doc_fingerprint("text").alias("fingerprint"))
+    base = df.select(
+        "doc_id",
+        text.doc_fingerprint("text").alias("fingerprint"),
+        dedup.simhash16("text").alias("simhash"),
+        text.rolling_hash("text").alias("rhash"),
+    )
+    sig = dedup.minhash_signature(df, k=4)
+    return base.join(sig, "doc_id", "left")
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs at 0.5."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
-
-
-def q_minhash_signature(spark, sf_dir):
-    """8-hash MinHash signatures (seeded md5 minima)."""
-    return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=4)
-
-
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """LSH candidate pairs (k=4, 2 bands of 2)."""
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=4, bands=2)
 
 
 def q_minhash_lsh_neardup(spark, sf_dir):
@@ -83,12 +84,6 @@ def q_minhash_lsh_neardup(spark, sf_dir):
     return dedup.minhash_lsh_neardup(
         _t(spark, sf_dir, "documents"), threshold=0.5, k=4, bands=2
     )
-
-
-def q_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints."""
-    df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", dedup.simhash16("text").alias("simhash"))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -137,6 +132,15 @@ def q_contamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return text.contamination(docs, bench)
+
+
+def q_contamination_spans(spark, sf_dir):
+    """Span-level decontamination: the merged token ranges of each doc
+    that overlap a benchmark shingle — what a pipeline actually
+    redacts, not just a drop/keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.contamination_spans(docs, bench)
 
 
 def q_pii_redact(spark, sf_dir):
@@ -188,29 +192,23 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """LSH-bucketed embedding near-dup pairs (cosine ≥ 0.3 — the
-    synthetic embeddings are random unit vectors, so 'near-dup' means
-    top-tail cosine; real corpora would use ≥ 0.95)."""
-    return similarity.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8
+    """Multi-table LSH embedding near-dup pairs (L=2 tables × 10 bits;
+    cosine ≥ 0.3 — the synthetic embeddings are random unit vectors, so
+    'near-dup' means top-tail cosine; real corpora would use ≥ 0.95).
+    The scale-safe parameterization: per-table occupancy n/2^bits stays
+    O(1) when bits ≈ log2(n); the OR of tables buys recall back."""
+    return similarity.embedding_neardup_pairs_multitable(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_tables=2, bits=10
     )
 
 
 def q_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-3 for query vectors vec_id<5 — the scale
-    path for similarity search (only same-bucket candidates scored)."""
+    """Multi-table LSH ANN top-3 for query vectors vec_id<5 (L=2 × 8
+    bits): the corpus index is replicated per table, queries probe each
+    table's bucket, pairs dedupe before scoring."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_planes=8)
-
-
-def q_ivf_cells(spark, sf_dir):
-    """IVF cell histogram (the inverted-file partitioning shape)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(64, 8, 7)
-    return (
-        emb.select(similarity.ivf_cell("embedding", cents).alias("cell"))
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    return similarity.lsh_ann_topk_multitable(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, n_tables=2, bits=8
     )
 
 
@@ -230,15 +228,26 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
 
 
-def q_lsh_buckets(spark, sf_dir):
-    """Hyperplane-LSH bucket histogram (the ANN partitioning shape)."""
+def q_ann_partitions(spark, sf_dir):
+    """Both ANN partitioning shapes as one labeled histogram:
+    hyperplane-LSH buckets (8 planes) and IVF nearest-centroid cells —
+    the data layouts a 100 TB vector store would partition by."""
     emb = _t(spark, sf_dir, "embeddings")
     planes = similarity.hyperplanes(64, 8, 42)
-    return (
-        emb.select(similarity.lsh_bucket("embedding", planes).alias("bucket"))
-        .groupBy("bucket")
+    cents = similarity.ivf_centroids(64, 8, 7)
+    lsh = (
+        emb.select(similarity.lsh_bucket("embedding", planes).alias("part_id"))
+        .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(F.lit("lsh").alias("method"), "part_id", "n_vectors")
     )
+    ivf = (
+        emb.select(similarity.ivf_cell("embedding", cents).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(F.lit("ivf").alias("method"), "part_id", "n_vectors")
+    )
+    return lsh.unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------
@@ -246,38 +255,27 @@ def q_lsh_buckets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_token_counts(spark, sf_dir):
-    df = _t(spark, sf_dir, "documents")
+def q_text_features(spark, sf_dir):
+    """The whole per-doc text-analysis surface in one scan: three token
+    counters (whitespace, BPE-ish, regex), quality features, and
+    marker-based language ID against the labeled lang column."""
+    df = text.lang_id(text.quality_features(_t(spark, sf_dir, "documents")))
     return df.select(
         "doc_id",
-        text.token_count("text").alias("n_tokens"),
+        "n_tokens",
         text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         text.regex_token_count("text").alias("n_regex_tokens"),
+        "mean_token_len",
+        "stopword_ratio",
+        "upper_ratio",
+        "lang",
+        "lang_pred",
     )
 
 
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf·(N/df) rank."""
     return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
-
-
-def q_text_quality(spark, sf_dir):
-    df = text.quality_features(_t(spark, sf_dir, "documents"))
-    return df.select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "upper_ratio"
-    )
-
-
-def q_lang_id(spark, sf_dir):
-    df = text.lang_id(_t(spark, sf_dir, "documents"))
-    return df.select("doc_id", "lang", "lang_pred")
-
-
-def q_rolling_hash(spark, sf_dir):
-    """Order-sensitive document fingerprint (Rabin-Karp polynomial fold
-    over token digests)."""
-    df = _t(spark, sf_dir, "documents")
-    return df.select("doc_id", text.rolling_hash("text").alias("rhash"))
 
 
 def q_word_topk(spark, sf_dir):
@@ -301,25 +299,31 @@ def q_tumbling_hourly(spark, sf_dir):
 
 
 def q_sliding_2h(spark, sf_dir):
-    return events.sliding_agg(_t(spark, sf_dir, "events"))
+    """2h windows every 1h — the width=slide·2 case."""
+    return events.sliding_agg(_t(spark, sf_dir, "events"), 120, 60)
 
 
-def q_sessionize(spark, sf_dir):
-    s = events.sessionize(_t(spark, sf_dir, "events"))
-    return s.select("event_id", "user_id", "session_n")
+def q_sliding_3h_30m(spark, sf_dir):
+    """3h windows every 30m — exercises the general ceil(width/slide)
+    bucket explosion (6 windows per event) at a different grid."""
+    return events.sliding_agg(_t(spark, sf_dir, "events"), 180, 30)
 
 
 def q_session_stats(spark, sf_dir):
     return events.session_stats(_t(spark, sf_dir, "events"))
 
 
+def q_event_enrich(spark, sf_dir):
+    """Event-grain enrichment in one pass: per-user gap sessionization
+    (session_n) + typed JSON property extraction — the row-level
+    transforms an event pipeline applies before aggregation."""
+    s = events.sessionize(_t(spark, sf_dir, "events"))
+    p = events.json_props_extract(s)
+    return p.select("event_id", "user_id", "session_n", "prop_k")
+
+
 def q_top_users(spark, sf_dir):
     return events.top_users_by_activity(_t(spark, sf_dir, "events"), k=10)
-
-
-def q_props_extract(spark, sf_dir):
-    df = events.json_props_extract(_t(spark, sf_dir, "events"))
-    return df.select("event_id", "prop_k")
 
 
 # ---------------------------------------------------------------------------
@@ -422,11 +426,26 @@ def _ivf_cell_cte(centroids: list[list[int]]) -> str:
 
 
 def build_oracles() -> dict[str, str]:
-    from gedixr_spark.operators.similarity import hyperplanes, ivf_centroids
+    from gedixr_spark.operators.similarity import (
+        hyperplane_tables,
+        hyperplanes,
+        ivf_centroids,
+    )
     from gedixr_spark.operators.text import LANG_MARKERS
 
     planes = hyperplanes(64, 8, 42)
     centroids = ivf_centroids(64, 8, 7)
+    nd_tables = hyperplane_tables(64, 2, 10, 42)  # embedding_neardup params
+    ann_tables = hyperplane_tables(64, 2, 8, 42)  # ann_topk params
+
+    def multi_table_s_cte(tables: list[list[list[int]]]) -> str:
+        """s CTE: (vec_id, qv, tbl, bucket) — one row per vector per
+        table, mirroring similarity.lsh_table_buckets' explode."""
+        arms = [
+            f"SELECT vec_id, qv, {t} AS tbl, {_lsh_bucket_sql(tbl)} AS bucket FROM e"
+            for t, tbl in enumerate(tables)
+        ]
+        return "s AS (" + " UNION ALL ".join(arms) + ")"
 
     lang_cases = []
     langs = list(LANG_MARKERS)
@@ -466,11 +485,43 @@ def build_oracles() -> dict[str, str]:
                    min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
-        "doc_fingerprint": f"""
-            SELECT doc_id,
-                   md5(list_aggregate(list_sort(list_distinct({_TOKENS})), 'string_agg', ' '))
-                     AS fingerprint
-            FROM documents
+        "doc_signatures": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM sh GROUP BY 1
+            ),
+            tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+            ),
+            dig AS (SELECT doc_id, {digit} AS d FROM tok),
+            simh AS (SELECT doc_id, {sim_bits} AS simhash FROM dig GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     md5(list_aggregate(list_sort(list_distinct({_TOKENS})), 'string_agg', ' '))
+                       AS fingerprint,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform({_TOKENS},
+                           t -> CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096
+                                + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256
+                                + (strpos('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16
+                                + (strpos('0123456789abcdef', substr(md5(t),4,1)) - 1) AS BIGINT))),
+                       (acc, d) -> (acc * 31 + d) % 1000000007) AS rhash
+              FROM documents
+            )
+            SELECT b.doc_id, b.fingerprint,
+                   COALESCE(s.simhash, 0) AS simhash,
+                   b.rhash, g.mh0, g.mh1, g.mh2, g.mh3
+            FROM base b
+            LEFT JOIN simh s USING (doc_id)
+            LEFT JOIN sig g USING (doc_id)
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (
@@ -488,38 +539,6 @@ def build_oracles() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-        """,
-        "minhash_signature": f"""
-            WITH sh AS (
-              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-            )
-            SELECT doc_id,
-                   min(md5(concat('0|', shingle))) AS mh0,
-                   min(md5(concat('1|', shingle))) AS mh1,
-                   min(md5(concat('2|', shingle))) AS mh2,
-                   min(md5(concat('3|', shingle))) AS mh3
-            FROM sh GROUP BY 1
-        """,
-        "minhash_lsh_pairs": f"""
-            WITH sh AS (
-              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-            ),
-            sig AS (
-              SELECT doc_id,
-                     min(md5(concat('0|', shingle))) AS mh0,
-                     min(md5(concat('1|', shingle))) AS mh1,
-                     min(md5(concat('2|', shingle))) AS mh2,
-                     min(md5(concat('3|', shingle))) AS mh3
-              FROM sh GROUP BY 1
-            ),
-            banded AS (
-              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sig
-              UNION ALL
-              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sig
-            )
-            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-            FROM banded x JOIN banded y
-              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
         """,
         "minhash_lsh_neardup": f"""
             WITH sh AS (
@@ -683,14 +702,20 @@ def build_oracles() -> dict[str, str]:
         """,
         "ann_topk": f"""
             WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-            s AS (SELECT vec_id, qv, {_lsh_bucket_sql(planes)} AS bucket FROM e),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                     {_dot_sql('q.qv', 'c.qv')}
-                       / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.qv', 'c.qv')}))
-                       AS cosine
+            {multi_table_s_cte(ann_tables)},
+            pairs AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
               FROM s q JOIN s c
-                ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+                ON q.tbl = c.tbl AND q.bucket = c.bucket
+               AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            scored AS (
+              SELECT query_id, cand_id,
+                     {_dot_sql('qq.qv', 'cc.qv')}
+                       / (sqrt({_dot_sql('qq.qv', 'qq.qv')}) * sqrt({_dot_sql('cc.qv', 'cc.qv')}))
+                       AS cosine
+              FROM pairs JOIN e qq ON qq.vec_id = query_id
+                         JOIN e cc ON cc.vec_id = cand_id
             ),
             ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id
@@ -699,14 +724,6 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
-        """,
-        "simhash": f"""
-            WITH tok AS (
-              SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
-            ),
-            dig AS (SELECT doc_id, {digit} AS d FROM tok)
-            SELECT doc_id, {sim_bits} AS simhash
-            FROM dig GROUP BY doc_id
         """,
         "simhash_neardup": f"""
             WITH tok AS (
@@ -783,6 +800,42 @@ def build_oracles() -> dict[str, str]:
                    COALESCE(n_overlap, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
         """,
+        "contamination_spans": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            pos AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKENS}) - 1),
+                            i -> {{'pos': i - 1,
+                                   'sh': concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1], {_TOKENS}[i+2])}}))
+                       AS u
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, CAST(u.pos AS INTEGER) AS span_start,
+                     CAST(u.pos + 3 AS INTEGER) AS span_end
+              FROM pos JOIN bench ON u.sh = bench.shingle
+            ),
+            m AS (
+              SELECT doc_id, span_start, span_end,
+                     max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, span_start, span_end,
+                     sum(CASE WHEN prev_end IS NULL OR span_start > prev_end
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY span_start
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM m
+            )
+            SELECT doc_id, min(span_start) AS span_start, max(span_end) AS span_end
+            FROM isl GROUP BY doc_id, island
+        """,
         "cosine_topk": f"""
             WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
             scored AS (
@@ -804,19 +857,20 @@ def build_oracles() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, {_QVEC} AS qv FROM embeddings
             ),
-            s AS (SELECT vec_id, qv, {_lsh_bucket_sql(planes)} AS bucket FROM e)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   {_dot_sql('a.qv', 'b.qv')}
-                     / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
-                     AS cosine
-            FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE {_dot_sql('a.qv', 'b.qv')}
-                    / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
-                  >= 0.3
-        """,
-        "ivf_cells": f"""
-            WITH {_ivf_cell_cte(centroids)}
-            SELECT cell, count(*) AS n_vectors FROM s GROUP BY 1
+            {multi_table_s_cte(nd_tables)},
+            cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM s x JOIN s y
+                ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     {_dot_sql('a.qv', 'b.qv')}
+                       / (sqrt({_dot_sql('a.qv', 'a.qv')}) * sqrt({_dot_sql('b.qv', 'b.qv')}))
+                       AS cosine
+              FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
         """,
         "ivf_ann_topk": f"""
             WITH {_ivf_cell_cte(centroids)},
@@ -836,12 +890,18 @@ def build_oracles() -> dict[str, str]:
             SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
         """,
-        "lsh_buckets": f"""
-            WITH e AS (SELECT {_QVEC} AS qv FROM embeddings)
-            SELECT {_lsh_bucket_sql(planes)} AS bucket, count(*) AS n_vectors
-            FROM e GROUP BY 1
+        "ann_partitions": f"""
+            WITH {_ivf_cell_cte(centroids)},
+            l AS (
+              SELECT {_lsh_bucket_sql(planes)} AS part_id, count(*) AS n_vectors
+              FROM e GROUP BY 1
+            )
+            SELECT 'lsh' AS method, part_id, n_vectors FROM l
+            UNION ALL
+            SELECT 'ivf' AS method, cell AS part_id, count(*) AS n_vectors
+            FROM s GROUP BY 1, 2
         """,
-        "token_counts": f"""
+        "text_features": f"""
             SELECT doc_id,
                    CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
                    CAST(len({_TOKENS})
@@ -849,12 +909,7 @@ def build_oracles() -> dict[str, str]:
                             list_transform({_TOKENS}, w -> CAST(length(w) // 6 AS BIGINT))),
                           (a, b) -> a + b) AS INTEGER) AS n_bpe_tokens,
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER)
-                     AS n_regex_tokens
-            FROM documents
-        """,
-        "text_quality": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                     AS n_regex_tokens,
                    CAST(list_reduce(list_prepend(0,
                           list_transform({_TOKENS}, w -> CAST(length(w) AS BIGINT))),
                         (a, b) -> a + b) AS DOUBLE) / len({_TOKENS}) AS mean_token_len,
@@ -862,22 +917,9 @@ def build_oracles() -> dict[str, str]:
                         t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS DOUBLE)
                      / len({_TOKENS}) AS stopword_ratio,
                    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-                     / length(text) AS upper_ratio
-            FROM documents
-        """,
-        "lang_id": f"""
-            SELECT doc_id, lang, {lang_case_sql} AS lang_pred FROM documents
-        """,
-        "rolling_hash": f"""
-            SELECT doc_id,
-                   list_reduce(
-                     list_prepend(CAST(0 AS BIGINT),
-                       list_transform({_TOKENS},
-                         t -> CAST((strpos('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096
-                              + (strpos('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256
-                              + (strpos('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16
-                              + (strpos('0123456789abcdef', substr(md5(t),4,1)) - 1) AS BIGINT))),
-                     (acc, d) -> (acc * 31 + d) % 1000000007) AS rhash
+                     / length(text) AS upper_ratio,
+                   lang,
+                   {lang_case_sql} AS lang_pred
             FROM documents
         """,
         "word_topk": f"""
@@ -908,14 +950,25 @@ def build_oracles() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM exploded GROUP BY 1
         """,
-        "sessionize": """
+        "sliding_3h_30m": """
+            WITH exploded AS (
+              SELECT make_timestamp(((epoch_us(ts) // 1800000000) * 1800000000)
+                                    - j * 1800000000) AS window_start,
+                     value
+              FROM events, range(0, 6) AS t(j)
+            )
+            SELECT window_start, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM exploded GROUP BY 1
+        """,
+        "event_enrich": """
             WITH lagged AS (
-              SELECT event_id, user_id, ts,
+              SELECT event_id, user_id, ts, props,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
               FROM events
             ),
             flagged AS (
-              SELECT event_id, user_id, ts,
+              SELECT event_id, user_id, ts, props,
                      CASE WHEN prev_ts IS NULL
                                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
                        AS is_new
@@ -923,7 +976,8 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT event_id, user_id,
                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_n
+                                     ROWS UNBOUNDED PRECEDING) AS session_n,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
             FROM flagged
         """,
         "session_stats": """
@@ -960,10 +1014,6 @@ def build_oracles() -> dict[str, str]:
             SELECT user_id, n_events, sum_value, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 10
         """,
-        "props_extract": """
-            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
-            FROM events
-        """,
         "binary_payload_meta": """
             SELECT doc_id,
                    upper(md5(text)) AS payload_hex,
@@ -978,42 +1028,38 @@ def build_oracles() -> dict[str, str]:
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed extension queries (dict order = driver grading
+    order; see contract.reference_queries docstring on the 50-row cap).
+    The rows-only kmeans_clusters lives in contract.rows_only_queries."""
     return {
         "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
+        "doc_signatures": q_doc_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
-        "repetition": q_repetition,
-        "contamination": q_contamination,
-        "pii_redact": q_pii_redact,
-        "blocklist_filter": q_blocklist_filter,
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
+        "contamination_spans": q_contamination_spans,
+        "pii_redact": q_pii_redact,
+        "blocklist_filter": q_blocklist_filter,
         "tfidf_topk": q_tfidf_topk,
+        "text_features": q_text_features,
+        "word_topk": q_word_topk,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
-        "lsh_buckets": q_lsh_buckets,
-        "ivf_cells": q_ivf_cells,
+        "ann_partitions": q_ann_partitions,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "kmeans_clusters": q_kmeans_clusters,  # rows-only: iterative
-        "token_counts": q_token_counts,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "rolling_hash": q_rolling_hash,
-        "word_topk": q_word_topk,
         "tumbling_hourly": q_tumbling_hourly,
         "sliding_2h": q_sliding_2h,
-        "sessionize": q_sessionize,
+        "sliding_3h_30m": q_sliding_3h_30m,
         "session_stats": q_session_stats,
+        "event_enrich": q_event_enrich,
         "top_users": q_top_users,
-        "props_extract": q_props_extract,
         "binary_payload_meta": q_binary_payload_meta,
     }
 

@@ -41,12 +41,40 @@ def tumbling_agg(
     )
 
 
-def sliding_agg(df: DataFrame, ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """2-hour windows sliding by 1 hour: each event lands in the bucket
-    starting at its hour and the one before (explode of 2 keys, then a
-    plain hash agg — the standard shuffle-once sliding-window plan)."""
-    h = F.date_trunc("hour", F.col(ts_col))
-    buckets = F.array(h, h - F.expr("INTERVAL 1 HOUR"))
+def sliding_agg(
+    df: DataFrame,
+    width_minutes: int = 120,
+    slide_minutes: int = 60,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding windows of ``width_minutes`` every ``slide_minutes``:
+    each event explodes into the ceil(width/slide) slide-aligned
+    windows that contain it, then one plain hash agg — the standard
+    shuffle-once sliding-window plan (generalizes the 2h/1h case).
+
+    Window starts are slide-grid-aligned epoch instants computed in
+    integer microseconds (no float rounding, engine-portable); when
+    slide doesn't divide width, candidate windows that don't actually
+    contain the event are filtered out before the explode."""
+    if width_minutes <= 0 or slide_minutes <= 0 or width_minutes < slide_minutes:
+        raise ValueError(
+            f"need width >= slide > 0: width={width_minutes}, slide={slide_minutes}"
+        )
+    import math
+
+    slide_us = slide_minutes * 60_000_000
+    width_us = width_minutes * 60_000_000
+    n = math.ceil(width_minutes / slide_minutes)
+    us = F.unix_micros(F.col(ts_col))
+    # grid-align via exact long modulo (NOT floor(us/slide): the double
+    # quotient rounds at ~1e15 µs, off-by-one within ~1 µs of a boundary)
+    base_us = us - (us % F.lit(slide_us))
+    starts = [base_us - j * slide_us for j in range(n)]
+    buckets = F.filter(
+        F.array(*[F.timestamp_micros(s) for s in starts]),
+        lambda w: us < F.unix_micros(w) + width_us,
+    )
     return (
         df.select(F.explode(buckets).alias("window_start"), value_col)
         .groupBy("window_start")

@@ -262,6 +262,148 @@ def ivf_ann_topk(
     )
 
 
+def hyperplane_tables(
+    dim: int, n_tables: int = 2, bits: int = 10, seed: int = 42
+) -> list[list[list[int]]]:
+    """L independent hyperplane tables of ``bits`` planes each — the
+    OR-of-ANDs banding for hyperplane LSH (same construction as the
+    MinHash band trick): a pair collides iff ALL ``bits`` signs agree
+    in AT LEAST ONE table. ``bits`` controls per-table occupancy
+    (n/2^bits vectors per bucket — scale bits ~ log2(n) so the
+    per-bucket self-join stays linear); ``n_tables`` buys back recall
+    (P[collide] = 1-(1-p^bits)^L for per-plane agreement p). Occupancy
+    math in SCALE.md."""
+    return [hyperplanes(dim, bits, seed + 7919 * t) for t in range(n_tables)]
+
+
+def lsh_table_buckets(
+    vec_col: Column | str, tables: list[list[list[int]]], scale: int = 1000
+) -> Column:
+    """array<struct<tbl:int, bucket:int>> — the vector's bucket in every
+    table, computed in ONE Arrow pass: all L·bits planes stack into a
+    single int64 matmul, then each table's sign-block packs to its
+    bucket id. Explode + equi-join on (tbl, bucket) downstream."""
+    from pyspark.sql.types import StructField, StructType
+
+    bits = len(tables[0])
+    all_planes = np.asarray(
+        [p for tbl in tables for p in tbl], dtype=np.int64
+    ).T  # dim × (L·bits)
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+    n_tables = len(tables)
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    out_t = ArrayType(
+        StructType(
+            [StructField("tbl", IntegerType()), StructField("bucket", IntegerType())]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.int64)
+        proj = m @ all_planes  # exact int64
+        signs = proj > 0
+        per_table = [
+            (signs[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
+            for t in range(n_tables)
+        ]
+        return pd.Series(
+            [
+                [{"tbl": t, "bucket": int(per_table[t][i])} for t in range(n_tables)]
+                for i in range(len(m))
+            ]
+        )
+
+    return _buckets(quantize(c, scale))
+
+
+def embedding_neardup_pairs_multitable(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_tables: int = 2,
+    bits: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH near-dup pairs — the scale-safe parameterization
+    of ``embedding_neardup_pairs``. Per-table buckets are 2^bits wide
+    (size bits ≈ log2(n) so per-bucket occupancy stays O(1) and the
+    bucket self-join stays ~linear in n); L tables OR-ed together
+    restore the recall a single finer table loses.
+
+    Plan shape: candidates are generated as (tbl, bucket) equi-joins on
+    IDS ONLY, distinct-ed, and only then joined back to the quantized
+    vectors for exact cosine verification — vectors never ride the
+    candidate shuffle, and a pair colliding in several tables is scored
+    once."""
+    tables = hyperplane_tables(dim, n_tables, bits, seed)
+    b = df.select(
+        F.col(id_col), F.explode(lsh_table_buckets(vec_col, tables, scale)).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(y, on=["tbl", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    v = df.select(F.col(id_col), quantize(vec_col, scale).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_q(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_ann_topk_multitable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_tables: int = 2,
+    bits: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table ANN top-k: the corpus index is replicated L× (one
+    (tbl, bucket) entry per table — the classic storage/recall trade),
+    queries probe their bucket in every table, and (query, cand) pairs
+    are deduped before scoring so multi-table collisions cost one
+    cosine. Same equi-join-only shape as lsh_ann_topk."""
+    tables = hyperplane_tables(dim, n_tables, bits, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col, scale).alias("qv"),
+        F.explode(lsh_table_buckets(vec_col, tables, scale)).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        quantize(vec_col, scale).alias("cv"),
+        F.explode(lsh_table_buckets(vec_col, tables, scale)).alias("tb"),
+    ).select("cand_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+        .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def lsh_probe_buckets(
     vec_col: Column | str,
     planes: list[list[int]],

@@ -248,6 +248,70 @@ def contamination(
     )
 
 
+def word_shingle_positions(col: Column | str, n: int = 3) -> Column:
+    """POSITIONAL word n-gram shingles: array of struct(pos, shingle)
+    where pos is the 0-based token index the shingle starts at. Unlike
+    ``dedup.word_shingles`` this keeps duplicates and order — the form
+    span-level decontamination needs."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("shingle")
+        ),
+    )
+    empty = F.array().cast("array<struct<pos:int,shingle:string>>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination: WHICH token ranges of each corpus doc
+    overlap the benchmark — the actionable output a real pipeline
+    redacts (doc-level flags from ``contamination`` only say drop/keep).
+
+    Returns (doc_id, span_start, span_end): 0-based token index ranges,
+    end exclusive, with overlapping/touching hit ranges merged into
+    maximal contaminated spans.
+
+    Plan: positional shingles explode (map-side), broadcast-join the
+    (small) benchmark shingle set, then the classic interval-merge —
+    one window per doc ordered by span_start (running max of prior
+    span_end → island ids → min/max per island). Exactly one shuffle
+    of the HIT positions (tiny vs the corpus), never the corpus text.
+    All-integer arithmetic → oracle-replayable."""
+    from pyspark.sql.window import Window
+
+    from gedixr_spark.operators.dedup import word_shingles
+
+    bench_sh = F.broadcast(
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle")).distinct()
+    )
+    pos_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingle_positions(text_col, n)).alias("ps")
+    ).select(id_col, F.col("ps.pos").alias("span_start"), F.col("ps.shingle").alias("shingle"))
+    hits = pos_sh.join(bench_sh, "shingle").select(
+        id_col, "span_start", (F.col("span_start") + n).alias("span_end")
+    )
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max("span_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0)
+    islands = hits.withColumn(
+        "island",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("span_start").alias("span_start"), F.max("span_end").alias("span_end"))
+        .select(id_col, "span_start", "span_end")
+    )
+
+
 # PII patterns chosen for engine portability: the same pattern strings
 # compile identically under Java regex (Spark) and RE2 (DuckDB) — no
 # lookaround, no backrefs — so oracle parity holds.

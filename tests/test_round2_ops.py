@@ -1,0 +1,137 @@
+"""Round-2 operators: multi-table LSH, parameterized sliding windows,
+span-level decontamination, dedup non-convergence guard."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators import dedup, similarity, text
+from gedixr_spark.operators.events import sliding_agg
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def test_multitable_max_occupancy_drops(spark):
+    """VERDICT r1 'done' criterion: per-bucket occupancy under the
+    multi-table parameterization (2×10 bits) is strictly below the
+    single-table 8-bit plan's max bucket occupancy."""
+    emb = spark.read.parquet(EMB)
+    single = (
+        emb.select(
+            similarity.lsh_bucket("embedding", similarity.hyperplanes(64, 8, 42)).alias("b")
+        )
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    tables = similarity.hyperplane_tables(64, 2, 10, 42)
+    multi = (
+        emb.select(F.explode(similarity.lsh_table_buckets("embedding", tables)).alias("tb"))
+        .groupBy("tb.tbl", "tb.bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert multi < single
+
+
+def test_multitable_superset_of_single_table_pairs(spark):
+    """Table 0 of hyperplane_tables(seed) IS hyperplanes(seed), so the
+    2-table OR at the same bit width can only ADD candidate pairs —
+    recall is monotone in n_tables."""
+    emb = spark.read.parquet(EMB).limit(200)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(emb, threshold=0.2, n_planes=8).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs_multitable(
+            emb, threshold=0.2, n_tables=2, bits=8
+        ).collect()
+    }
+    assert single <= multi and len(single) > 0
+
+
+def _events(spark, times):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), 1.0) for i, m in enumerate(times)
+    ]
+    return spark.createDataFrame(rows, "event_id int, ts timestamp, value double")
+
+
+def test_sliding_agg_generalized_widths(spark):
+    # events at :05, :35, :65 minutes past midnight
+    df = _events(spark, [5, 35, 65])
+    # width 90 / slide 60: event@5 -> windows {0:00}; (window -60 min
+    # would end at 0:30 > 0:05 so it IS included: starts -60, width 90
+    # covers [-60, 30)) — check exact membership instead of guessing:
+    out = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in sliding_agg(df, 90, 60).collect()
+    }
+    # windows: -1:00 covers [−60,30): events 5 -> yes; 0:00 covers
+    # [0,90): events 5,35,65; 1:00 covers [60,150): event 65
+    assert out == {
+        ("2023-12-31T23:00:00", 1),
+        ("2024-01-01T00:00:00", 3),
+        ("2024-01-01T01:00:00", 1),
+    }
+
+
+def test_sliding_agg_divisible_case_counts(spark):
+    df = _events(spark, [5, 35, 65])
+    # 60/30: each event in exactly 2 windows
+    total = (
+        sliding_agg(df, 60, 30).agg(F.sum("n_events")).collect()[0][0]
+    )
+    assert total == 2 * 3
+
+
+def test_sliding_agg_rejects_bad_params(spark):
+    df = _events(spark, [5])
+    with pytest.raises(ValueError):
+        sliding_agg(df, 30, 60)
+
+
+def test_contamination_spans_merges_overlaps(spark):
+    corpus = spark.createDataFrame(
+        [
+            # tokens 0..9; bench shingles hit positions 2,3 (overlap ->
+            # one span 2..6) and 7 (span 7..10)
+            (1, "t0 t1 A B C D t6 X Y Z"),
+            (2, "clean words only here nothing shared"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "A B C"), (101, "B C D"), (102, "X Y Z")], "doc_id int, text string"
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in text.contamination_spans(corpus, bench).collect()
+    }
+    assert out == {(1, 2, 6), (1, 7, 10)}
+
+
+def test_contamination_spans_touching_spans_merge(spark):
+    corpus = spark.createDataFrame([(1, "A B C D E F")], "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, "A B C"), (101, "D E F")], "doc_id int, text string"
+    )
+    out = [
+        (r["span_start"], r["span_end"])
+        for r in text.contamination_spans(corpus, bench).collect()
+    ]
+    # hits at 0 ([0,3)) and 3 ([3,6)): touching -> one merged span
+    assert out == [(0, 6)]
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    # a 12-node chain has diameter 11 -> min-label propagation cannot
+    # finish in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iter=2)
+    # and converges fine with enough rounds
+    out = dedup.dedup_clusters(pairs, max_iter=20)
+    assert out.filter(F.col("is_survivor")).count() == 1
