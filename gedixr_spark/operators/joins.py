@@ -159,24 +159,30 @@ def spatial_join_aoi_indexed(
         "xmax double, ymax double, nonrect boolean",
     )
 
-    # 2-3. shot cell id + broadcast equi-join on the cell
+    # 2-3. shot cell id + broadcast equi-join on the cell, with the
+    # exact-bbox refinement INSIDE the join condition: a Python-UDF
+    # predicate applied as a later .filter would be extracted into an
+    # ArrowEvalPython stage that runs on every cell-join candidate
+    # (pre-bbox) — measured 3× slower at sf0.1; keeping bbox in the
+    # join means the UDF stage only ever sees bbox survivors
     with_cell = shots.withColumn(
         "__cx", F.floor(F.col(lon_col) / cell_deg).cast("int")
     ).withColumn("__cy", F.floor(F.col(lat_col) / cell_deg).cast("int"))
-    cand = with_cell.join(
-        F.broadcast(index),
-        (F.col("__cx") == F.col("cell_x")) & (F.col("__cy") == F.col("cell_y")),
-    )
-
-    # 4. exact refinement: bbox for all; ONE batched ray-cast UDF for
-    # the non-rect survivors (rect rows short-circuit on the flag —
-    # Spark still ships the whole batch to Arrow, but the kernel skips
-    # names absent from the dict, so rect rows cost one hash lookup)
     bbox_ok = (
         F.col(lon_col).between(F.col("xmin"), F.col("xmax"))
         & F.col(lat_col).between(F.col("ymin"), F.col("ymax"))
     )
-    refined = cand.filter(bbox_ok)
+    refined = with_cell.join(
+        F.broadcast(index),
+        (F.col("__cx") == F.col("cell_x"))
+        & (F.col("__cy") == F.col("cell_y"))
+        & bbox_ok,
+    )
+
+    # 4. ONE batched ray-cast UDF for the non-rect survivors (rect rows
+    # short-circuit on the flag — Spark still ships the batch to Arrow,
+    # but the kernel skips names absent from the dict, so rect rows
+    # cost one hash lookup)
     if non_rect_polys:
         pip = named_polygons_pip_udf(non_rect_polys)
         keep = ~F.col("nonrect") | pip(
