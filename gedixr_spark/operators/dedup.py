@@ -61,10 +61,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold). intersection/union counts are integers, so the jaccard
     division is a single exact-input IEEE op — oracle-stable.
+
+    FOOTGUN GUARD: this op is quadratic in documents sharing a shingle
+    — it exists as the verification/oracle twin of
+    ``minhash_lsh_neardup``, which is the corpus-scale path. To make
+    that API-visible (not just documented), the input cardinality is
+    checked against ``max_docs`` (default 100k) and a ValueError names
+    the LSH alternative; pass ``max_docs=None`` to run it on inputs
+    you know are bounded (e.g. LSH candidate neighborhoods).
 
     Plan shape: the self-join keys on a 64-bit shingle hash (~4× smaller
     shuffle than shingle strings; collision odds 2^-64·|pairs| —
@@ -74,6 +83,14 @@ def ngram_jaccard_pairs(
     shingle expression for both join sides into one stage blows Spark's
     generated-method size limit and drops the stage to interpreted
     evaluation (~50× slower, measured)."""
+    if max_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is quadratic: {n_docs} docs > max_docs="
+                f"{max_docs}. Use minhash_lsh_neardup for corpus-scale "
+                "near-dup, or pass max_docs=None for bounded inputs."
+            )
     sha = word_shingles(text_col, n)
     sh = df.select(
         F.col(id_col), F.explode(F.transform(sha, lambda s: F.xxhash64(s))).alias("sh")

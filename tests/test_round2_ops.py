@@ -124,6 +124,16 @@ def test_contamination_spans_touching_spans_merge(spark):
     assert out == [(0, 6)]
 
 
+def test_ngram_jaccard_guard(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(30)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup.ngram_jaccard_pairs(docs, 0.5, max_docs=10)
+    # bounded inputs run
+    assert dedup.ngram_jaccard_pairs(docs, 0.5, max_docs=None).count() > 0
+
+
 def test_dedup_clusters_raises_on_non_convergence(spark):
     # a 12-node chain has diameter 11 -> min-label propagation cannot
     # finish in 2 rounds
