@@ -170,8 +170,13 @@ def prepare_vec(spark: SparkSession, vec) -> DataFrame:
     if isinstance(vec, dict):
         return aoi_from_wkt(spark, vec)
     if isinstance(vec, (str, Path)):
-        if str(vec).lower().endswith(".shp"):
+        s = str(vec).lower()
+        if s.endswith(".shp"):
             return aoi_from_shapefile(spark, vec)
+        if s.endswith(".gpkg"):
+            from gedixr_spark.sources.geopackage import aoi_from_geopackage
+
+            return aoi_from_geopackage(spark, vec)
         return aoi_from_geojson(spark, vec)
     out = None
     for v in vec:
