@@ -68,7 +68,10 @@ def q_doc_signatures(spark, sf_dir):
         dedup.simhash16("text").alias("simhash"),
         text.rolling_hash("text").alias("rhash"),
     )
-    sig = dedup.minhash_signature(df, k=4)
+    # grouped formulation: the signature is a join input here, so the
+    # materialize-through-an-exchange plan wins (see its docstring);
+    # the zero-shuffle fold twin is minhash_signature
+    sig = dedup.minhash_signature_grouped(df, k=4)
     return base.join(sig, "doc_id", "left")
 
 

@@ -292,20 +292,57 @@ def is_rectangle(verts: list[tuple[float, float]]) -> bool:
     return set(ring) == corners and not math.isclose(xmin, xmax) and not math.isclose(ymin, ymax)
 
 
+def rings_all_rects(rings: list[list[tuple[float, float]]]) -> bool:
+    """True when EVERY ring is an axis-aligned rectangle — the
+    rectilinear case (holed rectangles, unions of rectangles) that
+    compiles to pure range predicates, no UDF."""
+    return all(is_rectangle(r) for r in rings)
+
+
+def rect_rings_predicate(lon: Column, lat: Column, rings) -> Column:
+    """Even-odd membership for all-rectangle rings as pure column math:
+    a point is in the polygon iff it lies ON any ring's boundary
+    (boundaries — outer or hole — always intersect the polygon) OR it
+    is STRICTLY inside an odd number of rings (a hole flips parity
+    back out, a disjoint part contributes its own parity). Compiles to
+    comparisons + integer adds — whole-stage codegen, pushdown-friendly
+    bbox terms, exactly mirrors the SQL oracle's
+    outer-minus-strict-hole algebra."""
+    on_boundary = None
+    strict_count = None
+    for r in rings:
+        xmin, ymin, xmax, ymax = polygon_bounds(r)
+        ob = (
+            lon.between(xmin, xmax)
+            & lat.between(ymin, ymax)
+            & ((lon == xmin) | (lon == xmax) | (lat == ymin) | (lat == ymax))
+        )
+        sc = F.when(
+            (lon > xmin) & (lon < xmax) & (lat > ymin) & (lat < ymax), 1
+        ).otherwise(0)
+        on_boundary = ob if on_boundary is None else (on_boundary | ob)
+        strict_count = sc if strict_count is None else (strict_count + sc)
+    return on_boundary | (strict_count % 2 == 1)
+
+
 def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
     """X9 — ``point.intersects(polygon)`` as a Column predicate.
 
-    Rectangles → pure range predicates (pushed to the scan). General
-    polygons — including interior rings (holes) and MULTIPOLYGON —
-    → bbox prefilter AND a vectorized even-odd ray-cast pandas UDF;
-    boundary points (outer OR hole edges) count as inside, matching
-    shapely ``intersects``.
+    Rectangles → pure range predicates (pushed to the scan);
+    rectilinear multi-ring geometries (holed rectangles, rectangle
+    unions) → boundary-or-odd-strict-containment column math (still no
+    UDF). General polygons — including interior rings (holes) and
+    MULTIPOLYGON — → bbox prefilter AND a vectorized even-odd ray-cast
+    pandas UDF; boundary points (outer OR hole edges) count as inside,
+    matching shapely ``intersects``.
     """
     rings = parse_wkt_rings(wkt)
     xmin, ymin, xmax, ymax = rings_bounds(rings)
     bbox = lon.between(xmin, xmax) & lat.between(ymin, ymax)
     if len(rings) == 1 and is_rectangle(rings[0]):
         return bbox
+    if rings_all_rects(rings):
+        return bbox & rect_rings_predicate(lon, lat, rings)
 
     p1, p2 = _rings_to_arrays(rings)
 

@@ -152,6 +152,32 @@ def minhash_signature(
     ).drop("__n")
 
 
+def minhash_signature_grouped(
+    df: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures via explode + k min-aggregations — same
+    values as ``minhash_signature`` (identical seeded-md5 minima, same
+    docs-with-shingles domain), different physical plan: ONE shuffle of
+    (doc_id, shingle) pairs with map-side partial min, and the md5×k
+    work runs in Spark's vectorized hash-agg instead of a nested array
+    fold (measured ~3-4× faster locally at sf0.1). Pick per context:
+    the fold is map-only (zero shuffle — wins when the downstream is
+    another shuffle anyway); this wins when the signature IS the
+    output or feeds a join that needs compact columns materialized."""
+    sha = word_shingles(text_col, n)
+    sh = df.select(F.col(id_col), F.explode(sha).alias("shingle"))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 8,
@@ -171,14 +197,7 @@ def minhash_lsh_pairs(
     # stage never sees the giant shingle expression (which would drop
     # the stage out of codegen — same failure mode as in
     # ngram_jaccard_pairs, measured ~5-20× slower).
-    sha = word_shingles(text_col, n)
-    sh = df.select(F.col(id_col), F.explode(sha).alias("shingle"))
-    sig = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+    sig = minhash_signature_grouped(df, k=k, n=n, text_col=text_col, id_col=id_col)
     # explode band keys out of ONE signature computation: a single
     # equi-join on (band_key) replaces one join per band.
     keys = F.array(

@@ -133,6 +133,8 @@ def spatial_join_aoi_indexed(
         is_rectangle,
         named_polygons_pip_udf,
         parse_wkt_rings,
+        rect_rings_predicate,
+        rings_all_rects,
         rings_bounds,
     )
 
@@ -141,14 +143,24 @@ def spatial_join_aoi_indexed(
         raise MergeError("empty AOI table")
 
     # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, nonrect)
+    # Refinement strategy per AOI: plain rectangle → the bbox IS the
+    # polygon; rectilinear rings (holed/multi rectangles) → pure
+    # column-math predicate (JVM, no UDF) while the count is small
+    # enough to compile; general polygons → the single batched
+    # ray-cast UDF.
+    _MAX_RECTILINEAR_COMPILED = 64
     index_rows = []
     non_rect_polys = {}
+    rectilinear = {}
     for r in rows:
         rings = parse_wkt_rings(r[wkt_col])
         xmin, ymin, xmax, ymax = rings_bounds(rings)
         nonrect = not (len(rings) == 1 and is_rectangle(rings[0]))
         if nonrect:
-            non_rect_polys[r[name_col]] = rings
+            if rings_all_rects(rings):
+                rectilinear[r[name_col]] = rings
+            else:
+                non_rect_polys[r[name_col]] = rings
         for cx in range(int(math.floor(xmin / cell_deg)), int(math.floor(xmax / cell_deg)) + 1):
             for cy in range(int(math.floor(ymin / cell_deg)), int(math.floor(ymax / cell_deg)) + 1):
                 index_rows.append((cx, cy, r[name_col], xmin, ymin, xmax, ymax, nonrect))
@@ -179,10 +191,25 @@ def spatial_join_aoi_indexed(
         & bbox_ok,
     )
 
-    # 4. ONE batched ray-cast UDF for the non-rect survivors (rect rows
-    # short-circuit on the flag — Spark still ships the batch to Arrow,
-    # but the kernel skips names absent from the dict, so rect rows
-    # cost one hash lookup)
+    # 4a. rectilinear AOIs refine JVM-side while the compiled when-chain
+    # stays small; at many rectilinear AOIs they fall back into the UDF
+    # dict (codegen pressure beats Arrow cost only up to a point)
+    if len(rectilinear) > _MAX_RECTILINEAR_COMPILED:
+        non_rect_polys.update(rectilinear)
+        rectilinear = {}
+    if rectilinear:
+        keep_rect = F.lit(True)
+        for n, rings in rectilinear.items():
+            pred = rect_rings_predicate(F.col(lon_col), F.col(lat_col), rings)
+            keep_rect = keep_rect & F.when(
+                F.col(name_col) == n, pred
+            ).otherwise(F.lit(True))
+        refined = refined.filter(keep_rect)
+
+    # 4b. ONE batched ray-cast UDF for the general non-rect survivors
+    # (other rows short-circuit on the flag — Spark still ships the
+    # batch to Arrow, but the kernel skips names absent from the dict,
+    # so they cost one hash lookup)
     if non_rect_polys:
         pip = named_polygons_pip_udf(non_rect_polys)
         keep = ~F.col("nonrect") | pip(

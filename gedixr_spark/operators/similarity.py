@@ -170,6 +170,33 @@ def ivf_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> list[list[int]]:
     ]
 
 
+def kmeans_to_ivf_centroids(centroids, scale: int = 10_000) -> list[list[int]]:
+    """Quantize learned (float) k-means centroids — e.g.
+    ``clustering.kmeans_fit`` output — into the integer-scaled form
+    ``ivf_cell``/``ivf_ann_topk`` consume, closing the production loop
+    kmeans → centroids → IVF index. Same ×10000 scaling as the seeded
+    random centroids, so cell assignment stays exact int64 math."""
+    return [[int(round(float(v) * scale)) for v in row] for row in centroids]
+
+
+def save_centroids(spark, centroids: list[list[int]], path: str) -> str:
+    """Persist an IVF centroid set as a tiny parquet (cell, weights) —
+    the index metadata a 100 TB vector store writes once and every
+    query/ingest job broadcast-loads."""
+    df = spark.createDataFrame(
+        [(i, [int(w) for w in c]) for i, c in enumerate(centroids)],
+        schema="cell int, weights array<bigint>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_centroids(spark, path: str) -> list[list[int]]:
+    """Load a persisted centroid set (inverse of ``save_centroids``)."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [[int(w) for w in r["weights"]] for r in rows]
+
+
 def ivf_cell(vec_col: Column | str, centroids: list[list[int]], scale: int = 1000) -> Column:
     """Nearest-centroid cell id by max exact-int dot product; ties break
     to the lowest centroid index (first max), matching the SQL oracle's

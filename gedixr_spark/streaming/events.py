@@ -40,6 +40,29 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts + exact value sums — the
+    streaming twin of operators/events.sliding_agg (same window/slide
+    semantics via the built-in window(width, slide), which assigns each
+    event to its ceil(width/slide) containing windows; Spark manages
+    the per-window state and watermark eviction)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

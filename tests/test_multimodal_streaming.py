@@ -100,6 +100,31 @@ def test_streaming_tumbling_counts(spark, event_dir):
     assert got[(ts0 + datetime.timedelta(hours=2), "click")] == 1
 
 
+def test_streaming_sliding_counts(spark, event_dir):
+    path, schema = event_dir
+    stream = st.read_event_stream(spark, path, schema)
+    agg = st.streaming_sliding_counts(stream, width="2 hours", slide="1 hour")
+    rows = st.run_available_now(agg, "t_slide", output_mode="complete")
+    got = {r["window_start"]: (r["n_events"], r["sum_value"]) for r in rows}
+    ts0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    # events at 0:00, 0:10 land in windows starting -1:00 and 0:00;
+    # the 2:00 event in windows starting 1:00 and 2:00
+    assert got[ts0 - h] == (2, 3.0)
+    assert got[ts0] == (2, 3.0)
+    assert got[ts0 + h] == (1, 3.0)
+    assert got[ts0 + 2 * h][0] == 1
+    # streaming result == batch sliding_agg on the same data (minus the
+    # sentinel-only windows both engines also emit)
+    from gedixr_spark.operators.events import sliding_agg
+
+    batch = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in sliding_agg(spark.read.schema(schema).parquet(path), 120, 60).collect()
+    }
+    assert batch == got
+
+
 def test_streaming_sessionize(spark, event_dir):
     path, schema = event_dir
     stream = st.read_event_stream(spark, path, schema)

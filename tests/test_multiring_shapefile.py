@@ -75,6 +75,38 @@ def test_predicate_vs_indexed_equivalence_with_holes(spark):
     assert sum(1 for s, n in a if n == "holed") < af
 
 
+def test_rectilinear_aois_refine_without_udf(spark):
+    """Holed/multi RECTANGLE AOIs take the pure-column-math path: the
+    contract's spatial_join_holed plan has NO Python UDF node."""
+    from gedixr_spark.contract import q_spatial_join_holed
+
+    out = q_spatial_join_holed(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rect_rings_predicate_matches_raycast(spark):
+    """Column-math even-odd (boundary OR odd strict containment) agrees
+    with the generic ray-cast UDF on a grid of probe points, including
+    ring boundaries."""
+    from gedixr_spark.geo import (
+        named_polygons_pip_udf,
+        parse_wkt_rings,
+        rect_rings_predicate,
+    )
+
+    rings = parse_wkt_rings(HOLED)
+    pts = [
+        (x / 2.0, y / 2.0) for x in range(-2, 24) for y in range(-2, 24)
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    jvm = rect_rings_predicate(F.col("x"), F.col("y"), rings)
+    pip = named_polygons_pip_udf({"h": rings})
+    udf = pip(F.col("x"), F.col("y"), F.lit("h"))
+    diff = df.select(jvm.alias("a"), udf.alias("b")).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+
 def test_indexed_join_single_udf_node_at_many_nonrect_aois(spark):
     """VERDICT r1 'done' criterion: >=100 non-rectangular AOIs refine
     through ONE vectorized UDF node (not a per-AOI when/udf chain)."""

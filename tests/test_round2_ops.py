@@ -124,6 +124,31 @@ def test_contamination_spans_touching_spans_merge(spark):
     assert out == [(0, 6)]
 
 
+def test_learned_centroid_ivf_pipeline(spark, tmp_path):
+    """kmeans -> quantize -> save/load -> IVF ANN: the production loop."""
+    from gedixr_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(EMB)
+    cents, _ = kmeans_fit(emb, k=4, n_iter=2)
+    q = similarity.kmeans_to_ivf_centroids(cents)
+    path = str(tmp_path / "centroids")
+    similarity.save_centroids(spark, q, path)
+    loaded = similarity.load_centroids(spark, path)
+    assert loaded == q and len(loaded) == 4
+    out = similarity.ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=2, centroids=loaded, nprobe=2
+    )
+    rows = out.collect()
+    assert len(rows) > 0 and all(r["rank"] <= 2 for r in rows)
+
+
+def test_minhash_fold_and_grouped_formulations_agree(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(100)
+    fold = {tuple(r) for r in dedup.minhash_signature(docs, k=4).collect()}
+    grouped = {tuple(r) for r in dedup.minhash_signature_grouped(docs, k=4).collect()}
+    assert fold == grouped and len(fold) > 0
+
+
 def test_ngram_jaccard_guard(spark):
     docs = spark.createDataFrame(
         [(i, "a b c d e") for i in range(30)], "doc_id int, text string"
