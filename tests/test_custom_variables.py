@@ -40,6 +40,53 @@ def test_extract_with_nested_custom_variable(spark, tmp_path):
     }
 
 
+def test_custom_output_name_for_rh_layer(spark, tmp_path):
+    """ADVICE r1: a custom mapping ('canopy98','rh98') must hit the
+    rh-array branch (keyed on the SOURCE layer name, reference
+    extract.py:281) instead of KeyError-ing into the corrupt-granule
+    handler and silently yielding zero rows."""
+    g = make_granule(6, ["BEAM0000"], seed=33)
+    (tmp_path / "GEDI02_A_2020095010203_O0001_V002.h5").write_bytes(b"")
+    opener = build_opener({"GEDI02_A_2020095010203_O0001_V002.h5": g})
+    df, _ = extract_data(
+        spark,
+        tmp_path,
+        gedi_product="L2A",
+        variables=[("canopy98", "rh98")],
+        apply_quality_filter=False,
+        save=False,
+        granule_opener=opener,
+    )
+    rows = df.collect()
+    assert len(rows) == 6 and "canopy98" in df.columns
+    expected = np.rint(np.asarray(g["BEAM0000"]["rh"])[:, 98] * 100).astype(int)
+    assert sorted(r["canopy98"] for r in rows) == sorted(int(v) for v in expected)
+
+
+def test_missing_layer_raises_schema_error(spark, tmp_path):
+    """A misconfigured variables spec FAILS the job (GranuleSchemaError)
+    rather than being absorbed as a corrupt granule."""
+    import py4j.protocol
+
+    g = make_granule(4, ["BEAM0000"], seed=34)
+    (tmp_path / "GEDI02_A_2020095010203_O0001_V002.h5").write_bytes(b"")
+    opener = build_opener({"GEDI02_A_2020095010203_O0001_V002.h5": g})
+    with pytest.raises(Exception) as exc_info:
+        df, _ = extract_data(
+            spark,
+            tmp_path,
+            gedi_product="L2A",
+            variables=[("nope", "no_such_layer")],
+            apply_quality_filter=False,
+            save=False,
+            granule_opener=opener,
+        )
+        df.collect()
+    assert "GranuleSchemaError" in str(exc_info.value) or "no_such_layer" in str(
+        exc_info.value
+    )
+
+
 def test_extract_counts_corrupt_granules(spark, tmp_path):
     from gedixr_spark.operators.stats import error_accumulator
 
