@@ -171,7 +171,21 @@ def spatial_join_aoi_indexed(
         "xmax double, ymax double, nonrect boolean",
     )
 
-    # 2-3. shot cell id + broadcast equi-join on the cell, with the
+    # 2. global-envelope prefilter: ONE range predicate over the bbox
+    # of ALL AOIs — unlike a per-AOI OR (which grows with AOI count)
+    # this stays a 4-comparison predicate at any AOI count, reaches the
+    # parquet scan as PushedFilters, and prunes row groups outside the
+    # AOI universe entirely (at 100 TB that's most of the planet for
+    # regional AOI sets)
+    gx0 = min(r[3] for r in index_rows)
+    gy0 = min(r[4] for r in index_rows)
+    gx1 = max(r[5] for r in index_rows)
+    gy1 = max(r[6] for r in index_rows)
+    shots = shots.filter(
+        F.col(lon_col).between(gx0, gx1) & F.col(lat_col).between(gy0, gy1)
+    )
+
+    # 3. shot cell id + broadcast equi-join on the cell, with the
     # exact-bbox refinement INSIDE the join condition: a Python-UDF
     # predicate applied as a later .filter would be extracted into an
     # ArrowEvalPython stage that runs on every cell-join candidate

@@ -72,3 +72,20 @@ def test_merge_broadcasts_small_dim(spark, shots_path):
     dim = spark.createDataFrame([("BEAM0000", "coverage")], ["beam", "kind"])
     plan = _plan(shots.join(F.broadcast(dim), "beam"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_indexed_join_pushes_global_envelope(spark, shots_path):
+    """The grid-indexed join prefilters by the GLOBAL AOI envelope —
+    one 4-comparison range predicate that reaches the parquet scan at
+    any AOI count (per-AOI ORs can't: they grow with the AOI set)."""
+    from gedixr_spark.operators.joins import spatial_join_aoi_indexed
+
+    aois = aoi_from_wkt(
+        spark,
+        {"r1": "POLYGON ((0 44, 4 44, 4 46, 0 46, 0 44))",
+         "tri": "POLYGON ((0 44, 6 44, 3 50, 0 44))"},
+    )
+    df = spatial_join_aoi_indexed(spark.read.parquet(shots_path), aois)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "longitude" in pushed and "latitude" in pushed
