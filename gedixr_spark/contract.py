@@ -367,20 +367,32 @@ def q_dataset_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X10/P6: EPSG:4326 → EPSG:3857 web-mercator transform in pure
-    column math (geo.st_transform_4326_to_3857). Values rounded to
-    whole meters in BOTH engines: JVM Math.log/tan and libm differ at
-    the ulp level, and 1 m ≫ that noise."""
-    from gedixr_spark.geo import st_transform_4326_to_3857
+def q_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/P6: both built-in CRS transforms in one labeled union —
+    EPSG:4326 → EPSG:3857 (spherical web mercator) and EPSG:4326 →
+    UTM zone 32N (EPSG:32632, Krüger series) — all pure column math.
+    Values rounded to whole meters in BOTH engines: JVM trig and
+    libm/exp-emulated hyperbolics differ at the ulp level, and
+    1 m ≫ that noise. Zone 32 is applied to every point (a fixed-zone
+    parity check; per-point zone selection is geo.utm_zone)."""
+    from gedixr_spark.geo import st_transform_4326_to_3857, st_transform_4326_to_utm
 
     df = shots_l2a(spark, sf_dir)
     x, y = st_transform_4326_to_3857(F.col("longitude"), F.col("latitude"))
-    return df.select(
-        "shot",
-        F.round(x, 0).cast("long").alias("x_3857_m"),
-        F.round(y, 0).cast("long").alias("y_3857_m"),
+    merc = df.select(
+        F.lit("merc").alias("crs"),
+        F.col("shot"),
+        F.round(x, 0).cast("long").alias("x_m"),
+        F.round(y, 0).cast("long").alias("y_m"),
     )
+    e, n = st_transform_4326_to_utm(F.col("longitude"), F.col("latitude"), 32, True)
+    utm = df.select(
+        F.lit("utm32n").alias("crs"),
+        F.col("shot"),
+        F.round(e, 0).cast("long").alias("x_m"),
+        F.round(n, 0).cast("long").alias("y_m"),
+    )
+    return merc.unionByName(utm)
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +453,54 @@ def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _L2B_OUT_SQL = ", ".join(L2B_OUT)
+
+
+def _utm32n_sql() -> str:
+    """UTM zone 32N Krüger forward series as DuckDB CTE SQL, mirroring
+    geo.st_transform_4326_to_utm with the SAME double literals (repr
+    round-trips exactly). DuckDB 1.0 has no sinh/cosh/atanh, so they
+    are emulated with exp/ln — ulp-level divergence from the JVM's
+    Math.sinh, absorbed by the whole-meter rounding."""
+    import math as _m
+
+    from gedixr_spark import geo as _g
+
+    lam0 = _m.radians(9.0)
+    c = 2.0 * _m.sqrt(_g._N3) / (1.0 + _g._N3)
+    k0a = _g._UTM_K0 * _g._TM_A
+    e_terms = " + ".join(
+        f"{a!r}*cos({2 * j}*xp)*(exp({2 * j}*ep)-exp(-{2 * j}*ep))/2"
+        for j, a in enumerate(_g._TM_ALPHA, start=1)
+    )
+    n_terms = " + ".join(
+        f"{a!r}*sin({2 * j}*xp)*(exp({2 * j}*ep)+exp(-{2 * j}*ep))/2"
+        for j, a in enumerate(_g._TM_ALPHA, start=1)
+    )
+    return f"""
+        u0 AS (
+          SELECT shot, radians(latitude) AS phi,
+                 radians(longitude) - {lam0!r} AS lam
+          FROM shots
+        ),
+        u1 AS (
+          SELECT shot, lam,
+                 0.5*ln((1+sin(phi))/(1-sin(phi)))
+                   - {c!r} * 0.5*ln((1+{c!r}*sin(phi))/(1-{c!r}*sin(phi))) AS q
+          FROM u0
+        ),
+        u2 AS (SELECT shot, lam, (exp(q)-exp(-q))/2 AS t FROM u1),
+        u3 AS (
+          SELECT shot, atan2(t, cos(lam)) AS xp,
+                 0.5*ln((1 + sin(lam)/sqrt(1+t*t))/(1 - sin(lam)/sqrt(1+t*t))) AS ep
+          FROM u2
+        ),
+        utm AS (
+          SELECT shot,
+                 {_g._UTM_E0!r} + {k0a!r} * (ep + {e_terms}) AS easting,
+                 {k0a!r} * (xp + {n_terms}) AS northing
+          FROM u3
+        )
+    """
 
 ORACLES: dict[str, str] = {
     "extract_l2b_default": f"""
@@ -603,13 +663,19 @@ ORACLES: dict[str, str] = {
                count(DISTINCT CAST(acq_time AS DATE)) AS n_days
         FROM shots GROUP BY beam
     """,
-    "web_mercator": f"""
-        WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT shot,
-               CAST(round(radians(longitude) * 6378137.0, 0) AS BIGINT) AS x_3857_m,
+    "crs_transform": f"""
+        WITH shots AS ({SHOTS_L2A_SQL}),
+        {_utm32n_sql()}
+        SELECT 'merc' AS crs, shot,
+               CAST(round(radians(longitude) * 6378137.0, 0) AS BIGINT) AS x_m,
                CAST(round(ln(tan(pi() / 4 + radians(latitude) / 2)) * 6378137.0, 0)
-                    AS BIGINT) AS y_3857_m
+                    AS BIGINT) AS y_m
         FROM shots
+        UNION ALL
+        SELECT 'utm32n', shot,
+               CAST(round(easting, 0) AS BIGINT),
+               CAST(round(northing, 0) AS BIGINT)
+        FROM utm
     """,
     "set_ops": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
@@ -658,7 +724,7 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_stats": q_filter_stats,
         "grid_aggregate": q_grid_aggregate,
         "dataset_bounds": q_dataset_bounds,
-        "web_mercator": q_web_mercator,
+        "crs_transform": q_crs_transform,
         "percentiles": q_percentiles,
         "distinct_counts": q_distinct_counts,
         "set_ops": q_set_ops,

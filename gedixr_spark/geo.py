@@ -162,9 +162,108 @@ def st_transform_3857_to_4326(x: Column, y: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+# Transverse-Mercator (UTM) in pure column math — Krüger series in the
+# third flattening n, the standard high-accuracy formulation (public:
+# Karney 2011, "Transverse Mercator with an accuracy of a few
+# nanometers"; identical series to proj's tmerc). Fourth-order terms
+# give sub-millimeter accuracy within a UTM zone — far beyond GEDI's
+# ~10 m geolocation error.
+_WGS84_F = 1.0 / 298.257223563
+_N3 = _WGS84_F / (2.0 - _WGS84_F)  # third flattening n
+_TM_A = (_WGS84_R / (1 + _N3)) * (1 + _N3**2 / 4 + _N3**4 / 64)
+_TM_ALPHA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 5 * _N3**3 / 16 + 41 * _N3**4 / 180,
+    13 * _N3**2 / 48 - 3 * _N3**3 / 5 + 557 * _N3**4 / 1440,
+    61 * _N3**3 / 240 - 103 * _N3**4 / 140,
+    49561 * _N3**4 / 161280,
+)
+_TM_BETA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 37 * _N3**3 / 96 - 1 * _N3**4 / 360,
+    _N3**2 / 48 + _N3**3 / 15 - 437 * _N3**4 / 1440,
+    17 * _N3**3 / 480 - 37 * _N3**4 / 840,
+    4397 * _N3**4 / 161280,
+)
+_TM_DELTA = (
+    2 * _N3 - 2 * _N3**2 / 3 - 2 * _N3**3 + 116 * _N3**4 / 45,
+    7 * _N3**2 / 3 - 8 * _N3**3 / 5 - 227 * _N3**4 / 45,
+    56 * _N3**3 / 15 - 136 * _N3**4 / 35,
+    4279 * _N3**4 / 630,
+)
+_UTM_K0 = 0.9996
+_UTM_E0 = 500_000.0
+_UTM_N0_SOUTH = 10_000_000.0
+
+
+def utm_zone(lon: float) -> int:
+    """UTM zone number for a longitude (degrees)."""
+    return int((lon + 180.0) // 6.0) % 60 + 1
+
+
+def st_transform_4326_to_utm(
+    lon: Column, lat: Column, zone: int, north: bool = True
+) -> tuple[Column, Column]:
+    """EPSG:4326 → UTM zone ``zone`` (EPSG:326xx/327xx) easting/northing
+    in pure column expressions (no pyproj): Krüger forward series.
+    Whole-stage-codegen resident — sinh/cosh/atan/atanh are all Spark
+    built-ins — so reprojection is a map-side projection at any scale,
+    like the reference's geopandas to_crs (ancillary.py:146-147) but
+    distributed."""
+    lam0 = math.radians(zone * 6 - 183)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - F.lit(lam0)
+    sin_phi = F.sin(phi)
+    e2rtn = 2.0 * math.sqrt(_N3) / (1.0 + _N3)
+    t = F.sinh(
+        F.atanh(sin_phi) - F.lit(e2rtn) * F.atanh(F.lit(e2rtn) * sin_phi)
+    )
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.atanh(F.sin(lam) / F.sqrt(1 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(2 * j * xi_p) * F.cosh(2 * j * eta_p)
+        eta = eta + F.lit(a) * F.cos(2 * j * xi_p) * F.sinh(2 * j * eta_p)
+    easting = F.lit(_UTM_E0) + F.lit(_UTM_K0 * _TM_A) * eta
+    northing = F.lit(_UTM_K0 * _TM_A) * xi + F.lit(0.0 if north else _UTM_N0_SOUTH)
+    return easting, northing
+
+
+def st_transform_utm_to_4326(
+    easting: Column, northing: Column, zone: int, north: bool = True
+) -> tuple[Column, Column]:
+    """Inverse UTM → EPSG:4326 (Krüger inverse series + the delta
+    series for the conformal-to-geographic latitude step)."""
+    lam0 = math.radians(zone * 6 - 183)
+    xi = (northing - F.lit(0.0 if north else _UTM_N0_SOUTH)) / F.lit(_UTM_K0 * _TM_A)
+    eta = (easting - F.lit(_UTM_E0)) / F.lit(_UTM_K0 * _TM_A)
+    xi_p = xi
+    eta_p = eta
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(2 * j * xi) * F.cosh(2 * j * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(2 * j * xi) * F.sinh(2 * j * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))  # conformal latitude
+    phi = chi
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(2 * j * chi)
+    lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    return F.degrees(lam) + F.lit(math.degrees(lam0)), F.degrees(phi)
+
+
+def _parse_utm_epsg(code: str) -> tuple[int, bool] | None:
+    """EPSG:326xx / EPSG:327xx → (zone, north) or None."""
+    c = code.upper().removeprefix("EPSG:")
+    if len(c) == 5 and c[:3] in ("326", "327") and c[3:].isdigit():
+        zone = int(c[3:])
+        if 1 <= zone <= 60:
+            return zone, c[:3] == "326"
+    return None
+
+
 def st_transform(df, lon_col: str, lat_col: str, src: str, dst: str):
-    """General CRS transform dispatcher: 4326↔3857 in pure column math;
-    anything else requires pyproj (absent here → import-gated)."""
+    """General CRS transform dispatcher: 4326↔3857 (spherical web
+    mercator) and 4326↔UTM (EPSG:326xx/327xx, Krüger series) in pure
+    column math; anything else requires pyproj (absent here →
+    import-gated)."""
     key = (src.upper(), dst.upper())
     if key == ("EPSG:4326", "EPSG:3857"):
         x, y = st_transform_4326_to_3857(F.col(lon_col), F.col(lat_col))
@@ -172,12 +271,20 @@ def st_transform(df, lon_col: str, lat_col: str, src: str, dst: str):
     if key == ("EPSG:3857", "EPSG:4326"):
         lon, lat = st_transform_3857_to_4326(F.col(lon_col), F.col(lat_col))
         return df.withColumn("longitude", lon).withColumn("latitude", lat)
+    utm = _parse_utm_epsg(dst)
+    if key[0] == "EPSG:4326" and utm:
+        e, n = st_transform_4326_to_utm(F.col(lon_col), F.col(lat_col), *utm)
+        return df.withColumn("easting", e).withColumn("northing", n)
+    utm = _parse_utm_epsg(src)
+    if utm and key[1] == "EPSG:4326":
+        lon, lat = st_transform_utm_to_4326(F.col(lon_col), F.col(lat_col), *utm)
+        return df.withColumn("longitude", lon).withColumn("latitude", lat)
     try:  # pragma: no cover
         import pyproj  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             f"CRS transform {src}->{dst} requires pyproj (not in this "
-            "environment); 4326<->3857 are built in"
+            "environment); 4326<->3857 and 4326<->UTM are built in"
         ) from e
     raise NotImplementedError("wire pyproj Transformer here")
 

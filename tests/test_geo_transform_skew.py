@@ -46,8 +46,9 @@ def test_st_transform_dispatch(spark):
     df = spark.createDataFrame([(10.0, 50.0)], ["longitude", "latitude"])
     out = st_transform(df, "longitude", "latitude", "EPSG:4326", "EPSG:3857")
     assert {"x_3857", "y_3857"} <= set(out.columns)
+    # UTM is now built in (see test_utm.py); a conic CRS still needs pyproj
     with pytest.raises(NotImplementedError):
-        st_transform(df, "longitude", "latitude", "EPSG:4326", "EPSG:32632")
+        st_transform(df, "longitude", "latitude", "EPSG:4326", "EPSG:2154")
 
 
 def _skewed(spark):
