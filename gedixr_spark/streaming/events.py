@@ -13,10 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_event_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based event stream: each new parquet file in ``path`` is a
-    micro-batch (the 100 TB pattern: a landing prefix fed by ingest)."""
-    return spark.readStream.schema(schema).parquet(path)
+    micro-batch (the 100 TB pattern: a landing prefix fed by ingest).
+    ``max_files_per_trigger`` bounds batch size (and, in tests, forces
+    multiple micro-batches so cross-batch state is actually exercised)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def streaming_tumbling_counts(
@@ -85,6 +92,53 @@ def streaming_sessionize(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def streaming_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    — the escape hatch for per-key state machines that built-in
+    windowed aggregations can't express (SURVEY §2.8). Maintains a
+    running (event count, exact value total) per user in explicit
+    group state across micro-batches and emits the updated totals
+    whenever a batch touches the user.
+
+    State is (n, total_cents): the running sum is kept in integer
+    CENTS (events.value carries 2 decimals) so cross-batch
+    accumulation is exact regardless of arrival order — the same
+    exact-sum discipline as the batch operators' decimal cast.
+
+    Scale shape: state lives in the state store partitioned by user —
+    executors hold only their keys' (int, long) pairs; no global
+    state, no driver involvement."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{user_col} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, total_cents bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # round per element, THEN sum: exact at any batch size
+            cents += int((pdf[value_col] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    return events.groupBy(F.col(user_col)).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -125,6 +125,34 @@ def test_streaming_sliding_counts(spark, event_dir):
     assert batch == got
 
 
+def test_streaming_custom_stateful_user_totals(spark, event_dir):
+    """applyInPandasWithState: running per-user totals must survive
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces several), and the
+    final update per user must equal the batch aggregation."""
+    path, schema = event_dir
+    stream = st.read_event_stream(spark, path, schema, max_files_per_trigger=1)
+    totals = st.streaming_user_totals(stream)
+    rows = st.run_available_now(totals, "t_state", output_mode="update")
+    # update mode appends one row per (batch, touched user); the final
+    # state per user is the row with the max n_events
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    import pyspark.sql.functions as F
+
+    batch = {
+        r["user_id"]: (r["n"], float(r["s"]))
+        for r in spark.read.schema(schema).parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"))
+        .collect()
+    }
+    assert final == batch and len(final) >= 2
+
+
 def test_streaming_sessionize(spark, event_dir):
     path, schema = event_dir
     stream = st.read_event_stream(spark, path, schema)
