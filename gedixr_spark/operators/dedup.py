@@ -314,6 +314,40 @@ def dedup_clusters(
     )
 
 
+def choose_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Re-pick each cluster's survivor by a QUALITY policy instead of
+    min-id: e.g. keep the longest document (order_col='n_tokens') or
+    the highest quality score — what production dedup actually wants
+    (min-id is deterministic but arbitrary). Ties break on doc id
+    ascending, so the result stays deterministic.
+
+    Input: ``dedup_clusters`` output + a docs table carrying
+    ``order_col``. Returns the same (doc_id, cluster_id, is_survivor)
+    shape with is_survivor recomputed; feed straight to ``apply_dedup``.
+    Plan: one ids+metric join and one per-cluster window — cluster
+    tables are ids-only, documents never shuffle."""
+    from pyspark.sql.window import Window
+
+    metric = docs.select(F.col(id_col).alias("doc_id"), F.col(order_col).alias("__m"))
+    j = clusters.select("doc_id", "cluster_id").join(metric, "doc_id", "left")
+    direction = F.asc("__m") if ascending else F.desc("__m")
+    w = Window.partitionBy("cluster_id").orderBy(direction, F.asc("doc_id"))
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("__r") == 1).alias("is_survivor"),
+        )
+    )
+
+
 def apply_dedup(
     df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

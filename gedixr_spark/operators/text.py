@@ -361,6 +361,49 @@ def blocklist_filter(
     return df.join(bl, on=col, how="left_anti")
 
 
+def filter_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int | None = None,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_stopword_ratio: float | None = 0.01,
+    max_upper_ratio: float = 0.3,
+    max_dup_token_ratio: float | None = 0.6,
+) -> DataFrame:
+    """C4/Gopher-style document quality gate: composes the
+    quality/repetition features into ONE conjunctive predicate —
+    length band, mean-token-length band (OCR garbage / code blobs),
+    minimum stopword ratio (natural-language-ness), uppercase cap,
+    duplicate-token cap. All built-in column math: at 100 TB this is a
+    single codegen'd filter on the ingest scan, no UDF, no shuffle.
+    Thresholds are the knobs; None disables a clause."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    mean_len = sum_len.cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast("double") / n
+    )
+    upper_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Z]", "")).cast("double")
+        / F.length(text_col)
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    pred = (n >= min_tokens) & (mean_len >= min_mean_token_len) & (
+        mean_len <= max_mean_token_len
+    ) & (upper_ratio <= max_upper_ratio)
+    if max_tokens is not None:
+        pred = pred & (n <= max_tokens)
+    if min_stopword_ratio is not None:
+        pred = pred & (stop_ratio >= min_stopword_ratio)
+    if max_dup_token_ratio is not None:
+        pred = pred & (dup_ratio <= max_dup_token_ratio)
+    return df.filter(pred)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact

@@ -124,6 +124,41 @@ def test_contamination_spans_touching_spans_merge(spark):
     assert out == [(0, 6)]
 
 
+def test_choose_survivors_policy(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (7, 7, True), (8, 7, False)],
+        "doc_id int, cluster_id int, is_survivor boolean",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 99)], "doc_id int, n_tokens int"
+    )
+    out = {
+        r["doc_id"]: r["is_survivor"]
+        for r in dedup.choose_survivors(clusters, docs, "n_tokens").collect()
+    }
+    # cluster 1: docs 2 and 3 tie at 50 -> lower id (2) wins; cluster 7: 8 wins
+    assert out == {1: False, 2: True, 3: False, 7: False, 8: True}
+    # composes with apply_dedup
+    survivors = dedup.apply_dedup(
+        docs, dedup.choose_survivors(clusters, docs, "n_tokens")
+    )
+    assert {r["doc_id"] for r in survivors.collect()} == {2, 8}
+
+
+def test_filter_documents_gates(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # keeps
+        (2, "a b"),                                                # too short
+        (3, "SHOUTING IN ALL CAPS IS THE WHOLE OF THIS TEXT OK"),  # upper
+        (4, "spam spam spam spam spam spam spam spam the spam"),   # dup ratio
+        (5, "pneumonoultramicroscopics ilicovolcanoconiosises " * 4
+            + "the of and a it is in to"),                          # keeps (mixed)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = {r["doc_id"] for r in text.filter_documents(df).collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept and 4 not in kept
+
+
 def test_learned_centroid_ivf_pipeline(spark, tmp_path):
     """kmeans -> quantize -> save/load -> IVF ANN: the production loop."""
     from gedixr_spark.operators.clustering import kmeans_fit
