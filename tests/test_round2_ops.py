@@ -124,6 +124,56 @@ def test_contamination_spans_touching_spans_merge(spark):
     assert out == [(0, 6)]
 
 
+def _brute_components(pairs):
+    """Driver-side union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_cc_matches_union_find_random(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(df).collect()
+    }
+    assert got == _brute_components(pairs)
+    # and agrees with the min-label twin
+    ml = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    assert got == ml
+
+
+def test_star_cc_handles_long_chain_in_log_rounds(spark):
+    """A 300-node chain (diameter 299): star CC converges well inside
+    15 rounds where min-label propagation would need ~300."""
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    out = dedup.dedup_clusters_star(df, max_iter=15)
+    rows = out.collect()
+    assert len(rows) == 301
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_survivor"] for r in rows) == 1
+    # the min-label twin genuinely can't do it in that budget
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(df, max_iter=15)
+
+
 def test_choose_survivors_policy(spark):
     clusters = spark.createDataFrame(
         [(1, 1, True), (2, 1, False), (3, 1, False), (7, 7, True), (8, 7, False)],
