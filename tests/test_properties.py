@@ -93,3 +93,75 @@ def test_sessionize_session_count_matches_gap_count(spark, gaps):
     out = sessionize(df, gap_minutes=30)
     n_sessions = out.agg({"session_n": "max"}).first()[0]
     assert n_sessions == 1 + sum(1 for g in gaps if g > 30)
+
+
+@given(
+    minutes=st.lists(st.integers(0, 600), min_size=1, max_size=20),
+    width_slide=st.sampled_from([(60, 30), (90, 60), (120, 60), (45, 15)]),
+)
+@settings(**SETTINGS)
+def test_sliding_agg_counts_every_containing_window(spark, minutes, width_slide):
+    """Law: Σ n_events over windows == Σ over events of the number of
+    slide-aligned windows [start, start+width) containing the event;
+    every emitted window_start is on the slide grid."""
+    from gedixr_spark.operators.events import sliding_agg
+
+    width, slide = width_slide
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), 1.0)
+        for i, m in enumerate(minutes)
+    ]
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, value double")
+    out = sliding_agg(df, width, slide).collect()
+    expected_total = 0
+    for m in minutes:
+        base_start = (m // slide) * slide
+        expected_total += sum(
+            1
+            for j in range(-(-width // slide))  # ceil
+            if (s := base_start - j * slide) <= m < s + width
+        )
+    assert sum(r["n_events"] for r in out) == expected_total
+    for r in out:
+        epoch_min = int(r["window_start"].timestamp()) // 60
+        assert epoch_min % slide == 0
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(**SETTINGS)
+def test_contamination_spans_are_merged_valid_intervals(spark, corpus, bench):
+    """Laws: spans lie within the doc's token range, are non-empty,
+    non-overlapping AND non-touching after merge, and a doc has spans
+    iff contamination() flags it."""
+    from gedixr_spark.operators.text import contamination, contamination_spans
+
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id int, text string")
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id int, text string"
+    )
+    spans = contamination_spans(cdf, bdf).collect()
+    flags = {r["doc_id"]: r["contaminated"] for r in contamination(cdf, bdf).collect()}
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc_id, ss in by_doc.items():
+        n_tok = len([t for t in corpus[doc_id].split(" ") if t])
+        ss.sort()
+        prev_end = -1
+        for s, e in ss:
+            assert 0 <= s < e <= n_tok
+            assert s > prev_end  # merged: no overlap, no touching
+            prev_end = e
+    assert set(by_doc) == {d for d, f in flags.items() if f}
