@@ -191,3 +191,118 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def attach_fake_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stand-in for real audio ingest: payload = the
+    text's md5 digest repeated 64× interpreted as little-endian int16
+    PCM (2048 samples); metadata struct carries sample rate/channels.
+    Schema-identical to a real PCM landing table."""
+    return df.select(
+        "*",
+        F.unhex(F.repeat(F.md5(F.col(text_col)), 64)).alias("audio"),
+        F.struct(
+            F.lit("audio/pcm16le").alias("media_type"),
+            F.lit(16_000).alias("sample_rate"),
+            F.lit(1).alias("n_channels"),
+        ).alias("audio_meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossing_rate", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio feature extraction over int16-PCM payloads — fully REAL
+    (unlike the image/video codecs): raw PCM needs no external decoder,
+    numpy.frombuffer IS the decode. Emits duration, RMS amplitude
+    (normalized to [-1, 1] full scale) and zero-crossing rate — the
+    cheap audio-quality gates a corpus pass runs before any model
+    embedding. mapInPandas keeps it one Arrow pass per row group."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload, meta in zip(
+                pdf[id_col], pdf["audio"], pdf["audio_meta"]
+            ):
+                pcm = np.frombuffer(payload[: len(payload) - len(payload) % 2], dtype="<i2")
+                x = pcm.astype(np.float64) / 32768.0
+                n = len(x)
+                zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                out.append(
+                    {
+                        "doc_id": _id,
+                        "n_samples": n,
+                        "duration_s": n / float(meta["sample_rate"]),
+                        "rms": float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                        "zero_crossing_rate": zc / (n - 1) if n > 1 else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "duration_s", "rms", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select(id_col, "audio", "audio_meta").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+RESAMPLED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("audio", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+
+def resample_audio(df: DataFrame, target_rate: int, id_col: str = "doc_id") -> DataFrame:
+    """Linear-interpolation resample of int16-PCM payloads to
+    ``target_rate`` — REAL DSP in numpy (np.interp over the time grid),
+    the standard-rate normalization step before batch feature
+    extraction. Output is again little-endian int16 bytes so the
+    column stays a compact binary payload."""
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive: {target_rate}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload, meta in zip(
+                pdf[id_col], pdf["audio"], pdf["audio_meta"]
+            ):
+                src_rate = int(meta["sample_rate"])
+                pcm = np.frombuffer(payload[: len(payload) - len(payload) % 2], dtype="<i2")
+                n_out = max(1, int(round(len(pcm) * target_rate / src_rate)))
+                t_src = np.arange(len(pcm)) / src_rate
+                t_dst = np.arange(n_out) / target_rate
+                y = np.interp(t_dst, t_src, pcm.astype(np.float64))
+                res = np.clip(np.rint(y), -32768, 32767).astype("<i2")
+                out.append(
+                    {
+                        "doc_id": _id,
+                        "audio": res.tobytes(),
+                        "sample_rate": target_rate,
+                        "n_samples": n_out,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "audio", "sample_rate", "n_samples"]
+            )
+
+    return df.select(id_col, "audio", "audio_meta").mapInPandas(
+        run, schema=RESAMPLED_AUDIO_SCHEMA
+    )

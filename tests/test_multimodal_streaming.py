@@ -164,3 +164,44 @@ def test_streaming_sessionize(spark, event_dir):
     # user 1: events 10 min apart merge into one session of 2
     assert len(by_user.get(1, [])) == 1 and by_user[1][0]["n_events"] == 2
     assert len(by_user.get(2, [])) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_audio_features_real_pcm(spark):
+    import numpy as np
+
+    from gedixr_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+    )
+    feats = {r["doc_id"]: r for r in mm.audio_features(mm.attach_fake_audio(docs)).collect()}
+    assert feats[1]["n_samples"] == 512  # 32 hex chars x64 -> 1024 bytes -> 512 int16
+    assert abs(feats[1]["duration_s"] - 512 / 16_000) < 1e-12
+    assert 0.0 < feats[1]["rms"] < 1.0 and 0.0 < feats[1]["zero_crossing_rate"] <= 1.0
+    # deterministic: identical text -> identical features
+    again = {
+        r["doc_id"]: r for r in mm.audio_features(mm.attach_fake_audio(docs)).collect()
+    }
+    assert again[1]["rms"] == feats[1]["rms"]
+
+
+def test_resample_audio_halves_and_roundtrips_rate(spark):
+    import numpy as np
+
+    from gedixr_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "resample me")], "doc_id long, text string")
+    audio = mm.attach_fake_audio(docs)
+    down = mm.resample_audio(audio, 8_000).collect()[0]
+    assert down["sample_rate"] == 8_000
+    assert abs(down["n_samples"] - 256) <= 1
+    assert len(down["audio"]) == 2 * down["n_samples"]
+    # a constant signal resamples to the same constant
+    const = np.full(100, 1234, dtype="<i2").tobytes()
+    cdf = spark.createDataFrame(
+        [(7, const, {"media_type": "audio/pcm16le", "sample_rate": 16_000, "n_channels": 1})],
+        "doc_id long, audio binary, audio_meta struct<media_type:string,sample_rate:int,n_channels:int>",
+    )
+    out = mm.resample_audio(cdf, 8_000).collect()[0]
+    vals = np.frombuffer(out["audio"], dtype="<i2")
+    assert (vals == 1234).all()
