@@ -483,11 +483,12 @@ def simhash_neardup_pairs(
     """SimHash near-dup pairs: (id_a < id_b, hamming) with hamming
     distance ≤ ``max_dist`` between ``bits``-wide simhash signatures.
 
-    Candidate generation is 4-band banding (bits/4 each) — by
-    pigeonhole, any pair within distance 3 agrees on ≥1 of the 4 bands
-    (3 flipped bits touch ≤3 bands), so the band equi-join finds EVERY
-    qualifying pair: banding is exact, not approximate (``max_dist``
-    must stay ≤3). Verification is one integer op per candidate:
+    Candidate generation is ``max_dist+1``-band banding — by
+    pigeonhole, any pair within distance d ≤ max_dist agrees on ≥1 of
+    the max_dist+1 bands (d flipped bits touch ≤ d bands), so the band
+    equi-join finds EVERY qualifying pair: banding is exact, not
+    approximate, at any max_dist with bits % (max_dist+1) == 0.
+    Verification is one integer op per candidate:
     bit_count(sig_a XOR sig_b).
 
     Scale shape: signatures materialize first (doc_id + one long — the
@@ -496,10 +497,15 @@ def simhash_neardup_pairs(
     hamming verification runs on the joined ints before the distinct.
     Default 32-bit: 16 bits puts ~12% of ALL pairs within distance 3
     at sf0.1 (a quadratic blowup); 32 bits keeps candidates ≈ true
-    near-dups."""
-    if not 0 <= max_dist <= 3:
-        raise ValueError(f"banding guarantees completeness only for max_dist<=3: {max_dist}")
-    band_w = 2 ** (bits // 4)
+    near-dups. Larger max_dist ⇒ more, narrower bands ⇒ bigger
+    candidate sets — the standard recall/cost dial."""
+    n_bands = max_dist + 1
+    if max_dist < 0 or bits % n_bands != 0:
+        raise ValueError(
+            f"banding needs max_dist >= 0 and bits divisible by max_dist+1: "
+            f"bits={bits}, max_dist={max_dist}"
+        )
+    band_w = 2 ** (bits // n_bands)
     sigs = simhash_signatures(df, bits=bits, text_col=text_col, id_col=id_col)
     bands = sigs.select(
         id_col,
@@ -510,7 +516,7 @@ def simhash_neardup_pairs(
                     F.lit(i).alias("band_idx"),
                     (F.floor(F.col("sig") / (band_w**i)) % band_w).cast("long").alias("band_val"),
                 )
-                for i in range(4)
+                for i in range(n_bands)
             ])
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_val")

@@ -124,6 +124,26 @@ def test_contamination_spans_touching_spans_merge(spark):
     assert out == [(0, 6)]
 
 
+def test_simhash_banding_generalizes_max_dist(spark):
+    """Pigeonhole completeness at max_dist=7 (8 bands of 4 bits):
+    banded candidates must equal the brute-force hamming filter."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(120)
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.simhash_signatures(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_neardup_pairs(docs, max_dist=7).collect()
+    }
+    assert banded == brute
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_neardup_pairs(docs, max_dist=2)  # 32 % 3 != 0
+
+
 def _brute_components(pairs):
     """Driver-side union-find oracle."""
     parent = {}
