@@ -228,6 +228,36 @@ def st_transform_4326_to_utm(
     return easting, northing
 
 
+def st_transform_4326_to_utm_auto(
+    lon: Column, lat: Column
+) -> tuple[Column, Column, Column]:
+    """Per-point zone-aware UTM: (zone, easting, northing) with each
+    point projected in ITS OWN zone — the Krüger series is
+    zone-independent once λ is measured from the zone's central
+    meridian, so the zone (and λ0) are just more column expressions;
+    the whole thing stays one codegen'd projection. Northing uses the
+    hemisphere-correct false northing."""
+    zone = (F.floor((lon + 180.0) / 6.0).cast("int") % 60 + 1).alias("utm_zone")
+    lam0 = F.radians(zone * 6 - 183)
+    phi = F.radians(lat)
+    lam = F.radians(lon) - lam0
+    sin_phi = F.sin(phi)
+    e2rtn = 2.0 * math.sqrt(_N3) / (1.0 + _N3)
+    t = F.sinh(F.atanh(sin_phi) - F.lit(e2rtn) * F.atanh(F.lit(e2rtn) * sin_phi))
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.atanh(F.sin(lam) / F.sqrt(1 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(2 * j * xi_p) * F.cosh(2 * j * eta_p)
+        eta = eta + F.lit(a) * F.cos(2 * j * xi_p) * F.sinh(2 * j * eta_p)
+    easting = F.lit(_UTM_E0) + F.lit(_UTM_K0 * _TM_A) * eta
+    northing = F.lit(_UTM_K0 * _TM_A) * xi + F.when(
+        lat >= 0, F.lit(0.0)
+    ).otherwise(F.lit(_UTM_N0_SOUTH))
+    return zone, easting, northing
+
+
 def st_transform_utm_to_4326(
     easting: Column, northing: Column, zone: int, north: bool = True
 ) -> tuple[Column, Column]:

@@ -90,3 +90,26 @@ def test_utm_plan_stays_in_codegen(spark):
     e, n = st_transform_4326_to_utm(F.col("lon"), F.col("lat"), 32)
     plan = df.select(e.alias("e"), n.alias("n"))._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_auto_zone_matches_fixed_zone(spark):
+    from gedixr_spark.geo import st_transform_4326_to_utm_auto
+
+    pts = [(7.5, 48.0), (9.0, 45.0), (11.99, 51.0),   # zone 32 north
+           (8.0, -20.0),                               # zone 32 south
+           (13.0, 48.0)]                               # zone 33
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    z, e, n = st_transform_4326_to_utm_auto(F.col("lon"), F.col("lat"))
+    rows = df.select("lon", "lat", z, e.alias("e"), n.alias("n")).collect()
+    for r in rows:
+        zone = r["utm_zone"]
+        assert zone == utm_zone(r["lon"])
+        ef, nf = st_transform_4326_to_utm(
+            F.col("lon"), F.col("lat"), zone, north=r["lat"] >= 0
+        )
+        [fixed] = (
+            spark.createDataFrame([(r["lon"], r["lat"])], "lon double, lat double")
+            .select(ef.alias("e"), nf.alias("n"))
+            .collect()
+        )
+        assert abs(r["e"] - fixed["e"]) < 1e-6 and abs(r["n"] - fixed["n"]) < 1e-6
