@@ -66,18 +66,26 @@ def _default_client():  # pragma: no cover - requires network + harmony-py
 
 def bbox_from_vector(path_or_wkt: str) -> tuple[float, float, float, float]:
     """Coarse bbox for the Harmony spatial subset (reference
-    download.py:199-235: vector → total_bounds). Accepts a WKT polygon
-    or a GeoJSON file path (pure-json, matching sources/vector.py)."""
-    if path_or_wkt.lstrip().upper().startswith("POLYGON"):
-        return polygon_bounds(parse_wkt_polygon(path_or_wkt))
+    download.py:199-235: vector → total_bounds). Accepts WKT
+    POLYGON/MULTIPOLYGON (holes allowed) or a GeoJSON file path
+    (pure-json, Polygon/MultiPolygon, matching sources/vector.py)."""
+    from gedixr_spark.geo import parse_wkt_rings, rings_bounds
+
+    stripped = path_or_wkt.lstrip().upper()
+    if stripped.startswith("POLYGON") or stripped.startswith("MULTIPOLYGON"):
+        return rings_bounds(parse_wkt_rings(path_or_wkt))
     doc = json.loads(Path(path_or_wkt).read_text())
     feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
     xs, ys = [], []
     for feat in feats:
         geom = feat.get("geometry", feat)
-        for x, y in geom["coordinates"][0]:
-            xs.append(x)
-            ys.append(y)
+        polys = (
+            [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
+        )
+        for rings in polys:
+            for x, y in rings[0]:
+                xs.append(x)
+                ys.append(y)
     return min(xs), min(ys), max(xs), max(ys)
 
 

@@ -38,6 +38,36 @@ def test_bbox_from_wkt():
     assert bbox_from_vector("POLYGON ((0 1, 2 1, 2 3, 0 3, 0 1))") == (0, 1, 2, 3)
 
 
+def test_bbox_from_wkt_multipolygon_and_holes():
+    # bbox spans all parts; interior rings never widen it
+    assert bbox_from_vector(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 7, 5 7, 5 5)))"
+    ) == (0, 0, 6, 7)
+    assert bbox_from_vector(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    ) == (0, 0, 4, 4)
+
+
+def test_bbox_from_geojson_multipolygon(tmp_path):
+    import json
+
+    path = tmp_path / "aoi.geojson"
+    path.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [[[0, 0], [3, 0], [3, 1], [0, 1], [0, 0]]],
+                    [[[-2, 4], [1, 4], [1, 6], [-2, 6], [-2, 4]]],
+                ],
+            },
+        }],
+    }))
+    assert bbox_from_vector(str(path)) == (-2, 0, 3, 6)
+
+
 def test_download_submits_and_checkpoints(tmp_path):
     client = FakeHarmonyClient(granules=["GEDI02_B_x_V002.h5"])
     paths, job_id = download_data(
