@@ -292,34 +292,30 @@ def q_spatial_join_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("aoi_name", "shot", "longitude", "latitude")
 
 
-def q_merge_l2a_l2b_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 inner product merge on (shot, acq_time) with pandas-style
-    suffixes on colliding non-key columns (xr.py:56-112)."""
+def q_merge_l2a_l2b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 product merge on (shot, acq_time) with pandas-style suffixes
+    on colliding non-key columns (xr.py:56-112), BOTH join modes in one
+    labeled union: how='inner' and how='left' (unmatched L2B shots keep
+    NULL L2A columns) over the identical wide projection — one registry
+    slot, both semantics + the suffix collision driver-checked."""
     l2a = shots_l2a(spark, sf_dir).filter(F.col("shot_number") % 5 != 0).drop("shot_number")
     l2b = shots_l2b(spark, sf_dir).filter(F.col("shot_number") % 4 != 0).drop("shot_number")
-    j = merge_products(
-        l2b.select("shot", "acq_time", "sensitivity", "tcc", "fhd", "pai", "rh100"),
-        l2a.select("shot", "acq_time", "sensitivity", "rh98"),
-        how="inner",
-        on=("shot", "acq_time"),
-    )
-    return j.select(
-        "shot", "acq_time", "rh98", "tcc", "fhd", "pai", "rh100",
-        "sensitivity_l2b", "sensitivity_l2a",
-    )
-
-
-def q_merge_l2a_l2b_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 with how='left' — unmatched L2B shots keep NULL L2A columns."""
-    l2a = shots_l2a(spark, sf_dir).filter(F.col("shot_number") % 5 != 0).drop("shot_number")
-    l2b = shots_l2b(spark, sf_dir).filter(F.col("shot_number") % 4 != 0).drop("shot_number")
-    j = merge_products(
-        l2b.select("shot", "acq_time", "tcc"),
-        l2a.select("shot", "acq_time", "rh98"),
-        how="left",
-        on=("shot", "acq_time"),
-    )
-    return j.select("shot", "acq_time", "tcc", "rh98")
+    parts = []
+    for how in ("inner", "left"):
+        j = merge_products(
+            l2b.select("shot", "acq_time", "sensitivity", "tcc", "fhd", "pai", "rh100"),
+            l2a.select("shot", "acq_time", "sensitivity", "rh98"),
+            how=how,
+            on=("shot", "acq_time"),
+        )
+        parts.append(
+            j.select(
+                F.lit(how).alias("how"),
+                "shot", "acq_time", "rh98", "tcc", "fhd", "pai", "rh100",
+                "sensitivity_l2b", "sensitivity_l2a",
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def q_merge_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +577,7 @@ ORACLES: dict[str, str] = {
           WHERE (longitude BETWEEN 1 AND 4 AND latitude BETWEEN 43 AND 51)
              OR (longitude BETWEEN 5 AND 9 AND latitude BETWEEN 43 AND 51)
     """,
-    "merge_l2a_l2b_inner": f"""
+    "merge_l2a_l2b": f"""
         WITH l2a AS (
           SELECT shot, acq_time, sensitivity, rh98 FROM ({SHOTS_L2A_SQL})
           WHERE shot_number % 5 <> 0
@@ -590,18 +586,12 @@ ORACLES: dict[str, str] = {
           SELECT shot, acq_time, sensitivity, tcc, fhd, pai, rh100 FROM ({SHOTS_L2B_SQL})
           WHERE shot_number % 4 <> 0
         )
-        SELECT l2b.shot, l2b.acq_time, rh98, tcc, fhd, pai, rh100,
+        SELECT 'inner' AS how, l2b.shot, l2b.acq_time, rh98, tcc, fhd, pai, rh100,
                l2b.sensitivity AS sensitivity_l2b, l2a.sensitivity AS sensitivity_l2a
         FROM l2b JOIN l2a ON l2b.shot = l2a.shot AND l2b.acq_time = l2a.acq_time
-    """,
-    "merge_l2a_l2b_left": f"""
-        WITH l2a AS (
-          SELECT shot, acq_time, rh98 FROM ({SHOTS_L2A_SQL}) WHERE shot_number % 5 <> 0
-        ),
-        l2b AS (
-          SELECT shot, acq_time, tcc FROM ({SHOTS_L2B_SQL}) WHERE shot_number % 4 <> 0
-        )
-        SELECT l2b.shot, l2b.acq_time, tcc, rh98
+        UNION ALL
+        SELECT 'left' AS how, l2b.shot, l2b.acq_time, rh98, tcc, fhd, pai, rh100,
+               l2b.sensitivity AS sensitivity_l2b, l2a.sensitivity AS sensitivity_l2a
         FROM l2b LEFT JOIN l2a ON l2b.shot = l2a.shot AND l2b.acq_time = l2a.acq_time
     """,
     "merge_keyed": f"""
@@ -718,8 +708,7 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_subset": q_bbox_subset,
         "spatial_join_aoi": q_spatial_join_aoi,
         "spatial_join_holed": q_spatial_join_holed,
-        "merge_l2a_l2b_inner": q_merge_l2a_l2b_inner,
-        "merge_l2a_l2b_left": q_merge_l2a_l2b_left,
+        "merge_l2a_l2b": q_merge_l2a_l2b,
         "merge_keyed": q_merge_keyed,
         "filter_stats": q_filter_stats,
         "grid_aggregate": q_grid_aggregate,

@@ -301,15 +301,60 @@ def q_tumbling_hourly(spark, sf_dir):
     return events.tumbling_agg(_t(spark, sf_dir, "events"))
 
 
-def q_sliding_2h(spark, sf_dir):
-    """2h windows every 1h — the width=slide·2 case."""
-    return events.sliding_agg(_t(spark, sf_dir, "events"), 120, 60)
+def q_sliding_windows(spark, sf_dir):
+    """Sliding windows at two grids in one labeled union: 2h every 1h
+    (the width=slide·2 case) and 3h every 30m (the general
+    ceil(width/slide)=6 bucket explosion). One registry slot, both
+    parameterizations driver-checked."""
+    e = _t(spark, sf_dir, "events")
+    a = events.sliding_agg(e, 120, 60).select(F.lit("120m_60m").alias("win"), "*")
+    b = events.sliding_agg(e, 180, 30).select(F.lit("180m_30m").alias("win"), "*")
+    return a.unionByName(b)
 
 
-def q_sliding_3h_30m(spark, sf_dir):
-    """3h windows every 30m — exercises the general ceil(width/slide)
-    bucket explosion (6 windows per event) at a different grid."""
-    return events.sliding_agg(_t(spark, sf_dir, "events"), 180, 30)
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/events.py:asof_join): each event gets the
+    most recent strictly-earlier purchase of the same user. Right side
+    pre-aggregated to one row per (user, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = events.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purch,
+        key_col="user_id",
+        ts_col="ts",
+        strict=True,
+        prefix="last_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_ts").alias("last_purchase_ts"),
+        F.col("last_purchase_value"),
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """Range join (operators/events.py:interval_join): every error
+    event opens a 30-minute incident window; count + exact value sum
+    of ALL events inside each window via the bucketed equi-join."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(F.unix_micros("ts") + F.lit(30 * 60_000_000)).alias("end_ts"),
+    )
+    ij = events.interval_join(e.select("ts", "value"), iv, bucket_minutes=30)
+    return ij.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        events._exact_sum("value").alias("sum_value"),
+    )
 
 
 def q_session_stats(spark, sf_dir):
@@ -942,27 +987,49 @@ def build_oracles() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
-        "sliding_2h": """
-            WITH exploded AS (
+        "sliding_windows": """
+            WITH e2h AS (
               SELECT unnest([date_trunc('hour', ts),
                              date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
                      value
               FROM events
-            )
-            SELECT window_start, count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            FROM exploded GROUP BY 1
-        """,
-        "sliding_3h_30m": """
-            WITH exploded AS (
+            ),
+            e3h AS (
               SELECT make_timestamp(((epoch_us(ts) // 1800000000) * 1800000000)
                                     - j * 1800000000) AS window_start,
                      value
               FROM events, range(0, 6) AS t(j)
             )
-            SELECT window_start, count(*) AS n_events,
+            SELECT '120m_60m' AS win, window_start, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            FROM exploded GROUP BY 1
+            FROM e2h GROUP BY 2
+            UNION ALL
+            SELECT '180m_30m' AS win, window_start, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM e3h GROUP BY 2
+        """,
+        "asof_join": """
+            WITH purch AS (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS last_purchase_ts,
+                   p.purchase_value AS last_purchase_value
+            FROM events e ASOF LEFT JOIN purch p
+              ON e.user_id = p.user_id AND p.ts < e.ts
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT event_id AS incident_id, ts AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT iv.incident_id, count(*) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM iv JOIN events e
+              ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+            GROUP BY 1
         """,
         "event_enrich": """
             WITH lagged AS (
@@ -1058,8 +1125,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_partitions": q_ann_partitions,
         "ivf_ann_topk": q_ivf_ann_topk,
         "tumbling_hourly": q_tumbling_hourly,
-        "sliding_2h": q_sliding_2h,
-        "sliding_3h_30m": q_sliding_3h_30m,
+        "sliding_windows": q_sliding_windows,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "session_stats": q_session_stats,
         "event_enrich": q_event_enrich,
         "top_users": q_top_users,

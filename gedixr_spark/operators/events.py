@@ -126,6 +126,131 @@ def top_users_by_activity(df: DataFrame, k: int = 10, user_col: str = "user_id")
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    strict: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row of
+    the same key with ``right.ts < left.ts`` (``strict=True``) or
+    ``<= left.ts`` (``strict=False``); left rows with no earlier right
+    row keep NULLs. The operator Spark's DataFrame API lacks natively
+    (pandas has merge_asof; DuckDB has ASOF JOIN).
+
+    Implementation is the scale-correct union+window formulation rather
+    than a range join: tag both inputs, union them, and run ONE window
+    pass partitioned by key and ordered by (ts, side) taking the last
+    non-null right payload. That is a single hash shuffle on the key +
+    an in-partition sort — no range explosion, no nested-loop join,
+    and it streams at 100 TB the same way sessionization does. The
+    strict/inclusive tie rule is encoded purely in the sort order of
+    the side tag, so equal-timestamp semantics are deterministic.
+
+    Right payload columns ride in ONE struct column so the matched row
+    is picked atomically (per-column ``last(ignorenulls)`` could mix
+    columns from different right rows when right values are NULL).
+
+    Requires right to be unique per (key, ts) — pre-aggregate
+    otherwise (any tie-break here would be engine-defined).
+
+    Skew note: one partition must hold each key's full history; for a
+    pathological hot key, range-partition by (key, coarse time bucket)
+    and carry the previous bucket's last right row forward (the
+    streaming variant's state hand-off) — documented, not needed at
+    contract scale.
+    """
+    rc = [c for c in right.columns if c not in (key_col, ts_col)]
+    # sort tag: lower sorts first ⇒ visible to later rows of same ts.
+    # strict: left(0) before right(1) at equal ts ⇒ right invisible.
+    # inclusive: right(0) before left(1) ⇒ right visible.
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    payload = F.struct(F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in rc])
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(right_tag).alias("__tag"),
+        payload.alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == left_tag).select(
+        *left.columns,
+        F.col("__m.ts").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in rc],
+    )
+    return out
+
+
+def interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    bucket_minutes: int,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Range (interval) join: fact rows × interval rows with
+    ``start <= ts < end``, as a bucketed EQUI-join instead of the
+    BroadcastNestedLoopJoin Spark plans for a raw inequality join.
+
+    Each fact row maps to exactly one ``bucket_minutes`` time bucket;
+    each interval explodes to every bucket it overlaps (``sequence``
+    over the integer bucket range — arbitrary interval lengths
+    supported, an interval spanning B buckets costs B rows). The join
+    is then a plain hash equi-join on the bucket key refined by the
+    exact range predicate, so a fact row can match an interval in only
+    one bucket — exactly-once without dedup. Pick ``bucket_minutes``
+    near the typical interval length: too small inflates the interval
+    explode, too large inflates per-bucket fan-in. Time-clustered
+    workloads skew bucket keys — AQE skew-join or salting the bucket
+    handles it (operators/skew.py).
+
+    Output: all fact columns + all interval columns.
+    """
+    if bucket_minutes <= 0:
+        raise ValueError(f"bucket_minutes must be positive: {bucket_minutes}")
+    b = F.lit(bucket_minutes * 60_000_000)
+
+    def bucket_of(us):
+        # floor division in exact long arithmetic; pmod keeps floor
+        # semantics for pre-1970 (negative-epoch) timestamps
+        return ((us - F.pmod(us, b)) / b).cast("long")
+
+    fb = fact.withColumn("__fbucket", bucket_of(F.unix_micros(F.col(ts_col))))
+    ib = intervals.withColumn(
+        "__ibucket",
+        F.explode(
+            F.sequence(
+                bucket_of(F.unix_micros(F.col(start_col))),
+                # end is exclusive: last covered bucket holds end-1µs
+                bucket_of(F.unix_micros(F.col(end_col)) - F.lit(1)),
+            )
+        ),
+    )
+    joined = fb.join(
+        ib,
+        on=[
+            F.col("__fbucket") == F.col("__ibucket"),
+            F.col(ts_col) >= F.col(start_col),
+            F.col(ts_col) < F.col(end_col),
+        ],
+    )
+    return joined.drop("__fbucket", "__ibucket")
+
+
 def json_props_extract(df: DataFrame, key: str = "k", props_col: str = "props") -> DataFrame:
     """Scalar JSON extraction from the props column (string JSON), as a
     typed column — the event-enrichment projection."""

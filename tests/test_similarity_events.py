@@ -102,3 +102,94 @@ def test_sliding_agg_two_buckets_per_event(spark):
 def test_top_users(spark):
     out = events.top_users_by_activity(_events(spark), k=1).collect()
     assert len(out) == 1 and out[0]["user_id"] == 1 and out[0]["n_events"] == 3
+
+
+# ---------------------------------------------------------------------------
+# As-of join / interval join
+# ---------------------------------------------------------------------------
+
+
+def _ts(minute, hour=12, day=1):
+    return datetime.datetime(2024, 1, day, hour, minute)
+
+
+def test_asof_join_strict_vs_inclusive_tie(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 7), (2, _ts(20), 7)], ["event_id", "ts", "user_id"]
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(10), 100.0), (7, _ts(15), 200.0)], ["user_id", "ts", "v"]
+    )
+    strict = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join(left, right, strict=True).collect()
+    }
+    # at equal ts the right row is invisible under strict <
+    assert strict[1] is None and strict[2] == 200.0
+    incl = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join(left, right, strict=False).collect()
+    }
+    assert incl[1] == 100.0 and incl[2] == 200.0
+
+
+def test_asof_join_no_earlier_right_is_null(spark):
+    left = spark.createDataFrame([(1, _ts(5), 7)], ["event_id", "ts", "user_id"])
+    right = spark.createDataFrame([(7, _ts(30), 1.0)], ["user_id", "ts", "v"])
+    (row,) = events.asof_join(left, right).collect()
+    assert row["asof_ts"] is None and row["asof_v"] is None
+
+
+def test_asof_join_keys_do_not_cross(spark):
+    left = spark.createDataFrame([(1, _ts(30), 8)], ["event_id", "ts", "user_id"])
+    right = spark.createDataFrame([(7, _ts(10), 1.0)], ["user_id", "ts", "v"])
+    (row,) = events.asof_join(left, right).collect()
+    assert row["asof_v"] is None
+
+
+def test_asof_join_picks_whole_row_atomically(spark):
+    # the matched right row carries a NULL payload column: per-column
+    # last(ignorenulls) would reach back to the older row for that
+    # column; the struct formulation must not
+    left = spark.createDataFrame([(1, _ts(30), 7)], ["event_id", "ts", "user_id"])
+    right = spark.createDataFrame(
+        [(7, _ts(10), 1.0, "old"), (7, _ts(20), None, "new")],
+        ["user_id", "ts", "v", "tag"],
+    )
+    (row,) = events.asof_join(left, right).collect()
+    assert row["asof_tag"] == "new" and row["asof_v"] is None
+
+
+def test_interval_join_boundary_semantics(spark):
+    fact = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(30)), (3, _ts(59)), (4, _ts(0, hour=13))],
+        ["event_id", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [(100, _ts(0), _ts(0, hour=13))], ["iid", "start_ts", "end_ts"]
+    )
+    got = {
+        r["event_id"]
+        for r in events.interval_join(fact, iv, bucket_minutes=15).collect()
+    }
+    # start inclusive, end exclusive; interval spans 4 buckets at 15 min
+    assert got == {1, 2, 3}
+
+
+def test_interval_join_matches_exactly_once_across_buckets(spark):
+    fact = spark.createDataFrame([(1, _ts(7))], ["event_id", "ts"])
+    iv = spark.createDataFrame(
+        [(100, _ts(0), _ts(0, hour=14))], ["iid", "start_ts", "end_ts"]
+    )
+    rows = events.interval_join(fact, iv, bucket_minutes=5).collect()
+    assert len(rows) == 1  # interval exploded to 24 buckets, joined once
+
+
+def test_interval_join_pre_epoch_floor(spark):
+    t0 = datetime.datetime(1969, 12, 31, 23, 50)
+    t1 = datetime.datetime(1970, 1, 1, 0, 10)
+    fact = spark.createDataFrame([(1, datetime.datetime(1969, 12, 31, 23, 55))],
+                                 ["event_id", "ts"])
+    iv = spark.createDataFrame([(100, t0, t1)], ["iid", "start_ts", "end_ts"])
+    rows = events.interval_join(fact, iv, bucket_minutes=30).collect()
+    assert len(rows) == 1  # negative-epoch bucket floors, not truncates
