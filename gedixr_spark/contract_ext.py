@@ -108,12 +108,36 @@ def q_dedup_apply(spark, sf_dir):
     return dedup.apply_dedup(docs, clusters).select("doc_id", "lang", "source")
 
 
-def q_hash_split(spark, sf_dir):
-    """Deterministic train/val/test split by md5 bucket (90/5/5)."""
+def q_deterministic_splits(spark, sf_dir):
+    """Both deterministic-sampling surfaces in one labeled union:
+    md5-bucket train/val/test split (90/5/5) and per-language
+    stratified sample (en 50% / de 30% / fr 20%, others dropped) —
+    map-side predicates, no RNG, one registry slot."""
     from gedixr_spark.operators import sampling
 
-    df = sampling.hash_split(_t(spark, sf_dir, "documents"))
-    return df.select("doc_id", "bucket", "split")
+    docs = _t(spark, sf_dir, "documents")
+    a = sampling.hash_split(docs).select(
+        F.lit("hash_split").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "bucket",
+        "split",
+    )
+    b = sampling.stratified_sample(docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}).select(
+        F.lit("stratified").alias("op"),
+        "doc_id",
+        "lang",
+        "bucket",
+        F.lit(None).cast("string").alias("split"),
+    )
+    return a.unionByName(b)
+
+
+def q_substring_dedup_spans(spark, sf_dir):
+    """Cross-doc exact substring spans (operators/text.py:
+    substring_dedup_spans): verbatim 5-gram runs shared across ≥2
+    docs, merged to maximal (doc_id, span_start, span_end) ranges."""
+    return text.substring_dedup_spans(_t(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -170,17 +194,6 @@ def q_blocklist_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = text.blocklist_filter(docs, ["src3", "src7", "src13"])
     return out.select("doc_id", "source")
-
-
-def q_stratified_sample(spark, sf_dir):
-    """Per-language deterministic sample (en 50% / de 30% / fr 20%,
-    other languages dropped) — one map-side predicate, no RNG."""
-    from gedixr_spark.operators import sampling
-
-    df = sampling.stratified_sample(
-        _t(spark, sf_dir, "documents"), "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}
-    )
-    return df.select("doc_id", "lang", "bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -701,32 +714,71 @@ def build_oracles() -> dict[str, str]:
                    (node = min(r)) AS is_survivor
             FROM reach GROUP BY node
         """,
-        "hash_split": f"""
-            WITH b AS (
+        "deterministic_splits": f"""
+            WITH hs AS (
               SELECT doc_id,
                      ({_hex4_sql("md5(concat('split|', CAST(doc_id AS VARCHAR)))")} * 10000) // 65536
                        AS bucket
               FROM documents
-            )
-            SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
-                   CASE WHEN bucket < 9000 THEN 'train'
-                        WHEN bucket < 9500 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b
-        """,
-        "stratified_sample": f"""
-            WITH b AS (
+            ),
+            ss AS (
               SELECT doc_id, lang,
                      ({_hex4_sql("md5(concat('sample|', CAST(doc_id AS VARCHAR)))")} * 10000) // 65536
                        AS bucket
               FROM documents
             )
-            SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
-            FROM b
+            SELECT 'hash_split' AS op, doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   CAST(bucket AS INTEGER) AS bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM hs
+            UNION ALL
+            SELECT 'stratified' AS op, doc_id, lang,
+                   CAST(bucket AS INTEGER) AS bucket, CAST(NULL AS VARCHAR) AS split
+            FROM ss
             WHERE bucket < CASE lang WHEN 'en' THEN 5000
                                      WHEN 'de' THEN 3000
                                      WHEN 'fr' THEN 2000
                                      ELSE -1 END
+        """,
+        "substring_dedup_spans": f"""
+            WITH pos AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len({_TOKENS}) - 3),
+                            i -> {{'pos': i - 1,
+                                   'sh': concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1],
+                                                   {_TOKENS}[i+2], {_TOKENS}[i+3],
+                                                   {_TOKENS}[i+4])}}))
+                       AS u
+              FROM documents
+            ),
+            dup AS (
+              SELECT u.sh AS sh FROM pos
+              GROUP BY u.sh HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT doc_id, CAST(u.pos AS INTEGER) AS span_start,
+                     CAST(u.pos + 5 AS INTEGER) AS span_end
+              FROM pos JOIN dup ON u.sh = dup.sh
+            ),
+            m AS (
+              SELECT doc_id, span_start, span_end,
+                     max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, span_start, span_end,
+                     sum(CASE WHEN prev_end IS NULL OR span_start > prev_end
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY span_start
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM m
+            )
+            SELECT doc_id, min(span_start) AS span_start, max(span_end) AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
         "tfidf_topk": f"""
             WITH toks AS (
@@ -1109,8 +1161,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
+        "deterministic_splits": q_deterministic_splits,
+        "substring_dedup_spans": q_substring_dedup_spans,
         "repetition": q_repetition,
         "contamination": q_contamination,
         "contamination_spans": q_contamination_spans,

@@ -298,6 +298,17 @@ def contamination_spans(
     hits = pos_sh.join(bench_sh, "shingle").select(
         id_col, "span_start", (F.col("span_start") + n).alias("span_end")
     )
+    return _merge_spans(hits, id_col)
+
+
+def _merge_spans(hits: DataFrame, id_col: str) -> DataFrame:
+    """Interval-merge (doc_id, span_start, span_end) hit rows into
+    maximal non-overlapping spans: one window per doc ordered by
+    span_start (running max of prior span_end → island ids → min/max
+    per island). span_start values are unique per doc (one shingle per
+    token position), so the ordering is deterministic."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("span_start")
     prev_end = F.max("span_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     new_island = F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0)
@@ -310,6 +321,53 @@ def contamination_spans(
         .agg(F.min("span_start").alias("span_start"), F.max("span_end").alias("span_end"))
         .select(id_col, "span_start", "span_end")
     )
+
+
+def substring_dedup_spans(
+    corpus: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact substring duplication: WHICH token ranges
+    of each doc are verbatim n-gram runs shared with ≥ ``min_docs-1``
+    OTHER docs — the distributed n-gram approximation of
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every shared
+    substring of ≥ n tokens is covered by shared n-grams, and merged
+    hit runs recover the maximal duplicated spans.
+
+    Returns (doc_id, span_start, span_end): 0-based token ranges, end
+    exclusive, overlapping hits merged. Repeats WITHIN a single doc
+    don't count (that is ``repetition_signals``'s job).
+
+    Plan: positional shingles explode map-side with the shingle
+    md5-hashed immediately (compact 128-bit keys through every
+    exchange — never the raw text, the codegen/shuffle-width rule);
+    one hash agg finds shingles in ≥ min_docs distinct docs; hits
+    join back on the hash; then the per-doc interval merge. Three
+    shuffles, all on compact keys, corpus text never shuffles. The
+    duplicated-shingle set is NOT broadcast — at 100 TB it is
+    corpus-sized, and the equi-join handles it; AQE/salting cover
+    hot shingles (boilerplate n-grams are the classic skew key)."""
+    pos = corpus.select(
+        F.col(id_col), F.explode(word_shingle_positions(text_col, n)).alias("ps")
+    ).select(
+        id_col,
+        F.col("ps.pos").alias("span_start"),
+        F.md5(F.col("ps.shingle")).alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select(
+        id_col, "span_start", (F.col("span_start") + n).alias("span_end")
+    )
+    return _merge_spans(hits, id_col)
 
 
 # PII patterns chosen for engine portability: the same pattern strings

@@ -114,3 +114,49 @@ def test_simhash_max_dist_validated(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.simhash_neardup_pairs(df, max_dist=4)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact substring spans
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_substring_dedup_spans_shared_run_merges(spark):
+    # docs 1 and 2 share a 7-token verbatim run -> three overlapping
+    # 5-gram hits merge into one maximal span of length 7
+    shared = "a b c d e f g"
+    df = _docs(spark, [
+        (1, f"x1 y1 {shared} z1"),
+        (2, f"{shared} q r s"),
+        (3, "nothing in common here at all ok"),
+    ])
+    out = {r["doc_id"]: (r["span_start"], r["span_end"])
+           for r in text.substring_dedup_spans(df, n=5).collect()}
+    assert out[1] == (2, 9)   # after the 2-token prefix
+    assert out[2] == (0, 7)
+    assert 3 not in out
+
+
+def test_substring_dedup_spans_within_doc_repeat_ignored(spark):
+    # a 5-gram repeated twice INSIDE one doc is not cross-doc dup
+    df = _docs(spark, [
+        (1, "p q r s t p q r s t"),
+        (2, "u v w x y z a b c d"),
+    ])
+    assert text.substring_dedup_spans(df, n=5).count() == 0
+
+
+def test_substring_dedup_spans_min_docs(spark):
+    shared = "m n o p q"
+    df = _docs(spark, [
+        (1, f"{shared} one"),
+        (2, f"{shared} two"),
+        (3, f"{shared} three"),
+        (4, "unrelated words only here five"),
+    ])
+    assert text.substring_dedup_spans(df, n=5, min_docs=3).count() == 3
+    assert text.substring_dedup_spans(df, n=5, min_docs=4).count() == 0
