@@ -310,8 +310,13 @@ def q_word_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_tumbling_hourly(spark, sf_dir):
-    return events.tumbling_agg(_t(spark, sf_dir, "events"))
+def q_time_rollup(spark, sf_dir):
+    """Multi-resolution rollup (operators/events.py:rollup_agg): one
+    grouping-sets pass over (day, hour, event_type) — the lvl=0 rows
+    ARE the hourly tumbling aggregate (hour implies day), so this slot
+    subsumes the former tumbling_hourly query and adds the day /
+    grand-total grains."""
+    return events.rollup_agg(_t(spark, sf_dir, "events"))
 
 
 def q_sliding_windows(spark, sf_dir):
@@ -1032,12 +1037,17 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT token, n, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 20
         """,
-        "tumbling_hourly": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events,
+        "time_rollup": """
+            SELECT CAST(GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
+                                 event_type) AS INTEGER) AS lvl,
+                   -- DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   date_trunc('hour', ts) AS hour,
+                   event_type, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                    count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY 1, 2
+            FROM events
+            GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts), event_type)
         """,
         "sliding_windows": """
             WITH e2h AS (
@@ -1176,7 +1186,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_partitions": q_ann_partitions,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "tumbling_hourly": q_tumbling_hourly,
+        "time_rollup": q_time_rollup,
         "sliding_windows": q_sliding_windows,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,

@@ -126,6 +126,42 @@ def top_users_by_activity(df: DataFrame, k: int = 10, user_col: str = "user_id")
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def rollup_agg(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: counts, exact value
+    sums and distinct users at (day, hour, event_type), (day, hour),
+    (day) and grand-total grains in ONE pass via ``rollup`` (grouping
+    sets). ``lvl`` is the grouping_id bitmask (0 = finest); grouped-out
+    keys are NULL, the grouping-sets convention.
+
+    Plan: Catalyst expands the input ×4 (Expand node) then runs one
+    partial+final hash agg — a single shuffle for all four grains.
+    At 100 TB with only distributive aggs (count/sum), a cascade
+    (agg hour → re-agg day from hour partials) shuffles less data and
+    is the continuous-aggregate refresh shape; countDistinct is NOT
+    distributive, so the one-pass grouping-sets plan (which expands
+    raw rows) is the correct general form here.
+    """
+    d = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        "event_type",
+        value_col,
+        "user_id",
+    )
+    return (
+        d.rollup("day", "hour", "event_type")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_sum(value_col).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("lvl", "day", "hour", "event_type", "n_events", "sum_value", "n_users")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

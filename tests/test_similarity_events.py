@@ -193,3 +193,19 @@ def test_interval_join_pre_epoch_floor(spark):
     iv = spark.createDataFrame([(100, t0, t1)], ["iid", "start_ts", "end_ts"])
     rows = events.interval_join(fact, iv, bucket_minutes=30).collect()
     assert len(rows) == 1  # negative-epoch bucket floors, not truncates
+
+
+def test_rollup_agg_grains_consistent(spark):
+    out = events.rollup_agg(_events(spark)).collect()
+    by_lvl = {}
+    for r in out:
+        by_lvl.setdefault(r["lvl"], []).append(r)
+    # grand total row aggregates everything
+    (total,) = by_lvl[7]
+    assert total["n_events"] == 5 and total["n_users"] == 2
+    assert total["day"] is None and total["event_type"] is None
+    # finest grain sums to the same count; hour grain = lvl 1
+    assert sum(r["n_events"] for r in by_lvl[0]) == 5
+    assert sum(r["n_events"] for r in by_lvl[1]) == 5
+    # n_users is NOT additive across grains (distinct) — check directly
+    assert {r["n_users"] for r in by_lvl[3]} == {2}
