@@ -391,23 +391,18 @@ def q_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merc.unionByName(utm)
 
 
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped exact percentiles (median/p95/quartiles) — the sort-based
-    aggregation surface SURVEY §2.5 notes Spark adds for free. Exact
-    `percentile` (linear interpolation) is bit-identical to DuckDB's
-    quantile_cont on integer-valued inputs."""
+def q_beam_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-beam profile: grouped exact percentiles (median/p95/
+    quartiles — the sort-based aggregation surface SURVEY §2.5 notes
+    Spark adds for free) AND exact distinct counts, in ONE groupBy so
+    the whole profile costs a single shuffle. Exact `percentile`
+    (linear interpolation) is bit-identical to DuckDB's quantile_cont
+    on integer-valued inputs."""
     return shots_l2a(spark, sf_dir).groupBy("beam").agg(
         F.expr("percentile(elev, 0.5)").alias("elev_p50"),
         F.expr("percentile(elev, 0.95)").alias("elev_p95"),
         F.expr("percentile(rh98, 0.25)").alias("rh98_q1"),
         F.expr("percentile(rh98, 0.75)").alias("rh98_q3"),
-    )
-
-
-def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (set-op surface): distinct shots and
-    acquisition days per beam."""
-    return shots_l2a(spark, sf_dir).groupBy("beam").agg(
         F.countDistinct("shot").alias("n_shots"),
         F.countDistinct(F.to_date("acq_time")).alias("n_days"),
     )
@@ -416,32 +411,28 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct count — the 100 TB cardinality tool.
     No oracle entry on purpose: DuckDB's approx algorithm differs, so
-    the driver records the weaker rows-only check; q_distinct_counts is
+    the driver records the weaker rows-only check; q_beam_profile is
     the exact, fully-checked twin."""
     return shots_l2a(spark, sf_dir).groupBy("beam").agg(
         F.approx_count_distinct("shot").alias("approx_shots")
     )
 
 
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops (SURVEY §2.6: the reference has union only; except/
-    intersect come free), one labeled union: even-shot rows minus
-    multiple-of-3 rows, and their intersection."""
+def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole set-op surface in one labeled union (SURVEY §2.6: the
+    reference has union only; except/intersect come free): even-shot
+    rows minus multiple-of-3 rows, their intersection, and the A4
+    cross-file union (pd.concat → unionByName) of two disjoint halves
+    — every row of the union hash-checked, stronger than a per-beam
+    count."""
     df = shots_l2a(spark, sf_dir)
     a = df.filter(F.col("shot_number") % 2 == 0).select("shot", "beam")
     b = df.filter(F.col("shot_number") % 3 == 0).select("shot", "beam")
+    odd = df.filter(F.col("shot_number") % 2 == 1).select("shot", "beam")
     ex = a.exceptAll(b).select(F.lit("except").alias("op"), "shot", "beam")
     inter = a.intersectAll(b).select(F.lit("intersect").alias("op"), "shot", "beam")
-    return ex.unionByName(inter)
-
-
-def q_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: cross-file union (pd.concat → unionByName) then a per-beam
-    count over the unioned table."""
-    df = shots_l2a(spark, sf_dir)
-    a = df.filter(F.col("shot_number") % 2 == 0)
-    b = df.filter(F.col("shot_number") % 2 == 1)
-    return a.unionByName(b).groupBy("beam").agg(F.count(F.lit(1)).alias("n"))
+    uni = a.unionByName(odd).select(F.lit("union").alias("op"), "shot", "beam")
+    return ex.unionByName(inter).unionByName(uni)
 
 
 # ---------------------------------------------------------------------------
@@ -637,18 +628,13 @@ ORACLES: dict[str, str] = {
                max(longitude) AS xmax, max(latitude) AS ymax
         FROM shots
     """,
-    "percentiles": f"""
+    "beam_profile": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT beam,
                quantile_cont(elev, 0.5) AS elev_p50,
                quantile_cont(elev, 0.95) AS elev_p95,
                quantile_cont(rh98, 0.25) AS rh98_q1,
-               quantile_cont(rh98, 0.75) AS rh98_q3
-        FROM shots GROUP BY beam
-    """,
-    "distinct_counts": f"""
-        WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT beam,
+               quantile_cont(rh98, 0.75) AS rh98_q3,
                count(DISTINCT shot) AS n_shots,
                count(DISTINCT CAST(acq_time AS DATE)) AS n_days
         FROM shots GROUP BY beam
@@ -667,7 +653,7 @@ ORACLES: dict[str, str] = {
                CAST(round(northing, 0) AS BIGINT)
         FROM utm
     """,
-    "set_ops": f"""
+    "set_algebra": f"""
         WITH shots AS ({SHOTS_L2A_SQL})
         SELECT 'except' AS op, * FROM (
           SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
@@ -680,14 +666,12 @@ ORACLES: dict[str, str] = {
           INTERSECT ALL
           SELECT shot, beam FROM shots WHERE shot_number % 3 = 0
         )
-    """,
-    "union_batches": f"""
-        WITH shots AS ({SHOTS_L2A_SQL})
-        SELECT beam, count(*) AS n FROM (
-          SELECT * FROM shots WHERE shot_number % 2 = 0
+        UNION ALL
+        SELECT 'union', * FROM (
+          SELECT shot, beam FROM shots WHERE shot_number % 2 = 0
           UNION ALL
-          SELECT * FROM shots WHERE shot_number % 2 = 1
-        ) GROUP BY beam
+          SELECT shot, beam FROM shots WHERE shot_number % 2 = 1
+        )
     """,
 }
 
@@ -714,10 +698,8 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_aggregate": q_grid_aggregate,
         "dataset_bounds": q_dataset_bounds,
         "crs_transform": q_crs_transform,
-        "percentiles": q_percentiles,
-        "distinct_counts": q_distinct_counts,
-        "set_ops": q_set_ops,
-        "union_batches": q_union_batches,
+        "beam_profile": q_beam_profile,
+        "set_algebra": q_set_algebra,
     }
 
 

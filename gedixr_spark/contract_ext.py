@@ -289,20 +289,37 @@ def q_text_features(spark, sf_dir):
     )
 
 
-def q_tfidf_topk(spark, sf_dir):
-    """Top-3 characteristic terms per doc by tf·(N/df) rank."""
-    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
-
-
-def q_word_topk(spark, sf_dir):
-    """Corpus-level token frequency top-20 (explode → count → rank)."""
-    df = _t(spark, sf_dir, "documents")
-    toks = df.select(F.explode(text.tokens("text")).alias("token"))
+def q_term_rankings(spark, sf_dir):
+    """Both term-ranking surfaces in one labeled union: per-doc top-3
+    characteristic terms by tf·(N/df) rank, and corpus-level token
+    frequency top-20 (explode → count → global rank). Corpus rows
+    carry doc_id/df/tfidf = NULL so both shapes share one schema."""
     from pyspark.sql.window import Window
 
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    docs = _t(spark, sf_dir, "documents")
+    perdoc = text.tfidf_topk(docs, k=3).select(
+        F.lit("doc").alias("scope"), "doc_id", "term", "tf", "df", "tfidf", "rnk"
+    )
+    toks = docs.select(F.explode(text.tokens("text")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition partial
+    # top-k, no single-partition shuffle of the whole vocabulary);
+    # the rank window then runs over 20 rows, not the vocab.
+    top20 = counts.orderBy(F.desc("tf"), F.asc("term")).limit(20)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    corpus = (
+        top20.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.lit("corpus").alias("scope"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "term",
+            "tf",
+            F.lit(None).cast("long").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+            "rnk",
+        )
+    )
+    return perdoc.unionByName(corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +802,7 @@ def build_oracles() -> dict[str, str]:
             SELECT doc_id, min(span_start) AS span_start, max(span_end) AS span_end
             FROM isl GROUP BY doc_id, island
         """,
-        "tfidf_topk": f"""
+        "term_rankings": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
             ),
@@ -801,9 +818,21 @@ def build_oracles() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY doc_id
                                            ORDER BY tfidf DESC, term ASC) AS rnk
               FROM scored
+            ),
+            corpus AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+            cranked AS (
+              SELECT term, tf,
+                     row_number() OVER (ORDER BY tf DESC, term ASC) AS rnk
+              FROM corpus
             )
-            SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+            SELECT 'doc' AS scope, doc_id, term, tf, df, tfidf,
+                   CAST(rnk AS INTEGER) AS rnk
             FROM ranked WHERE rnk <= 3
+            UNION ALL
+            SELECT 'corpus', CAST(NULL AS BIGINT), term, tf,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(rnk AS INTEGER)
+            FROM cranked WHERE rnk <= 20
         """,
         "ann_topk": f"""
             WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
@@ -1027,16 +1056,6 @@ def build_oracles() -> dict[str, str]:
                    {lang_case_sql} AS lang_pred
             FROM documents
         """,
-        "word_topk": f"""
-            WITH tok AS (SELECT unnest({_TOKENS}) AS token FROM documents),
-            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
-            ranked AS (
-              SELECT token, n,
-                     row_number() OVER (ORDER BY n DESC, token ASC) AS rank
-              FROM counts
-            )
-            SELECT token, n, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 20
-        """,
         "time_rollup": """
             SELECT CAST(GROUPING(date_trunc('day', ts), date_trunc('hour', ts),
                                  event_type) AS INTEGER) AS lvl,
@@ -1178,9 +1197,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_spans": q_contamination_spans,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
-        "tfidf_topk": q_tfidf_topk,
+        "term_rankings": q_term_rankings,
         "text_features": q_text_features,
-        "word_topk": q_word_topk,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
