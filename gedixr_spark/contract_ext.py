@@ -108,6 +108,45 @@ def q_dedup_apply(spark, sf_dir):
     return dedup.apply_dedup(docs, clusters).select("doc_id", "lang", "source")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a new batch (doc_id ≥ 250) against the
+    already-ingested history (doc_id < 250) via the persisted
+    signature store (operators/dedup.py:incremental_dedup): exact-key
+    drop, LSH-band + exact-Jaccard-verified near drop (min matching
+    historical id), keep otherwise — without touching historical
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    hist_store = dedup.signature_store(docs.filter(F.col("doc_id") < 250), k=4)
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250),
+        hist_store,
+        threshold=0.5,
+        k=4,
+        bands=2,
+        history_is_store=True,
+    )
+
+
+def q_segment_dedup(spark, sf_dir):
+    """CCNet-style segment dedup (operators/text.py:segment_dedup):
+    10-token chunks occurring in ≥2 distinct docs are boilerplate;
+    docs are reassembled from surviving chunks in original order."""
+    return text.segment_dedup(
+        _t(spark, sf_dir, "documents"), seg_tokens=10, min_docs=2
+    )
+
+
+def q_quality_gate(spark, sf_dir):
+    """C4/Gopher document quality gate (operators/text.py:
+    filter_documents): one conjunctive codegen'd predicate — token
+    band, mean-token-length band, stopword floor, uppercase cap,
+    duplicate-token cap — over the raw corpus; survivors only."""
+    gated = text.filter_documents(_t(spark, sf_dir, "documents"))
+    return gated.select(
+        "doc_id", text.token_count("text").alias("n_tokens"), "n_chars"
+    )
+
+
 def q_deterministic_splits(spark, sf_dir):
     """Both deterministic-sampling surfaces in one labeled union:
     md5-bucket train/val/test split (90/5/5) and per-language
@@ -736,6 +775,145 @@ def build_oracles() -> dict[str, str]:
                    (node = min(r)) AS is_survivor
             FROM reach GROUP BY node
         """,
+        "incremental_dedup": f"""
+            WITH hist AS (SELECT * FROM documents WHERE doc_id < 250),
+            newb AS (SELECT * FROM documents WHERE doc_id >= 250),
+            hx AS (
+              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS exact_key,
+                     min(doc_id) AS match_id
+              FROM hist GROUP BY 1
+            ),
+            nx AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS exact_key
+              FROM newb
+            ),
+            exact AS (
+              SELECT nx.doc_id, 'drop_exact' AS action, hx.match_id
+              FROM nx JOIN hx USING (exact_key)
+            ),
+            rem AS (
+              SELECT * FROM newb
+              WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+            ),
+            shn AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM rem),
+            shh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM hist),
+            sign AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM shn GROUP BY 1
+            ),
+            sigh AS (
+              SELECT doc_id,
+                     min(md5(concat('0|', shingle))) AS mh0,
+                     min(md5(concat('1|', shingle))) AS mh1,
+                     min(md5(concat('2|', shingle))) AS mh2,
+                     min(md5(concat('3|', shingle))) AS mh3
+              FROM shh GROUP BY 1
+            ),
+            bn AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sign
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sign
+            ),
+            bh AS (
+              SELECT doc_id, md5(concat_ws('|', mh0, mh1)) AS band_key FROM sigh
+              UNION ALL
+              SELECT doc_id, md5(concat_ws('|', mh2, mh3)) AS band_key FROM sigh
+            ),
+            cand AS (
+              SELECT DISTINCT bn.doc_id AS doc_id, bh.doc_id AS hist_id
+              FROM bn JOIN bh ON bn.band_key = bh.band_key
+            ),
+            sn AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1),
+            sh2 AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
+                     count(*) AS n_inter
+              FROM shn a JOIN shh b ON a.shingle = b.shingle
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT c.doc_id, 'drop_near' AS action,
+                     min(c.hist_id) AS match_id
+              FROM cand c
+              JOIN inter i ON i.doc_id = c.doc_id AND i.hist_id = c.hist_id
+              JOIN sn ON sn.doc_id = c.doc_id
+              JOIN sh2 ON sh2.doc_id = c.hist_id
+              WHERE CAST(i.n_inter AS DOUBLE)
+                      / (sn.n_sh + sh2.n_sh - i.n_inter) >= 0.5
+              GROUP BY 1, 2
+            ),
+            dropped AS (
+              SELECT doc_id FROM exact UNION ALL SELECT doc_id FROM near
+            )
+            SELECT doc_id, action, match_id FROM exact
+            UNION ALL
+            SELECT doc_id, action, match_id FROM near
+            UNION ALL
+            SELECT doc_id, 'keep' AS action, CAST(NULL AS BIGINT) AS match_id
+            FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        "segment_dedup": f"""
+            WITH segged AS (
+              SELECT doc_id,
+                     list_transform(range((len({_TOKENS}) + 9) // 10),
+                       i -> array_to_string(({_TOKENS})[i*10+1:i*10+10], ' '))
+                       AS segs
+              FROM documents
+            ),
+            counts AS (SELECT doc_id, len(segs) AS n_segs FROM segged),
+            seg AS (
+              SELECT doc_id, unnest(segs) AS seg,
+                     generate_subscripts(segs, 1) AS pos
+              FROM segged
+            ),
+            boiler AS (
+              SELECT md5(seg) AS k FROM seg WHERE length(seg) > 0
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT * FROM seg WHERE md5(seg) NOT IN (SELECT k FROM boiler)
+            ),
+            reasm AS (
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, CAST(c.n_segs AS BIGINT) AS n_segs,
+                   coalesce(r.text_clean, '') AS text_clean,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM counts c LEFT JOIN reasm r USING (doc_id)
+        """,
+        "quality_gate": f"""
+            WITH f AS (
+              SELECT doc_id, n_chars,
+                     len({_TOKENS}) AS n_tokens,
+                     CAST(list_reduce(list_prepend(0,
+                            list_transform({_TOKENS},
+                              w -> CAST(length(w) AS BIGINT))),
+                          (a, b) -> a + b) AS DOUBLE) / len({_TOKENS})
+                       AS mean_len,
+                     CAST(len(list_filter({_TOKENS},
+                          t -> list_contains({_STOPWORDS_SQL}, lower(t))))
+                          AS DOUBLE) / len({_TOKENS}) AS stop_ratio,
+                     CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                          AS DOUBLE) / length(text) AS upper_ratio,
+                     1.0 - CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+                           / len({_TOKENS}) AS dup_ratio
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, n_chars
+            FROM f
+            WHERE n_tokens >= 5 AND mean_len >= 2.0 AND mean_len <= 12.0
+              AND stop_ratio >= 0.01 AND upper_ratio <= 0.3
+              AND dup_ratio <= 0.6
+        """,
         "deterministic_splits": f"""
             WITH hs AS (
               SELECT doc_id,
@@ -1190,13 +1368,16 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
+        "incremental_dedup": q_incremental_dedup,
         "deterministic_splits": q_deterministic_splits,
         "substring_dedup_spans": q_substring_dedup_spans,
+        "segment_dedup": q_segment_dedup,
         "repetition": q_repetition,
         "contamination": q_contamination,
         "contamination_spans": q_contamination_spans,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
+        "quality_gate": q_quality_gate,
         "term_rankings": q_term_rankings,
         "text_features": q_text_features,
         "cosine_topk": q_cosine_topk,

@@ -251,6 +251,125 @@ def minhash_lsh_neardup(
     )
 
 
+def signature_store(
+    df: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document dedup signature store — the table a production
+    pipeline PERSISTS per ingested batch so that deduplicating
+    tomorrow's batch never touches the historical corpus text:
+    ``(id, exact_key, mh0..mh{k-1}, shs)`` where ``exact_key`` is the
+    md5 of normalized text, ``mh*`` the seeded-md5 MinHash signature,
+    and ``shs`` the xxhash64 shingle-hash set (8 bytes per shingle vs
+    the raw text) used for exact-Jaccard verification of LSH
+    candidates. Docs with < n tokens have no shingles: they stay in
+    the store for exact dedup with NULL mh*/empty shs."""
+    sig = minhash_signature_grouped(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    base = df.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("exact_key"),
+        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias("shs"),
+    )
+    return base.join(sig, id_col, "left")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_is_store: bool = False,
+) -> DataFrame:
+    """Deduplicate a NEW batch against an already-ingested corpus —
+    the shape every continuously-fed training pipeline actually runs
+    (full-corpus re-dedup per batch is a non-starter at 100 TB).
+
+    Decisions per new doc, exact first then near:
+    1. ``drop_exact``  — exact_key matches a historical doc
+       (match_id = minimum matching historical id);
+    2. ``drop_near``   — an LSH band key collides with a historical
+       doc AND exact shingle-Jaccard ≥ threshold (match_id = minimum
+       verified historical id);
+    3. ``keep``        — everything else (match_id NULL).
+
+    ``history`` is either raw documents or (``history_is_store=True``)
+    a persisted :func:`signature_store` — the store path reads ONLY
+    compact signatures, never historical text. 100 TB plan: the exact
+    pass shuffles (id, 16-byte key) pairs; the near pass equi-joins
+    band keys (history side pre-partitionable by band_key at write
+    time) and verifies Jaccard only on candidates via stored hash
+    sets. Intra-batch dedup is the existing exact_dedup/apply_dedup
+    composition — run it on the survivors this returns."""
+    assert k % bands == 0
+    hist = (
+        history
+        if history_is_store
+        else signature_store(history, k=k, n=n, text_col=text_col, id_col=id_col)
+    )
+    new_store = signature_store(new_df, k=k, n=n, text_col=text_col, id_col=id_col)
+    r = k // bands
+
+    def band_keys(store: DataFrame, out_id: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+                for b in range(bands)
+            ]
+        )
+        return (
+            store.filter(F.col("mh0").isNotNull())
+            .select(F.col(id_col).alias(out_id), F.explode(keys).alias("band_key"))
+        )
+
+    hist_exact = hist.groupBy("exact_key").agg(F.min(id_col).alias("match_id"))
+    exact = (
+        new_store.select(F.col(id_col), "exact_key")
+        .join(hist_exact, "exact_key")
+        .select(F.col(id_col), F.lit("drop_exact").alias("action"), "match_id")
+    )
+    rem = new_store.join(exact.select(id_col), id_col, "left_anti")
+    cand = (
+        band_keys(rem, id_col)
+        .join(band_keys(hist, "hist_id"), "band_key")
+        .select(F.col(id_col), "hist_id")
+        .distinct()
+    )
+    j = (
+        cand.join(rem.select(F.col(id_col), F.col("shs").alias("shs_a")), id_col)
+        .join(
+            hist.select(F.col(id_col).alias("hist_id"), F.col("shs").alias("shs_b")),
+            "hist_id",
+        )
+    )
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jaccard = n_inter.cast("double") / (F.size("shs_a") + F.size("shs_b") - n_inter)
+    near = (
+        j.select(F.col(id_col), "hist_id", jaccard.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("hist_id").alias("match_id"))
+        .select(F.col(id_col), F.lit("drop_near").alias("action"), "match_id")
+    )
+    dropped = exact.select(id_col).unionByName(near.select(id_col))
+    keeps = (
+        new_store.select(F.col(id_col))
+        .join(dropped, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("keep").alias("action"),
+            F.lit(None).cast("long").alias("match_id"),
+        )
+    )
+    return exact.unionByName(near).unionByName(keeps)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

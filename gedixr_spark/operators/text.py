@@ -462,6 +462,80 @@ def filter_documents(
     return df.filter(pred)
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 10,
+    delimiter: str | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style segment-level dedup: remove segments (paragraphs)
+    that occur verbatim in ≥ ``min_docs`` distinct documents —
+    boilerplate headers, licence blocks, navigation chrome — and
+    reassemble each document from its surviving segments in original
+    order.
+
+    Segmentation: ``delimiter`` (e.g. ``"\\n"``) splits on it;
+    otherwise fixed ``seg_tokens``-token chunks (the paragraph proxy
+    for corpora without explicit structure). Reassembly joins surviving
+    segments with the delimiter (or a single space in chunk mode).
+
+    100 TB plan: posexplode segments (map-side, ~1× corpus),
+    ONE hash shuffle of (md5-key, doc_id) with map-side partial
+    distinct for the boilerplate census, an anti-join of segments
+    against the boilerplate keys (only REPEATED segments survive the
+    census, so the key table is corpus-sparse and AQE broadcasts it),
+    then one doc_id shuffle for ordered reassembly. The corpus text
+    rides exactly one exchange; decisions travel as 16-byte keys.
+    Every input doc appears in the output (fully-boilerplate docs get
+    ``text_clean = ''``).
+    """
+    if delimiter is not None:
+        segments = F.split(F.col(text_col), delimiter)
+        sep = delimiter
+    else:
+        toks = tokens(text_col)
+        nseg = F.floor((F.size(toks) + seg_tokens - 1) / seg_tokens).cast("int")
+        segments = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sep = " "
+    base = df.select(F.col(id_col), segments.alias("__segs"))
+    counts = base.select(F.col(id_col), F.size("__segs").alias("n_segs"))
+    segs = base.select(
+        F.col(id_col), F.posexplode("__segs").alias("pos", "seg")
+    ).withColumn("__key", F.md5("seg"))
+    boiler = (
+        segs.filter(F.length("seg") > 0)
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    kept = segs.join(boiler, "__key", "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return counts.join(reasm, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (bag-of-words signature). Used for fuzzy-exact
