@@ -31,6 +31,16 @@ def main() -> None:
     # warm the JVM + file-system caches once with the cheapest query
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # Derived-view caching was evaluated and deliberately NOT adopted:
+    # caching the shared shots_l2a/l2b/raw-table fragments makes narrow
+    # scan-bound queries ~2× faster (filter_stats 1.09→0.50 s) but
+    # evaluating the wide shingle/minhash expressions over an
+    # InMemoryTableScan is ~2× SLOWER than over the native parquet scan
+    # (dedup_apply 2.3→5.2 s), and the TOTAL is a wash within host
+    # noise (±1 s of 52 s). Uncached also keeps per-query numbers
+    # comparable across rounds and keeps pushdown/pruning in the
+    # measured plans.
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in qs.items():
         best = None
