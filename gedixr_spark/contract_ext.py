@@ -31,18 +31,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    rejects by default. Read nanos as long (runtime conf, so it works
-    under the driver's session too) and floor-divide to microseconds —
-    exactly what DuckDB's parquet reader does (verified: ns remainders
-    ≥ 500 are floored, not rounded), so oracle parity holds."""
+    """The events table stores TIMESTAMP(NANOS, isAdjustedToUTC=false)
+    parquet. How Spark surfaces that column depends on version:
+
+    - Spark 4.1+ reads it natively as TIMESTAMP_NTZ, flooring nanos to
+      micros — byte-identical to DuckDB's parquet reader (verified: ns
+      remainders ≥ 500 are floored, not rounded), so oracle parity holds.
+    - Older Spark 4.0 rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+      column arrives as a BIGINT of epoch-nanos.
+
+    Branch on the dtype actually read so both engines (and any driver
+    session config) land on the same micros-precision TIMESTAMP column.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # events timestamps are instants; pin the session to UTC so
     # date_trunc/month agree with DuckDB's naive reading even if the
-    # driver's session runs in another timezone
+    # driver's session runs in another timezone, and so the
+    # TIMESTAMP_NTZ → TIMESTAMP cast below is the identity
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # nanosAsLong path: epoch-nanos → floor to micros
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":  # timestamp_ntz: identity cast under UTC session
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
