@@ -52,11 +52,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
-    if ts_type == "bigint":  # nanosAsLong path: epoch-nanos → floor to micros
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type != "timestamp":  # timestamp_ntz: identity cast under UTC session
+    if ts_type == "bigint":
+        # nanosAsLong path: epoch-nanos → FLOOR to micros in pure long
+        # arithmetic: subtract the non-negative pmod remainder, then the
+        # truncating `div` of an exact multiple equals floor. (`ts div
+        # 1000` alone truncates toward zero — pre-1970 nanos would round
+        # UP where DuckDB floors.)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    if ts_type.startswith("timestamp"):  # timestamp / timestamp_ntz
+        # NTZ → TIMESTAMP is the identity cast under the UTC session
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    raise TypeError(
+        f"events.ts read as unexpected dtype {ts_type!r}; "
+        "expected bigint (nanosAsLong) or timestamp[_ntz]"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1313,13 +1324,13 @@ def build_oracles() -> dict[str, str]:
             flagged AS (
               SELECT event_id, user_id, ts, props,
                      CASE WHEN prev_ts IS NULL
-                               OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END
                        AS is_new
               FROM lagged
             )
             SELECT event_id, user_id,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_n,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
             FROM flagged
         """,
@@ -1330,17 +1341,17 @@ def build_oracles() -> dict[str, str]:
             ),
             flagged AS (
               SELECT *, CASE WHEN prev_ts IS NULL
-                                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END
+                                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END
                           AS is_new
               FROM lagged
             ),
             sessions AS (
-              SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_n
+              SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
               FROM flagged
             )
             SELECT user_id, session_n, count(*) AS n_events,
-                   epoch(max(ts)) - epoch(min(ts)) AS duration_s,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM sessions GROUP BY 1, 2
         """,

@@ -92,12 +92,17 @@ def sessionize(
     the previous event of the same user exceeds ``gap_minutes``.
     session_n is the per-user running count of session starts — a
     lag + cumulative-sum over one per-user sort (ties broken by
-    event_id so the plan is deterministic)."""
+    event_id so the plan is deterministic).
+
+    The gap test runs in exact integer microseconds (unix_micros),
+    never double seconds: a gap ulp-close to the threshold must not
+    flip the session boundary between engines (repo invariant: grid/
+    boundary timestamp math is long µs, not floor(double))."""
     order = [F.col(ts_col).asc(), F.col("event_id").asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(ts_col).over(w)
-    gap_s = F.col(ts_col).cast("double") - prev.cast("double")
-    is_new = F.when(prev.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    is_new = F.when(prev.isNull() | (gap_us > gap_minutes * 60_000_000), 1).otherwise(0)
     wsum = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -107,11 +112,16 @@ def sessionize(
 def session_stats(
     df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts", user_col: str = "user_id"
 ) -> DataFrame:
-    """Per-session rollup: event count, duration seconds, exact value sum."""
+    """Per-session rollup: event count, duration seconds, exact value
+    sum. duration_s = exact long µs difference divided ONCE by 1e6 —
+    a single IEEE op on integer-derived operands, identical across
+    engines (vs double(max) - double(min), two lossy conversions)."""
     s = sessionize(df, gap_minutes, ts_col, user_col)
     return s.groupBy(user_col, "session_n").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(ts_col).cast("double") - F.min(ts_col).cast("double")).alias("duration_s"),
+        ((F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / F.lit(1_000_000.0)).alias(
+            "duration_s"
+        ),
         _exact_sum("value").alias("sum_value"),
     )
 
