@@ -71,17 +71,12 @@ def extract_data(
     aoi_df = None
     if subset_vector is not None:
         aoi_df = prepare_vec(spark, subset_vector)
-        # plan selection: per-AOI compiled predicates are ideal for a
-        # handful of AOIs (pushdown-able, zero join); past ~32 the
-        # expression grows with the AOI count, so switch to the
-        # grid-indexed broadcast join whose per-row cost is O(AOIs
-        # overlapping the shot's cell)
-        if aoi_df.count() > 32:
-            from gedixr_spark.operators.joins import spatial_join_aoi_indexed
+        # plan selection lives in spatial_join_aoi_auto: per-AOI
+        # compiled predicates for a handful of AOIs, grid-indexed
+        # broadcast join past AOI_PREDICATE_PLAN_MAX
+        from gedixr_spark.operators.joins import spatial_join_aoi_auto
 
-            shots = spatial_join_aoi_indexed(shots, aoi_df)
-        else:
-            shots = spatial_join_aoi(shots, aoi_df)
+        shots = spatial_join_aoi_auto(shots, aoi_df)
     shots = with_geometry(shots)
 
     out_path = None

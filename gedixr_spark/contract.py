@@ -253,13 +253,16 @@ def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spatial_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/F4: shot×AOI intersects-join replicating shots into every AOI
     they hit (extract.py:176-184); includes a non-rectangular AOI so
-    the ray-casting path is oracle-checked. Uses the grid-indexed
-    variant — the many-AOI scale plan (cell equi-join + exact refine);
-    tests assert it's row-identical to the per-AOI-predicate plan."""
-    from gedixr_spark.operators.joins import spatial_join_aoi_indexed
+    the ray-casting path is oracle-checked. Routed through the same
+    adaptive plan selection as ``api.extract_data`` — at 4 AOIs that
+    picks the per-AOI-predicate plan (2.2 s vs 5.7 s grid-indexed at
+    sf0.1); the grid-indexed plan stays oracle-checked via
+    q_spatial_join_holed's indexed twin and the equivalence property
+    tests."""
+    from gedixr_spark.operators.joins import spatial_join_aoi_auto
 
     aois = aoi_from_wkt(spark, AOI_WKT)
-    out = spatial_join_aoi_indexed(shots_l2a(spark, sf_dir), aois)
+    out = spatial_join_aoi_auto(shots_l2a(spark, sf_dir), aois)
     return out.select("aoi_name", "shot", "longitude", "latitude")
 
 
@@ -283,8 +286,10 @@ def q_spatial_join_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 over holed / multi-part AOIs (reference handles these via
     geopandas explode, ancillary.py:148-153): interior rings exclude
     their strict interior, hole boundaries still count as inside, and
-    MULTIPOLYGON parts OR together. Runs the grid-indexed plan whose
-    non-rect refinement is the single batched ray-cast UDF."""
+    MULTIPOLYGON parts OR together. Deliberately PINS the grid-indexed
+    plan (not the adaptive pick) so the many-AOI scale path — cell
+    equi-join + the single batched ray-cast UDF — keeps a driver
+    correctness row of its own."""
     from gedixr_spark.operators.joins import spatial_join_aoi_indexed
 
     aois = aoi_from_wkt(spark, AOI_HOLED_WKT)

@@ -96,6 +96,41 @@ def merge_keyed(
     return merge_products(l2b, l2a, how=how, on=on, suffixes=suffixes)
 
 
+#: past this many AOIs the compiled per-AOI predicate expression
+#: outgrows codegen and every row pays every predicate — switch to the
+#: grid-indexed cell equi-join (measured: 4 AOIs run 2.2 s predicate vs
+#: 5.7 s indexed at sf0.1; 10k AOIs are impossible without the index)
+AOI_PREDICATE_PLAN_MAX = 32
+
+
+def spatial_join_aoi_auto(
+    shots: DataFrame,
+    aois: DataFrame,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    name_col: str = "aoi_name",
+    wkt_col: str = "geometry_wkt",
+) -> DataFrame:
+    """J2 with plan selection (the choice ``api.extract_data`` makes,
+    shared so every caller gets it): per-AOI compiled predicates for a
+    handful of AOIs — pushdown-able range predicates, zero join, no
+    Arrow worker spin-up — and the grid-indexed broadcast equi-join
+    past ``AOI_PREDICATE_PLAN_MAX``, where per-row cost must be O(AOIs
+    overlapping the shot's cell) rather than O(all AOIs). Both plans
+    are row-identical (property-tested); only the physical strategy
+    differs. The AOI count comes from a driver-side count — AOI tables
+    are small by contract (named polygons)."""
+    if aois.count() > AOI_PREDICATE_PLAN_MAX:
+        return spatial_join_aoi_indexed(
+            shots, aois, lon_col=lon_col, lat_col=lat_col,
+            name_col=name_col, wkt_col=wkt_col,
+        )
+    return spatial_join_aoi(
+        shots, aois, lon_col=lon_col, lat_col=lat_col,
+        name_col=name_col, wkt_col=wkt_col,
+    )
+
+
 def spatial_join_aoi_indexed(
     shots: DataFrame,
     aois: DataFrame,

@@ -95,3 +95,35 @@ def test_spatial_join_empty_aoi_table_raises(spark):
     shots = spark.createDataFrame([("a", 0.0, 0.0)], ["shot", "longitude", "latitude"])
     with pytest.raises(MergeError):
         spatial_join_aoi(shots, aoi_from_wkt(spark, {}))
+
+
+def test_spatial_join_auto_routes_by_aoi_count(spark):
+    """spatial_join_aoi_auto picks the zero-join predicate plan for a
+    handful of AOIs and the grid-indexed broadcast join past the
+    threshold — visible in the physical plan (the predicate plan has
+    no Join node), with identical rows either way."""
+    from gedixr_spark.operators.joins import spatial_join_aoi_auto
+
+    shots = spark.createDataFrame(
+        [("a", 0.5, 44.5), ("b", 3.0, 45.0), ("c", 100.0, 45.0)],
+        ["shot", "longitude", "latitude"],
+    )
+    few = aoi_from_wkt(spark, {"r1": "POLYGON ((0 44, 4 44, 4 46, 0 46, 0 44))"})
+    many = aoi_from_wkt(
+        spark,
+        {
+            f"r{i}": f"POLYGON (({i} 44, {i + 1} 44, {i + 1} 46, {i} 46, {i} 44))"
+            for i in range(40)
+        },
+    )
+
+    few_out = spatial_join_aoi_auto(shots, few)
+    assert "Join" not in few_out._jdf.queryExecution().executedPlan().toString()
+    assert {(r["shot"], r["aoi_name"]) for r in few_out.collect()} == {
+        ("a", "r1"), ("b", "r1")
+    }
+
+    many_out = spatial_join_aoi_auto(shots, many)
+    assert "Join" in many_out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["shot"], r["aoi_name"]) for r in many_out.collect()}
+    assert got == {("a", "r0"), ("b", "r2"), ("b", "r3")}
