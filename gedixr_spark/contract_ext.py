@@ -298,9 +298,23 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN top-3 (nprobe=1) for query vectors vec_id<5."""
+    """IVF ANN top-3 (nprobe=1) for query vectors vec_id<5, with the
+    centroid set round-tripped through the parquet persistence path
+    (save_centroids → load_centroids) — the write-once / broadcast-load
+    index-metadata lifecycle a 100 TB vector store runs, now on the
+    driver-checked path. Same centroid values either way, so the
+    oracle row is unchanged."""
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, n_cells=8)
+    cen = similarity.ivf_centroids(dim=64, n_cells=8, seed=7)
+    path = tempfile.mkdtemp(prefix="ivf_centroids_") + "/centroids.parquet"
+    similarity.save_centroids(spark, cen, path)
+    loaded = similarity.load_centroids(spark, path)
+    assert loaded == cen  # persistence must be lossless
+    return similarity.ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, n_cells=8, centroids=loaded
+    )
 
 
 def q_kmeans_clusters(spark, sf_dir):
