@@ -28,8 +28,14 @@ def main() -> None:
 
     qs = e.queries()
     timings: dict[str, float] = {}
-    # warm the JVM + file-system caches once with the cheapest query
+    spreads: dict[str, float] = {}
+    # warm the JVM + file-system caches once with the cheapest query,
+    # then the Python/Arrow worker pool with a UDF-bearing query —
+    # otherwise the first Arrow query in the run pays worker spin-up
+    # (~2-3 s) and its number measures the host, not the plan
     next(iter(qs.values()))(spark, sf_dir).count()
+    if "spatial_join_holed" in qs:
+        qs["spatial_join_holed"](spark, sf_dir).count()
 
     # Derived-view caching was evaluated and deliberately NOT adopted:
     # caching the shared shots_l2a/l2b/raw-table fragments makes narrow
@@ -41,20 +47,21 @@ def main() -> None:
     # comparable across rounds and keeps pushdown/pruning in the
     # measured plans.
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name, fn in qs.items():
-        best = None
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full execution without collecting wide results
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             assert n >= 0
-        # best-of-N: strips JIT/codegen warmup + transient host
-        # contention from the per-query number (N=2 default)
-        timings[name] = round(best, 4)
+        # min-of-N: strips JIT/codegen warmup + transient host
+        # contention from the per-query number; spread (max-min)
+        # makes the remaining in-run variance auditable per query
+        timings[name] = round(min(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -64,6 +71,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

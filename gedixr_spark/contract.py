@@ -254,11 +254,12 @@ def q_spatial_join_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/F4: shot×AOI intersects-join replicating shots into every AOI
     they hit (extract.py:176-184); includes a non-rectangular AOI so
     the ray-casting path is oracle-checked. Routed through the same
-    adaptive plan selection as ``api.extract_data`` — at 4 AOIs that
-    picks the per-AOI-predicate plan (2.2 s vs 5.7 s grid-indexed at
-    sf0.1); the grid-indexed plan stays oracle-checked via
-    q_spatial_join_holed's indexed twin and the equivalence property
-    tests."""
+    adaptive plan selection as ``api.extract_data`` — the triangle AOI
+    makes the set non-rectilinear, so the pick is the grid-indexed
+    plan, whose batched UDF sees only cell-matched candidates
+    (min-of-3 measured: 4.5 s predicate vs ~1.3-1.7 s indexed at
+    sf0.1); an all-rectangle AOI set would pick the zero-UDF
+    per-AOI-predicate plan instead."""
     from gedixr_spark.operators.joins import spatial_join_aoi_auto
 
     aois = aoi_from_wkt(spark, AOI_WKT)

@@ -98,8 +98,7 @@ def merge_keyed(
 
 #: past this many AOIs the compiled per-AOI predicate expression
 #: outgrows codegen and every row pays every predicate — switch to the
-#: grid-indexed cell equi-join (measured: 4 AOIs run 2.2 s predicate vs
-#: 5.7 s indexed at sf0.1; 10k AOIs are impossible without the index)
+#: grid-indexed cell equi-join (10k AOIs are impossible without it)
 AOI_PREDICATE_PLAN_MAX = 32
 
 
@@ -112,20 +111,32 @@ def spatial_join_aoi_auto(
     wkt_col: str = "geometry_wkt",
 ) -> DataFrame:
     """J2 with plan selection (the choice ``api.extract_data`` makes,
-    shared so every caller gets it): per-AOI compiled predicates for a
-    handful of AOIs — pushdown-able range predicates, zero join, no
-    Arrow worker spin-up — and the grid-indexed broadcast equi-join
-    past ``AOI_PREDICATE_PLAN_MAX``, where per-row cost must be O(AOIs
-    overlapping the shot's cell) rather than O(all AOIs). Both plans
+    shared so every caller gets it). The per-AOI-predicate plan wins
+    only when it stays ENTIRELY JVM-side: few AOIs (the compiled
+    expression grows with the count) AND every AOI rectilinear, so
+    each predicate is pure range/column math — pushdown-able, zero
+    join, zero Arrow. One general polygon in the set changes the
+    economics: its ray-cast UDF predicate gets extracted into an
+    ArrowEvalPython stage that every coarse-bbox survivor crosses
+    (measured 4.5 s vs 1.3-1.7 s at sf0.1, 4 AOIs, one triangle),
+    while the grid-indexed plan ships only cell-matched CANDIDATES of
+    the non-rect AOIs to the single batched UDF. So: all-rectilinear
+    and small → predicate plan; otherwise → grid-indexed. Both plans
     are row-identical (property-tested); only the physical strategy
-    differs. The AOI count comes from a driver-side count — AOI tables
-    are small by contract (named polygons)."""
-    if aois.count() > AOI_PREDICATE_PLAN_MAX:
-        return spatial_join_aoi_indexed(
+    differs. Driver-side collect of the AOI table is by contract —
+    named polygons are small."""
+    from gedixr_spark.geo import parse_wkt_rings, rings_all_rects
+
+    rows = aois.select(wkt_col).collect()
+    all_rectilinear = all(
+        rings_all_rects(parse_wkt_rings(r[wkt_col])) for r in rows
+    )
+    if len(rows) <= AOI_PREDICATE_PLAN_MAX and all_rectilinear:
+        return spatial_join_aoi(
             shots, aois, lon_col=lon_col, lat_col=lat_col,
             name_col=name_col, wkt_col=wkt_col,
         )
-    return spatial_join_aoi(
+    return spatial_join_aoi_indexed(
         shots, aois, lon_col=lon_col, lat_col=lat_col,
         name_col=name_col, wkt_col=wkt_col,
     )

@@ -127,3 +127,18 @@ def test_spatial_join_auto_routes_by_aoi_count(spark):
     assert "Join" in many_out._jdf.queryExecution().executedPlan().toString()
     got = {(r["shot"], r["aoi_name"]) for r in many_out.collect()}
     assert got == {("a", "r0"), ("b", "r2"), ("b", "r3")}
+
+    # one general polygon in a small set flips the pick to the indexed
+    # plan: its ray-cast UDF must see only cell-matched candidates,
+    # not every coarse-bbox survivor
+    mixed = aoi_from_wkt(
+        spark,
+        {
+            "r1": "POLYGON ((0 44, 4 44, 4 46, 0 46, 0 44))",
+            "tri": "POLYGON ((0 44, 6 44, 3 50, 0 44))",
+        },
+    )
+    mixed_out = spatial_join_aoi_auto(shots, mixed)
+    assert "Join" in mixed_out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["shot"], r["aoi_name"]) for r in mixed_out.collect()}
+    assert got == {("a", "r1"), ("a", "tri"), ("b", "r1"), ("b", "tri")}
