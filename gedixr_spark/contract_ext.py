@@ -497,6 +497,21 @@ def q_top_users(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (next-fit-decreasing per pack group) — the
+    training-batch assembly step. Deterministic end to end: portable
+    whitespace token counts, doc_id % 8 grouping, (n_tokens DESC,
+    doc_id) order, sequential next-fit — so the DuckDB oracle replays
+    it exactly with a recursive CTE."""
+    from gedixr_spark.operators.packing import pack_sequences
+    from gedixr_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=256, n_groups=8)
+
+
 def q_binary_payload_meta(spark, sf_dir):
     """Binary payload + typed metadata projection: the oracle checks
     payload bytes (via hex), byte length, and the metadata fields."""
@@ -1396,6 +1411,40 @@ def build_oracles() -> dict[str, str]:
                    CAST(length(text) % 480 + 1 AS BIGINT) AS height
             FROM documents
         """,
+        # next-fit-decreasing is a sequential recurrence over the
+        # per-group (n_tokens DESC, doc_id) order — a recursive CTE
+        # stepping rn -> rn+1 replays each group's pass exactly (all
+        # groups advance in lockstep, one row per group per iteration)
+        "pack_sequences": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x != '')) AS BIGINT) AS n_tokens,
+                     doc_id % 8 AS pack_group
+              FROM documents
+            ),
+            ordered AS (
+              SELECT doc_id, n_tokens, pack_group,
+                     row_number() OVER (PARTITION BY pack_group
+                                        ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM docs
+            ),
+            packed AS (
+              SELECT pack_group, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.pack_group, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.seq_id ELSE p.seq_id + 1 END,
+                     CASE WHEN p.fill + o.n_tokens <= 256
+                          THEN p.fill + o.n_tokens ELSE o.n_tokens END
+              FROM packed p
+              JOIN ordered o
+                ON o.pack_group = p.pack_group AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tokens, pack_group, seq_id FROM packed
+        """,
     }
     return oracles
 
@@ -1437,6 +1486,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_enrich": q_event_enrich,
         "top_users": q_top_users,
         "binary_payload_meta": q_binary_payload_meta,
+        "pack_sequences": q_pack_sequences,
     }
 
 

@@ -1,0 +1,98 @@
+"""Sequence packing — the batch-assembly step of an LLM training-data
+pipeline: pack variable-length documents into fixed token-budget
+training sequences with minimal padding waste.
+
+No reference counterpart (the reference is a geospatial ETL package);
+this extends the §7.4 training-pipeline surface alongside dedup /
+similarity / text analysis.
+
+Semantics: deterministic next-fit-decreasing (NFD) per pack group.
+Docs are hash-sharded into ``n_groups`` independent groups
+(``doc_id % n_groups`` — engine-portable, no hash function parity
+issues), each group sorts by (n_tokens DESC, doc_id ASC) and a single
+sequential next-fit pass assigns sequence ids: a doc joins the current
+sequence if it fits the remaining budget, else opens a new one. A doc
+longer than the budget occupies a sequence of its own (real pipelines
+then truncate or split it; packing itself stays total and
+deterministic).
+
+Scale shape (100 TB): packing is inherently sequential WITHIN a bin
+stream but embarrassingly parallel ACROSS groups — exactly the
+applyInPandas layout here: one shuffle on pack_group, then each group
+packs independently inside an Arrow batch; documents' text never
+moves, only (doc_id, n_tokens). Waste is bounded by the group-local
+decision (NFD waste ≤ 2× optimal; in practice a few % at realistic
+doc/budget ratios — measure with ``packing_stats``). More groups = more
+parallelism and marginally more waste (one partially-filled tail
+sequence per group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = "doc_id long, n_tokens long, pack_group long, seq_id long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    n_groups: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every doc a (pack_group, seq_id) under ``budget`` tokens
+    per sequence via next-fit-decreasing within ``doc_id % n_groups``
+    groups. Output: (doc_id, n_tokens, pack_group, seq_id) — ids only;
+    join text/payload back by doc_id downstream so the wide columns
+    never ride through the packing shuffle."""
+    if budget <= 0 or n_groups <= 0:
+        raise ValueError(f"need budget > 0 and n_groups > 0, got {budget}, {n_groups}")
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_groups)).alias("pack_group"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        seq_ids = np.empty(len(toks), dtype=np.int64)
+        fill = np.int64(0)
+        seq = np.int64(0)
+        for i, t in enumerate(toks):
+            if i == 0 or fill + t > budget:
+                if i != 0:
+                    seq += 1
+                fill = t
+            else:
+                fill += t
+            seq_ids[i] = seq
+        pdf["seq_id"] = seq_ids
+        return pdf[["doc_id", "n_tokens", "pack_group", "seq_id"]]
+
+    return src.groupBy("pack_group").applyInPandas(_pack, _OUT_SCHEMA)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Fill-efficiency audit of a ``pack_sequences`` result: per-group
+    sequence count, packed token total, and fill ratio (exact long sums
+    into one double division). The number a pipeline owner watches —
+    waste == padding tokens the training run pays for."""
+    per_seq = packed.groupBy("pack_group", "seq_id").agg(
+        F.sum("n_tokens").alias("seq_fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_seq.groupBy("pack_group").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("seq_fill").alias("total_tokens"),
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("seq_fill").cast("double")
+            / (F.count(F.lit(1)) * F.lit(budget)).cast("double")
+        ).alias("fill_ratio"),
+    )
