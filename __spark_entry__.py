@@ -23,12 +23,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator: SURVEY.md §2 reference
     surface + §7.4 extension operators (dedup/similarity/text/events/
     multimodal/packing). Ordering is deliberate: the driver records
-    CORRECTNESS rows for at most the first 50 entries, so all 49
-    oracle-backed queries come first, then the rows-only-by-design
-    approx_distinct (slot 50: HLL differs across engines). kmeans
-    (slot 51, iterative, rows-only) sits beyond the recorded window —
-    trading its weak rows-only row for pack_sequences' full oracle row;
-    it stays pytest-covered and bench-timed."""
+    CORRECTNESS rows for at most the first 50 entries, and exactly the
+    50 oracle-backed queries fill that window. The 2 rows-only-by-design
+    queries (approx_distinct: HLL differs across engines; kmeans:
+    iterative) sit at slots 51-52, beyond the recorded window — their
+    weak rows-only rows traded for pack_sequences' and pq_ann_topk's
+    full oracle rows; both stay pytest-covered and bench-timed."""
     return {
         **contract.reference_queries(),
         **contract_ext.extension_queries(),

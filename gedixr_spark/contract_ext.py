@@ -328,12 +328,14 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 def q_ann_partitions(spark, sf_dir):
-    """Both ANN partitioning shapes as one labeled histogram:
-    hyperplane-LSH buckets (8 planes) and IVF nearest-centroid cells —
-    the data layouts a 100 TB vector store would partition by."""
+    """All three ANN partitioning shapes as one labeled histogram:
+    hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and
+    packed PQ codes (2 sub-spaces × 16 centroids) — the data layouts a
+    100 TB vector store would partition by."""
     emb = _t(spark, sf_dir, "embeddings")
     planes = similarity.hyperplanes(64, 8, 42)
     cents = similarity.ivf_centroids(64, 8, 7)
+    cbs = similarity.pq_codebooks(64, 2, 16, 13)
     lsh = (
         emb.select(similarity.lsh_bucket("embedding", planes).alias("part_id"))
         .groupBy("part_id")
@@ -346,7 +348,27 @@ def q_ann_partitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .select(F.lit("ivf").alias("method"), "part_id", "n_vectors")
     )
-    return lsh.unionByName(ivf)
+    pq = (
+        emb.select(
+            similarity.pq_code_packed("embedding", cbs).cast("int").alias("part_id")
+        )
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(F.lit("pq").alias("method"), "part_id", "n_vectors")
+    )
+    return lsh.unionByName(ivf).unionByName(pq)
+
+
+def q_pq_ann_topk(spark, sf_dir):
+    """PQ/ADC ANN top-3 for query vectors vec_id<5: corpus collapses to
+    2×16 sub-space codes, candidates score by exact-int asymmetric
+    distance — the compressed-domain search path, fully
+    oracle-checked (encode argmins and ADC sums are pure int64)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(64, 2, 16, 13)
+    return similarity.pq_ann_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, codebooks=cbs
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +608,51 @@ def _lang_score(markers: tuple[str, ...]) -> str:
     return f"len(list_filter(list_transform({_TOKENS}, t -> lower(t)), t -> list_contains({arr}, t)))"
 
 
+def _pq_dist_sql(vec: str, j: int, dsub: int, cent: list[int]) -> str:
+    """Exact squared L2 between sub-space j of the ×10-lifted quantized
+    vector and one literal centroid — mirrors similarity.pq_codes /
+    the ADC kernel term-for-term (all int64)."""
+    terms = " + ".join(
+        f"(10 * {vec}[{j * dsub + d + 1}] - {cent[d]})"
+        f" * (10 * {vec}[{j * dsub + d + 1}] - {cent[d]})"
+        for d in range(dsub)
+    )
+    return f"({terms})"
+
+
+def _argmin_sql(aliases: list[str]) -> str:
+    """First-min CASE chain over distance aliases (ties → lowest index,
+    matching numpy argmin)."""
+    n = len(aliases)
+    cases = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"{aliases[i]} <= {aliases[j]}" for j in range(i + 1, n))
+        cases.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(cases) + f" ELSE {n - 1} END"
+
+
+def _pq_ctes(codebooks: list[list[list[int]]]) -> str:
+    """CTEs pe/pd/ps: quantized vectors → per-(subspace, code) exact
+    distances → per-subspace argmin codes k0..km-1. Names are disjoint
+    from the IVF CTEs (e/d/s) so both can share one WITH clause."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dists = ", ".join(
+        f"{_pq_dist_sql('qv', j, dsub, codebooks[j][kk])} AS e{j}_{kk}"
+        for j in range(m)
+        for kk in range(ksub)
+    )
+    argmins = ", ".join(
+        f"{_argmin_sql([f'e{j}_{kk}' for kk in range(ksub)])} AS k{j}"
+        for j in range(m)
+    )
+    return (
+        f"pe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),\n"
+        f"pd AS (SELECT vec_id, qv, {dists} FROM pe),\n"
+        f"ps AS (SELECT vec_id, qv, {argmins} FROM pd)"
+    )
+
+
 def _ivf_cell_cte(centroids: list[list[int]]) -> str:
     """CTEs computing per-vector centroid dots d0..dk-1 and the argmax
     cell via a preference CASE chain (first max wins — matching
@@ -616,8 +683,11 @@ def build_oracles() -> dict[str, str]:
 
     planes = hyperplanes(64, 8, 42)
     centroids = ivf_centroids(64, 8, 7)
+    from gedixr_spark.operators.similarity import pq_codebooks
+
     nd_tables = hyperplane_tables(64, 2, 10, 42)  # embedding_neardup params
     ann_tables = hyperplane_tables(64, 2, 8, 42)  # ann_topk params
+    pq_cbs = pq_codebooks(64, 2, 16, 13)  # pq_ann_topk / ann_partitions params
 
     def multi_table_s_cte(tables: list[list[list[int]]]) -> str:
         """s CTE: (vec_id, qv, tbl, bucket) — one row per vector per
@@ -1263,6 +1333,7 @@ def build_oracles() -> dict[str, str]:
         """,
         "ann_partitions": f"""
             WITH {_ivf_cell_cte(centroids)},
+            {_pq_ctes(pq_cbs)},
             l AS (
               SELECT {_lsh_bucket_sql(planes)} AS part_id, count(*) AS n_vectors
               FROM e GROUP BY 1
@@ -1271,6 +1342,32 @@ def build_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf' AS method, cell AS part_id, count(*) AS n_vectors
             FROM s GROUP BY 1, 2
+            UNION ALL
+            SELECT 'pq' AS method, k0 + 16 * k1 AS part_id, count(*) AS n_vectors
+            FROM ps GROUP BY 1, 2
+        """,
+        "pq_ann_topk": f"""
+            WITH {_pq_ctes(pq_cbs)},
+            pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     q.qv AS qv, c.k0 AS k0, c.k1 AS k1
+              FROM ps c JOIN pe q
+                ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+            ),
+            dist AS (
+              SELECT query_id, cand_id,
+                     (CASE k0 {' '.join(f"WHEN {kk} THEN {_pq_dist_sql('qv', 0, 32, pq_cbs[0][kk])}" for kk in range(16))} END)
+                   + (CASE k1 {' '.join(f"WHEN {kk} THEN {_pq_dist_sql('qv', 1, 32, pq_cbs[1][kk])}" for kk in range(16))} END)
+                       AS approx_dist
+              FROM pairs
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_dist ASC, cand_id ASC) AS rank
+              FROM dist
+            )
+            SELECT query_id, cand_id, approx_dist, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "text_features": f"""
             SELECT doc_id,
@@ -1478,6 +1575,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_partitions": q_ann_partitions,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "time_rollup": q_time_rollup,
         "sliding_windows": q_sliding_windows,
         "asof_join": q_asof_join,

@@ -520,3 +520,137 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression layer of a
+# 100 TB vector store: each embedding collapses to m sub-space codebook
+# codes (here m×log2(ksub) bits vs dim×32 for the raw floats), and
+# queries score candidates with asymmetric distance (ADC) against the
+# codes without ever touching the original vectors. No reference
+# counterpart; §7.4 extension surface next to the LSH/IVF paths.
+# Exact-arithmetic discipline: quantized vectors (×1000) are lifted
+# ×10 to the codebook scale (×10000), so encode distances and ADC
+# distances are exact int64 — oracle-checkable with zero float hazards.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int = 64, m: int = 2, ksub: int = 16, seed: int = 13
+) -> list[list[list[int]]]:
+    """Deterministic seeded PQ codebooks: ``m`` sub-spaces of dim/m
+    dims, ``ksub`` integer-scaled (×10000) centroids each. A real
+    deployment k-means-trains these per sub-space (swap in quantized
+    learned centroids exactly like kmeans_to_ivf_centroids); the seeded
+    form keeps encode/ADC reproducible and oracle-checkable."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    rng = np.random.default_rng(seed)
+    dsub = dim // m
+    return [
+        [
+            [int(round(float(v) * 10000)) for v in rng.standard_normal(dsub)]
+            for _ in range(ksub)
+        ]
+        for _ in range(m)
+    ]
+
+
+def pq_codes(
+    vec_col: Column | str, codebooks: list[list[list[int]]], scale: int = 1000
+) -> Column:
+    """Encode: per sub-space nearest centroid by exact-int squared L2
+    (ties → lowest code, matching both numpy first-argmin and the SQL
+    oracle's CASE chain). One Arrow pass, map-only — the shape of a
+    100 TB encode job (each partition encodes independently; the
+    codebooks ride the closure)."""
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    m = len(cbs)
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        q = np.stack(vecs.to_numpy()).astype(np.int64) * 10  # lift to cb scale
+        out = np.empty((q.shape[0], m), dtype=np.int32)
+        ofs = 0
+        for j, cb in enumerate(cbs):
+            dsub = cb.shape[1]
+            sub = q[:, ofs : ofs + dsub]
+            ofs += dsub
+            # argmin ||sub - c||² == argmin (||c||² - 2·sub·c): the
+            # ||sub||² term is row-constant, dropping it keeps int64
+            # headroom and the same winner
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2 * (sub @ cb.T)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return _codes(quantize(c, scale))
+
+
+def pq_code_packed(
+    vec_col: Column | str, codebooks: list[list[list[int]]], scale: int = 1000
+) -> Column:
+    """Single-integer packed PQ code (Σ code_j·ksub^j) — the partition/
+    bucket key a PQ-sharded store lays data out by."""
+    ksub = len(codebooks[0])
+    codes = pq_codes(vec_col, codebooks, scale)
+    expr = None
+    for j in range(len(codebooks)):
+        term = F.element_at(codes, j + 1).cast("long") * (ksub**j)
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    codebooks: list[list[list[int]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance: the corpus exists only as PQ
+    codes (encode once, map-only); each query scores candidates as
+    Σ_j ||q_sub·10 − codebook_j[code_j]||² — exact int64, so ranking is
+    engine-portable with no float hazards. Broadcast the (small) query
+    set against the codes; the raw corpus vectors never ride the join.
+    At 100 TB: codes are ~64× smaller than fp32 vectors, and the scan
+    is over codes + a per-query LUT of m×ksub partial distances (the
+    classic ADC layout this operator's plan mirrors)."""
+    codebooks = codebooks or pq_codebooks()
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+
+    enc = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        pq_codes(vec_col, codebooks, scale).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col, scale).alias("qv")
+    )
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qm = np.stack(qvs.to_numpy()).astype(np.int64) * 10
+        cm = np.stack(codes.to_numpy()).astype(np.int64)
+        total = np.zeros(len(qm), dtype=np.int64)
+        ofs = 0
+        for j, cb in enumerate(cbs):
+            dsub = cb.shape[1]
+            diff = qm[:, ofs : ofs + dsub] - cb[cm[:, j]]
+            ofs += dsub
+            total += (diff * diff).sum(axis=1)
+        return pd.Series(total)
+
+    scored = (
+        enc.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _adc(F.col("qv"), F.col("codes")).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_dist", "rank")
+    )
