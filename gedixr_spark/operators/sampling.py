@@ -85,3 +85,47 @@ def stratified_sample(
     return df.withColumn("bucket", b).filter(
         F.col("bucket") < thresholds[F.col(strata_col)]
     )
+
+
+def upsample_strata(
+    df: DataFrame,
+    strata_col: str,
+    factors: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: str = "upsample",
+) -> DataFrame:
+    """Deterministic per-stratum UPsampling for training-mixture
+    construction ("books ×2.5, web ×1"): each row replicates
+    floor(factor) times, plus one more iff its hash bucket falls under
+    the fractional remainder — so expected stratum size is exactly
+    factor×n, reproducibly (no RNG), and growth is stable under corpus
+    growth (hash buckets never move — the same doc is always the one
+    replicated). Strata absent from ``factors`` keep factor 1.
+
+    Output adds ``copy_n`` (0-based replica index) so downstream
+    shuffles can decorrelate copies (e.g. salt batch assignment by
+    (doc_id, copy_n)). Map-side explode, zero shuffle, scale-free."""
+    if any(v < 0 for v in factors.values()):
+        raise ValueError(f"factors must be >= 0: {factors}")
+    whole = F.create_map(
+        *[x for k, v in factors.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    frac = F.create_map(
+        *[
+            x
+            for k, v in factors.items()
+            for x in (F.lit(k), F.lit(int(round((v - int(v)) * 10_000))))
+        ]
+    )
+    b = hash_bucket(id_col, seed=seed)
+    n_copies = (
+        F.coalesce(whole[F.col(strata_col)], F.lit(1))
+        + F.when(b < F.coalesce(frac[F.col(strata_col)], F.lit(0)), 1).otherwise(0)
+    )
+    # explode must be top-level in the projection (no arithmetic around
+    # the generator). Guard n_copies=0 with an empty array — Spark's
+    # sequence(0, -1) would DESCEND ([0, -1]), not come up empty.
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), (n_copies - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy_n", F.explode(copies))

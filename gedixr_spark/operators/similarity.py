@@ -654,3 +654,38 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_dist", "rank")
     )
+
+
+def ann_recall(
+    approx: DataFrame, exact: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Recall@k of an ANN result against brute-force ground truth —
+    the tuning loop every approximate index needs (raise bits/nprobe/
+    ksub until recall clears target). Both inputs are top-k frames
+    with (query_id, cand_id, rank); per-query recall = |approx ∩
+    exact| / |exact|, plus a corpus-level macro average as the
+    ``query_id IS NULL`` row. Ids-only joins — at 100 TB this costs
+    two tiny per-query-set shuffles, independent of corpus size."""
+    a = approx.select("query_id", "cand_id")
+    e = exact.select("query_id", "cand_id")
+    if k is not None:
+        a = approx.filter(F.col("rank") <= k).select("query_id", "cand_id")
+        e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    hits = a.join(e, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    per_q = (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_true")
+            ).alias("recall"),
+        )
+    )
+    macro = per_q.agg(
+        F.lit(None).cast(per_q.schema["query_id"].dataType).alias("query_id"),
+        F.avg("recall").alias("recall"),
+    )
+    return per_q.unionByName(macro)

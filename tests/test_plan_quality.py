@@ -89,3 +89,35 @@ def test_indexed_join_pushes_global_envelope(spark, shots_path):
     plan = _plan(df)
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "longitude" in pushed and "latitude" in pushed
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing must shuffle exactly once (on pack_group) — the
+    docs-never-move-twice layout its docstring claims."""
+    from gedixr_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, i % 50 + 1) for i in range(200)], ["doc_id", "n_tokens"]
+    )
+    plan = _plan(pack_sequences(df, budget=64, n_groups=4))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pack_group" in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+
+
+def test_pq_ann_topk_broadcasts_queries(spark):
+    """ADC scoring must broadcast the small query side — the corpus
+    codes stream through map-side, no sort-merge join, and the raw
+    corpus vectors stay out of the join."""
+    import numpy as np
+
+    from gedixr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in rng.standard_normal(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+    cbs = sim.pq_codebooks(8, 2, 4, 5)
+    plan = _plan(sim.pq_ann_topk(df.filter(F.col("vec_id") < 3), df, k=3, codebooks=cbs))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
