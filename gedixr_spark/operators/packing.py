@@ -96,3 +96,54 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(budget)).cast("double")
         ).alias("fill_ratio"),
     )
+
+
+def materialize_packed(
+    packed: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Assemble trainer-ready sequences from a ``pack_sequences``
+    result: join text back by doc id (the ONLY point where document
+    bodies move — one shuffle, after packing decided placement on ids
+    alone), then per (pack_group, seq_id) emit the concatenated text,
+    the ordered doc ids, and token boundary offsets (exclusive running
+    sums — the attention-mask reset points when training on packed
+    sequences). Document order inside a sequence is the packing order
+    (n_tokens DESC, doc_id ASC), so output is deterministic.
+
+    Plan: one equi-join on doc_id + one hash agg on (pack_group,
+    seq_id) — sort happens inside each sequence's collected struct
+    list (sequences are budget-bounded, so per-group state is small by
+    construction)."""
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+    # collect_list is order-nondeterministic under parallel agg →
+    # array_sort the budget-bounded list by the packing order key
+    # (-n_tokens, doc_id) encoded in struct field order
+    key_entry = F.struct(
+        (-F.col("n_tokens")).alias("neg_tokens"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col("n_tokens").alias("n_tokens"),
+    )
+    agg = joined.groupBy("pack_group", "seq_id").agg(
+        F.array_sort(F.collect_list(key_entry)).alias("entries")
+    )
+    entries = F.col("entries")
+    return agg.select(
+        "pack_group",
+        "seq_id",
+        F.transform(entries, lambda e: e["doc_id"]).alias("doc_ids"),
+        F.array_join(F.transform(entries, lambda e: e["text"]), sep).alias("seq_text"),
+        # exclusive prefix sums of token counts = sequence-local start
+        # offset of each doc (the attention-reset boundaries)
+        F.expr(
+            "transform(entries, (e, i) -> "
+            "aggregate(slice(entries, 1, i), 0L, (acc, x) -> acc + x.n_tokens))"
+        ).alias("boundaries"),
+        F.aggregate(
+            entries, F.lit(0).cast("long"), lambda a, e: a + e["n_tokens"]
+        ).alias("seq_tokens"),
+    )

@@ -689,3 +689,40 @@ def ann_recall(
         F.avg("recall").alias("recall"),
     )
     return per_q.unionByName(macro)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 2,
+    ksub: int = 16,
+    n_iter: int = 5,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """K-means-train PQ codebooks per sub-space — the production path
+    (`pq_codebooks` is the seeded floor): slice the embedding column
+    into m sub-vectors, Lloyd-fit each slice with the distributed
+    ``clustering.kmeans_fit`` (Summarizer vector aggregate, k-row
+    collects only), then quantize ×10 from the quantized-vector scale
+    (×1000) up to the ×10000 codebook scale so encode/ADC stay exact
+    int64. Output plugs straight into ``pq_codes``/``pq_ann_topk``,
+    exactly like kmeans_to_ivf_centroids closes the IVF loop. m driver
+    -side fits of k×dsub state each — corpus scale never matters."""
+    from gedixr_spark.operators.clustering import kmeans_fit
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col)
+        )
+        cents, _ = kmeans_fit(sub, k=ksub, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+        # float centroid (raw embedding units) → codebook ints at ×10000
+        # = (×1000 quantized-vector scale) × (the ×10 ADC lift)
+        books.append([[int(round(float(v) * 10000)) for v in c] for c in cents])
+    return books
