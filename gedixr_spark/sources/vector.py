@@ -163,6 +163,70 @@ def aoi_from_shapefile(spark: SparkSession, path: str | Path) -> DataFrame:
     return spark.createDataFrame(rows, schema=list(AOI_COLUMNS))
 
 
+
+def aoi_from_kml(spark: SparkSession, path: str | Path) -> DataFrame:
+    """KML AOI reader — pure stdlib ``xml.etree`` (the fiona-format
+    breadth item the reference covers via fiona drivers,
+    ancillary.py:121-154; KML needs no native libs: it is XML).
+
+    Supported per Placemark: Polygon (outerBoundaryIs + any number of
+    innerBoundaryIs holes) and MultiGeometry of Polygons. Placemark
+    <name> wins as the AOI name; unnamed ones fall back to
+    ``{stem}_{i}``; single-feature files use the stem alone, mirroring
+    the reference's explode-naming. Coordinates are KML's
+    lon,lat[,alt] triplets; altitude is dropped. Assumes EPSG:4326
+    (the KML spec mandates it)."""
+    import xml.etree.ElementTree as ET
+
+    path = Path(path)
+    root = ET.parse(str(path)).getroot()
+
+    def local(tag: str) -> str:  # strip any xmlns
+        return tag.rsplit("}", 1)[-1]
+
+    def find_all(el, name):
+        return [c for c in el.iter() if local(c.tag) == name]
+
+    def ring_coords(ring_el) -> list[list[float]]:
+        txt = find_all(ring_el, "coordinates")[0].text or ""
+        pts = []
+        for tok in txt.split():
+            parts = tok.split(",")
+            pts.append([float(parts[0]), float(parts[1])])
+        if pts and pts[0] != pts[-1]:
+            pts.append(pts[0])
+        if len(pts) < 4:
+            raise ValueError(f"degenerate KML ring in {path}")
+        return pts
+
+    def polygon_rings(poly_el) -> list[list[list[float]]]:
+        outer = find_all(poly_el, "outerBoundaryIs")
+        if not outer:
+            raise ValueError(f"KML Polygon without outerBoundaryIs in {path}")
+        rings = [ring_coords(find_all(outer[0], "LinearRing")[0])]
+        for inner in find_all(poly_el, "innerBoundaryIs"):
+            rings.append(ring_coords(find_all(inner, "LinearRing")[0]))
+        return rings
+
+    placemarks = find_all(root, "Placemark")
+    base = path.stem
+    rows = []
+    for i, pm in enumerate(placemarks):
+        polys = [polygon_rings(p) for p in find_all(pm, "Polygon")]
+        if not polys:
+            continue  # point/line placemarks are not AOIs
+        names = find_all(pm, "name")
+        name = (
+            names[0].text.strip()
+            if names and names[0].text and names[0].text.strip()
+            else (base if len(placemarks) == 1 else f"{base}_{i}")
+        )
+        rows.append((name, _polys_to_wkt(polys)))
+    if not rows:
+        raise ValueError(f"no polygon Placemarks in {path}")
+    return spark.createDataFrame(rows, schema=list(AOI_COLUMNS))
+
+
 def prepare_vec(spark: SparkSession, vec) -> DataFrame:
     """Dispatch like the reference's prepare_vec: dict of WKT, a
     GeoJSON/.shp path, or a list of either — unioned into one AOI
@@ -173,6 +237,8 @@ def prepare_vec(spark: SparkSession, vec) -> DataFrame:
         s = str(vec).lower()
         if s.endswith(".shp"):
             return aoi_from_shapefile(spark, vec)
+        if s.endswith(".kml"):
+            return aoi_from_kml(spark, vec)
         if s.endswith(".gpkg"):
             from gedixr_spark.sources.geopackage import aoi_from_geopackage
 

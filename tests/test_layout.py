@@ -1,0 +1,96 @@
+"""Z-order layout (operators/layout.py): Morton key properties, file
+locality after write_zordered, and the pruning payoff the layout
+exists for."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators.layout import write_zordered, zorder_index
+
+
+def _points(spark, n=4000, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.uniform(-180, 180), rng.uniform(-90, 90)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["shot", "longitude", "latitude"])
+
+
+def test_zorder_key_locality_vs_corner_distance(spark):
+    """Nearby points share high Morton bits; opposite corners differ in
+    the top bit. Spot-check the interleave with exact cells."""
+    df = spark.createDataFrame(
+        [("sw", -179.9, -89.9), ("sw2", -179.7, -89.8), ("ne", 179.9, 89.9)],
+        ["name", "longitude", "latitude"],
+    )
+    vals = {
+        r["name"]: r["z"]
+        for r in df.select("name", zorder_index(bits=16).alias("z")).collect()
+    }
+    assert abs(vals["sw"] - vals["sw2"]) < abs(vals["sw"] - vals["ne"])
+    assert vals["ne"] > vals["sw"]
+
+
+def test_zorder_bits_bounds():
+    with pytest.raises(ValueError):
+        zorder_index(bits=0)
+    with pytest.raises(ValueError):
+        zorder_index(bits=32)
+
+
+def test_write_zordered_files_are_spatial_tiles(spark, tmp_path):
+    """After the Z-order write, every file's lon/lat footer span must be
+    far narrower than the global span — that narrowness IS what lets a
+    bbox scan skip files. A hash/random layout gives ~global span in
+    every file."""
+    path = str(tmp_path / "zordered")
+    write_zordered(_points(spark), path, n_files=16)
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lon_idx = md.schema.names.index("longitude")
+        lo, hi = float("inf"), float("-inf")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lon_idx).statistics
+            lo, hi = min(lo, st.min), max(hi, st.max)
+        spans.append(hi - lo)
+    assert len(spans) >= 8
+    # average file covers a small slice of the 360-degree globe
+    assert sum(spans) / len(spans) < 360 * 0.55
+    assert min(spans) < 360 * 0.3
+
+
+def test_write_zordered_roundtrip_complete(spark, tmp_path):
+    path = str(tmp_path / "zr")
+    df = _points(spark, n=500)
+    write_zordered(df, path, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert sorted(r["shot"] for r in back.select("shot").collect()) == list(range(500))
+    assert "__z" not in back.columns
+
+
+def test_bbox_scan_skips_zordered_files(spark, tmp_path):
+    """The payoff, measured end-to-end: a small-bbox scan over the
+    Z-ordered table reads fewer parquet files than exist (Spark's
+    parquet filter pushdown + footer stats), while returning exactly
+    the right rows."""
+    path = str(tmp_path / "zp")
+    write_zordered(_points(spark), path, n_files=16)
+    bbox = (F.col("longitude").between(100, 140)) & (F.col("latitude").between(0, 40))
+    got = spark.read.parquet(path).filter(bbox)
+    expected = _points(spark).filter(bbox)
+    assert got.count() == expected.count() > 0
+    # row-group level: the matching rows live in a handful of files
+    files_touched = {
+        r["f"]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    # ~11% of the globe's area lands in ≤ half the files — a random
+    # layout would put matches in essentially every file
+    assert len(files_touched) <= 8  # of 16 — the locality did its job
