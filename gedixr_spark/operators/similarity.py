@@ -726,3 +726,150 @@ def train_pq_codebooks(
         # = (×1000 quantized-vector scale) × (the ×10 ADC lift)
         books.append([[int(round(float(v) * 10000)) for v in c] for c in cents])
     return books
+
+
+# --- IVF-PQ composition: coarse cells + PQ on the RESIDUAL -----------------
+# The canonical 100 TB vector-store architecture (inverted file +
+# product-quantized residuals): the cell centroid absorbs the coarse
+# position so the codebooks only carry the fine offset — far better
+# code utilization than PQ on raw vectors, and the scan is
+# cell-restricted like IVF. Still exact int64 end-to-end here: vectors
+# quantized ×1000 then lifted ×10 to the ×10000 centroid/codebook
+# scale, residual = lifted vector − centroid (exact int), ADC on
+# residuals (exact int).
+
+
+def _pq_assign(mat: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    """codes n×m by per-subspace argmin squared L2 (first min wins)."""
+    out = np.empty((mat.shape[0], len(cbs)), dtype=np.int32)
+    ofs = 0
+    for j, cb in enumerate(cbs):
+        dsub = cb.shape[1]
+        sub = mat[:, ofs : ofs + dsub]
+        ofs += dsub
+        d2 = (cb * cb).sum(axis=1)[None, :] - 2 * (sub @ cb.T)
+        out[:, j] = np.argmin(d2, axis=1)
+    return out
+
+
+def _pq_adc_dist(mat: np.ndarray, codes: np.ndarray, cbs: list[np.ndarray]) -> np.ndarray:
+    """Σ_j ||sub_j − cb_j[code_j]||², exact int64."""
+    total = np.zeros(mat.shape[0], dtype=np.int64)
+    ofs = 0
+    for j, cb in enumerate(cbs):
+        dsub = cb.shape[1]
+        diff = mat[:, ofs : ofs + dsub] - cb[codes[:, j]]
+        ofs += dsub
+        total += (diff * diff).sum(axis=1)
+    return total
+
+
+def train_ivf_pq(
+    df: DataFrame,
+    centroids: list[list[int]],
+    m: int = 2,
+    ksub: int = 16,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Train residual PQ codebooks: assign each vector its IVF cell,
+    subtract the (float-scaled) centroid, and k-means the residuals per
+    sub-space. Training runs in floats (no parity needed); the returned
+    ×10000-scaled integer codebooks then drive the exact-int encode."""
+    cell = ivf_cell(vec_col, centroids)
+    cen_rows = [[float(w) / 10000.0 for w in c] for c in centroids]
+    cen_map = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in cen_rows]
+    )
+    residual = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cen_map, cell + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    res_df = df.select(F.col(id_col), residual.alias(vec_col))
+    return train_pq_codebooks(
+        res_df, m=m, ksub=ksub, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+
+
+def ivf_pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    centroids: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+    nprobe: int = 1,
+    dim: int = 64,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ ANN: candidates restricted to the query's ``nprobe``
+    nearest cells (inverted-file pruning), scored by exact-int ADC on
+    PQ-coded RESIDUALS — ||qres − r̃||² ≈ ||q − x||² since the shared
+    cell centroid cancels. Corpus footprint per vector: one cell id +
+    m codes; raw vectors never enter the join. Plan: two map-only
+    Arrow encodes + one broadcast equi-join on cell + window top-k —
+    the same shuffle shape as ivf_ann_topk with a 64×-smaller scan
+    payload."""
+    centroids = centroids or ivf_centroids(dim, n_cells, seed=7)
+    codebooks = codebooks or pq_codebooks(dim, 2, 16, 13)
+    cen = np.asarray(centroids, dtype=np.int64)
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+
+    from pyspark.sql.types import ArrayType as _AT
+    from pyspark.sql.types import IntegerType as _IT
+    from pyspark.sql.types import LongType as _LT
+
+    @pandas_udf(_AT(_IT()))
+    def _res_codes(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * 10
+        res = q10 - cen[cells.to_numpy().astype(np.int64)]
+        return pd.Series(list(_pq_assign(res, cbs)))
+
+    @pandas_udf(_AT(_LT()))
+    def _res_vec(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * 10
+        res = q10 - cen[cells.to_numpy().astype(np.int64)]
+        return pd.Series(list(res))
+
+    @pandas_udf(_LT())
+    def _adc(qres: pd.Series, codes: pd.Series) -> pd.Series:
+        mat = np.stack(qres.to_numpy()).astype(np.int64)
+        cm = np.stack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(_pq_adc_dist(mat, cm, cbs))
+
+    enc = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        ivf_cell(vec_col, centroids, scale).alias("cell"),
+        quantize(vec_col, scale).alias("__v"),
+    ).select(
+        "cand_id", "cell", _res_codes(F.col("__v"), F.col("cell")).alias("codes")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(vec_col, scale).alias("__v"),
+            F.explode(ivf_probe_cells(vec_col, centroids, nprobe, scale)).alias("cell"),
+        )
+        .select(
+            "query_id", "cell", _res_vec(F.col("__v"), F.col("cell")).alias("qres")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(q), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _adc(F.col("qres"), F.col("codes")).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_dist", "rank")
+    )

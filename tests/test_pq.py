@@ -83,3 +83,86 @@ def test_pq_ann_topk_exact_adc(spark):
     ref = _reference_codes_and_dist([d for d in data if d[0] != 0], qv, cbs)
     want_top = sorted(ref.items(), key=lambda kv: (kv[1], kv[0]))[:5]
     assert [(cid, d) for cid, (d, _) in sorted(rows.items(), key=lambda kv: kv[1][1])] == want_top
+
+
+def test_ivf_pq_exact_reference(spark):
+    """IVF-PQ ADC must equal the plain-numpy reference: assign cell,
+    exact-int residual, PQ-encode residual, ADC against the query's
+    residual in the same cell."""
+    from pyspark.sql import functions as F
+
+    from gedixr_spark.operators.similarity import (
+        _pq_adc_dist,
+        _pq_assign,
+        ivf_centroids,
+        ivf_pq_ann_topk,
+        pq_codebooks,
+    )
+
+    dim, cells_n = 8, 4
+    df = _emb_df(spark, n=40, dim=dim, seed=11)
+    cen = np.asarray(ivf_centroids(dim, cells_n, seed=7), dtype=np.int64)
+    cbs_l = pq_codebooks(dim, 2, 4, 5)
+    cbs = [np.asarray(cb, dtype=np.int64) for cb in cbs_l]
+
+    out = ivf_pq_ann_topk(
+        df.filter(F.col("vec_id") == 0), df, k=40,
+        centroids=cen.tolist(), codebooks=cbs_l, dim=dim, n_cells=cells_n,
+    ).collect()
+
+    # numpy reference
+    data = {r["vec_id"]: np.round(np.asarray(r["embedding"]) * 1000).astype(np.int64) * 10
+            for r in df.collect()}
+
+    def cell_of(v10):
+        return int(np.argmax(v10 @ cen.T))
+
+    q10 = data[0]
+    qcell = cell_of(q10)
+    qres = (q10 - cen[qcell])[None, :]
+    want = {}
+    for vid, v10 in data.items():
+        if vid == 0 or cell_of(v10) != qcell:
+            continue
+        res = (v10 - cen[qcell])[None, :]
+        codes = _pq_assign(res, cbs)
+        want[vid] = int(_pq_adc_dist(qres, codes, cbs)[0])
+    got = {r["cand_id"]: r["approx_dist"] for r in out}
+    assert got == want and len(want) > 0
+
+
+def test_ivf_pq_nprobe_superset(spark):
+    """Raising nprobe can only add candidates (cells are disjoint)."""
+    from pyspark.sql import functions as F
+
+    from gedixr_spark.operators.similarity import ivf_pq_ann_topk
+
+    df = _emb_df(spark, n=60, dim=8, seed=2)
+    q = df.filter(F.col("vec_id") < 3)
+    kw = dict(dim=8, n_cells=4, codebooks=None)
+    one = {(r["query_id"], r["cand_id"])
+           for r in ivf_pq_ann_topk(q, df, k=60, nprobe=1, **{k: v for k, v in kw.items() if v is not None}).collect()}
+    two = {(r["query_id"], r["cand_id"])
+           for r in ivf_pq_ann_topk(q, df, k=60, nprobe=2, **{k: v for k, v in kw.items() if v is not None}).collect()}
+    assert one <= two and len(two) > len(one)
+
+
+def test_train_ivf_pq_runs_and_plugs_in(spark):
+    from pyspark.sql import functions as F
+
+    from gedixr_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_ann_topk,
+        train_ivf_pq,
+    )
+
+    df = _emb_df(spark, n=60, dim=8, seed=4)
+    cen = ivf_centroids(8, 4, seed=7)
+    cbs = train_ivf_pq(df, cen, m=2, ksub=4, n_iter=2)
+    assert len(cbs) == 2 and len(cbs[0]) == 4 and len(cbs[0][0]) == 4
+    out = ivf_pq_ann_topk(
+        df.filter(F.col("vec_id") < 2), df, k=3,
+        centroids=cen, codebooks=cbs, dim=8, n_cells=4,
+    )
+    rows = out.collect()
+    assert all(r["rank"] <= 3 for r in rows)
