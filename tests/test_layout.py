@@ -94,3 +94,36 @@ def test_bbox_scan_skips_zordered_files(spark, tmp_path):
     # ~11% of the globe's area lands in ≤ half the files — a random
     # layout would put matches in essentially every file
     assert len(files_touched) <= 8  # of 16 — the locality did its job
+
+
+def test_zorder_boundary_and_nan_behavior(spark):
+    """Exact globe corners stay in-range (the quantizer multiplies by
+    2^bits - 1, so +180/+90 land on the last cell, not overflow);
+    out-of-range coordinates clamp. NaN: Spark orders NaN above every
+    double, so least(NaN, hi) = hi — NaN coordinates deterministically
+    clamp to the max cell instead of poisoning the key (callers filter
+    invalid rows upstream; the layout just must not corrupt)."""
+    df = spark.createDataFrame(
+        [
+            ("max", 180.0, 90.0),
+            ("min", -180.0, -90.0),
+            ("over", 999.0, 999.0),
+            ("nan", float("nan"), 0.0),
+        ],
+        ["name", "longitude", "latitude"],
+    )
+    rows = {
+        r["name"]: r["z"]
+        for r in df.select("name", zorder_index(bits=8).alias("z")).collect()
+    }
+    top = (1 << 16) - 1  # all 16 bits set for bits=8
+    assert rows["max"] == top and rows["min"] == 0
+    assert rows["over"] == rows["max"]  # clamped
+    # NaN lon clamps to the max lon cell; lat 0 interleaves normally
+    nan_expected = {
+        r["z"]
+        for r in spark.createDataFrame([("x", 180.0, 0.0)], ["name", "longitude", "latitude"])
+        .select(zorder_index(bits=8).alias("z"))
+        .collect()
+    }
+    assert rows["nan"] in nan_expected
