@@ -327,7 +327,8 @@ def _ivf_centroids_roundtripped(spark) -> list[list[int]]:
         path = tempfile.mkdtemp(prefix="ivf_centroids_") + "/centroids.parquet"
         similarity.save_centroids(spark, cen, path)
         loaded = similarity.load_centroids(spark, path)
-        assert loaded == cen  # persistence must be lossless
+        if loaded != cen:  # not assert: must survive python -O
+            raise RuntimeError("IVF centroid parquet round-trip was lossy")
         _IVF_ROUNDTRIP_CACHE = loaded
     return _IVF_ROUNDTRIP_CACHE
 

@@ -127,8 +127,11 @@ def spatial_join_aoi_auto(
     named polygons are small."""
     from gedixr_spark.geo import parse_wkt_rings, rings_all_rects
 
-    rows = aois.select(wkt_col).collect()
-    all_rectilinear = all(
+    # LIMIT max+1: a many-AOI table decides on COUNT alone — never
+    # collect or ring-parse 10k geometries on the driver just to pick
+    # the plan the count already determined
+    rows = aois.select(wkt_col).limit(AOI_PREDICATE_PLAN_MAX + 1).collect()
+    all_rectilinear = len(rows) <= AOI_PREDICATE_PLAN_MAX and all(
         rings_all_rects(parse_wkt_rings(r[wkt_col])) for r in rows
     )
     if len(rows) <= AOI_PREDICATE_PLAN_MAX and all_rectilinear:

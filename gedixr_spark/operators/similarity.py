@@ -632,21 +632,39 @@ def pq_ann_topk(
     from pyspark.sql.types import LongType
 
     @pandas_udf(LongType())
-    def _adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
-        qm = np.stack(qvs.to_numpy()).astype(np.int64) * 10
+    def _adc(qids: pd.Series, qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        # true ADC: ONE m×ksub distance LUT per distinct query in the
+        # batch, then each scored pair is m lookups+adds — not an
+        # O(dim) recompute per pair (30× less arithmetic at m=2,
+        # ksub=16, dim=64 on the |queries|×|corpus| hot path)
         cm = np.stack(codes.to_numpy()).astype(np.int64)
-        total = np.zeros(len(qm), dtype=np.int64)
+        uniq, inv = np.unique(qids.to_numpy(), return_inverse=True)
+        first_row = {qid: i for i, qid in zip(range(len(qids)), qids.to_numpy())}
+        total = np.zeros(len(cm), dtype=np.int64)
         ofs = 0
         for j, cb in enumerate(cbs):
             dsub = cb.shape[1]
-            diff = qm[:, ofs : ofs + dsub] - cb[cm[:, j]]
+            # LUT rows: per unique query, dist to every codeword of
+            # sub-space j — computed once, looked up per pair
+            subs = np.stack(
+                [
+                    np.asarray(qvs.iloc[first_row[qid]][ofs : ofs + dsub])
+                    for qid in uniq
+                ]
+            ).astype(np.int64) * 10
+            diff = subs[:, None, :] - cb[None, :, :]  # uniq × ksub × dsub
+            lut = (diff * diff).sum(axis=2)  # uniq × ksub
+            total += lut[inv, cm[:, j]]
             ofs += dsub
-            total += (diff * diff).sum(axis=1)
         return pd.Series(total)
 
     scored = (
         enc.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", _adc(F.col("qv"), F.col("codes")).alias("approx_dist"))
+        .select(
+            "query_id",
+            "cand_id",
+            _adc(F.col("query_id"), F.col("qv"), F.col("codes")).alias("approx_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
     return (
@@ -666,11 +684,11 @@ def ann_recall(
     exact| / |exact|, plus a corpus-level macro average as the
     ``query_id IS NULL`` row. Ids-only joins — at 100 TB this costs
     two tiny per-query-set shuffles, independent of corpus size."""
+    if k is not None:
+        approx = approx.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
     a = approx.select("query_id", "cand_id")
     e = exact.select("query_id", "cand_id")
-    if k is not None:
-        a = approx.filter(F.col("rank") <= k).select("query_id", "cand_id")
-        e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
     hits = a.join(e, ["query_id", "cand_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -208,18 +208,23 @@ def aoi_from_kml(spark: SparkSession, path: str | Path) -> DataFrame:
             rings.append(ring_coords(find_all(inner, "LinearRing")[0]))
         return rings
 
-    placemarks = find_all(root, "Placemark")
     base = path.stem
+    # filter to polygon-bearing placemarks FIRST so the naming rule
+    # (bare stem for a single feature, dense stem_i otherwise) counts
+    # only actual AOIs — point/line placemarks must not shift indices
+    # or break the single-feature stem
+    poly_pms = [
+        (pm, polys)
+        for pm in find_all(root, "Placemark")
+        if (polys := [polygon_rings(p) for p in find_all(pm, "Polygon")])
+    ]
     rows = []
-    for i, pm in enumerate(placemarks):
-        polys = [polygon_rings(p) for p in find_all(pm, "Polygon")]
-        if not polys:
-            continue  # point/line placemarks are not AOIs
+    for i, (pm, polys) in enumerate(poly_pms):
         names = find_all(pm, "name")
         name = (
             names[0].text.strip()
             if names and names[0].text and names[0].text.strip()
-            else (base if len(placemarks) == 1 else f"{base}_{i}")
+            else (base if len(poly_pms) == 1 else f"{base}_{i}")
         )
         rows.append((name, _polys_to_wkt(polys)))
     if not rows:

@@ -95,3 +95,19 @@ def test_kml_aois_join_shots(spark, kml_path):
         for r in spatial_join_aoi_auto(shots, aoi_from_kml(spark, kml_path)).collect()
     }
     assert got == {("in_alpha", "alpha"), ("in_multi", "areas_1")}
+
+
+def test_kml_point_placemark_does_not_shift_names(spark, tmp_path):
+    """A point placemark next to one unnamed polygon must not break
+    the single-feature stem rule or dent the index sequence."""
+    p = tmp_path / "single.kml"
+    p.write_text(
+        '<kml xmlns="http://www.opengis.net/kml/2.2">'
+        "<Placemark><Point><coordinates>1,2</coordinates></Point></Placemark>"
+        "<Placemark><Polygon><outerBoundaryIs><LinearRing><coordinates>"
+        "0,0 1,0 1,1 0,1 0,0"
+        "</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>"
+        "</kml>"
+    )
+    rows = aoi_from_kml(spark, p).collect()
+    assert [r["aoi_name"] for r in rows] == ["single"]
