@@ -121,3 +121,23 @@ def test_pq_ann_topk_broadcasts_queries(spark):
     plan = _plan(sim.pq_ann_topk(df.filter(F.col("vec_id") < 3), df, k=3, codebooks=cbs))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_materialize_packed_two_shuffles_max(spark):
+    """Assembly = the packing shuffle (ids only), the doc_id join —
+    whose docs-side exchange is the ONE place document text moves —
+    and the (pack_group, seq_id) agg. Nothing beyond those four
+    exchanges (no extra sort-merge cascade, text never moves twice)."""
+    from gedixr_spark.operators.packing import materialize_packed, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], ["doc_id", "text"]
+    )
+    counts = spark.createDataFrame(
+        [(i, i % 40 + 1) for i in range(300)], ["doc_id", "n_tokens"]
+    )
+    out = materialize_packed(pack_sequences(counts, budget=64, n_groups=4), docs)
+    plan = _plan(out)
+    # pack + join(ids side) + join(text side) + agg
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("FlatMapGroupsInPandas") == 1
