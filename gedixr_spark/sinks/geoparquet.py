@@ -55,13 +55,37 @@ def write_geoparquet(
     geometry_col: str = "geometry",
     partition_by: str | None = None,
     mode: str = "error",
+    zorder: bool = False,
+    zorder_files: int | None = None,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
 ) -> str:
     """Distributed parquet write with WKB geometry + GeoParquet footer
     metadata stamped afterwards. ``partition_by='aoi_name'`` reproduces
-    the reference's per-AOI outputs as hive partitions."""
+    the reference's per-AOI outputs as hive partitions.
+
+    ``zorder=True`` lays rows down along the Morton curve before the
+    write (range-partition + in-partition sort on the interleaved
+    lon/lat key, operators/layout.py): each output file becomes a
+    compact spatial tile whose footer min/max prunes under later bbox/
+    AOI scans — the write-once layout investment every downstream
+    spatial query repays at 100 TB."""
     out = df
     if geometry_col in df.columns and dict(df.dtypes)[geometry_col].startswith("struct"):
         out = df.withColumn(geometry_col, point_struct_to_wkb(F.col(geometry_col)))
+    if zorder and lon_col in out.columns and lat_col in out.columns:
+        from gedixr_spark.operators.layout import zorder_index
+
+        cols = [partition_by, "__z"] if partition_by else ["__z"]
+        out = out.withColumn("__z", zorder_index(lon_col, lat_col))
+        # explicit file count pins the tile granularity (AQE coalesces
+        # an unpinned range shuffle of small data into one file)
+        out = (
+            out.repartitionByRange(zorder_files, *cols)
+            if zorder_files
+            else out.repartitionByRange(*cols)
+        )
+        out = out.sortWithinPartitions("__z").drop("__z")
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(partition_by)

@@ -127,3 +127,27 @@ def test_zorder_boundary_and_nan_behavior(spark):
         .collect()
     }
     assert rows["nan"] in nan_expected
+
+
+def test_geoparquet_zorder_option(spark, tmp_path):
+    """write_geoparquet(zorder=True) lays rows along the curve: output
+    parquet files carry narrow lon spans (tile-shaped footers) and the
+    data round-trips completely with the geo footer stamped."""
+    from gedixr_spark.sinks.geoparquet import write_geoparquet
+
+    df = _points(spark, n=2000).withColumnRenamed("shot", "shot_id")
+    path = str(tmp_path / "geo_z")
+    write_geoparquet(df, path, zorder=True, zorder_files=8, mode="overwrite")
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        li = md.schema.names.index("longitude")
+        st = md.row_group(0).column(li).statistics
+        lo, hi = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(li).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append(hi - lo)
+    assert len(spans) >= 2 and min(spans) < 360 * 0.6
