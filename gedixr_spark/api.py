@@ -33,6 +33,8 @@ def extract_data(
     output_dir: str | Path | None = None,
     granule_opener: Callable | None = None,
     error_acc=None,
+    zorder: bool = False,
+    zorder_files: int | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Lazy Spark re-expression of the reference's primary entry point
     (``extract_data``, extract.py:20-229; lifecycle SURVEY.md §3.1).
@@ -85,5 +87,9 @@ def extract_data(
             shots,
             base / name,
             partition_by="aoi_name" if aoi_df is not None else None,
+            # zorder=True lays each output (partition) down as Morton
+            # tiles so later bbox/AOI scans prune files (layout.py)
+            zorder=zorder,
+            zorder_files=zorder_files,
         )
     return shots, out_path

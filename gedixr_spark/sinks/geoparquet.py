@@ -71,13 +71,27 @@ def write_geoparquet(
     AOI scans — the write-once layout investment every downstream
     spatial query repays at 100 TB."""
     out = df
-    if geometry_col in df.columns and dict(df.dtypes)[geometry_col].startswith("struct"):
-        out = df.withColumn(geometry_col, point_struct_to_wkb(F.col(geometry_col)))
-    if zorder and lon_col in out.columns and lat_col in out.columns:
+    has_struct_geom = geometry_col in df.columns and dict(df.dtypes)[
+        geometry_col
+    ].startswith("struct")
+    if zorder:
         from gedixr_spark.operators.layout import zorder_index
 
+        # the key source: explicit lon/lat columns, else the point
+        # geometry struct (extract_data drops lat/lon before saving)
+        if lon_col in out.columns and lat_col in out.columns:
+            zcol = zorder_index(lon_col, lat_col)
+        elif has_struct_geom:
+            zcol = zorder_index(
+                F.col(f"{geometry_col}.x"), F.col(f"{geometry_col}.y")
+            )
+        else:
+            raise ValueError(
+                "zorder=True needs lon/lat columns or a point-struct "
+                f"geometry; have {out.columns}"
+            )
         cols = [partition_by, "__z"] if partition_by else ["__z"]
-        out = out.withColumn("__z", zorder_index(lon_col, lat_col))
+        out = out.withColumn("__z", zcol)
         # explicit file count pins the tile granularity (AQE coalesces
         # an unpinned range shuffle of small data into one file)
         out = (
@@ -86,6 +100,8 @@ def write_geoparquet(
             else out.repartitionByRange(*cols)
         )
         out = out.sortWithinPartitions("__z").drop("__z")
+    if has_struct_geom:
+        out = out.withColumn(geometry_col, point_struct_to_wkb(F.col(geometry_col)))
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(partition_by)

@@ -59,3 +59,21 @@ def test_quality_filter_is_subset_property(spark, env):
     filtered = quality_filter(df)
     assert filtered.count() <= df.count()
     assert filtered.join(df, on="shot", how="left_anti").count() == 0
+
+
+def test_extract_data_zorder_save(spark, env, tmp_path):
+    """zorder=True flows through to the sink and derives the Morton key
+    from the geometry struct (lat/lon are dropped pre-save)."""
+    d, opener = env
+    df, out_path = extract_data(
+        spark,
+        d,
+        gedi_product="L2A",
+        output_dir=tmp_path,
+        granule_opener=opener,
+        zorder=True,
+        zorder_files=2,
+    )
+    back = spark.read.parquet(out_path)
+    assert back.count() == df.count() > 0
+    assert "__z" not in back.columns
