@@ -541,3 +541,102 @@ def doc_fingerprint(col: Column | str) -> Column:
     distinct token set (bag-of-words signature). Used for fuzzy-exact
     dedup where token order/dup noise shouldn't matter."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the CCNet-style quality LM: bigram + unigram counts over a
+    reference corpus (lowercased whitespace tokens). Pure
+    explode+groupBy — two shuffles over token pairs, at any scale. The
+    returned count tables are the model; persist them like any other
+    table and broadcast at scoring time (a real deployment trains on a
+    trusted corpus — e.g. Wikipedia — and scores the crawl)."""
+    toks = F.transform(tokens(text_col), F.lower)
+    pairs = corpus.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    unigrams = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return bigrams, unigrams
+
+
+def lm_bits_per_token(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_smoothing: int = 1000,
+) -> DataFrame:
+    """Per-doc pseudo-perplexity: mean -log2 P(w2|w1) over the doc's
+    bigrams under add-one smoothing (P = (n12+1)/(n1+V)). The CCNet
+    quality signal — natural text that resembles the LM's training
+    corpus scores low; gibberish/boilerplate scores high.
+
+    Plan: explode doc bigrams → broadcast-join the count tables (an
+    LM over a trusted corpus is small next to a crawl) → one per-doc
+    agg. No UDF; log2 is the only float op, applied per bigram then
+    averaged (scoring is a heuristic, not an oracle surface). Docs
+    with <2 tokens get NULL bits (nothing to score)."""
+    toks = F.transform(tokens(text_col), F.lower)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    joined = (
+        exploded.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(unigrams), ["w1"], "left")
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce("n12", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("n1", F.lit(0)) + vocab_smoothing).cast("double")
+                )
+            ).alias("bits"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(F.avg("bits").alias("lm_bits_per_token"))
+    return df.join(scored, id_col, "left")
+
+
+def perplexity_filter(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    max_bits: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_unscorable: bool = False,
+) -> DataFrame:
+    """Keep docs whose LM bits/token is at most ``max_bits`` (CCNet
+    keeps the head/middle of the perplexity distribution). Docs too
+    short to score (<2 tokens) are dropped unless keep_unscorable."""
+    scored = lm_bits_per_token(df, bigrams, unigrams, text_col, id_col)
+    pred = F.col("lm_bits_per_token") <= max_bits
+    if keep_unscorable:
+        pred = pred | F.col("lm_bits_per_token").isNull()
+    return scored.filter(pred)
