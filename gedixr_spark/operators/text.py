@@ -5,6 +5,8 @@ expressions — JVM-side, whole-stage-codegen friendly, no UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -640,3 +642,21 @@ def perplexity_filter(
     if keep_unscorable:
         pred = pred | F.col("lm_bits_per_token").isNull()
     return scored.filter(pred)
+
+
+def perplexity_cutoffs(
+    scored: DataFrame,
+    fractions: Sequence[float] = (1 / 3, 2 / 3),
+    col: str = "lm_bits_per_token",
+    accuracy: int = 10_000,
+) -> list[float]:
+    """Corpus-percentile cutoffs for the perplexity gate — CCNet splits
+    the crawl into head/middle/tail at distribution terciles, not at
+    fixed bit values. ``percentile_approx`` is the scale path: one
+    pass, bounded-memory sketch per partition, no sort. Returns the
+    cutoff value per requested fraction (driver-side: len(fractions)
+    floats)."""
+    row = scored.filter(F.col(col).isNotNull()).agg(
+        F.percentile_approx(col, list(fractions), accuracy).alias("cuts")
+    ).collect()[0]
+    return [float(c) for c in row["cuts"]]

@@ -75,3 +75,21 @@ def test_scoring_deterministic_under_repartition(spark):
     b = sorted(map(tuple, lm_bits_per_token(docs.repartition(7), bigrams, unigrams).collect()))
     assert [x[0] for x in a] == [x[0] for x in b]
     assert all(abs(x[2] - y[2]) < 1e-12 for x, y in zip(a, b))
+
+
+def test_perplexity_cutoffs_terciles(spark):
+    from gedixr_spark.operators.text import perplexity_cutoffs
+
+    bigrams, unigrams = _lm(spark)
+    docs = spark.createDataFrame(
+        [(i, CORPUS[i % len(CORPUS)]) for i in range(30)]
+        + [(100 + i, "zxq wvud plorp gnarf blix") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    scored = lm_bits_per_token(docs, bigrams, unigrams)
+    lo, hi = perplexity_cutoffs(scored)
+    assert lo <= hi
+    # the tercile cut separates in-distribution docs from gibberish
+    vals = {r["doc_id"]: r["lm_bits_per_token"] for r in scored.collect()}
+    assert all(vals[i] <= hi for i in range(30))
+    assert all(vals[100 + i] > hi for i in range(10))

@@ -24,6 +24,18 @@ def test_training_data_pipeline_composes(spark, sf_dir):
     n_clean = clean.count()
     assert 0 < n_clean <= n_raw
 
+    # 1b. LM perplexity gate: train on the clean corpus itself, keep
+    # below the 90th-percentile bits/token (self-trained LM drops only
+    # the most out-of-distribution tail)
+    bigrams, unigrams = text.train_bigram_lm(clean)
+    scored = text.lm_bits_per_token(clean, bigrams, unigrams)
+    (cut,) = text.perplexity_cutoffs(scored, fractions=[0.9])
+    clean = text.perplexity_filter(
+        clean, bigrams, unigrams, cut, keep_unscorable=True
+    ).drop("lm_bits_per_token")
+    n_lm = clean.count()
+    assert 0 < n_lm <= n_clean
+
     # 2. exact dedup: collapse byte-identical texts to min-id survivors
     exact = dedup.exact_dedup(clean)
     exact_survivors = clean.join(
