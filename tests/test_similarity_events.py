@@ -236,3 +236,50 @@ def test_rollup_agg_grains_consistent(spark):
     assert sum(r["n_events"] for r in by_lvl[1]) == 5
     # n_users is NOT additive across grains (distinct) — check directly
     assert {r["n_users"] for r in by_lvl[3]} == {2}
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """Differential anchor: on randomized keys/timestamps, asof_join
+    (strict=False, with and without tolerance) must agree row-for-row
+    with pandas.merge_asof(by=key, direction='backward') — an
+    independent reference implementation, not our own oracle."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    base = datetime.datetime(2024, 3, 1)
+    lrows = [
+        (i, base + datetime.timedelta(seconds=rng.randrange(0, 3600)), rng.randrange(4))
+        for i in range(120)
+    ]
+    # unique (key, ts) on the right, as asof_join requires
+    seen = set()
+    rrows = []
+    for j in range(80):
+        key, s = rng.randrange(4), rng.randrange(0, 3600)
+        if (key, s) in seen:
+            continue
+        seen.add((key, s))
+        rrows.append((key, base + datetime.timedelta(seconds=s), float(j)))
+
+    left = spark.createDataFrame(lrows, ["event_id", "ts", "user_id"])
+    right = spark.createDataFrame(rrows, ["user_id", "ts", "v"])
+
+    lpd = pd.DataFrame(lrows, columns=["event_id", "ts", "user_id"]).sort_values("ts", kind="mergesort")
+    rpd = pd.DataFrame(rrows, columns=["user_id", "ts", "v"]).sort_values("ts", kind="mergesort")
+
+    for tol in (None, 600):
+        got = {
+            r["event_id"]: r["asof_v"]
+            for r in events.asof_join(left, right, strict=False, tolerance_s=tol).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="user_id", direction="backward",
+            tolerance=(pd.Timedelta(seconds=tol) if tol else None),
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.v) else float(r.v))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"tolerance={tol}"
