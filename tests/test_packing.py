@@ -94,3 +94,44 @@ def test_packing_properties_hypothesis(spark):
             assert sum(members) <= budget or len(members) == 1
 
     check()
+
+
+def test_packing_differential_vs_python_reference(spark):
+    """Exact equality with an independent pure-Python NFD pass (not
+    just invariant checks): same grouping, same order, same seq ids."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def reference_nfd(toks_by_id, budget, n_groups):
+        out = {}
+        for g in range(n_groups):
+            members = sorted(
+                ((i, t) for i, t in toks_by_id.items() if i % n_groups == g),
+                key=lambda it: (-it[1], it[0]),
+            )
+            fill, seq = 0, 0
+            for pos, (i, t) in enumerate(members):
+                if pos == 0:
+                    fill = t
+                elif fill + t > budget:
+                    seq += 1
+                    fill = t
+                else:
+                    fill += t
+                out[i] = (g, seq)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+        budget=st.integers(min_value=8, max_value=96),
+    )
+    def check(toks, budget):
+        by_id = dict(enumerate(toks))
+        got = {
+            r["doc_id"]: (r["pack_group"], r["seq_id"])
+            for r in pack_sequences(_docs(spark, toks), budget=budget, n_groups=2).collect()
+        }
+        assert got == reference_nfd(by_id, budget, 2)
+
+    check()
