@@ -283,3 +283,41 @@ def test_asof_join_differential_vs_pandas_merge_asof(spark):
             for r in want_df.itertuples()
         }
         assert got == want, f"tolerance={tol}"
+
+
+def test_sessionize_differential_vs_pandas(spark):
+    """Third opinion on the r3 parity bug's operator: sessionize must
+    agree with an independent pandas lag+cumsum implementation on
+    randomized event streams, including gaps landing EXACTLY on the
+    30-minute boundary (> semantics, not >=)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = 0
+        for _ in range(40):
+            # mix of sub-gap, exactly-at-gap (1800 s), and super-gap steps
+            t += rng.choice([60, 900, 1800, 1801, 7200])
+            rows.append((eid, base + datetime.timedelta(seconds=t), user))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {
+        r["event_id"]: r["session_n"]
+        for r in events.sessionize(df).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    gap = pdf.groupby("user_id")["ts"].diff().dt.total_seconds()
+    is_new = (gap.isna() | (gap > 1800)).astype(int)
+    pdf["session_n"] = is_new.groupby(pdf["user_id"]).cumsum()
+    want = dict(zip(pdf["event_id"], pdf["session_n"]))
+    assert got == want
+    # a gap of exactly 1800 s must NOT start a new session anywhere
+    assert any(g == 1800.0 for g in gap.dropna()), "fixture must hit the boundary"
