@@ -1533,7 +1533,7 @@ def build_oracles() -> dict[str, str]:
               SELECT doc_id,
                      CAST(len(list_filter(string_split(text, ' '),
                                           x -> x != '')) AS BIGINT) AS n_tokens,
-                     doc_id % 8 AS pack_group
+                     ((doc_id % 8) + 8) % 8 AS pack_group
               FROM documents
             ),
             ordered AS (

@@ -48,7 +48,12 @@ def pack_sequences(
     per sequence via next-fit-decreasing within ``doc_id % n_groups``
     groups. Output: (doc_id, n_tokens, pack_group, seq_id) — ids only;
     join text/payload back by doc_id downstream so the wide columns
-    never ride through the packing shuffle."""
+    never ride through the packing shuffle.
+
+    pack_group uses ``pmod`` (always non-negative); the DuckDB oracle
+    mirrors it with ``((doc_id % n) + n) % n`` so negative doc_ids group
+    identically across engines (plain ``%`` follows the dividend sign in
+    DuckDB)."""
     if budget <= 0 or n_groups <= 0:
         raise ValueError(f"need budget > 0 and n_groups > 0, got {budget}, {n_groups}")
     src = df.select(
@@ -125,7 +130,11 @@ def materialize_packed(
     key_entry = F.struct(
         (-F.col("n_tokens")).alias("neg_tokens"),
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
+        # NULL text would be silently SKIPPED by array_join (no element,
+        # no separator) while doc_ids/boundaries/seq_tokens still count
+        # the doc — coalesce to '' so every doc occupies a position in
+        # seq_text and boundary offsets stay aligned
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
         F.col("n_tokens").alias("n_tokens"),
     )
     agg = joined.groupBy("pack_group", "seq_id").agg(

@@ -535,6 +535,25 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+_CODEBOOK_SCALE = 10_000
+
+
+def _pq_lift(scale: int) -> int:
+    """Integer lift from the quantized-vector scale (``quantize``'s
+    ×scale) up to the ×10000 codebook/centroid scale. Validates
+    divisibility so a non-default ``scale`` errors loudly instead of
+    silently mis-scaling every PQ distance and code (the pre-r5 code
+    hardcoded ×10, which was only correct for scale=1000)."""
+    if scale <= 0 or _CODEBOOK_SCALE % scale != 0:
+        raise ValueError(
+            f"scale={scale} must be a positive divisor of the PQ codebook "
+            f"scale {_CODEBOOK_SCALE} (codebooks/centroids are stored as "
+            f"×{_CODEBOOK_SCALE} ints; the encode lifts vectors by "
+            f"{_CODEBOOK_SCALE}//scale to match)"
+        )
+    return _CODEBOOK_SCALE // scale
+
+
 def pq_codebooks(
     dim: int = 64, m: int = 2, ksub: int = 16, seed: int = 13
 ) -> list[list[list[int]]]:
@@ -566,11 +585,12 @@ def pq_codes(
     codebooks ride the closure)."""
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
     m = len(cbs)
+    lift = _pq_lift(scale)
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     @pandas_udf(ArrayType(IntegerType()))
     def _codes(vecs: pd.Series) -> pd.Series:
-        q = np.stack(vecs.to_numpy()).astype(np.int64) * 10  # lift to cb scale
+        q = np.stack(vecs.to_numpy()).astype(np.int64) * lift  # to cb scale
         out = np.empty((q.shape[0], m), dtype=np.int32)
         ofs = 0
         for j, cb in enumerate(cbs):
@@ -620,6 +640,7 @@ def pq_ann_topk(
     classic ADC layout this operator's plan mirrors)."""
     codebooks = codebooks or pq_codebooks()
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    lift = _pq_lift(scale)
 
     enc = corpus.select(
         F.col(id_col).alias("cand_id"),
@@ -651,7 +672,7 @@ def pq_ann_topk(
                     np.asarray(qvs.iloc[first_row[qid]][ofs : ofs + dsub])
                     for qid in uniq
                 ]
-            ).astype(np.int64) * 10
+            ).astype(np.int64) * lift
             diff = subs[:, None, :] - cb[None, :, :]  # uniq × ksub × dsub
             lut = (diff * diff).sum(axis=2)  # uniq × ksub
             total += lut[inv, cm[:, j]]
@@ -836,6 +857,7 @@ def ivf_pq_ann_topk(
     codebooks = codebooks or pq_codebooks(dim, 2, 16, 13)
     cen = np.asarray(centroids, dtype=np.int64)
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    lift = _pq_lift(scale)
 
     from pyspark.sql.types import ArrayType as _AT
     from pyspark.sql.types import IntegerType as _IT
@@ -843,13 +865,13 @@ def ivf_pq_ann_topk(
 
     @pandas_udf(_AT(_IT()))
     def _res_codes(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * 10
+        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * lift
         res = q10 - cen[cells.to_numpy().astype(np.int64)]
         return pd.Series(list(_pq_assign(res, cbs)))
 
     @pandas_udf(_AT(_LT()))
     def _res_vec(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * 10
+        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * lift
         res = q10 - cen[cells.to_numpy().astype(np.int64)]
         return pd.Series(list(res))
 

@@ -188,7 +188,10 @@ def aoi_from_kml(spark: SparkSession, path: str | Path) -> DataFrame:
         return [c for c in el.iter() if local(c.tag) == name]
 
     def ring_coords(ring_el) -> list[list[float]]:
-        txt = find_all(ring_el, "coordinates")[0].text or ""
+        coords = find_all(ring_el, "coordinates")
+        if not coords:
+            raise ValueError(f"KML ring without <coordinates> in {path}")
+        txt = coords[0].text or ""
         pts = []
         for tok in txt.split():
             parts = tok.split(",")
@@ -203,9 +206,18 @@ def aoi_from_kml(spark: SparkSession, path: str | Path) -> DataFrame:
         outer = find_all(poly_el, "outerBoundaryIs")
         if not outer:
             raise ValueError(f"KML Polygon without outerBoundaryIs in {path}")
-        rings = [ring_coords(find_all(outer[0], "LinearRing")[0])]
+
+        def linear_ring(boundary_el, kind: str):
+            lr = find_all(boundary_el, "LinearRing")
+            if not lr:
+                raise ValueError(
+                    f"KML {kind} without <LinearRing> in {path}"
+                )
+            return lr[0]
+
+        rings = [ring_coords(linear_ring(outer[0], "outerBoundaryIs"))]
         for inner in find_all(poly_el, "innerBoundaryIs"):
-            rings.append(ring_coords(find_all(inner, "LinearRing")[0]))
+            rings.append(ring_coords(linear_ring(inner, "innerBoundaryIs")))
         return rings
 
     base = path.stem

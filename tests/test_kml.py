@@ -111,3 +111,41 @@ def test_kml_point_placemark_does_not_shift_names(spark, tmp_path):
     )
     rows = aoi_from_kml(spark, p).collect()
     assert [r["aoi_name"] for r in rows] == ["single"]
+
+
+def test_kml_polygon_missing_linearring_raises_valueerror(spark, tmp_path):
+    # ADVICE r4: malformed boundaries must raise descriptive ValueError,
+    # not a bare IndexError from an unguarded [0]
+    p = tmp_path / "bad_lr.kml"
+    p.write_text(
+        """<?xml version="1.0"?><kml><Placemark><Polygon>
+        <outerBoundaryIs></outerBoundaryIs>
+        </Polygon></Placemark></kml>"""
+    )
+    with pytest.raises(ValueError, match="outerBoundaryIs without <LinearRing>"):
+        aoi_from_kml(spark, p)
+
+
+def test_kml_ring_missing_coordinates_raises_valueerror(spark, tmp_path):
+    p = tmp_path / "bad_coords.kml"
+    p.write_text(
+        """<?xml version="1.0"?><kml><Placemark><Polygon>
+        <outerBoundaryIs><LinearRing></LinearRing></outerBoundaryIs>
+        </Polygon></Placemark></kml>"""
+    )
+    with pytest.raises(ValueError, match="without <coordinates>"):
+        aoi_from_kml(spark, p)
+
+
+def test_kml_inner_missing_linearring_raises_valueerror(spark, tmp_path):
+    p = tmp_path / "bad_inner.kml"
+    p.write_text(
+        """<?xml version="1.0"?><kml><Placemark><Polygon>
+        <outerBoundaryIs><LinearRing><coordinates>
+          0,0 1,0 1,1 0,1 0,0
+        </coordinates></LinearRing></outerBoundaryIs>
+        <innerBoundaryIs></innerBoundaryIs>
+        </Polygon></Placemark></kml>"""
+    )
+    with pytest.raises(ValueError, match="innerBoundaryIs without <LinearRing>"):
+        aoi_from_kml(spark, p)

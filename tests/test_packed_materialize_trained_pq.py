@@ -91,3 +91,23 @@ def test_train_pq_codebooks_shape():
 
     with pytest.raises(ValueError):
         train_pq_codebooks(FakeDF(), m=3)
+
+
+def test_materialize_null_text_keeps_boundary_alignment(spark):
+    """A NULL-text doc must still occupy a position in seq_text
+    (coalesced to ''), keeping doc_ids/boundaries/seq_tokens aligned —
+    array_join would otherwise silently drop the element AND its
+    separator (ADVICE r4)."""
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, None), (2, "cc")], ["doc_id", "text"]
+    )
+    counts = spark.createDataFrame(
+        [(0, 4), (1, 3), (2, 2)], ["doc_id", "n_tokens"]
+    )
+    packed = pack_sequences(counts, budget=10, n_groups=1)
+    row = materialize_packed(packed, docs, sep="|").collect()[0]
+    # NFD order 4,3,2 all fit budget 10 in one sequence
+    assert row["doc_ids"] == [0, 1, 2]
+    assert row["seq_text"] == "aaa||cc"  # empty slot, separators kept
+    assert row["boundaries"] == [0, 4, 7]
+    assert row["seq_tokens"] == 9

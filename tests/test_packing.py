@@ -135,3 +135,26 @@ def test_packing_differential_vs_python_reference(spark):
         assert got == reference_nfd(by_id, budget, 2)
 
     check()
+
+
+def test_negative_doc_ids_group_like_oracle_arithmetic(spark):
+    """pmod(pack_group) parity with the oracle's ((d % n) + n) % n for
+    negative ids (ADVICE r4: DuckDB's plain % follows the dividend
+    sign, so the oracle uses the pmod-equivalent form)."""
+    import duckdb
+
+    ids = [-17, -8, -1, 0, 1, 7, 8, 23]
+    df = spark.createDataFrame([(i, 5) for i in ids], ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: r["pack_group"]
+        for r in pack_sequences(df, budget=100, n_groups=8).collect()
+    }
+    oracle = dict(
+        duckdb.sql(
+            "SELECT d, ((d % 8) + 8) % 8 FROM (VALUES "
+            + ",".join(f"({i})" for i in ids)
+            + ") t(d)"
+        ).fetchall()
+    )
+    assert got == oracle
+    assert all(0 <= g < 8 for g in got.values())

@@ -166,3 +166,16 @@ def test_train_ivf_pq_runs_and_plugs_in(spark):
     )
     rows = out.collect()
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_pq_scale_must_divide_codebook_scale(spark):
+    """ADVICE r4: non-default scale used to silently mis-scale ADC; now
+    the lift is derived (10000//scale) and non-divisors error."""
+    from gedixr_spark.operators.similarity import _pq_lift
+
+    assert _pq_lift(1000) == 10
+    assert _pq_lift(2500) == 4
+    assert _pq_lift(10_000) == 1
+    for bad in (0, -5, 300, 20_000):
+        with pytest.raises(ValueError, match="divisor"):
+            _pq_lift(bad)
