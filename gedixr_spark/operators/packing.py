@@ -43,6 +43,7 @@ def pack_sequences(
     n_groups: int = 8,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Assign every doc a (pack_group, seq_id) under ``budget`` tokens
     per sequence via next-fit-decreasing within ``doc_id % n_groups``
@@ -53,13 +54,27 @@ def pack_sequences(
     pack_group uses ``pmod`` (always non-negative); the DuckDB oracle
     mirrors it with ``((doc_id % n) + n) % n`` so negative doc_ids group
     identically across engines (plain ``%`` follows the dividend sign in
-    DuckDB)."""
+    DuckDB).
+
+    ``group_col`` names a PRECOMPUTED pack-group column instead of the
+    pmod derivation — the storage-co-location hook: a table bucketed by
+    that column (``sinks.bucketed.write_bucketed(..., keys=group_col)``)
+    already satisfies the groupBy's clustering, so the packing pass runs
+    with NO shuffle at all (plan-asserted in tests/test_bucketed.py).
+    At 100 TB that turns the one packing exchange into a pure map-side
+    pass over the bucketed files; ``n_groups`` is ignored for grouping
+    when ``group_col`` is given."""
     if budget <= 0 or n_groups <= 0:
         raise ValueError(f"need budget > 0 and n_groups > 0, got {budget}, {n_groups}")
+    group_expr = (
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_groups))
+        if group_col is None
+        else F.col(group_col).cast("long")
+    )
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_groups)).alias("pack_group"),
+        group_expr.alias("pack_group"),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
