@@ -207,10 +207,10 @@ def asof_join(
     otherwise (any tie-break here would be engine-defined).
 
     Skew note: one partition must hold each key's full history; for a
-    pathological hot key, range-partition by (key, coarse time bucket)
-    and carry the previous bucket's last right row forward (the
-    streaming variant's state hand-off) — documented, not needed at
-    contract scale.
+    pathological hot key use ``asof_join_bucketed``, which
+    range-partitions by (key, coarse time bucket) and carries the
+    previous bucket's last right row forward (the streaming variant's
+    state hand-off) — equivalence-tested against this operator.
     """
     rc = [c for c in right.columns if c not in (key_col, ts_col)]
     # sort tag: lower sorts first ⇒ visible to later rows of same ts.
@@ -254,6 +254,140 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in rc],
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    strict: bool = True,
+    prefix: str = "asof_",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """``asof_join`` for pathological HOT KEYS — identical semantics
+    (equivalence-tested), different partitioning. Plain asof_join puts
+    each key's FULL history in one window partition; a key holding 10%
+    of 100 TB pins one executor. This variant splits the time axis into
+    ``bucket_s``-second buckets so the window partition key becomes
+    (key, bucket) and a hot key spreads over history/bucket_s tasks.
+
+    Three-step state hand-off (the batch twin of the streaming
+    variant's per-key state):
+
+    1. per (key, bucket): reduce the right side to its LAST row — a
+       map-side-combinable ``max(struct(ts, payload))`` aggregate, so
+       the hot key's right rows collapse before they ever shuffle;
+    2. per key: window over the per-bucket aggregates (ONE ROW per
+       (key, bucket) — thousands of rows, not billions) to compute each
+       bucket's carry-in = last right row of any earlier bucket;
+    3. per (key, bucket): the same union+window pass as asof_join,
+       with the carry-in injected as a synthetic right row. Its ts is
+       strictly below the bucket's start (it came from an earlier
+       bucket), so it sorts first naturally and the strict/inclusive
+       tag rule — and ``tolerance_s``, which checks the REAL carry ts
+       in exact integer microseconds — behave exactly as in asof_join.
+
+    Bucket ids use true-floor division ``(us - pmod(us, w)) div w`` so
+    pre-1970 timestamps bucket correctly (Spark ``div`` truncates
+    toward zero). Equal-ts left/right rows always share a bucket, so
+    tie semantics never cross the hand-off.
+
+    Same uniqueness requirement as asof_join: right unique per
+    (key, ts). Choose ``bucket_s`` ≈ hot-key history span / desired
+    parallelism; cold keys cost one extra (tiny) aggregate pass.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
+    rc = [c for c in right.columns if c not in (key_col, ts_col)]
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def bucket_of(col):
+        # true floor for negatives: subtract the non-negative pmod
+        # remainder first; the quotient is then exact (numerator is an
+        # exact multiple and |us| < 2^53, so the double division is
+        # lossless before the cast)
+        us = F.unix_micros(col)
+        return ((us - F.pmod(us, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
+
+    # struct field order (ts first) makes max() pick the latest row;
+    # right is unique per (key, ts) so later fields never tie-break
+    payload = F.struct(F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in rc])
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        bucket_of(F.col(ts_col)).alias("__bucket"),
+        payload.alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        bucket_of(F.col(ts_col)).alias("__bucket"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+
+    # step 1: last right row per (key, bucket) — partial-aggregates
+    # map-side, so the hot key never concentrates raw rows
+    last_in_bucket = r.groupBy(key_col, "__bucket").agg(F.max("__r").alias("__last"))
+
+    # step 2: carry-in per populated bucket (left OR right) from
+    # strictly earlier buckets; one row per (key, bucket) only
+    buckets = (
+        l.select(key_col, "__bucket").union(r.select(key_col, "__bucket")).distinct()
+    )
+    w_carry = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(last_in_bucket, [key_col, "__bucket"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(w_carry))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            F.col(key_col),
+            F.col("__bucket"),
+            F.col("__carry.ts").alias(ts_col),
+            # carry sorts before every in-bucket row on ts alone
+            # (its ts < bucket start); tag -1 is belt-and-braces
+            F.lit(-1).alias("__tag"),
+            F.col("__carry").alias("__r"),
+        )
+    )
+
+    # step 3: in-bucket union+window, exactly the asof_join pass but
+    # partitioned by (key, bucket)
+    u = (
+        l.withColumn("__tag", F.lit(left_tag))
+        .unionByName(
+            r.withColumn("__tag", F.lit(right_tag)), allowMissingColumns=True
+        )
+        .unionByName(carry, allowMissingColumns=True)
+    )
+    w = (
+        Window.partitionBy(key_col, "__bucket")
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        if tolerance_s < 0:
+            raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+        too_old = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__m.ts"))
+        ) > int(tolerance_s) * 1_000_000
+        matched = matched.withColumn(
+            "__m",
+            F.when(too_old, F.lit(None).cast(r.schema["__r"].dataType)).otherwise(
+                F.col("__m")
+            ),
+        )
+    return matched.filter(F.col("__tag") == left_tag).select(
+        *left.columns,
+        F.col("__m.ts").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in rc],
+    )
 
 
 def interval_join(

@@ -321,3 +321,120 @@ def test_sessionize_differential_vs_pandas(spark):
     assert got == want
     # a gap of exactly 1800 s must NOT start a new session anywhere
     assert any(g == 1800.0 for g in gap.dropna()), "fixture must hit the boundary"
+
+
+# ---------------------------------------------------------------------------
+# asof_join_bucketed — the hot-key variant (VERDICT r4 item #7)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_bucketed_equivalence_randomized_hot_key(spark):
+    """asof_join_bucketed must match asof_join exactly on data with a
+    pathological hot key, across strict/inclusive and several bucket
+    widths (including widths that slice the hot key's history into
+    many buckets, exercising carry-in across empty buckets)."""
+    import random
+
+    rng = random.Random(1234)
+    # hot key 7: 200 rows; cold keys: a handful each
+    left_rows, right_rows = [], []
+    eid = 0
+    for key, n_l, n_r in [(7, 200, 120), (1, 5, 3), (2, 4, 0), (3, 0, 6)]:
+        for _ in range(n_l):
+            left_rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 0, 0, 0)
+                 + datetime.timedelta(seconds=rng.randint(0, 86_400)), key)
+            )
+            eid += 1
+        seen = set()
+        for _ in range(n_r):
+            s = rng.randint(0, 86_400)
+            while (key, s) in seen:
+                s = rng.randint(0, 86_400)
+            seen.add((key, s))
+            right_rows.append(
+                (key, datetime.datetime(2024, 1, 1, 0, 0, 0)
+                 + datetime.timedelta(seconds=s), float(s))
+            )
+    left = spark.createDataFrame(left_rows, ["event_id", "ts", "user_id"])
+    right = spark.createDataFrame(right_rows, ["user_id", "ts", "v"])
+
+    for strict in (True, False):
+        want = sorted(
+            map(tuple, events.asof_join(left, right, strict=strict).collect())
+        )
+        for bucket_s in (600, 3600, 7 * 86_400):
+            got = sorted(
+                map(
+                    tuple,
+                    events.asof_join_bucketed(
+                        left, right, bucket_s=bucket_s, strict=strict
+                    ).collect(),
+                )
+            )
+            assert got == want, (strict, bucket_s)
+
+
+def test_asof_bucketed_boundary_and_tie_semantics(spark):
+    """Right row EXACTLY at a bucket boundary belongs to the new bucket
+    (floor); equal-ts tie rules must hold within a bucket; carry-in
+    must serve a left row in a much later bucket."""
+    b = datetime.datetime(2024, 1, 1, 1, 0, 0)  # exactly at 3600s bucket edge
+    left = spark.createDataFrame(
+        [
+            (1, b, 7),                                     # ts == right ts
+            (2, datetime.datetime(2024, 1, 1, 9, 30, 0), 7),  # hours later
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    right = spark.createDataFrame([(7, b, 100.0)], ["user_id", "ts", "v"])
+    strict = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join_bucketed(left, right, 3600, strict=True).collect()
+    }
+    assert strict[1] is None and strict[2] == 100.0  # carry-in across buckets
+    incl = {
+        r["event_id"]: r["asof_v"]
+        for r in events.asof_join_bucketed(left, right, 3600, strict=False).collect()
+    }
+    assert incl[1] == 100.0 and incl[2] == 100.0
+
+
+def test_asof_bucketed_tolerance_checks_real_carry_ts(spark):
+    """tolerance_s must be evaluated against the carried row's REAL
+    timestamp, not the bucket edge: a carry from hours ago is nulled
+    under a tight tolerance even though it is the latest match."""
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 9, 0, 30), 7)],
+        ["event_id", "ts", "user_id"],
+    )
+    right = spark.createDataFrame(
+        [(7, datetime.datetime(2024, 1, 1, 1, 0, 0), 100.0)],
+        ["user_id", "ts", "v"],
+    )
+    (with_tol,) = events.asof_join_bucketed(
+        left, right, 3600, tolerance_s=300
+    ).collect()
+    assert with_tol["asof_v"] is None
+    (no_tol,) = events.asof_join_bucketed(left, right, 3600).collect()
+    assert no_tol["asof_v"] == 100.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        events.asof_join_bucketed(left, right, bucket_s=0)
+
+
+def test_asof_bucketed_partitions_by_key_and_bucket(spark):
+    """The point of the variant: the big window pass must partition on
+    (key, bucket), not key alone — visible in the physical plan."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 7)], ["event_id", "ts", "user_id"]
+    )
+    right = spark.createDataFrame([(7, _ts(5), 1.0)], ["user_id", "ts", "v"])
+    plan = (
+        events.asof_join_bucketed(left, right, 600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(user_id" in plan and "__bucket" in plan
