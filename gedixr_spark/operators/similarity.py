@@ -27,6 +27,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
+from gedixr_spark.operators.clustering import kmeans_fit
+
 
 def quantize(col: Column | str, scale: int = 1000) -> Column:
     """array<float> → array<int> via round(e*scale): exact-arithmetic
@@ -913,3 +915,148 @@ def ivf_pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_dist", "rank")
     )
+
+
+# --- SemDeDup: semantic (embedding-space) deduplication --------------------
+# Published method (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): cluster the
+# embedding space with k-means, then search for near-duplicates ONLY
+# within each cluster — the cluster assignment replaces the quadratic
+# all-pairs blowup with per-cluster work bounded by cluster size.
+# Unlike MinHash/SimHash (lexical), this catches paraphrases and
+# re-encodings that share no n-grams. No reference counterpart; §7.4
+# extension surface beside the lexical dedup family in operators/dedup.
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.99,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: k-means the corpus
+    (``clustering.kmeans_fit`` — deterministic init, k×dim driver
+    state), then equi-join each cluster against itself and keep pairs
+    with quantized cosine ≥ threshold. Returns (id_a, id_b, cosine),
+    id_a < id_b, each pair once.
+
+    Scale: the self-join is keyed on the cluster id, so the quadratic
+    term is per-cluster — pick k ≈ n/target_cluster_size to bound it
+    (SemDeDup used 110k clusters for LAION-scale). Quantized vectors do
+    ride this join (scoring needs them); at 100 TB shard oversized
+    clusters by an LSH sub-key first (``lsh_bucket`` composes directly)
+    the same way embedding_neardup_pairs_multitable buckets globally."""
+    _, assigned = kmeans_fit(
+        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    v = df.select(
+        F.col(id_col), quantize(vec_col, scale).alias("__v")
+    ).join(assigned.select(id_col, "cluster"), id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_q(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    centroids: np.ndarray,
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-item cosine to its own cluster centroid — SemDeDup's keep
+    criterion (the paper keeps the example LEAST similar to the
+    centroid to preserve diversity). Pure column math: the k×dim
+    centroid matrix rides as a literal array (broadcast-by-closure),
+    indexed by the cluster id; no extra shuffle beyond the assignment
+    join. Returns (id, cluster, centroid_cosine)."""
+    cen_q = [
+        [int(round(float(x) * scale)) for x in row] for row in np.asarray(centroids)
+    ]
+    cen_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cen_q])
+    v = df.select(F.col(id_col), quantize(vec_col, scale).alias("__v")).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+    return v.select(
+        F.col(id_col),
+        F.col("cluster"),
+        cosine_q(F.col("__v"), F.element_at(cen_lit, F.col("cluster") + 1)).alias(
+            "centroid_cosine"
+        ),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.99,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    keep: str = "min_id",
+) -> DataFrame:
+    """End-to-end SemDeDup: cluster → within-cluster pairs → connected
+    components → survivor per component → anti-join. ``keep``:
+
+    - ``"min_id"``: deterministic arbitrary survivor (cluster_id
+      holder), zero extra passes;
+    - ``"farthest_from_centroid"``: the paper's diversity-preserving
+      policy — keep the component member LEAST similar to its cluster
+      centroid (ties → lowest id).
+
+    Composes the lexical-dedup machinery unchanged (dedup_clusters /
+    choose_survivors / apply_dedup) — components and survivor tables
+    are ids-only; full vectors move once, inside the scoring join."""
+    from gedixr_spark.operators.dedup import (
+        apply_dedup,
+        choose_survivors,
+        dedup_clusters,
+    )
+
+    if keep not in ("min_id", "farthest_from_centroid"):
+        raise ValueError(f"keep must be min_id|farthest_from_centroid, got {keep!r}")
+    _, assigned = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    v = df.select(F.col(id_col), quantize(vec_col, scale).alias("__v")).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_q(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(pairs)
+    if keep == "farthest_from_centroid":
+        # kmeans_fit is deterministic — reuse the centroids already fit
+        cents, _ = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+        metric = centroid_similarity(
+            df, cents, assigned, vec_col=vec_col, id_col=id_col, scale=scale
+        ).select(F.col(id_col).alias("doc_id"), "centroid_cosine")
+        clusters = choose_survivors(
+            clusters, metric, "centroid_cosine", id_col="doc_id", ascending=True
+        )
+    return apply_dedup(df, clusters, id_col=id_col)
