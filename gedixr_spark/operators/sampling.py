@@ -129,3 +129,78 @@ def upsample_strata(
         n_copies > 0, F.sequence(F.lit(0), (n_copies - 1).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("copy_n", F.explode(copies))
+
+
+# --- temperature-based domain mixing ---------------------------------------
+# The mixture-reweighting rule multilingual and mixture-of-corpora
+# training uses (e.g. the multilingual-BERT / GLaM exponent): sample
+# domain d with probability p_d ∝ n_d^T. T=1 keeps the natural
+# distribution, T=0 flattens to uniform, 0<T<1 upweights tail domains
+# without letting any head domain dominate.
+
+
+def mixture_weights(
+    df: DataFrame, domain_col: str = "lang", temperature: float = 1.0
+) -> DataFrame:
+    """Per-domain mixture weights p_d = n_d^T / Σ n^T — the audit table
+    a pipeline owner reviews before committing to a mix. One k-row
+    aggregate plus a k-row window (k = #domains); corpus scale only
+    enters through the groupBy count."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "__p", F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    )
+    w = Window.partitionBy()  # k rows total — safe single-partition window
+    return powed.select(
+        F.col(domain_col),
+        "n_docs",
+        (F.col("__p") / F.sum("__p").over(w)).alias("weight"),
+    )
+
+
+def mixture_factors(
+    df: DataFrame,
+    domain_col: str = "lang",
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Driver-side per-domain replication factors realizing the
+    temperature mix at ``target_rows`` total expected rows (default:
+    the current corpus size). factor_d = p_d·target / n_d — may be <1
+    (downsample a head domain) or >1 (upsample a tail domain). Collects
+    one row per domain (small by contract: domains are languages/
+    sources, not documents)."""
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    n = {r[0]: r["n"] for r in rows}
+    if not n:
+        return {}
+    total_t = sum(c**temperature for c in n.values())
+    target = target_rows if target_rows is not None else sum(n.values())
+    return {
+        d: (c**temperature / total_t) * target / c for d, c in n.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str = "lang",
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+    id_col: str = "doc_id",
+    seed: str = "mixture",
+) -> DataFrame:
+    """Materialize a temperature-mixed corpus: ``mixture_factors``
+    drives ``upsample_strata``, so head domains Bernoulli-downsample
+    (whole factor 0 + fractional hash bucket) and tail domains
+    replicate — one map-side explode, no shuffle, reproducible under
+    reprocessing (hash buckets never move). Output carries ``copy_n``
+    like upsample_strata; expected per-domain size is exactly
+    factor_d·n_d."""
+    factors = mixture_factors(df, domain_col, temperature, target_rows)
+    return upsample_strata(df, domain_col, factors, id_col=id_col, seed=seed)

@@ -133,3 +133,70 @@ def test_apply_dedup_keeps_survivors_and_untouched(spark):
     out = {r["doc_id"] for r in dedup.apply_dedup(docs, clusters).collect()}
     # components {1,2,3} -> survivor 1; {5,6} -> survivor 5; 4 untouched
     assert out == {1, 4, 5}
+
+
+# --- temperature mixture sampling ------------------------------------------
+
+
+def test_mixture_weights_temperature_limits(spark):
+    from gedixr_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 800 else ("de" if i < 950 else "sw")) for i in range(1000)],
+        ["doc_id", "lang"],
+    )
+    nat = {r["lang"]: r["weight"] for r in mixture_weights(df, temperature=1.0).collect()}
+    assert abs(nat["en"] - 0.8) < 1e-12 and abs(nat["sw"] - 0.05) < 1e-12
+    flat = {r["lang"]: r["weight"] for r in mixture_weights(df, temperature=0.0).collect()}
+    assert all(abs(w - 1 / 3) < 1e-12 for w in flat.values())
+    # 0<T<1 sits strictly between natural and uniform for head + tail
+    mid = {r["lang"]: r["weight"] for r in mixture_weights(df, temperature=0.5).collect()}
+    assert 1 / 3 < mid["en"] < 0.8 and 0.05 < mid["sw"] < 1 / 3
+    assert abs(sum(mid.values()) - 1.0) < 1e-12
+
+
+def test_mixture_sample_reshapes_corpus(spark):
+    from gedixr_spark.operators.sampling import mixture_factors, mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 1600 else ("de" if i < 1900 else "sw")) for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    factors = mixture_factors(df, temperature=0.5)
+    # head domain downsamples, tail upsamples
+    assert factors["en"] < 1.0 < factors["sw"]
+    out = mixture_sample(df, temperature=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n0 = {"en": 1600, "de": 300, "sw": 100}
+    for d, f in factors.items():
+        expected = f * n0[d]
+        assert abs(got[d] - expected) / expected < 0.10, (d, got[d], expected)
+    # total expected preserved (default target = corpus size)
+    assert abs(sum(got.values()) - 2000) / 2000 < 0.05
+
+
+def test_mixture_sample_deterministic_and_t1_identity_shape(spark):
+    from gedixr_spark.operators.sampling import mixture_factors, mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(400)], ["doc_id", "lang"]
+    )
+    a = sorted(map(tuple, mixture_sample(df, temperature=0.6).collect()))
+    b = sorted(map(tuple, mixture_sample(df.repartition(7), temperature=0.6).collect()))
+    assert a == b  # deterministic under partitioning
+    # T=1, default target: factors are exactly 1 → identity corpus
+    f = mixture_factors(df, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in f.values())
+    assert mixture_sample(df, temperature=1.0).count() == 400
+
+
+def test_mixture_negative_temperature_raises(spark):
+    from gedixr_spark.operators.sampling import mixture_factors, mixture_weights
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "lang"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_weights(df, temperature=-0.1)
+    with pytest.raises(ValueError):
+        mixture_factors(df, temperature=-1)
