@@ -142,6 +142,108 @@ def streaming_user_totals(
     )
 
 
+def streaming_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_col: str = "value",
+    left_id_col: str = "event_id",
+    strict: bool = True,
+) -> DataFrame:
+    """Streaming as-of enrichment — the stateful twin of
+    ``operators.events.asof_join`` (same semantics, same tag-ordered
+    tie rule) and the state-hand-off design ``asof_join_bucketed``
+    mirrors in batch. Both sides are STREAMS: union them tagged, group
+    by key, and keep one (carry_ts, carry_payload) pair per key in
+    explicit group state — each left row is enriched with the most
+    recent right row at or before it; right rows update the carry.
+
+    Ordering contract: rows are sorted (ts, tag) WITHIN each
+    micro-batch, and state carries across batches, so output matches
+    batch asof_join exactly when each key's rows arrive time-ordered
+    across micro-batches (the append-only ingest pattern). A right row
+    arriving late — after a left row with a later ts was already
+    emitted — enriches only subsequent lefts; streams cannot
+    retroactively re-emit without full retraction support.
+
+    Scale shape: state is ONE (long, double) pair per key in the state
+    store — no history buffering, bounded regardless of stream volume;
+    the only shuffle is the groupBy(key) the state store needs anyway.
+    Payload is a single double column (the state-schema struct is
+    fixed); pack wider payloads into cents/ids the way
+    streaming_user_totals keeps exact totals."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    l = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(left_tag).alias("__tag"),
+        F.col(left_id_col).cast("long").alias("__lid"),
+        F.lit(None).cast("double").alias("__p"),
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(right_tag).alias("__tag"),
+        F.lit(None).cast("long").alias("__lid"),
+        F.col(payload_col).cast("double").alias("__p"),
+    )
+    u = l.unionByName(r)
+
+    out_schema = (
+        f"{left_id_col} bigint, {key_col} bigint, {ts_col} timestamp, "
+        f"asof_{ts_col} timestamp, asof_{payload_col} double"
+    )
+    state_schema = "carry_us bigint, carry_p double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        carry_us, carry_p = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # in-batch replay in exact asof order: (ts, tag) — ties resolve
+        # by the same tag rule as the batch operator. Positional access
+        # (itertuples would mangle the __-prefixed names).
+        batch = batch.sort_values([ts_col, "__tag"], kind="mergesort")
+        tags = batch["__tag"].to_numpy()
+        tss = batch[ts_col].reset_index(drop=True)
+        lids = batch["__lid"].reset_index(drop=True)
+        ps = batch["__p"].reset_index(drop=True)
+        out_lid, out_ts, out_ats, out_ap = [], [], [], []
+        for i in range(len(batch)):
+            if tags[i] == right_tag and pd.notna(ps.iloc[i]):
+                carry_us = tss.iloc[i].value // 1000  # ns → µs, exact
+                carry_p = float(ps.iloc[i])
+            if tags[i] == left_tag and pd.notna(lids.iloc[i]):
+                out_lid.append(int(lids.iloc[i]))
+                out_ts.append(tss.iloc[i])
+                out_ats.append(
+                    pd.Timestamp(carry_us * 1000) if carry_us is not None else pd.NaT
+                )
+                out_ap.append(carry_p if carry_p is not None else float("nan"))
+        if carry_us is not None:
+            state.update((int(carry_us), float(carry_p)))
+        yield pd.DataFrame(
+            {
+                left_id_col: pd.array(out_lid, dtype="Int64"),
+                key_col: pd.array([key[0]] * len(out_lid), dtype="Int64"),
+                ts_col: out_ts,
+                f"asof_{ts_col}": out_ats,
+                f"asof_{payload_col}": out_ap,
+            }
+        )
+
+    return u.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> list:
     """Drain a file stream with Trigger.AvailableNow into a memory sink
     and return the rows — the test/verification harness for streaming

@@ -205,3 +205,74 @@ def test_resample_audio_halves_and_roundtrips_rate(spark):
     out = mm.resample_audio(cdf, 8_000).collect()[0]
     vals = np.frombuffer(out["audio"], dtype="<i2")
     assert (vals == 1234).all()
+
+
+def test_streaming_asof_enrich_carries_state_across_batches(spark, tmp_path):
+    """Streaming as-of (applyInPandasWithState): carry state must
+    survive micro-batch boundaries (maxFilesPerTrigger=1), in-batch
+    ties must follow the strict tag rule, and the drained result must
+    equal batch asof_join on the same data."""
+    ts0 = datetime.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return ts0 + datetime.timedelta(minutes=minutes)
+
+    lp, rp = str(tmp_path / "asof_left"), str(tmp_path / "asof_right")
+    lschema = "event_id long, ts timestamp, user_id long"
+    rschema = "user_id long, ts timestamp, value double"
+    # batch 1 files (earlier data)
+    spark.createDataFrame(
+        [(10, m(1), 2), (1, m(10), 1), (2, m(20), 1)], lschema
+    ).coalesce(1).write.mode("append").parquet(lp)
+    spark.createDataFrame([(1, m(5), 1.0)], rschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rp)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # batch 2 files (later data): right at 35 must serve left at 40;
+    # u2's first right arrives here and serves the 55-min left only
+    spark.createDataFrame([(3, m(40), 1), (11, m(55), 2)], lschema).coalesce(
+        1
+    ).write.mode("append").parquet(lp)
+    spark.createDataFrame(
+        [(1, m(35), 2.0), (2, m(50), 9.0)], rschema
+    ).coalesce(1).write.mode("append").parquet(rp)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    lstream = st.read_event_stream(
+        spark, lp, _parse_datatype_string(lschema), max_files_per_trigger=1
+    )
+    rstream = st.read_event_stream(
+        spark, rp, _parse_datatype_string(rschema), max_files_per_trigger=1
+    )
+    enriched = st.streaming_asof_enrich(lstream, rstream)
+    rows = st.run_available_now(enriched, "t_asof", output_mode="append")
+    got = {r["event_id"]: (r["asof_ts"], r["asof_value"]) for r in rows}
+    assert len(got) == 5
+    assert got[10] == (None, None) or (
+        got[10][0] is None and (got[10][1] is None or got[10][1] != got[10][1])
+    )  # no right yet for u2
+    assert got[1] == (m(5), 1.0)
+    assert got[2] == (m(5), 1.0)
+    assert got[3] == (m(35), 2.0)  # in-batch right beats batch-1 carry
+    assert got[11] == (m(50), 9.0)  # u2 carry arrives in batch 2
+
+    # equivalence with the batch operator on the full data
+    from gedixr_spark.operators.events import asof_join
+
+    lb = spark.read.schema(lschema).parquet(lp)
+    rb = spark.read.schema(rschema).parquet(rp)
+    want = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(lb, rb).collect()
+    }
+
+    def norm(v):
+        ts, p = v
+        return (ts, None if p is None or p != p else p)
+
+    assert {k: norm(v) for k, v in got.items()} == {
+        k: norm(v) for k, v in want.items()
+    }
