@@ -204,3 +204,32 @@ def mixture_sample(
     factor_d·n_d."""
     factors = mixture_factors(df, domain_col, temperature, target_rows)
     return upsample_strata(df, domain_col, factors, id_col=id_col, seed=seed)
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    seed: str = "epoch",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training order: order_key = md5 of
+    (seed | epoch | id) gives every epoch an independent, reproducible
+    pseudo-random permutation — the data-order side of training-run
+    reproducibility (resume a crashed epoch and rows come back in the
+    identical order; F.rand cannot do this across restarts/partitioning).
+
+    Global order without a single-task sort: repartitionByRange on the
+    key (one range shuffle whose boundaries come from a sampled sketch)
+    + sortWithinPartitions — partition i holds keys entirely below
+    partition i+1, so reading partitions in index order IS the epoch
+    order. At 100 TB pick n_partitions ≈ corpus/target-task-size."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("order_key", key)
+    if n_partitions is not None:
+        out = out.repartitionByRange(n_partitions, "order_key")
+    else:
+        out = out.repartitionByRange("order_key")
+    return out.sortWithinPartitions("order_key")
