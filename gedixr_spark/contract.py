@@ -714,9 +714,23 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     differ across engines; k-means is iterative). Registered LAST so
     every hash-checked query stays inside the driver's 50-row
     CORRECTNESS window."""
-    from gedixr_spark.contract_ext import q_kmeans_clusters
+    from gedixr_spark.contract_ext import (
+        q_asof_bucketed,
+        q_bpe_tokens,
+        q_kmeans_clusters,
+        q_mixture_sample,
+        q_semantic_dedup,
+    )
 
     return {
         "approx_distinct": q_approx_distinct,
         "kmeans_clusters": q_kmeans_clusters,
+        # r5 additions — all genuinely iterative/multi-step (k-means,
+        # driver merge loop, driver factor computation, carry plan
+        # tracked for perf); pytest carries their correctness via
+        # differential tests
+        "semantic_dedup": q_semantic_dedup,
+        "mixture_sample": q_mixture_sample,
+        "asof_bucketed": q_asof_bucketed,
+        "bpe_tokens": q_bpe_tokens,
     }

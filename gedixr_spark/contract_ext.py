@@ -343,6 +343,73 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup end-to-end (similarity.semantic_dedup):
+    k-means clusters → within-cluster quantized-cosine pairs → CC →
+    min-id survivor → anti-join. Iterative k-means inside ⇒ rows-only
+    by design (past the 50-slot window; bench-timed, pytest-verified
+    with a numpy differential)."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, threshold=0.99, n_iter=3
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature mixture (T=0.5) over documents.lang realized via
+    deterministic upsample/downsample explode. The driver-side factor
+    computation makes it non-single-statement ⇒ rows-only; summed to a
+    per-lang histogram so the bench sink is small."""
+    from gedixr_spark.operators.sampling import mixture_sample
+
+    mixed = mixture_sample(
+        _t(spark, sf_dir, "documents"), domain_col="lang", temperature=0.5
+    )
+    return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_asof_bucketed(spark, sf_dir):
+    """Hot-key as-of variant (events.asof_join_bucketed, 1-day
+    buckets) on the same query as `asof_join` — equivalence to the
+    windowed plan is pytest-pinned; this entry tracks the carry-
+    forward plan's cost at bench scale. Multi-step carry logic ⇒
+    rows-only."""
+    e = _t(spark, sf_dir, "events")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = events.asof_join_bucketed(
+        e.select("event_id", "user_id", "ts"),
+        purch,
+        bucket_s=86_400,
+        key_col="user_id",
+        ts_col="ts",
+        strict=True,
+        prefix="last_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("last_ts").alias("last_purchase_ts"),
+        F.col("last_purchase_value"),
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer: train 6 merges on a deterministic 200-doc slice
+    (driver merge loop — hence rows-only), then exact trained-tokenizer
+    counts over the full documents table (the map-only corpus half)."""
+    from gedixr_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(
+        bpe.word_counts(docs.filter(F.col("doc_id") < 200)), n_merges=6
+    )
+    return bpe.bpe_token_count(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

@@ -53,7 +53,15 @@ def test_rows_only_tail_is_exactly_the_known_set():
     positions = {name: qs.index(name) for name in tail}
     late = {n: p for n, p in positions.items() if p < RECORDED_WINDOW}
     assert not late, f"rows-only queries inside the recorded window: {late}"
-    assert set(tail) == {"approx_distinct", "kmeans_clusters"} or tail == [], (
+    known_rows_only = {
+        "approx_distinct",
+        "kmeans_clusters",
+        "semantic_dedup",
+        "mixture_sample",
+        "asof_bucketed",
+        "bpe_tokens",
+    }
+    assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
         f"non-SQL-expressible operator), update this list; otherwise add "
         f"an oracle."
