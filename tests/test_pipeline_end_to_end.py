@@ -78,3 +78,68 @@ def test_training_data_pipeline_composes(spark, sf_dir):
         total["toks"]
         == counts.agg(F.sum("n_tokens").cast("long").alias("s")).collect()[0]["s"]
     )
+
+
+def test_training_data_pipeline_v2_composes_r5_operators(spark, sf_dir):
+    """Round-5 composition: trained quality gate → temperature mixing →
+    BPE token counts → packing → deterministic epoch order. Proves the
+    new operators chain on the real documents fixture with schemas and
+    row accounting intact (each is differential-tested in isolation)."""
+    import numpy as np
+
+    from gedixr_spark.operators import bpe, classify, text
+    from gedixr_spark.operators.packing import pack_sequences
+    from gedixr_spark.operators.sampling import epoch_order, mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. trained quality gate: fit on a weak-label slice (the heuristic
+    # gate provides the labels — the production bootstrap pattern),
+    # score the full corpus, keep predicted-good
+    feats = classify.quality_feature_vector(docs)
+    weak = feats.withColumn(
+        "label",
+        (
+            (F.col("n_tokens") >= 5) & (F.col("stopword_ratio") >= 0.05)
+        ).cast("double"),
+    )
+    w = classify.logreg_fit(weak, n_iter=40, lr=0.5)
+    gated = classify.logreg_predict(feats, w).filter(F.col("quality_pred") == 1)
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_raw
+
+    # 2. temperature mixing over language domains (T=0.5)
+    mixed = mixture_sample(
+        gated.select("doc_id", "text", "lang"), domain_col="lang", temperature=0.5
+    )
+    n_mixed = mixed.count()
+    assert n_mixed > 0
+    # copies are distinguishable for downstream salting
+    assert mixed.select("doc_id", "copy_n").distinct().count() == n_mixed
+
+    # 3. exact BPE token counts with merges trained on a deterministic
+    # slice; feed packing on the trained-tokenizer numbers
+    merges = bpe.bpe_train(
+        bpe.word_counts(docs.filter(F.col("doc_id") < 100)), n_merges=5
+    )
+    assert merges
+    counted = bpe.bpe_token_count(
+        mixed.select("doc_id", "copy_n", "text").withColumn(
+            "mix_id",
+            F.col("doc_id") * 1000 + F.col("copy_n"),
+        ),
+        merges,
+    )
+    packed = pack_sequences(
+        counted, budget=512, n_groups=8, id_col="mix_id", tokens_col="n_bpe_tokens"
+    )
+    assert packed.count() == n_mixed  # every mixed row packed once
+
+    # 4. deterministic epoch order over the packed sequence ids
+    seq_ids = packed.select(
+        (F.col("pack_group") * 1_000_000 + F.col("seq_id")).alias("seq_key")
+    ).distinct()
+    e1 = [r["seq_key"] for r in epoch_order(seq_ids, epoch=1, id_col="seq_key", n_partitions=4).collect()]
+    e2 = [r["seq_key"] for r in epoch_order(seq_ids, epoch=2, id_col="seq_key", n_partitions=4).collect()]
+    assert sorted(e1) == sorted(e2) and e1 != e2
