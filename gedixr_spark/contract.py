@@ -716,7 +716,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window."""
     from gedixr_spark.contract_ext import (
         q_asof_bucketed,
+        q_bloom_join,
         q_bpe_tokens,
+        q_distinct_rollup,
         q_kmeans_clusters,
         q_mixture_sample,
         q_semantic_dedup,
@@ -733,4 +735,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "asof_bucketed": q_asof_bucketed,
         "bpe_tokens": q_bpe_tokens,
+        # sketches — bloom result is exact (DuckDB-pinned in pytest)
+        # but the bitset build is a driver collect; HLL binaries are
+        # engine-specific
+        "bloom_join": q_bloom_join,
+        "distinct_rollup": q_distinct_rollup,
     }

@@ -410,6 +410,41 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe.bpe_token_count(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned semi-join (sketches.bloom_semi_join): orders
+    against the high-balance customer segment. Result is EXACTLY the
+    semi-join (prune-then-verify) — pytest pins that against DuckDB
+    (test_sketches) — but the driver-side build collect makes it
+    multi-step ⇒ registered rows-only, bench-timed for the map-side
+    prune's cost profile."""
+    from gedixr_spark.operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    segment = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return sketches.bloom_semi_join(orders, segment, on="o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_distinct_rollup(spark, sf_dir):
+    """Mergeable HLL distinct-user rollup (sketches.distinct_*): per-day
+    sketches → month rollup via hll_union_agg → estimates. HLL binary
+    layout is engine-specific ⇒ rows-only; pytest pins estimates within
+    5% of exact and exact per-month merge-consistency."""
+    from gedixr_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    per_day = sketches.distinct_sketches(e, ["day"], "user_id")
+    monthly = sketches.merge_distinct_sketches(
+        per_day.withColumn("month", F.date_trunc("month", "day")), ["month"]
+    )
+    return sketches.with_estimates(monthly).orderBy("month")
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

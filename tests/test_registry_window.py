@@ -60,6 +60,8 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "mixture_sample",
         "asof_bucketed",
         "bpe_tokens",
+        "bloom_join",
+        "distinct_rollup",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
