@@ -16,7 +16,9 @@ ZORDER applies — here as a plain DataFrame op with no table format.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -72,3 +74,92 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+# --- small-file compaction -------------------------------------------------
+# The operational sibling of the layout writers above. Streaming /
+# incremental ingestion (streaming/bronze.py, sinks/merge.py) leaves a
+# long tail of small files; at 100 TB the cost is real — every file is
+# a scan task + a namenode/liststatus entry, and a 4 MiB-average table
+# plans 32× more tasks than a 128 MiB-average one for the same bytes.
+# Compaction = read, re-bin to ceil(bytes/target) partitions, rewrite.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM gateway — works on any
+    filesystem Spark itself can read (local, HDFS, S3A…), unlike an
+    os.walk that only sees local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def file_stats(spark: SparkSession, path: str, glob: str = "*.parquet") -> dict:
+    """Data-file census of a table directory: count, total bytes,
+    min/avg/max file size. Driver-side file listing only (one RPC per
+    directory — the same listing every Spark scan of the table pays)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    statuses = fs.globStatus(
+        spark._jvm.org.apache.hadoop.fs.Path(path + "/" + glob)
+    )
+    sizes = [s.getLen() for s in (statuses or []) if s.isFile()]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes, default=0),
+        "max_bytes": max(sizes, default=0),
+        "avg_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    out_path: str | None = None,
+    sort_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> dict:
+    """Rewrite a parquet table into ~``target_mb``-sized files.
+
+    Output file count = ceil(current on-disk bytes / target) — sizing
+    from the real listing, not a row-count guess, so it adapts to the
+    table's actual compression ratio. Without ``sort_by`` the re-bin is
+    a round-robin ``repartition`` (pure size fix); with it, a
+    ``repartitionByRange`` + in-partition sort, so compaction doubles
+    as a clustering pass and each output file covers a disjoint key
+    range (footer min/max prune like `write_zordered`).
+
+    In place (``out_path=None``): write to a staging dir, then swap via
+    FileSystem rename — readers never observe a half-written table
+    directory (the swap is two metadata ops, though not atomic across
+    both; a table format like Iceberg is the fully-transactional
+    answer, out of scope here).
+    """
+    stats_before = file_stats(spark, path)
+    if stats_before["n_files"] == 0:
+        raise ValueError(f"no parquet data files under {path}")
+    # explicit n_files overrides the byte-derived sizing (mostly for
+    # deterministic tests; operationally target_mb is the knob)
+    n_out = n_files or max(
+        1, math.ceil(stats_before["total_bytes"] / (target_mb * 1024 * 1024))
+    )
+    df = spark.read.parquet(path)
+    if sort_by:
+        binned = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        binned = df.repartition(n_out)
+
+    dest = out_path or (path.rstrip("/") + ".__compacting")
+    binned.write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        fs, jsrc = _hadoop_fs(spark, path)
+        jdest = spark._jvm.org.apache.hadoop.fs.Path(dest)
+        fs.delete(jsrc, True)
+        if not fs.rename(jdest, jsrc):
+            raise IOError(f"rename {dest} -> {path} failed; data is at {dest}")
+        final = path
+    else:
+        final = out_path
+    after = file_stats(spark, final)
+    return {"path": final, "before": stats_before, "after": after}
