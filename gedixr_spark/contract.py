@@ -721,6 +721,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_distinct_rollup,
         q_kmeans_clusters,
         q_mixture_sample,
+        q_profile_docs,
         q_semantic_dedup,
     )
 
@@ -740,4 +741,6 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-specific
         "bloom_join": q_bloom_join,
         "distinct_rollup": q_distinct_rollup,
+        # one-pass census: HLL++ distinct estimates engine-specific
+        "profile_docs": q_profile_docs,
     }

@@ -445,6 +445,17 @@ def q_distinct_rollup(spark, sf_dir):
     return sketches.with_estimates(monthly).orderBy("month")
 
 
+def q_profile_docs(spark, sf_dir):
+    """One-pass column census of documents (stats.profile_table):
+    nulls/distinct/min/max/mean/stddev for every column in ONE
+    aggregate over one scan (plan-asserted in pytest). HLL++ distinct
+    estimates are engine-specific ⇒ rows-only; the exact facets are
+    DuckDB-pinned in test_profile_table."""
+    from gedixr_spark.operators.stats import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents")).orderBy("column")
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

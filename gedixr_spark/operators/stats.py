@@ -52,3 +52,79 @@ def error_accumulator(spark):
     """A2 — distributed error counter incremented inside reader UDFs
     (replaces the reference's mutable global, ancillary.py:10-20)."""
     return spark.sparkContext.accumulator(0)
+
+
+# numeric typeName()s the profiler computes mean/stddev for
+_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """One-pass column profiler: for every column — row count, null
+    count, approximate distinct count (HLL++, relative sd ``rsd``),
+    min/max (as strings, so one output schema fits all types), and
+    mean/stddev for numeric columns.
+
+    ONE aggregation job over a single scan: all per-column aggregates
+    are laid side-by-side in a single ``agg`` (Catalyst fuses them into
+    one partial/final pair, map-side combined), and the 1×(5·ncols)
+    result row is unpivoted to long form with ``stack`` — still inside
+    the plan, no driver loop over columns, no per-column job. This is
+    the schema-drift/data-quality census you run after every ingest at
+    100 TB: cost = one scan regardless of column count.
+
+    Complex-typed columns (arrays/structs/maps/binary) get counts but
+    null min/max — their ordering is undefined for a census.
+    """
+    simple: list[str] = []
+    numeric: list[str] = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("array", "struct", "map", "binary"):
+            continue
+        simple.append(f.name)
+        if t in _NUMERIC or t.startswith("decimal"):
+            numeric.append(f.name)
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"__dist_{c}"))
+        if c in simple:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+        if c in numeric:
+            aggs.append(F.avg(c).alias(f"__mean_{c}"))
+            aggs.append(F.stddev_samp(c).alias(f"__std_{c}"))
+
+    wide = df.agg(*aggs)
+
+    def _maybe(prefix: str, c: str, cast: str) -> str:
+        name = f"__{prefix}_{c}"
+        return f"cast(`{name}` as {cast})" if name in wide.columns else f"cast(null as {cast})"
+
+    tuples = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__dist_{c}`, "
+        f"{_maybe('min', c, 'string')}, {_maybe('max', c, 'string')}, "
+        f"{_maybe('mean', c, 'double')}, {_maybe('std', c, 'double')}"
+        for c in df.columns
+    )
+    stacked = wide.selectExpr(
+        "__n_rows as n_rows",
+        f"stack({len(df.columns)}, {tuples}) as "
+        "(column, n_nulls, approx_distinct, min_value, max_value, mean, stddev)",
+    )
+    dtypes = {c: t for c, t in df.dtypes}
+    dtype_expr = F.create_map(
+        *[x for c in df.columns for x in (F.lit(c), F.lit(dtypes[c]))]
+    )
+    return stacked.select(
+        "column",
+        dtype_expr[F.col("column")].alias("dtype"),
+        "n_rows",
+        "n_nulls",
+        "approx_distinct",
+        "min_value",
+        "max_value",
+        "mean",
+        "stddev",
+    )

@@ -62,6 +62,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "bpe_tokens",
         "bloom_join",
         "distinct_rollup",
+        "profile_docs",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
