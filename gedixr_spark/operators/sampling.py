@@ -233,3 +233,36 @@ def epoch_order(
     else:
         out = out.repartitionByRange("order_key")
     return out.sortWithinPartitions("order_key")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    fractions: Mapping[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment at near-dup-CLUSTER granularity.
+
+    Plain ``hash_split`` leaks: two near-duplicate documents hash
+    independently, so ~2·p·(1−p) of every dup pair straddles the
+    train/test boundary and the test set silently contains
+    near-copies of training data. Here the split hash is computed on
+    ``coalesce(cluster_id, doc_id)`` — every member of a connected
+    component (``dedup.dedup_clusters`` / ``_star`` output: doc_id,
+    cluster_id) inherits its component's assignment; unclustered docs
+    fall back to their own id, which keeps the split deterministic,
+    reproducible, and uniform over GROUPS rather than docs.
+
+    One broadcast-or-shuffle left join on ids (the cluster table is
+    pairs-incident docs only — tiny next to the corpus) plus map-side
+    hashing; fraction semantics identical to ``hash_split``.
+    """
+    cl = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__cluster_id")
+    )
+    joined = df.join(cl, on=id_col, how="left")
+    group_key = F.coalesce(F.col("__cluster_id"), F.col(id_col))
+    with_key = joined.withColumn("__group_key", group_key)
+    out = hash_split(with_key, id_col="__group_key", fractions=fractions, seed=seed)
+    return out.drop("__group_key", "__cluster_id")

@@ -147,6 +147,26 @@ def test_merge_upsert_unpartitioned_swap(spark, tmp_path):
     assert not os.path.exists(path + ".__merging")
 
 
+def test_cdc_batches_then_partition_compaction(spark, part_table):
+    """The operational pairing: repeated CDC batches fragment a hot
+    partition (each merge rewrite adds task-count files); compacting
+    the PARTITION LEAF directory in place restores file health without
+    touching the rest of the table, and the table reads back whole."""
+    for batch in range(4):
+        updates = spark.createDataFrame(
+            [(batch * 3 + j, f"b{batch}", 0) for j in range(3)],
+            "id long, val string, day int",
+        )
+        merge_upsert(spark, part_table, updates, keys=["id"], partition_col="day")
+    leaf = os.path.join(part_table, "day=0")
+    frag = layout.file_stats(spark, leaf)
+    assert frag["n_files"] > 1
+    before = _rows(spark.read.parquet(part_table))
+    res = layout.compact_table(spark, leaf, target_mb=128)
+    assert res["after"]["n_files"] == 1
+    assert _rows(spark.read.parquet(part_table)) == before
+
+
 def test_merge_upsert_validates(spark, part_table):
     bad = spark.createDataFrame([(1, 0)], "id long, day int")  # missing val
     with pytest.raises(ValueError, match="missing target columns"):
