@@ -188,3 +188,24 @@ def bpe_token_count(
         return toks.str.len().astype("int32")
 
     return counted.withColumn(out_col, _len(F.col("__toks"))).drop("__toks")
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> str:
+    """Persist a trained merge list as a tiny parquet (rank, left,
+    right) table — the tokenizer artifact. Mirrors
+    similarity.save_centroids: train once on a corpus sample, then
+    every encode job (and every later incremental corpus batch)
+    loads the same artifact, so token counts stay comparable across
+    pipeline runs."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by ``save_merges``, rank order restored."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -70,6 +70,32 @@ def streaming_sliding_counts(
     )
 
 
+def streaming_distinct_users(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Watermarked per-window APPROXIMATE distinct users — the
+    streaming face of the sketch rollup (operators/sketches.py).
+
+    Exact streaming count-distinct needs per-window per-user state
+    (unbounded in users); approx_count_distinct keeps one HLL++ sketch
+    per window — KBs of state regardless of cardinality, merged
+    map-side across micro-batch tasks — which is the only shape that
+    survives a billion-user stream. Watermark evicts closed windows'
+    sketches. Batch twin for tests: the same groupBy on the drained
+    input (estimates match exactly — same algorithm, same rsd)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"))
+        .agg(F.approx_count_distinct(user_col, rsd).alias("n_users_est"))
+        .select(F.col("w.start").alias("window_start"), "n_users_est")
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -135,3 +135,20 @@ def test_bpe_train_early_stop_and_validation(spark):
     assert merges == []  # nothing occurs twice
     with pytest.raises(ValueError):
         bpe.bpe_train(bpe.word_counts(df), n_merges=0)
+
+
+def test_merge_list_persistence_roundtrip(spark, tmp_path):
+    """save_merges/load_merges: the tokenizer artifact round-trips with
+    rank order intact and reproduces identical encodings."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges = bpe.bpe_train(bpe.word_counts(df), n_merges=8)
+    assert merges  # fixture must actually learn something
+    path = str(tmp_path / "merges.parquet")
+    bpe.save_merges(spark, merges, path)
+    loaded = bpe.load_merges(spark, path)
+    assert loaded == merges
+    a = {r["doc_id"]: r["toks"] for r in bpe.bpe_encode(df, merges, out_col="toks").collect()}
+    b = {r["doc_id"]: r["toks"] for r in bpe.bpe_encode(df, loaded, out_col="toks").collect()}
+    assert a == b

@@ -125,6 +125,54 @@ def test_streaming_sliding_counts(spark, event_dir):
     assert batch == got
 
 
+def test_streaming_distinct_users_matches_batch_sketch(spark, tmp_path):
+    """Per-window approx distinct users across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 forces cross-batch sketch merges) must equal
+    the batch twin exactly: HLL++ register merge is order-free, so the
+    micro-batch partial order can't change the estimate."""
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, ts0 + datetime.timedelta(minutes=(i * 7) % 120), i % 37, "click", 1.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    path = str(tmp_path / "stream_in")
+    # three files → three micro-batches
+    df.repartition(3).write.parquet(path)
+
+    stream = st.read_event_stream(spark, path, df.schema, max_files_per_trigger=1)
+    agg = st.streaming_distinct_users(stream, width="1 hour")
+    got = {
+        r["window_start"]: r["n_users_est"]
+        for r in st.run_available_now(agg, "t_distinct", output_mode="complete")
+    }
+
+    want = {
+        r["window_start"]: r["n_users_est"]
+        for r in (
+            df.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.approx_count_distinct("user_id", 0.05).alias("n_users_est"))
+            .select(F.col("w.start").alias("window_start"), "n_users_est")
+            .collect()
+        )
+    }
+    assert got == want
+    # sanity: estimates close to exact distinct counts
+    exact = {
+        r["window_start"]: r["n"]
+        for r in (
+            df.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+            .collect()
+        )
+    }
+    for w, est in got.items():
+        assert abs(est - exact[w]) <= max(2, 0.15 * exact[w]), (w, est, exact[w])
+
+
 def test_streaming_custom_stateful_user_totals(spark, event_dir):
     """applyInPandasWithState: running per-user totals must survive
     ACROSS micro-batches (maxFilesPerTrigger=1 forces several), and the
