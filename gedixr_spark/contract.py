@@ -718,7 +718,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_asof_bucketed,
         q_bloom_join,
         q_bpe_tokens,
+        q_compression_gate,
         q_distinct_rollup,
+        q_heavy_hitters,
         q_kmeans_clusters,
         q_mixture_sample,
         q_profile_docs,
@@ -743,4 +745,8 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         # one-pass census: HLL++ distinct estimates engine-specific
         "profile_docs": q_profile_docs,
+        # exact result but candidate-collect step; DuckDB-pinned in pytest
+        "heavy_hitters": q_heavy_hitters,
+        # zlib float surface is library-specific; exact differential in pytest
+        "compression_gate": q_compression_gate,
     }

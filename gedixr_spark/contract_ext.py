@@ -456,6 +456,30 @@ def q_profile_docs(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "documents")).orderBy("column")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Heavy hitters over events.event_type (sketches.heavy_hitters):
+    freqItems candidate pass + exact map-side-filtered verification.
+    Result is exact (DuckDB-pinned in pytest) but the candidate
+    collect makes it multi-step ⇒ rows-only."""
+    from gedixr_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", support=0.05)
+
+
+def q_compression_gate(spark, sf_dir):
+    """zlib compression-ratio quality rail (text.compression_ratio):
+    per-doc ratio + in-band keep flag. zlib float output is
+    library-specific ⇒ rows-only; exact zlib differential in pytest."""
+    from gedixr_spark.operators.text import compression_ratio
+
+    scored = compression_ratio(_t(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "compression_ratio",
+        F.col("compression_ratio").between(0.2, 0.9).alias("keep"),
+    )
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

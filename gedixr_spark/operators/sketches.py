@@ -144,6 +144,53 @@ def bloom_semi_join(
     return pruned.join(small.select(on).distinct(), on=on, how="leftsemi")
 
 
+def heavy_hitters(
+    df: DataFrame, col: str, support: float = 0.01, exact: bool = True
+) -> DataFrame:
+    """Items of ``col`` occurring in ≥ ``support`` fraction of rows,
+    with exact counts — (item, n_rows, frac), descending.
+
+    Two-phase, both scans map-side-combining:
+    1. candidate generation with Spark's ``freqItems`` (Karp et al.
+       one-pass counting — no shuffle of the full key space, driver
+       gets ≤ 1/support candidates, superset of the true answer);
+    2. exact verification: candidate rows are filtered MAP-SIDE (the
+       candidate list is a plan literal, same trick as the Bloom
+       probe) and only they enter the groupBy — the shuffle carries
+       the heavy keys' partial counts, not the long tail that
+       dominates the key space at 100 TB.
+
+    The result is exact (candidates are a superset; verification
+    prunes), so it is DuckDB-differential-tested. ``exact=False``
+    skips verification and returns candidates only (one pass, no
+    counts).
+    """
+    if not 0 < support <= 1:
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    cands = df.stat.freqItems([col], support).collect()[0][0]
+    spark_col = F.col(col)
+    if not cands:
+        return (
+            df.select(spark_col.alias("item"))
+            .limit(0)
+            .withColumn("n_rows", F.lit(0).cast("long"))
+            .withColumn("frac", F.lit(0.0))
+        )
+    if not exact:
+        # candidate superset only — type inferred from the values
+        return df.sparkSession.createDataFrame([(c,) for c in cands], ["item"])
+    total = df.count()
+    counted = (
+        df.filter(spark_col.isin(list(cands)))
+        .groupBy(spark_col.alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("frac", F.col("n_rows") / F.lit(total))
+        .filter(F.col("n_rows") >= support * total)
+        .orderBy(F.desc("n_rows"), F.asc("item"))
+    )
+    return counted
+
+
 def distinct_sketches(
     df: DataFrame,
     keys: Sequence[str],

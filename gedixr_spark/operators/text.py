@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -660,3 +661,36 @@ def perplexity_cutoffs(
         F.percentile_approx(col, list(fractions), accuracy).alias("cuts")
     ).collect()[0]
     return [float(c) for c in row["cuts"]]
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — a
+    classic model-free quality signal complementary to the bigram LM
+    gate above: near-0 ratios flag template/boilerplate/repeated spam
+    (highly compressible), ratios near or above 1 flag random or
+    already-compressed noise (base64 blobs, minified bundles); human
+    prose sits in a stable mid band. Used as a Gopher-style filter
+    rail by real crawl pipelines.
+
+    Arrow-batched pandas UDF (zlib is C-speed; the per-doc cost is the
+    bytes themselves) — map-only, no shuffle, safe at any scale. Empty
+    or null text → null ratio (no signal, caller decides)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

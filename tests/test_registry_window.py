@@ -63,6 +63,8 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "bloom_join",
         "distinct_rollup",
         "profile_docs",
+        "heavy_hitters",
+        "compression_gate",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
