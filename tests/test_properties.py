@@ -165,3 +165,34 @@ def test_contamination_spans_are_merged_valid_intervals(spark, corpus, bench):
             assert s > prev_end  # merged: no overlap, no touching
             prev_end = e
     assert set(by_doc) == {d for d, f in flags.items() if f}
+
+
+@given(
+    small_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=30, unique=True),
+    big_keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    m_exp=st.integers(8, 14),
+    k=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_bloom_semi_join_equals_set_semijoin(spark, small_keys, big_keys, m_exp, k):
+    """bloom_semi_join(exact=True) must equal the plain set semi-join
+    for ANY keys (negative hashes included) and any power-of-two
+    m_bits/k combination; exact=False must be a superset (no false
+    negatives ever)."""
+    from gedixr_spark.operators.sketches import bloom_semi_join
+
+    big = spark.createDataFrame([(v,) for v in big_keys], "key long")
+    small = spark.createDataFrame([(v,) for v in small_keys], "key long")
+    want = sorted(v for v in big_keys if v in set(small_keys))
+    got = sorted(
+        r["key"]
+        for r in bloom_semi_join(big, small, on="key", m_bits=1 << m_exp, k=k).collect()
+    )
+    assert got == want
+    approx = [
+        r["key"]
+        for r in bloom_semi_join(
+            big, small, on="key", m_bits=1 << m_exp, k=k, exact=False
+        ).collect()
+    ]
+    assert set(want) <= set(approx)
