@@ -132,8 +132,14 @@ def top_users_by_activity(df: DataFrame, k: int = 10, user_col: str = "user_id")
     counts = df.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_events"), _exact_sum("value").alias("sum_value")
     )
+    # orderBy+limit plans as TakeOrderedAndProject: each partition
+    # keeps its local top-k and only k·n_partitions rows reach the
+    # driver-side merge — the global-window-then-filter alternative
+    # would drag EVERY user's count into one partition (WindowExec
+    # warns exactly that). The rank window then runs over k rows.
+    topk = counts.orderBy(F.desc("n_events"), F.asc(user_col)).limit(k)
     w = Window.orderBy(F.desc("n_events"), F.asc(user_col))
-    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def rollup_agg(
