@@ -221,6 +221,32 @@ def merge_distinct_sketches(
     return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
 
 
+def update_sketch_store(
+    store: DataFrame,
+    new_batch: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lg_k: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Incremental maintenance of a persisted sketch store: sketch the
+    NEW batch only, union with the existing store, re-merge per key.
+    The history contributes kilobyte sketches, never rows — the same
+    per-batch shape as dedup.incremental_dedup, and the only
+    distinct-count maintenance that survives a continuously-fed
+    100 TB corpus. lg_k must match the store's (union at differing
+    lg_k degrades to the coarser; keeping them equal keeps the
+    union == direct-sketch identity exact)."""
+    fresh = distinct_sketches(
+        new_batch, keys, value_col, lg_k=lg_k, sketch_col=sketch_col
+    )
+    return merge_distinct_sketches(
+        store.select(*keys, sketch_col).unionByName(fresh),
+        list(keys),
+        sketch_col=sketch_col,
+    )
+
+
 def with_estimates(
     df: DataFrame, sketch_col: str = "sketch", out_col: str = "distinct_est"
 ) -> DataFrame:

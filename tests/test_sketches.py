@@ -174,3 +174,26 @@ def test_hll_sketches_persist_roundtrip(events, tmp_path):
     a = sk.with_estimates(sk.merge_distinct_sketches(reloaded, [])).collect()[0]
     b = sk.with_estimates(sk.merge_distinct_sketches(per_day, [])).collect()[0]
     assert a["distinct_est"] == b["distinct_est"]
+
+
+def test_incremental_sketch_store_equals_direct(events, tmp_path):
+    """Day-by-day incremental store maintenance must equal sketching
+    the whole corpus directly — HLL union is lossless at fixed lg_k,
+    and the update path never re-reads history rows."""
+    e = events.withColumn("day", F.to_date("ts"))
+    days = sorted(r["day"] for r in e.select("day").distinct().collect())
+    assert len(days) >= 2
+    first, rest = days[0], days[1:]
+    store = sk.distinct_sketches(e.filter(F.col("day") == first), ["day"], "user_id")
+    for d in rest:
+        store = sk.update_sketch_store(
+            store, e.filter(F.col("day") == d), ["day"], "user_id"
+        )
+    inc = {
+        r["day"]: r["distinct_est"] for r in sk.with_estimates(store).collect()
+    }
+    direct = {
+        r["day"]: r["distinct_est"]
+        for r in sk.with_estimates(sk.distinct_sketches(e, ["day"], "user_id")).collect()
+    }
+    assert inc == direct
