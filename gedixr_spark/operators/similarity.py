@@ -577,6 +577,39 @@ def pq_codebooks(
     ]
 
 
+def save_pq_codebooks(
+    spark, codebooks: list[list[list[int]]], path: str
+) -> str:
+    """Persist trained PQ codebooks as a tiny parquet (subspace, code,
+    centroid) table — the index artifact, symmetric with
+    ``save_centroids`` (IVF) and ``bpe.save_merges``: train once on a
+    corpus sample, then every encode/ADC job (today's and every later
+    batch's) loads the same artifact so codes stay comparable across
+    pipeline runs."""
+    rows = [
+        (j, c, list(map(int, cent)))
+        for j, cb in enumerate(codebooks)
+        for c, cent in enumerate(cb)
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<long>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[int]]]:
+    """Load codebooks saved by ``save_pq_codebooks``, (subspace, code)
+    order restored — plugs straight into pq_codes/pq_ann_topk."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    books: list[list[list[int]]] = []
+    for r in rows:
+        if r["subspace"] == len(books):
+            books.append([])
+        books[r["subspace"]].append([int(v) for v in r["centroid"]])
+    return books
+
+
 def pq_codes(
     vec_col: Column | str, codebooks: list[list[list[int]]], scale: int = 1000
 ) -> Column:

@@ -179,3 +179,20 @@ def test_pq_scale_must_divide_codebook_scale(spark):
     for bad in (0, -5, 300, 20_000):
         with pytest.raises(ValueError, match="divisor"):
             _pq_lift(bad)
+
+
+def test_pq_codebook_persistence_roundtrip(spark, tmp_path):
+    """save/load_pq_codebooks: the index artifact round-trips exactly
+    and reproduces identical codes — train once, encode anywhere."""
+    cbs = sim.pq_codebooks(dim=8, m=2, ksub=4, seed=5)
+    path = str(tmp_path / "codebooks.parquet")
+    sim.save_pq_codebooks(spark, cbs, path)
+    loaded = sim.load_pq_codebooks(spark, path)
+    assert loaded == cbs
+    df = spark.createDataFrame(
+        [(i, [float(i + j) / 7 for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r["vec_id"]: r["c"] for r in df.select("vec_id", sim.pq_codes("embedding", cbs).alias("c")).collect()}
+    b = {r["vec_id"]: r["c"] for r in df.select("vec_id", sim.pq_codes("embedding", loaded).alias("c")).collect()}
+    assert a == b
