@@ -694,3 +694,46 @@ def compression_ratio(
         return pd.Series(out, dtype="float64")
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFKC",
+    strip_control: bool = True,
+) -> DataFrame:
+    """Unicode normalization (NFKC by default) + control-character
+    strip — the canonicalization pass that makes hash-based dedup
+    robust: full-width forms, compatibility ligatures and combining
+    sequences all render identically but hash differently, so without
+    this the exact-dedup md5 misses visually-identical duplicates
+    (e.g. ＡＢＣ vs ABC, ﬁ vs fi). Run it BEFORE dedup.exact_dedup /
+    signature_store.
+
+    Spark SQL has no NFC/NFKC builtin, so this is an Arrow-batched
+    pandas UDF over stdlib unicodedata — map-only, no shuffle;
+    normalization is the rare text op where per-row Python-C work is
+    unavoidable and Arrow batching keeps it ~µs/doc."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be a unicodedata form, got {form!r}")
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            s = unicodedata.normalize(form, t)
+            if strip_control:
+                s = "".join(
+                    ch for ch in s if ch == "\n" or unicodedata.category(ch) != "Cc"
+                )
+            return s
+
+        return texts.map(one, na_action="ignore")
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -196,3 +196,37 @@ def test_pq_codebook_persistence_roundtrip(spark, tmp_path):
     a = {r["vec_id"]: r["c"] for r in df.select("vec_id", sim.pq_codes("embedding", cbs).alias("c")).collect()}
     b = {r["vec_id"]: r["c"] for r in df.select("vec_id", sim.pq_codes("embedding", loaded).alias("c")).collect()}
     assert a == b
+
+
+def test_full_ivf_pq_index_persistence_roundtrip(spark, tmp_path):
+    """The complete index artifact — IVF centroids (save_centroids) +
+    residual PQ codebooks (save_pq_codebooks) — persists and reloads
+    into BIT-IDENTICAL ivf_pq_ann_topk results: the train-once /
+    serve-everywhere contract for the 100 TB vector store."""
+    rng = np.random.default_rng(11)
+    dim, n = 8, 80
+    rows = [
+        (i, [float(v) for v in (2.0 + rng.standard_normal(dim))]) for i in range(n)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(rows[::17][:4], "vec_id long, embedding array<double>")
+
+    cents = sim.ivf_centroids(dim=dim, n_cells=4, seed=3)
+    cbs = sim.train_ivf_pq(corpus, cents, m=2, ksub=4, n_iter=3)
+
+    sim.save_centroids(spark, cents, str(tmp_path / "cent"))
+    sim.save_pq_codebooks(spark, cbs, str(tmp_path / "cb"))
+    cents2 = sim.load_centroids(spark, str(tmp_path / "cent"))
+    cbs2 = sim.load_pq_codebooks(spark, str(tmp_path / "cb"))
+    assert cents2 == cents and cbs2 == cbs
+
+    def run(c, b):
+        return sorted(
+            tuple(r)
+            for r in sim.ivf_pq_ann_topk(
+                queries, corpus, k=3, centroids=c, codebooks=b,
+                nprobe=2, dim=dim, n_cells=4,
+            ).collect()
+        )
+
+    assert run(cents, cbs) == run(cents2, cbs2)
