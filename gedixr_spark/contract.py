@@ -720,6 +720,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_tokens,
         q_compression_gate,
         q_distinct_rollup,
+        q_gapfill,
         q_heavy_hitters,
         q_kmeans_clusters,
         q_mixture_sample,
@@ -749,4 +750,6 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         # zlib float surface is library-specific; exact differential in pytest
         "compression_gate": q_compression_gate,
+        # exact (DuckDB-pinned in pytest); rows-only: oracle window full
+        "gapfill": q_gapfill,
     }

@@ -480,6 +480,15 @@ def q_compression_gate(spark, sf_dir):
     )
 
 
+def q_gapfill(spark, sf_dir):
+    """Gap-filled per-user time series with LOCF (events.gapfill_locf,
+    6-hour buckets): regular grid via sequence-explode, latest-event-
+    wins bucket values, key-partitioned running last(ignorenulls).
+    Exact semantics DuckDB-pinned in tests/test_gapfill.py; registered
+    rows-only because the 50-slot oracle window is full."""
+    return events.gapfill_locf(_t(spark, sf_dir, "events"), step_minutes=360)
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

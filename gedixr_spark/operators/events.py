@@ -459,3 +459,76 @@ def json_props_extract(df: DataFrame, key: str = "k", props_col: str = "props") 
     return df.withColumn(
         f"prop_{key}", F.get_json_object(F.col(props_col), f"$.{key}").cast("int")
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Hypertable-style gap-filled per-key time series with
+    last-observation-carried-forward (the time_bucket_gapfill + locf
+    pair): one row per (key, bucket) on a REGULAR step_minutes grid
+    spanning each key's observed range; buckets with no events carry
+    the previous bucket's last value (``filled=true`` marks them).
+
+    Bucket starts are exact long-µs modulo arithmetic (repo invariant:
+    grid timestamps are integer µs, never floor(double) — see
+    sliding_agg).
+
+    Plan shape and scale notes:
+    - per-key grid = one agg for (min, max) bucket + ``sequence``
+      explode — the grid is generated, never stored; its size is
+      range/step per key, so the explode is output-sized, not
+      input-sized. A pathological key whose range/step explodes to
+      billions of buckets is the caller's step choice.
+    - observed buckets = one groupBy; "last value" is a (ts, value)
+      max-struct — deterministic latest-event-wins.
+    - LOCF = running ``last(ignorenulls)`` window per key in bucket
+      order: partitioned by KEY, so no global sort and no
+      single-partition collapse.
+    - total: two shuffles; the final window reuses the join's
+      key partitioning.
+    """
+    if step_minutes <= 0:
+        raise ValueError(f"step_minutes must be > 0, got {step_minutes}")
+    step_us = step_minutes * 60_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.timestamp_micros(us - (us % F.lit(step_us)))
+    observed = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(
+            F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col(f"__last.{value_col}").alias("last_value"),
+            "n_events",
+        )
+    )
+    spans = observed.groupBy(key_col).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval {step_minutes} minutes"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(observed, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("last_value").isNull().alias("filled"),
+    )

@@ -1,0 +1,106 @@
+"""gapfill_locf: regular per-key grid + last-observation-carried-
+forward, DuckDB-differential on the real events table."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators.events import gapfill_locf
+
+
+def test_gapfill_small_fixture_exact(spark):
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # key 1: events at hours 0 and 3 → grid 0,1,2,3; 1-2 filled
+        (1, ts0, 10.0),
+        (1, ts0 + datetime.timedelta(hours=3), 30.0),
+        # two events in hour 3: latest (by ts) wins
+        (1, ts0 + datetime.timedelta(hours=3, minutes=30), 35.0),
+        # key 2: single event → one grid row
+        (2, ts0 + datetime.timedelta(hours=1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket"]): (r["value_locf"], r["n_events"], r["filled"])
+        for r in gapfill_locf(df).collect()
+    }
+    h = lambda n: ts0 + datetime.timedelta(hours=n)
+    assert got[(1, h(0))] == (10.0, 1, False)
+    assert got[(1, h(1))] == (10.0, 0, True)
+    assert got[(1, h(2))] == (10.0, 0, True)
+    assert got[(1, h(3))] == (35.0, 2, False)  # latest of the two
+    assert got[(2, h(1))] == (7.0, 1, False)
+    assert len(got) == 5
+
+
+def test_gapfill_matches_duckdb(spark, sf_dir):
+    from gedixr_spark.contract_ext import load_events
+
+    events = load_events(spark, sf_dir)
+    got = sorted(
+        (r["user_id"], r["bucket"], r["value_locf"], r["n_events"], r["filled"])
+        for r in gapfill_locf(events, step_minutes=360).collect()
+    )
+    want = duckdb.sql(
+        f"""
+        WITH obs AS (
+            SELECT user_id,
+                   to_timestamp((epoch_us(ts) - epoch_us(ts) % 21600000000)
+                                / 1000000)::timestamp AS bucket,
+                   max_by(value, ts) AS last_value,
+                   count(*) AS n_events
+            FROM '{sf_dir}/events.parquet'
+            GROUP BY 1, 2
+        ), spans AS (
+            SELECT user_id, min(bucket) lo, max(bucket) hi FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 360 MINUTE))
+                   AS bucket
+            FROM spans
+        )
+        SELECT g.user_id, g.bucket,
+               last_value(o.last_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS value_locf,
+               coalesce(o.n_events, 0) AS n_events,
+               o.last_value IS NULL AS filled
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert (g[2] is None) == (w[2] is None)
+        if g[2] is not None:
+            assert g[2] == pytest.approx(w[2])
+        assert g[3] == w[3] and g[4] == w[4]
+
+
+def test_gapfill_validates(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="step_minutes"):
+        gapfill_locf(df, step_minutes=0)
+
+
+def test_gapfill_window_is_key_partitioned(spark, sf_dir):
+    """No unpartitioned WindowExec: the LOCF window must partition by
+    key (plan shows 'Window' with a partition spec containing user_id
+    before the ordering)."""
+    from gedixr_spark.contract_ext import load_events
+
+    events = load_events(spark, sf_dir)
+    plan = (
+        gapfill_locf(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines
+    assert all("user_id" in ln for ln in win_lines), win_lines
