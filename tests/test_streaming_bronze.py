@@ -43,3 +43,43 @@ def test_bronze_landing_partitions_and_resumes(spark, tmp_path):
     assert final.count() == 10  # 5 + 5, exactly-once
     assert final.select("event_id").distinct().count() == 10
     assert (out / "acq_date=2024-01-02").exists()
+
+
+def test_bronze_with_metrics_exactly_once_both_sinks(spark, tmp_path):
+    """foreachBatch twin-write: data appended + per-batch metrics row,
+    both exactly-once across a resume; metrics live in batch=N slots
+    so a replayed batch overwrites its own row instead of duplicating."""
+    from gedixr_spark.streaming.bronze import bronze_with_metrics_query
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "bronze"
+    metrics = tmp_path / "metrics"
+    ckpt = tmp_path / "ckpt"
+    schema = _write_batch(spark, landing, 0, day=1)
+
+    q = bronze_with_metrics_query(
+        read_event_stream(spark, str(landing), schema),
+        str(out), str(metrics), str(ckpt), available_now=True,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == 5
+    m1 = spark.read.parquet(str(metrics))
+    assert [(r["n_rows"], r["n_null_ts"]) for r in m1.collect()] == [(5, 0)]
+
+    # delta batch; resumed query processes only the new files and adds
+    # exactly one new metrics slot
+    _write_batch(spark, landing, 100, day=2)
+    q2 = bronze_with_metrics_query(
+        read_event_stream(spark, str(landing), schema),
+        str(out), str(metrics), str(ckpt), available_now=True,
+    )
+    q2.awaitTermination()
+    final = spark.read.parquet(str(out))
+    assert final.count() == 10
+    assert final.select("event_id").distinct().count() == 10
+    m2 = spark.read.parquet(str(metrics)).orderBy("batch")
+    rows = m2.collect()
+    assert len(rows) == 2
+    assert sum(r["n_rows"] for r in rows) == 10
+    # per-batch slots are distinct partitions
+    assert len({r["batch"] for r in rows}) == 2
