@@ -163,3 +163,59 @@ def compact_table(
         final = out_path
     after = file_stats(spark, final)
     return {"path": final, "before": stats_before, "after": after}
+
+
+def shard_manifest(
+    spark: SparkSession, path: str, id_col: str | None = None
+) -> DataFrame:
+    """Training-shard manifest: one row per data file — (file, n_rows,
+    bytes, and min/max of ``id_col`` when given). Trainers and backfill
+    jobs consume this instead of re-listing + re-scanning the dataset:
+    it answers "which file holds doc X" (when the layout is
+    id-clustered, e.g. after compact_table(sort_by=[id])) and "how big
+    is shard k" without touching data bytes again.
+
+    One scan with an input_file_name() groupBy (file-count-sized
+    result), joined to the driver-side FS listing for byte sizes.
+    """
+    per_file = spark.read.parquet(path).groupBy(
+        F.input_file_name().alias("file")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if id_col:
+        aggs += [F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")]
+    rows_df = per_file.agg(*aggs)
+    fs, _ = _hadoop_fs(spark, path)
+    statuses = fs.globStatus(
+        spark._jvm.org.apache.hadoop.fs.Path(path + "/*.parquet")
+    )
+    sizes = [
+        (s.getPath().getName(), s.getLen())
+        for s in (statuses or [])
+        if s.isFile()
+    ]
+    sizes_df = spark.createDataFrame(sizes, "name string, bytes long")
+    # input_file_name's URI spelling (file:/ vs file:///) differs from
+    # the FileStatus URI; the basename is unique within the directory
+    # and identical in both, so join on that
+    named = rows_df.withColumn(
+        "name", F.element_at(F.split("file", "/"), -1)
+    )
+    return named.join(sizes_df, "name", "left").drop("name").orderBy("file")
+
+
+def vacuum_staging(spark: SparkSession, path: str) -> list[str]:
+    """Remove leftover staging directories from crashed in-place
+    compactions/merges (``*.__compacting``, ``*.__merging``). The
+    stage-then-swap writers guarantee the TARGET is never half-written,
+    but a crash between stage and swap leaks the staging dir — this is
+    the janitor. Returns the paths it deleted."""
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    removed = []
+    for suffix in (".__compacting", ".__merging"):
+        cand = jpath(path.rstrip("/") + suffix)
+        if fs.exists(cand):
+            fs.delete(cand, True)
+            removed.append(str(cand))
+    return removed

@@ -176,3 +176,32 @@ def test_merge_upsert_validates(spark, part_table):
         merge_upsert(spark, part_table, ok, keys=[], partition_col="day")
     with pytest.raises(ValueError, match="must not be a merge key"):
         merge_upsert(spark, part_table, ok, keys=["day"], partition_col="day")
+
+
+def test_shard_manifest_rows_bytes_and_ranges(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.range(1000).withColumn("v", F.col("id") * 3)
+    df.repartition(5).write.parquet(path)
+    layout.compact_table(spark, path, sort_by=["id"], n_files=4)
+    man = layout.shard_manifest(spark, path, id_col="id").collect()
+    assert len(man) == 4
+    assert sum(r["n_rows"] for r in man) == 1000
+    assert all(r["bytes"] and r["bytes"] > 0 for r in man)
+    # id-clustered layout → manifest ranges are disjoint
+    spans = sorted((r["min_id"], r["max_id"]) for r in man)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
+
+
+def test_vacuum_staging_removes_leftovers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    # simulate crashed compaction + merge
+    spark.range(3).write.parquet(path + ".__compacting")
+    spark.range(3).write.parquet(path + ".__merging")
+    removed = layout.vacuum_staging(spark, path)
+    assert len(removed) == 2
+    assert not os.path.exists(path + ".__compacting")
+    assert not os.path.exists(path + ".__merging")
+    assert spark.read.parquet(path).count() == 10  # target untouched
+    assert layout.vacuum_staging(spark, path) == []  # idempotent
