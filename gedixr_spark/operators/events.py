@@ -532,3 +532,46 @@ def gapfill_locf(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("last_value").isNull().alias("filled"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Per-event trailing-window features: count, exact sum, and mean
+    of ``value`` over the last ``window_minutes`` per key, INCLUDING
+    the current event — the standard event-time feature-engineering
+    primitive ("activity in the last hour at the moment of this
+    event").
+
+    Implementation: a rangeBetween window over exact long µs (repo
+    invariant — the frame boundary is an integer comparison, never
+    float seconds), partitioned by key and ordered by event time.
+    One shuffle on the key; within a partition Spark's sliding-frame
+    aggregation adds/removes rows incrementally, so cost is O(events)
+    amortized, not O(events × window).
+
+    rangeBetween orders by the µs VALUE, so same-µs events share a
+    frame (both included in each other's stats) — the well-defined
+    tie semantics, identical to SQL RANGE BETWEEN.
+    """
+    if window_minutes <= 0:
+        raise ValueError(f"window_minutes must be > 0, got {window_minutes}")
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-(window_minutes * 60_000_000 - 1), 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(dec).over(w).cast("double").alias("sum_trailing"),
+        (F.sum(dec).over(w) / F.count(F.lit(1)).over(w))
+        .cast("double")
+        .alias("mean_trailing"),
+    )

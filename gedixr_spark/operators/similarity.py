@@ -1093,3 +1093,51 @@ def semantic_dedup(
             clusters, metric, "centroid_cosine", id_col="doc_id", ascending=True
         )
     return apply_dedup(df, clusters, id_col=id_col)
+
+
+def ranking_metrics(
+    approx: DataFrame, exact: DataFrame, k: int | None = None
+) -> DataFrame:
+    """MRR and NDCG@k of an ANN result against brute-force ground truth
+    — ann_recall's order-sensitive siblings (recall can't see that the
+    true nearest neighbor sits at rank 10 instead of rank 1; serving
+    quality can). Binary relevance: a candidate is relevant iff it
+    appears in the exact top-k.
+
+    Per query: ``rr`` = 1/rank of the first relevant candidate (0 if
+    none), ``ndcg`` = Σ_hits 1/log2(rank+1) over the ideal DCG for
+    |truth| relevant items. Macro averages ride as the
+    ``query_id IS NULL`` row, like ann_recall. Pure column math over
+    ids-only joins — same cost shape as ann_recall, corpus-size-
+    independent."""
+    if k is not None:
+        approx = approx.filter(F.col("rank") <= k)
+        exact = exact.filter(F.col("rank") <= k)
+    a = approx.select("query_id", "cand_id", "rank")
+    truth = exact.select("query_id", "cand_id")
+    hits = a.join(truth, ["query_id", "cand_id"])
+    per_hit = hits.groupBy("query_id").agg(
+        F.min("rank").alias("first_hit"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    # ideal DCG for n binary-relevant items = Σ_{i=1..n} 1/log2(i+1)
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_true")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    per_q = (
+        n_true.join(per_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+            (F.coalesce("dcg", F.lit(0.0)) / idcg).alias("ndcg"),
+        )
+    )
+    macro = per_q.agg(
+        F.lit(None).cast(per_q.schema["query_id"].dataType).alias("query_id"),
+        F.avg("rr").alias("rr"),
+        F.avg("ndcg").alias("ndcg"),
+    )
+    return per_q.unionByName(macro)

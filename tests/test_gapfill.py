@@ -104,3 +104,68 @@ def test_gapfill_window_is_key_partitioned(spark, sf_dir):
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert win_lines
     assert all("user_id" in ln for ln in win_lines), win_lines
+
+
+# ---------------------------------------------------------- rolling_stats
+
+
+def test_rolling_stats_small_fixture_exact(spark):
+    from gedixr_spark.operators.events import rolling_stats
+
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts0, 10.0),
+        (1, ts0 + datetime.timedelta(minutes=30), 20.0),
+        (1, ts0 + datetime.timedelta(minutes=61), 40.0),  # first drops out
+        (2, ts0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"]): (r["n_trailing"], r["sum_trailing"], r["mean_trailing"])
+        for r in rolling_stats(df, window_minutes=60).collect()
+    }
+    assert got[(1, ts0)] == (1, 10.0, 10.0)
+    assert got[(1, ts0 + datetime.timedelta(minutes=30))] == (2, 30.0, 15.0)
+    # event at +61min: the 60-min trailing window [+1min1µs, +61min]
+    # holds +30 and +61 only
+    assert got[(1, ts0 + datetime.timedelta(minutes=61))] == (2, 60.0, 30.0)
+    assert got[(2, ts0)] == (1, 5.0, 5.0)
+
+
+def test_rolling_stats_matches_duckdb(spark, sf_dir):
+    from gedixr_spark.contract_ext import load_events
+    from gedixr_spark.operators.events import rolling_stats
+
+    events = load_events(spark, sf_dir)
+    got = sorted(
+        (r["event_id"], r["n_trailing"], r["sum_trailing"])
+        for r in rolling_stats(events, window_minutes=120).collect()
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT event_id,
+               count(*) OVER w AS n_trailing,
+               cast(sum(cast(value AS decimal(18,2))) OVER w AS double)
+                   AS sum_trailing
+        FROM '{sf_dir}/events.parquet'
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert g[2] == pytest.approx(w[2])
+
+
+def test_rolling_stats_validates(spark):
+    from gedixr_spark.operators.events import rolling_stats
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="window_minutes"):
+        rolling_stats(df, window_minutes=0)
