@@ -219,3 +219,71 @@ def vacuum_staging(spark: SparkSession, path: str) -> list[str]:
             fs.delete(cand, True)
             removed.append(str(cand))
     return removed
+
+
+def zorder_index_columns(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[Column, dict]:
+    """Generalized Morton key over ANY numeric columns (the Delta
+    OPTIMIZE ZORDER BY shape; the lon/lat `zorder_index` is the
+    geo-specialized twin). Each column is min/max-scaled to a 2^bits
+    grid from ONE driver-side stats pass (2 doubles per column), then
+    the ordinates' bits interleave round-robin — pure JVM integer
+    expressions, unrolled at plan build.
+
+    Returns (key column, bounds dict) — bounds persist alongside the
+    table so incremental writers keep using the SAME scaling (a
+    re-derived range on new data would shear the curve between old and
+    new files). Total key bits = len(cols)·bits must fit a signed
+    long (≤ 62).
+    """
+    if not cols or len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (one column: just sort)")
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError(
+            f"{len(cols)} cols × {bits} bits = {bits * len(cols)} key bits; "
+            "must be in [1, 62]"
+        )
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    bounds = {c: (stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols}
+    n = (1 << bits) - 1
+    ords = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None or hi is None:
+            raise ValueError(f"column {c} is all-null; cannot z-order on it")
+        span = (hi - lo) or 1.0
+        clamped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
+        ords.append(F.floor((clamped - lo) / span * n).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, o in enumerate(ords):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(o, i).bitwiseAND(1), i * len(ords) + j)
+            )
+    return z, bounds
+
+
+def write_zordered_columns(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 16
+) -> dict:
+    """Write parquet laid out along the generalized Z-curve over
+    ``cols``: range-partition + sort on the Morton key (dropped from
+    the schema, same policy as write_zordered). Every output file
+    covers a compact hyper-rectangle of the column space, so footer
+    min/max stats prune scans filtered on ANY prefix/subset of the
+    z-ordered columns — the multi-dimensional clustering a single-
+    column sort can't give. Returns the bounds for incremental reuse."""
+    key, bounds = zorder_index_columns(df, cols, bits)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return {"path": path, "bounds": bounds}
