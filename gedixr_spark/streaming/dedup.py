@@ -40,3 +40,81 @@ def streaming_dedup_by_content(
         .dropDuplicatesWithinWatermark(["__content_key"])
         .drop("__content_key")
     )
+
+
+def streaming_incremental_dedup_query(
+    docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+):
+    """Continuous corpus dedup against a persisted signature store:
+    each micro-batch runs `operators.dedup.incremental_dedup` versus
+    the store, appends the surviving docs to ``out_dir``, and appends
+    the survivors' SIGNATURES to the store — so batch N+1 dedups
+    against everything batch N kept, across restarts, without ever
+    re-reading historical text (the store carries md5 keys, minhashes
+    and shingle-hash sets only).
+
+    Per-batch slot layout (``batch=N`` subdirectories, overwritten on
+    replay) makes both appends idempotent — the same exactly-once
+    recipe as bronze_with_metrics_query. Within a batch, intra-batch
+    duplicates are collapsed first (exact_dedup) so two copies
+    arriving together can't both pass the against-history check.
+
+    Backpressure shape at 100 TB: per batch cost = batch-size
+    signatures + one band-key equi-join against the store — the store
+    side is signature-width, and Spark scans only its parquet (the
+    text corpus is never opened).
+    """
+    from gedixr_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+        signature_store,
+    )
+
+    spark = docs.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        # collapse intra-batch exact duplicates to min-id survivors
+        batch_local = batch_df.join(
+            exact_dedup(batch_df, text_col=text_col, id_col=id_col).select(id_col),
+            id_col,
+            "semi",
+        )
+        try:
+            store = spark.read.parquet(store_dir)
+            has_store = True
+        except Exception:
+            has_store = False
+        if has_store:
+            decisions = incremental_dedup(
+                batch_local, store, threshold=threshold, k=k, bands=bands,
+                n=n, text_col=text_col, id_col=id_col, history_is_store=True,
+            )
+            keep_ids = decisions.filter(F.col("action") == "keep").select(id_col)
+            survivors = batch_local.join(keep_ids, id_col, "semi").localCheckpoint()
+        else:
+            survivors = batch_local.localCheckpoint()
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/batch={batch_id}"
+        )
+        sigs = signature_store(survivors, k=k, n=n, text_col=text_col, id_col=id_col)
+        sigs.write.mode("overwrite").parquet(
+            f"{store_dir.rstrip('/')}/batch={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

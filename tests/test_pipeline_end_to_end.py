@@ -36,6 +36,16 @@ def test_training_data_pipeline_composes(spark, sf_dir):
     n_lm = clean.count()
     assert 0 < n_lm <= n_clean
 
+    # 1c. compression-ratio rail: drop the extreme tails (template spam
+    # below, random noise above); None ratios (empty text) pass through
+    scored_cr = text.compression_ratio(clean)
+    clean = scored_cr.filter(
+        F.col("compression_ratio").isNull()
+        | F.col("compression_ratio").between(0.05, 0.98)
+    ).drop("compression_ratio")
+    n_cr = clean.count()
+    assert 0 < n_cr <= n_lm
+
     # 2. exact dedup: collapse byte-identical texts to min-id survivors
     exact = dedup.exact_dedup(clean)
     exact_survivors = clean.join(
