@@ -287,3 +287,47 @@ def write_zordered_columns(
         .parquet(path)
     )
     return {"path": path, "bounds": bounds}
+
+
+def plan_compaction(
+    spark: SparkSession,
+    root: str,
+    target_mb: int = 128,
+    min_files: int = 8,
+) -> list[dict]:
+    """Compaction planner: walk the table tree (root itself, or its
+    Hive-style partition leaves) and return the directories whose file
+    census says compaction would pay — at least ``min_files`` data
+    files AND average file size under half the target. Feed each entry
+    to ``compact_table(path=entry['path'])``.
+
+    Policy-over-mechanism split: merge_upsert/streaming writers
+    fragment specific partitions; this ranks them (most fragmented
+    first) so a nightly janitor compacts the worst offenders within a
+    time budget instead of blind-rewriting the table. Driver-side
+    listing only — the same RPCs a scan's file index pays, no data
+    read."""
+    fs, jroot = _hadoop_fs(spark, root)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+
+    leaves = []
+    stack = [jroot]
+    while stack:
+        d = stack.pop()
+        children = fs.listStatus(d)
+        subdirs = [c.getPath() for c in children if c.isDirectory()]
+        has_data = any(
+            c.isFile() and c.getPath().getName().endswith(".parquet")
+            for c in children
+        )
+        if has_data:
+            leaves.append(str(d.toUri().getPath()))
+        stack.extend(subdirs)
+
+    plan = []
+    for leaf in leaves:
+        st = file_stats(spark, leaf)
+        if st["n_files"] >= min_files and st["avg_bytes"] < target_mb * 1024 * 1024 / 2:
+            plan.append({"path": leaf, **st})
+    plan.sort(key=lambda e: (-e["n_files"], e["avg_bytes"]))
+    return plan
