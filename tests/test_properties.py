@@ -196,3 +196,41 @@ def test_bloom_semi_join_equals_set_semijoin(spark, small_keys, big_keys, m_exp,
         ).collect()
     ]
     assert set(want) <= set(approx)
+
+
+@given(
+    xs=st.lists(st.one_of(st.none(), st.integers(-10**6, 10**6)), min_size=1, max_size=25),
+    ss=st.lists(st.one_of(st.none(), st.text(alphabet="abcXYZ ", max_size=8)), min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_profile_table_matches_pandas(spark, xs, ss):
+    """profile_table's exact facets (counts, nulls, min/max, mean,
+    stddev) against pandas on arbitrary nullable int/string columns."""
+    import pandas as _pd
+    import pytest
+
+    from gedixr_spark.operators.stats import profile_table
+
+    n = max(len(xs), len(ss))
+    xs = (xs + [None] * n)[:n]
+    ss = (ss + [None] * n)[:n]
+    df = spark.createDataFrame(list(zip(xs, ss)), "x long, s string")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    pdf = _pd.DataFrame({"x": _pd.array(xs, dtype="Int64"), "s": ss})
+
+    assert prof["x"]["n_rows"] == n
+    assert prof["x"]["n_nulls"] == pdf["x"].isna().sum()
+    assert prof["s"]["n_nulls"] == pdf["s"].isna().sum()
+    nn = pdf["x"].dropna()
+    if len(nn):
+        assert int(prof["x"]["min_value"]) == nn.min()
+        assert int(prof["x"]["max_value"]) == nn.max()
+        assert prof["x"]["mean"] == pytest.approx(float(nn.mean()))
+        if len(nn) >= 2:
+            assert prof["x"]["stddev"] == pytest.approx(float(nn.std(ddof=1)))
+    else:
+        assert prof["x"]["min_value"] is None and prof["x"]["mean"] is None
+    sn = pdf["s"].dropna()
+    if len(sn):
+        assert prof["s"]["min_value"] == sn.min()
+        assert prof["s"]["max_value"] == sn.max()
