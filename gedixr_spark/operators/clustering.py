@@ -61,14 +61,23 @@ def kmeans_fit(
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.stat import Summarizer
 
+    # materialize the (id, vec) working set ONCE: every Lloyd iteration
+    # below re-evaluates its input, and without this each of the n_iter
+    # jobs replays the full upstream lineage (parquet scan, quantize,
+    # filters…). localCheckpoint truncates lineage and pins the rows to
+    # executor storage — the standard iterative-algorithm persistence
+    # (MLlib caches its training set the same way); storage is freed
+    # when the returned assignment frame is garbage-collected.
+    work = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+
     init_rows = (
-        df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
+        work.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
     )
     centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
 
     for _ in range(n_iter):
         assign = _assign_udf(centroids)
-        assigned = df.select(
+        assigned = work.select(
             F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
         )
         # centroid update: ONE vector-sum aggregate (Summarizer over an
@@ -86,7 +95,7 @@ def kmeans_fit(
         centroids = new
 
     assign = _assign_udf(centroids)
-    final = df.select(
+    final = work.select(
         F.col(id_col), assign(F.col(vec_col)).alias("cluster")
     )
     return centroids, final

@@ -395,7 +395,15 @@ def dedup_clusters(
     DataFrame-only building blocks, more rounds machinery.
     """
     fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = fwd.union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    # materialize the edge list ONCE: every propagation round below
+    # joins against `edges`, and without this each round re-evaluates
+    # the full pair-generation lineage (LSH banding / cluster
+    # self-join + cosine) — n_rounds× the most expensive stage of the
+    # whole dedup. Ids-only rows, so the checkpointed state is tiny;
+    # dedup_clusters_star already did this (same reasoning).
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    ).localCheckpoint(eager=True)
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
