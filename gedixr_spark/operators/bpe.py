@@ -77,7 +77,15 @@ def bpe_train(
     twice. Returns the ordered merge list ``bpe_encode`` consumes."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be > 0, got {n_merges}")
-    sym = words.select(F.col("n"), _to_symbols().alias("syms"))
+    # materialize the distinct-word table ONCE: `words` usually carries
+    # the corpus tokenize+groupBy lineage, and every round's pair-count
+    # job below would replay that full corpus scan (then j merge UDFs
+    # on top by round j). After this checkpoint each round touches only
+    # the compact (n, syms) table; checkpoint_every keeps the growing
+    # merge-UDF chain bounded between rounds.
+    sym = words.select(F.col("n"), _to_symbols().alias("syms")).localCheckpoint(
+        eager=True
+    )
     merges: list[tuple[str, str]] = []
     for round_no in range(n_merges):
         pairs = (
