@@ -313,7 +313,16 @@ def incremental_dedup(
         if history_is_store
         else signature_store(history, k=k, n=n, text_col=text_col, id_col=id_col)
     )
-    new_store = signature_store(new_df, k=k, n=n, text_col=text_col, id_col=id_col)
+    # the new batch's signatures feed FIVE consumers below (exact join,
+    # anti-join remainder, band keys, shingle join, keep anti-join) —
+    # materialize once instead of re-hashing the batch per consumer.
+    # Same for a DERIVED history store; a persisted store
+    # (history_is_store=True) is already a cheap parquet scan.
+    new_store = signature_store(
+        new_df, k=k, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    if not history_is_store:
+        hist = hist.localCheckpoint(eager=True)
     r = k // bands
 
     def band_keys(store: DataFrame, out_id: str) -> DataFrame:
