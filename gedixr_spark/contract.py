@@ -726,6 +726,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_mixture_sample,
         q_profile_docs,
         q_semantic_dedup,
+        q_term_search,
     )
 
     return {
@@ -752,4 +753,5 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": q_compression_gate,
         # exact (DuckDB-pinned in pytest); rows-only: oracle window full
         "gapfill": q_gapfill,
+        "term_search": q_term_search,
     }

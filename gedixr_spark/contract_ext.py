@@ -489,6 +489,18 @@ def q_gapfill(spark, sf_dir):
     return events.gapfill_locf(_t(spark, sf_dir, "events"), step_minutes=360)
 
 
+def q_term_search(spark, sf_dir):
+    """Inverted-index build + boolean AND search (text.
+    build_inverted_index / search_index): postings + intersection are
+    DuckDB-pinned in tests/test_index_diff.py; registered rows-only
+    (oracle window full). Bench-tracks the index-build shuffle + the
+    corpus-independent lookup."""
+    from gedixr_spark.operators.text import build_inverted_index, search_index
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return search_index(idx, ["the", "data"], mode="all").orderBy("doc_id")
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

@@ -737,3 +737,56 @@ def unicode_normalize(
         return texts.map(one, na_action="ignore")
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting-list inverted index: (term, df, postings sorted id
+    array) per distinct lowercase token. THE retrieval-side artifact —
+    persist it and term lookups/boolean search never scan the corpus
+    again (same persist-the-derivative pattern as signature_store and
+    the HLL sketch table).
+
+    One explode + one groupBy (shuffle keyed by term; boilerplate
+    terms are the canonical skew keys — AQE splits them, and postings
+    for stopword-class terms are the rows a production deployment
+    would cap or drop). sort_array makes the array deterministic, so
+    the index is hash-stable for testing."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+    )
+
+
+def search_index(
+    index: DataFrame, terms: Sequence[str], mode: str = "all"
+) -> DataFrame:
+    """Boolean term search against a `build_inverted_index` table:
+    returns (doc_id) rows matching ALL (intersection) or ANY (union)
+    of the lowercase ``terms``. Touches only the |terms| index rows
+    (pushed-down IN filter on the term key) and explodes their
+    postings — corpus-independent cost, the point of the index.
+
+    ALL-mode intersects via a doc-level count: a doc matching k of the
+    k requested DISTINCT terms appears k times after the explode
+    (postings are per-term distinct by construction)."""
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be all|any, got {mode!r}")
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("terms must be non-empty")
+    hits = (
+        index.filter(F.col("term").isin(want))
+        .select(F.explode("postings").alias("doc_id"))
+    )
+    if mode == "any":
+        return hits.distinct()
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__k"))
+    return counts.filter(F.col("__k") == len(want)).select("doc_id")

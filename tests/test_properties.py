@@ -234,3 +234,32 @@ def test_profile_table_matches_pandas(spark, xs, ss):
     if len(sn):
         assert prof["s"]["min_value"] == sn.min()
         assert prof["s"]["max_value"] == sn.max()
+
+
+@given(
+    lines=st.lists(
+        st.one_of(
+            st.text(max_size=40).filter(lambda s: "\n" not in s and "\r" not in s),
+            st.builds(
+                lambda i, t: f'{{"doc_id": {i}, "text": "{t}"}}',
+                st.integers(0, 100),
+                st.text(alphabet="abc xyz", max_size=10),
+            ),
+        ),
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_jsonl_reader_never_crashes_and_partitions_lines(spark, lines, tmp_path_factory):
+    """Fuzz: ANY byte salad in a dump → read_jsonl never raises, and
+    good + quarantined exactly partition the non-blank lines."""
+    from gedixr_spark.sources.jsonl import read_jsonl
+
+    d = tmp_path_factory.mktemp("fuzz")
+    p = d / "dump.jsonl"
+    p.write_text("\n".join(lines) + "\n" if lines else "", encoding="utf-8")
+    if not p.read_text(encoding="utf-8").strip():
+        return  # empty dump: nothing to assert
+    good, bad = read_jsonl(spark, str(p))
+    n_nonblank = sum(1 for l in lines if l.strip())
+    assert good.count() + bad.count() == n_nonblank
