@@ -9,6 +9,8 @@ LongAccumulator for reader errors.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -127,4 +129,79 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
         "max_value",
         "mean",
         "stddev",
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, n_bins: int = 20, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, bin_lo, bin_hi,
+    n_rows), all ``n_bins`` bins present (empty ones with 0).
+
+    Two cheap passes when bounds aren't given (min/max agg, then the
+    binned count — both map-side combining); one pass with explicit
+    bounds. The bin id is pure column math (floor over the scaled
+    value, top edge clamped into the last bin, the standard half-open
+    [lo, hi) convention with hi inclusive in the final bin); the dense
+    bin spine comes from a ``sequence`` explode joined to the counts —
+    no driver-side loop. Values outside explicit bounds are clamped
+    into the edge bins (callers filter first if they want them
+    dropped); NULLs are excluded."""
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be > 0, got {n_bins}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).collect()[0]
+        lo = lo if lo is not None else row[0]
+        hi = hi if hi is not None else row[1]
+        if lo is None:
+            raise ValueError(f"column {col} is all-null")
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate constant column: one occupied bin
+    width = (hi - lo) / n_bins
+    c = F.col(col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor((c - lo) / width), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+        .orderBy("bin")
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass: long-form
+    (col_a, col_b, corr) for every unordered pair (a < b by position).
+
+    All C(n,2) ``corr`` aggregates lay side-by-side in a single agg —
+    one scan, one partial/final pair, like profile_table — then unpivot
+    via stack. Fine for the tens-of-numeric-columns case a census
+    meets; at hundreds of columns the n² aggregate count is the
+    limit, not the data."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"__c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{a}', '{b}', `__c_{i}`" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {tuples}) as (col_a, col_b, corr)"
     )

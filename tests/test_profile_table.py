@@ -89,3 +89,88 @@ def test_math_sanity(prof):
     d = prof["doc_id"]
     assert float(d["min_value"]) <= d["mean"] <= float(d["max_value"])
     assert d["stddev"] is not None and math.isfinite(d["stddev"])
+
+
+# ----------------------------------------------------- histogram / corr
+
+
+def test_histogram_matches_duckdb(spark, sf_dir):
+    from gedixr_spark.operators.stats import histogram
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r["bin"]: r["n_rows"] for r in histogram(docs, "doc_id", n_bins=10).collect()}
+    lo, hi = duckdb.sql(
+        f"SELECT min(doc_id), max(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    width = (hi - lo) / 10
+    want = dict(
+        duckdb.sql(
+            f"""
+            SELECT least(greatest(cast(floor((doc_id - {lo}) / {width}) AS int), 0), 9)
+                   AS bin, count(*) FROM '{sf_dir}/documents.parquet'
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    for b in range(10):
+        assert got[b] == want.get(b, 0), (b, got[b], want.get(b))
+    assert sum(got.values()) == docs.count()
+
+
+def test_histogram_edges_and_empties(spark):
+    from gedixr_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(0.0,), (10.0,), (None,)], "x double")
+    rows = histogram(df, "x", n_bins=5).collect()
+    assert len(rows) == 5
+    assert rows[0]["n_rows"] == 1 and rows[4]["n_rows"] == 1  # max → last bin
+    assert sum(r["n_rows"] for r in rows) == 2  # null excluded
+    assert rows[0]["bin_lo"] == 0.0 and rows[4]["bin_hi"] == 10.0
+
+
+def test_histogram_constant_and_validation(spark):
+    from gedixr_spark.operators.stats import histogram
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = histogram(const, "x", n_bins=4).collect()
+    assert sum(r["n_rows"] for r in rows) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        histogram(const, "x", n_bins=0)
+    allnull = spark.createDataFrame([(None,)], "x double")
+    with _pytest.raises(ValueError, match="all-null"):
+        histogram(allnull, "x")
+
+
+def test_correlation_matrix_matches_duckdb(spark, sf_dir):
+    from gedixr_spark.operators.stats import correlation_matrix
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(
+            orders, ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).collect()
+    }
+    assert len(got) == 3
+    for (a, b), v in got.items():
+        want = duckdb.sql(
+            f"SELECT corr({a}, {b}) FROM '{sf_dir}/orders.parquet'"
+        ).fetchone()[0]
+        assert v == pytest.approx(want, rel=1e-9)
+
+
+def test_correlation_matrix_single_pass_plan(spark, sf_dir):
+    from gedixr_spark.operators.stats import correlation_matrix
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    plan = (
+        correlation_matrix(orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        correlation_matrix(orders, ["o_orderkey"])
