@@ -790,3 +790,53 @@ def search_index(
         return hits.distinct()
     counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__k"))
     return counts.filter(F.col("__k") == len(want)).select("doc_id")
+
+
+def build_positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: one row per (term, doc_id) with the
+    sorted 0-based token positions — the structure phrase queries
+    need (`build_inverted_index` answers boolean queries only).
+
+    posexplode carries the position through the same explode+groupBy
+    shape as the boolean index; the extra cost is the positions array
+    (corpus token count in total) — the classic space/capability trade
+    every search engine makes."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact consecutive-phrase search against a
+    `build_positional_index` table: docs where ``phrase``'s tokens
+    occur at consecutive positions. Returns (doc_id, n_matches).
+
+    Plan: |phrase| index-row lookups (IN-filter on the term key), one
+    equi-join per subsequent term on (doc, aligned position) — the
+    position arithmetic ``pos_i == pos_0 + i`` rides the join key, so
+    this is |phrase|−1 equi-joins over posting-sized inputs, never a
+    corpus scan. Duplicate words in the phrase are handled naturally
+    (each occurrence joins on its own alignment)."""
+    want = [t.lower() for t in phrase]
+    if not want:
+        raise ValueError("phrase must be non-empty")
+    legs = []
+    for i, term in enumerate(want):
+        legs.append(
+            index.filter(F.col("term") == term)
+            .select(F.col(id_col), F.explode("positions").alias("__p"))
+            .select(F.col(id_col), (F.col("__p") - i).alias("__anchor"))
+        )
+    matched = legs[0]
+    for leg in legs[1:]:
+        matched = matched.join(leg, [id_col, "__anchor"])
+    return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

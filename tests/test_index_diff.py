@@ -140,3 +140,74 @@ def test_diff_validates_a_cdc_merge(spark, tmp_path):
     after = spark.read.parquet(path)
     got = {r["id"]: r["op"] for r in table_diff(before, after, ["id"]).collect()}
     assert got == {3: "changed", 100: "added"}
+
+
+# ------------------------------------------------------- phrase search
+
+
+def test_phrase_search_exact_fixture(spark):
+    from gedixr_spark.operators.text import build_positional_index, phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "quick brown shoes and the quick brown hat"),
+            (2, "brown quick reversed"),
+            (3, "the quick  brown fox"),  # double space: tokens() drops empties
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(idx, ["quick", "brown"]).collect()
+    }
+    assert got == {0: 1, 1: 2, 3: 1}  # 2 not matched (reversed)
+    three = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(idx, ["the", "quick", "brown"]).collect()
+    }
+    assert three == {0: 1, 1: 1, 3: 1}
+
+
+def test_phrase_search_repeated_word(spark):
+    from gedixr_spark.operators.text import build_positional_index, phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "ha ha ha"), (1, "ha no ha")], "doc_id long, text string"
+    )
+    idx = build_positional_index(docs)
+    got = {
+        r["doc_id"]: r["n_matches"] for r in phrase_search(idx, ["ha", "ha"]).collect()
+    }
+    assert got == {0: 2}  # overlapping occurrences both count
+
+
+def test_phrase_search_matches_duckdb_substring(spark, docs):
+    """On the real documents table: single-space-tokenized docs let a
+    string-level check stand in as the oracle — phrase hit iff
+    ' a b ' occurs in the padded lowercase text."""
+    from gedixr_spark.operators.text import build_positional_index, phrase_search
+
+    idx = build_positional_index(docs)
+    got = sorted(
+        r["doc_id"] for r in phrase_search(idx, ["the", "data"]).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).contains(" the data ")
+        ).collect()
+    )
+    assert got == want
+
+
+def test_phrase_search_validates(spark):
+    from gedixr_spark.operators.text import build_positional_index, phrase_search
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    idx = build_positional_index(docs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        phrase_search(idx, [])

@@ -324,3 +324,21 @@ def test_streaming_asof_enrich_carries_state_across_batches(spark, tmp_path):
     assert {k: norm(v) for k, v in got.items()} == {
         k: norm(v) for k, v in want.items()
     }
+
+
+def test_stream_static_dim_enrichment(spark, event_dir):
+    """Stream-static join: a micro-batch stream enriched against a
+    static broadcast dimension — Spark re-plans the join per batch, so
+    the static side needs no watermark/state. The remaining streaming
+    join shape next to the as-of and stateful operators."""
+    path, schema = event_dir
+    users = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (9, "sentinel")], ["user_id", "name"]
+    )
+    stream = st.read_event_stream(spark, path, schema)
+    enriched = stream.join(F.broadcast(users), "user_id", "left")
+    rows = st.run_available_now(enriched, "t_dim", output_mode="append")
+    by_event = {r["event_id"]: r["name"] for r in rows}
+    assert by_event[1] == "alice" and by_event[2] == "alice"
+    assert by_event[3] == "bob" and by_event[99] == "sentinel"
+    assert len(rows) == 4
