@@ -699,3 +699,22 @@ def simhash16(col: Column | str) -> Column:
     for i in range(16):
         out = out + F.when(folded[f"b{i}"] > 0, F.lit(2**i)).otherwise(F.lit(0))
     return out
+
+
+def component_stats(clusters: DataFrame) -> DataFrame:
+    """Dedup-QA histogram over CC output (dedup_clusters/_star): one
+    row per component SIZE with the number of components and total
+    docs at that size, descending. The first thing to look at after a
+    near-dup pass — a single giant component (size ≈ corpus) means the
+    threshold/banding collapsed everything (boilerplate key, bad
+    threshold), and it shows up here as one row long before the
+    anti-join silently deletes the corpus. Ids-only double agg."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("size").alias("n_docs"),
+        )
+        .orderBy(F.desc("size"))
+    )

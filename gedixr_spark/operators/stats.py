@@ -205,3 +205,41 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {tuples}) as (col_a, col_b, corr)"
     )
+
+
+def outlier_flags(
+    df: DataFrame, col: str, method: str = "zscore", threshold: float = 3.0
+) -> DataFrame:
+    """Row-level outlier flag for a numeric column.
+
+    - ``zscore``: |x − mean| > threshold·stddev — one tiny stats agg
+      (2 doubles to the driver), then a map-side predicate. Assumes
+      roughly symmetric data.
+    - ``iqr``: x outside [q1 − t·IQR, q3 + t·IQR] (Tukey fences,
+      t=threshold, classically 1.5) — quartiles via percentile_approx
+      (bounded-memory sketch, no sort), robust to heavy tails.
+
+    Both are two cheap jobs: stats pass + flagging pass, no shuffle in
+    the flagging (the fences ride as literals). NULLs flag false.
+    """
+    c = F.col(col).cast("double")
+    if method == "zscore":
+        row = df.agg(F.avg(c).alias("m"), F.stddev_samp(c).alias("s")).collect()[0]
+        if row["m"] is None or row["s"] is None:
+            return df.withColumn("is_outlier", F.lit(False))
+        lo = row["m"] - threshold * row["s"]
+        hi = row["m"] + threshold * row["s"]
+    elif method == "iqr":
+        row = df.agg(
+            F.percentile_approx(c, [0.25, 0.75], 10_000).alias("q")
+        ).collect()[0]
+        if row["q"] is None or row["q"][0] is None:
+            return df.withColumn("is_outlier", F.lit(False))
+        q1, q3 = float(row["q"][0]), float(row["q"][1])
+        iqr = q3 - q1
+        lo, hi = q1 - threshold * iqr, q3 + threshold * iqr
+    else:
+        raise ValueError(f"method must be zscore|iqr, got {method!r}")
+    return df.withColumn(
+        "is_outlier", F.coalesce(~c.between(lo, hi), F.lit(False))
+    )

@@ -174,3 +174,30 @@ def test_correlation_matrix_single_pass_plan(spark, sf_dir):
 
     with _pytest.raises(ValueError, match=">= 2"):
         correlation_matrix(orders, ["o_orderkey"])
+
+
+def test_outlier_flags_zscore_and_iqr(spark):
+    from gedixr_spark.operators.stats import outlier_flags
+
+    rows = [(float(i),) for i in range(100)] + [(10_000.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    z = {r["x"]: r["is_outlier"] for r in outlier_flags(df, "x", "zscore").collect()}
+    assert z[10_000.0] is True
+    assert z[50.0] is False and z[None] is False
+    i = {r["x"]: r["is_outlier"] for r in outlier_flags(df, "x", "iqr", 1.5).collect()}
+    assert i[10_000.0] is True and i[50.0] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        outlier_flags(df, "x", "mad")
+
+
+def test_outlier_flags_degenerate_inputs(spark):
+    from gedixr_spark.operators.stats import outlier_flags
+
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert all(
+        r["is_outlier"] is False for r in outlier_flags(allnull, "x").collect()
+    )
+    single = spark.createDataFrame([(5.0,)], "x double")
+    assert outlier_flags(single, "x").collect()[0]["is_outlier"] is False
