@@ -331,3 +331,33 @@ def plan_compaction(
             plan.append({"path": leaf, **st})
     plan.sort(key=lambda e: (-e["n_files"], e["avg_bytes"]))
     return plan
+
+
+def pruning_report(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> dict:
+    """Measure how well the table's file layout prunes a range
+    predicate ``lo <= col <= hi``: {n_files, n_overlapping, ratio}.
+
+    Reads per-file min/max with one input_file_name() groupBy (the
+    same stats parquet footers hold — this measures what a
+    footer-pruning scan WOULD read), then counts files whose
+    [min, max] span overlaps the query range. ratio ≈ 1 means the
+    layout doesn't help this predicate (random row order); after
+    `compact_table(sort_by=[col])` or `write_zordered_columns` the
+    ratio drops to selectivity-of-range. The feedback loop for layout
+    decisions — run it before AND after re-clustering."""
+    spans = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    if not spans:
+        raise ValueError(f"no data under {path}")
+    n_overlap = sum(1 for r in spans if not (r["hi"] < lo or r["lo"] > hi))
+    return {
+        "n_files": len(spans),
+        "n_overlapping": n_overlap,
+        "ratio": n_overlap / len(spans),
+    }

@@ -229,3 +229,18 @@ def test_zorder_columns_write_prunes_on_both_dimensions(spark, tmp_path):
     # the files
     assert files_overlapping("x_lo", "x_hi", 0, full * 0.1) <= 6
     assert files_overlapping("y_lo", "y_hi", 0, full * 0.1) <= 6
+
+
+def test_pruning_report_before_and_after_clustering(spark, tmp_path):
+    from gedixr_spark.operators.layout import compact_table, pruning_report
+
+    path = str(tmp_path / "t")
+    df = spark.range(20_000).select(((F.col("id") * 7919) % 1000).alias("k"))
+    df.repartition(10).write.parquet(path)
+    before = pruning_report(spark, path, "k", 0, 99)  # 10% slice
+    assert before["n_files"] == 10
+    assert before["ratio"] == 1.0  # random layout: every file overlaps
+    compact_table(spark, path, sort_by=["k"], n_files=10)
+    after = pruning_report(spark, path, "k", 0, 99)
+    assert after["n_files"] == 10
+    assert after["ratio"] <= 0.2, after  # clustered: ~1 of 10 files
