@@ -361,3 +361,50 @@ def pruning_report(
         "n_overlapping": n_overlap,
         "ratio": n_overlap / len(spans),
     }
+
+
+def append_zordered_columns(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bounds: dict,
+    n_files: int = 4,
+    bits: int = 16,
+) -> dict:
+    """Incremental Z-ordered APPEND: lay out a new batch along the SAME
+    curve as the existing table by reusing the bounds
+    `write_zordered_columns` returned (re-deriving min/max from the
+    batch would shear the curve — identical values would land at
+    different keys in old vs new files, destroying cross-file
+    locality). Values outside the original bounds clamp to the curve's
+    edge cells — if the data distribution has genuinely drifted past
+    the bounds, re-cluster with `compact_table`/`write_zordered_columns`
+    instead of appending forever.
+
+    Append-mode write: existing files untouched; the new files carry
+    tight footer stats of their own, so `pruning_report` stays honest
+    across the whole table."""
+    if set(cols) - set(bounds):
+        raise ValueError(f"bounds missing for {sorted(set(cols) - set(bounds))}")
+    n = (1 << bits) - 1
+    ords = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        clamped = F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi))
+        ords.append(F.floor((clamped - lo) / span * n).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, o in enumerate(ords):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(o, i).bitwiseAND(1), i * len(ords) + j)
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return {"path": path, "bounds": bounds}
