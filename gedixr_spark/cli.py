@@ -69,6 +69,23 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("XMIN", "YMIN", "XMAX", "YMAX"))
     dl.add_argument("--subset-vector", default=None)
     dl.add_argument("--job-id", default=None)
+
+    # pipeline-ops subcommands (extension surface; no reference twin)
+    prof = sub.add_parser("profile", help="one-pass column census of a parquet table")
+    prof.add_argument("path")
+
+    card = sub.add_parser("card", help="corpus data card of a documents table")
+    card.add_argument("path")
+    card.add_argument("--text-col", default="text")
+    card.add_argument("--lang-col", default="lang")
+
+    cmp = sub.add_parser("compact", help="compact small files (in place)")
+    cmp.add_argument("path")
+    cmp.add_argument("--target-mb", type=int, default=128)
+    cmp.add_argument("--sort-by", default=None, help="comma list → clustering compaction")
+
+    vac = sub.add_parser("vacuum", help="remove crashed-compaction/merge staging dirs")
+    vac.add_argument("path")
     return p
 
 
@@ -115,6 +132,46 @@ def main(argv: list[str] | None = None) -> int:
             job_id=args.job_id,
         )
         print(json.dumps({"files": [str(p) for p in paths], "job_id": job_id}))
+        return 0
+
+    if args.command == "profile":
+        from gedixr_spark.operators.stats import profile_table
+
+        spark = get_spark("gedixr-cli")
+        rows = profile_table(spark.read.parquet(args.path)).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str))
+        return 0
+
+    if args.command == "card":
+        from gedixr_spark.operators.report import corpus_card
+
+        spark = get_spark("gedixr-cli")
+        card = corpus_card(
+            spark.read.parquet(args.path),
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+        )
+        print(json.dumps(card, default=str))
+        return 0
+
+    if args.command == "compact":
+        from gedixr_spark.operators.layout import compact_table
+
+        spark = get_spark("gedixr-cli")
+        res = compact_table(
+            spark,
+            args.path,
+            target_mb=args.target_mb,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.command == "vacuum":
+        from gedixr_spark.operators.layout import vacuum_staging
+
+        spark = get_spark("gedixr-cli")
+        print(json.dumps({"removed": vacuum_staging(spark, args.path)}))
         return 0
 
     return 2

@@ -96,3 +96,32 @@ def test_download_warns_on_failures(tmp_path):
 def test_download_rejects_bad_product(tmp_path):
     with pytest.raises(ValueError):
         download_data(tmp_path, "L9Z", client=FakeHarmonyClient())
+
+
+def test_cli_profile_card_compact_vacuum(spark, tmp_path, capsys):
+    """The pipeline-ops subcommands end-to-end through main()."""
+    import json as _json
+
+    from gedixr_spark.cli import main
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc text {i}", "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    ).repartition(6).write.parquet(path)
+
+    assert main(["profile", path]) == 0
+    prof = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["column"] for r in prof} == {"doc_id", "text", "lang"}
+
+    assert main(["card", path]) == 0
+    card = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_docs"] == 20 and card["langs"] == {"en": 20}
+
+    assert main(["compact", path, "--target-mb", "128"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["before"]["n_files"] == 6 and res["after"]["n_files"] == 1
+
+    assert main(["vacuum", path]) == 0
+    vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac == {"removed": []}
