@@ -575,3 +575,108 @@ def rolling_stats(
         .cast("double")
         .alias("mean_trailing"),
     )
+
+
+def funnel_analysis(
+    df: DataFrame,
+    steps: list[str],
+    within_minutes: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion: per user, the earliest time each
+    ``steps[i]`` event occurred STRICTLY AFTER the user's step-i−1
+    time; a step is reached only if every prior step was. Returns one
+    row per user with ``ts_step_i`` columns (NULL from the first
+    missed step on) and ``n_steps_completed``. ``within_minutes``
+    bounds the whole funnel: step i counts only within the window
+    after step 0.
+
+    Plan: one conditional-min aggregation PER STEP over the same
+    (user, type, ts) projection — k tiny joins on user_id (the first
+    agg fixes t₀; each later step's min is conditional on the previous
+    step's time, which rides in via the join). All aggregations are
+    map-side combining; user_id keys every shuffle, so the whole
+    funnel is k equi-shuffles of per-user rows — no window sort, no
+    explode. The greedy earliest-event semantics matches the standard
+    product-analytics funnel (and the SQL oracle in the tests).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    base = df.select(
+        F.col(user_col), F.col(type_col).alias("__t"), F.col(ts_col).alias("__ts")
+    )
+    out = (
+        base.filter(F.col("__t") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__ts").alias("ts_step_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        prev = f"ts_step_{i - 1}"
+        cand = base.filter(F.col("__t") == step).select(
+            user_col, F.col("__ts").alias("__cand")
+        )
+        joined = out.join(cand, user_col, "left")
+        cond = F.col("__cand") > F.col(prev)
+        if within_minutes is not None:
+            cond = cond & (
+                F.unix_micros("__cand")
+                <= F.unix_micros(F.col("ts_step_0")) + within_minutes * 60_000_000
+            )
+        out = joined.groupBy(user_col, *[f"ts_step_{j}" for j in range(i)]).agg(
+            F.min(F.when(cond, F.col("__cand"))).alias(f"ts_step_{i}")
+        )
+    reached = sum(
+        F.col(f"ts_step_{i}").isNotNull().cast("int") for i in range(len(steps))
+    )
+    return out.withColumn("n_steps_completed", reached)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period
+    (cohort), counted as retained in each later period they were
+    active — (cohort, period_offset, n_active, n_cohort,
+    retention_rate), offset 0 = the cohort period itself.
+
+    Two shuffles: first-activity per user (min agg), then the
+    (cohort, offset) distinct-user count after a broadcast-size join
+    of per-user cohorts back onto activity periods. date_trunc
+    bucketing keeps everything on the exact calendar grid."""
+    act = df.select(
+        F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("__p")
+    ).distinct()
+    first = act.groupBy(user_col).agg(F.min("__p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.countDistinct(user_col).alias("n_cohort"))
+    offset_seconds = F.unix_timestamp("__p") - F.unix_timestamp("cohort")
+    divisor = {"week": 604_800, "day": 86_400, "month": None}.get(period, None)
+    if divisor is None:
+        # calendar months aren't fixed-width: count month boundaries
+        offset = (
+            (F.year("__p") - F.year("cohort")) * 12
+            + (F.month("__p") - F.month("cohort"))
+        ).alias("period_offset")
+    else:
+        offset = (offset_seconds / divisor).cast("long").alias("period_offset")
+    active = (
+        act.join(first, user_col)
+        .select("cohort", offset, F.col(user_col))
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active") / F.col("n_cohort")).alias("retention_rate"),
+        )
+        .orderBy("cohort", "period_offset")
+    )
