@@ -720,11 +720,13 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_tokens,
         q_compression_gate,
         q_distinct_rollup,
+        q_funnel,
         q_gapfill,
         q_heavy_hitters,
         q_kmeans_clusters,
         q_mixture_sample,
         q_profile_docs,
+        q_retention,
         q_semantic_dedup,
         q_term_search,
     )
@@ -754,4 +756,6 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact (DuckDB-pinned in pytest); rows-only: oracle window full
         "gapfill": q_gapfill,
         "term_search": q_term_search,
+        "funnel": q_funnel,
+        "retention": q_retention,
     }

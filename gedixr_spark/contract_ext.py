@@ -501,6 +501,25 @@ def q_term_search(spark, sf_dir):
     return search_index(idx, ["the", "data"], mode="all").orderBy("doc_id")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase (events.funnel_analysis):
+    per-step conditional-min joins, no window sort. Exact semantics
+    DuckDB-pinned in tests/test_funnel_retention.py; rows-only (oracle
+    window full)."""
+    out = events.funnel_analysis(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+    return out.groupBy("n_steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).orderBy("n_steps_completed")
+
+
+def q_retention(spark, sf_dir):
+    """Daily retention cohort matrix (events.retention_cohorts).
+    DuckDB-pinned in tests; rows-only (oracle window full)."""
+    return events.retention_cohorts(_t(spark, sf_dir, "events"), period="day")
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and
