@@ -55,6 +55,17 @@ def merge_upsert(
         )
     updates = updates.select(*target.columns)  # align column order
     n_upserted = updates.count()
+    # a batch with two rows for one key would land BOTH (the anti-join
+    # removes the old row; the union appends every update row) —
+    # silent duplication. Real CDC compacts the batch first (last
+    # write wins by its own ordering); enforce that contract here.
+    n_keys = updates.select(*keys).distinct().count()
+    if n_keys != n_upserted:
+        raise ValueError(
+            f"updates batch has {n_upserted} rows but {n_keys} distinct "
+            f"keys — compact the batch to one row per key (last-write-"
+            "wins by your CDC ordering) before merge_upsert"
+        )
 
     if partition_col is not None:
         if partition_col in keys:

@@ -230,3 +230,11 @@ def test_plan_compaction_flags_fragmented_partitions(spark, tmp_path):
     for e in plan:
         layout.compact_table(spark, e["path"], target_mb=128)
     assert layout.plan_compaction(spark, part_table, target_mb=128, min_files=4) == []
+
+
+def test_merge_upsert_rejects_duplicate_key_batches(spark, part_table):
+    dup = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 0)], "id long, val string, day int"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        merge_upsert(spark, part_table, dup, keys=["id"], partition_col="day")

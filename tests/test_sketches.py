@@ -197,3 +197,17 @@ def test_incremental_sketch_store_equals_direct(events, tmp_path):
         for r in sk.with_estimates(sk.distinct_sketches(e, ["day"], "user_id")).collect()
     }
     assert inc == direct
+
+
+def test_bloom_semi_join_null_keys_behave_like_semijoin(spark):
+    """NULL keys never match an equi-join; the bloom path must agree
+    (null hash → null position → predicate null → filtered)."""
+    big = spark.createDataFrame([(1,), (None,), (2,)], "key long")
+    small = spark.createDataFrame([(1,), (None,)], "key long")
+    got = sorted(
+        r["key"] for r in sk.bloom_semi_join(big, small, on="key").collect()
+    )
+    want = sorted(
+        r["key"] for r in big.join(small, "key", "leftsemi").collect()
+    )
+    assert got == want == [1]
