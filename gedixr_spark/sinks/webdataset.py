@@ -1,0 +1,94 @@
+"""WebDataset-style tar-shard export — the trainer-facing sink for
+text corpora: each shard is a POSIX tar whose members are
+``{key}.txt`` (the document) and ``{key}.json`` (its metadata), the
+layout streaming data loaders (WebDataset/wids and equivalents)
+consume sequentially with zero random I/O.
+
+Scale shape: one tar per partition, written BY THE EXECUTOR holding
+that partition (no driver collect, no post-hoc packing job) —
+repartition picks the shard count, `mapInPandas` wraps the partition's
+Arrow batches around a single open tarfile. The returned manifest
+(shard, n_docs, bytes) is executor-count rows. ``out_dir`` must be a
+filesystem every executor can write (shared FS/object store via
+fuse at cluster scale; local dir on local[...]).
+
+Determinism note: WHICH docs land in a shard follows the partitioner
+(round-robin repartition → hash of row); for reproducible shard
+contents, pre-partition by an explicit key (e.g.
+``df.repartitionByRange(n, "doc_id")``) and pass ``repartition=None``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    docs_per_shard: int = 1000,
+    repartition: int | None = 0,
+) -> DataFrame:
+    """Write ``df`` as tar shards under ``out_dir``; returns the shard
+    manifest DataFrame (shard path, n_docs, n_bytes).
+
+    ``repartition=0`` (default) derives ceil(count/docs_per_shard)
+    shards; an explicit int forces that many; ``None`` keeps the
+    input partitioning (for caller-controlled shard membership)."""
+    meta_cols = meta_cols or []
+    cols = [key_col, text_col, *meta_cols]
+    data = df.select(*cols)
+    if repartition == 0:
+        n = data.count()
+        data = data.repartition(max(1, math.ceil(n / docs_per_shard)))
+    elif repartition is not None:
+        data = data.repartition(repartition)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        n_docs = 0
+        with tarfile.open(path, "w") as tar:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    key = str(row[key_col])
+                    text = (row[text_col] or "").encode("utf-8")
+                    info = tarfile.TarInfo(f"{key}.txt")
+                    info.size = len(text)
+                    tar.addfile(info, io.BytesIO(text))
+                    meta = json.dumps(
+                        {c: _jsonable(row[c]) for c in meta_cols}
+                    ).encode("utf-8")
+                    info = tarfile.TarInfo(f"{key}.json")
+                    info.size = len(meta)
+                    tar.addfile(info, io.BytesIO(meta))
+                    n_docs += 1
+        if n_docs == 0:
+            os.remove(path)  # empty partition: no empty shard litter
+            return
+        yield pd.DataFrame(
+            {"shard": [path], "n_docs": [n_docs], "n_bytes": [os.path.getsize(path)]}
+        )
+
+    return data.mapInPandas(_write, schema="shard string, n_docs long, n_bytes long")
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)

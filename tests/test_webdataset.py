@@ -1,0 +1,65 @@
+"""WebDataset tar-shard sink: round-trip through stdlib tarfile, shard
+sizing, metadata fidelity, empty-partition hygiene."""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+
+from gedixr_spark.sinks.webdataset import write_webdataset
+
+
+def _read_shards(out_dir):
+    docs = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".tar"):
+            continue
+        with tarfile.open(os.path.join(out_dir, name)) as tar:
+            for m in tar.getmembers():
+                key, ext = m.name.rsplit(".", 1)
+                payload = tar.extractfile(m).read()
+                docs.setdefault(key, {})[ext] = payload
+    return docs
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"text of doc {i}", "en" if i % 2 else "de", i * 1.5) for i in range(25)],
+        "doc_id long, text string, lang string, score double",
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, out, meta_cols=["lang", "score"], docs_per_shard=10
+    ).collect()
+    assert sum(r["n_docs"] for r in manifest) == 25
+    assert len(manifest) == 3  # ceil(25/10)
+    assert all(r["n_bytes"] > 0 and os.path.exists(r["shard"]) for r in manifest)
+
+    docs = _read_shards(out)
+    assert len(docs) == 25
+    assert docs["7"]["txt"].decode() == "text of doc 7"
+    meta = json.loads(docs["7"]["json"])
+    assert meta == {"lang": "en", "score": 10.5}
+
+
+def test_webdataset_null_text_and_fixed_shards(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "wds2")
+    manifest = write_webdataset(df, out, repartition=1).collect()
+    assert len(manifest) == 1 and manifest[0]["n_docs"] == 2
+    docs = _read_shards(out)
+    assert docs["1"]["txt"] == b""  # null text → empty member, not a crash
+
+
+def test_webdataset_drops_empty_shards(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    out = str(tmp_path / "wds3")
+    # force more partitions than rows → empty partitions must not
+    # leave zero-doc tar files behind
+    manifest = write_webdataset(df, out, repartition=4).collect()
+    assert sum(r["n_docs"] for r in manifest) == 1
+    tars = [n for n in os.listdir(out) if n.endswith(".tar")]
+    assert len(tars) == len(manifest)
