@@ -98,3 +98,13 @@ def test_ingest_lifecycle_composes(spark, tmp_path):
         after = layout.file_stats(spark, leaf)["n_files"]
         assert after <= before
         assert spark.read.parquet(shard).count() == n_train
+
+    # --- 6. trainer export: the train split as WebDataset tar shards
+    from gedixr_spark.sinks.webdataset import write_webdataset
+
+    wds_dir = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        spark.read.parquet(shard), wds_dir, meta_cols=["source"],
+        docs_per_shard=20,
+    ).collect()
+    assert sum(r["n_docs"] for r in manifest) == n_train
