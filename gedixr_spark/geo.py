@@ -560,3 +560,61 @@ def named_polygons_pip_udf(polys: dict[str, list[list[tuple[float, float]]]]):
         return _pip_named(lon, lat, name)
 
     return build
+
+
+def haversine_m(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in meters between two WGS84 points —
+    pure column trig (radians/sin/cos/asin inside codegen, no UDF).
+    Spherical model (R = 6371.0088 km mean Earth radius): ≤0.5%% off
+    the ellipsoid, the standard trade for analytics-grade distance.
+    Float trig differs in the last ulp across libm builds, so this
+    column is for measure/rank use, not hash-parity oracles."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * 6_371_008.8 * F.asin(F.sqrt(a))
+
+
+def nearest_shots(
+    shots,
+    points,
+    k: int = 5,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    point_id_col: str = "point_id",
+):
+    """k nearest shots to each reference point by great-circle
+    distance: (point_id, shot columns…, distance_m, rank).
+
+    Plan: broadcast the (small) reference point set against the shot
+    table — one corpus scan, per-point window top-k, the same
+    broadcast-baseline shape as similarity.cosine_topk (and like
+    there, the scale escape for BIG point sets is cell-bucketing: key
+    both sides by a coarse geohash/Z-cell and equi-join; the
+    adaptive-join machinery in operators/joins.py composes).
+    """
+    from pyspark.sql.window import Window
+
+    p = points.select(
+        F.col(point_id_col),
+        F.col(lon_col).alias("__plon"),
+        F.col(lat_col).alias("__plat"),
+    )
+    scored = shots.crossJoin(F.broadcast(p)).withColumn(
+        "distance_m",
+        haversine_m(F.col(lon_col), F.col(lat_col), F.col("__plon"), F.col("__plat")),
+    )
+    w = Window.partitionBy(point_id_col).orderBy(
+        F.asc("distance_m"), F.asc("shot")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__plon", "__plat")
+    )

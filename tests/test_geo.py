@@ -74,3 +74,50 @@ def test_rectangle_predicate_has_no_udf(spark):
         st_intersects_polygon(F.col("x"), F.col("y"), rect)
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan  # pure range predicates
+
+
+def test_haversine_known_distances(spark):
+    """Differential vs hand-computed great-circle references."""
+    from gedixr_spark.geo import haversine_m
+
+    rows = [
+        # Paris → London ≈ 343.5 km
+        (0, 2.3522, 48.8566, -0.1276, 51.5072, 343_500),
+        # same point → 0
+        (1, 10.0, 50.0, 10.0, 50.0, 0),
+        # 1 degree of longitude at the equator ≈ 111.19 km
+        (2, 0.0, 0.0, 1.0, 0.0, 111_195),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, lon1 double, lat1 double, lon2 double, lat2 double, want long"
+    )
+    got = df.select(
+        "i", "want",
+        haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d"),
+    ).collect()
+    for r in got:
+        assert abs(r["d"] - r["want"]) <= max(1.0, 0.01 * r["want"]), (r["i"], r["d"])
+
+
+def test_nearest_shots_topk(spark):
+    from gedixr_spark.geo import nearest_shots
+
+    shots = spark.createDataFrame(
+        [(f"s{i}", 10.0 + i * 0.01, 50.0) for i in range(20)],
+        "shot string, longitude double, latitude double",
+    )
+    points = spark.createDataFrame(
+        [(1, 10.0, 50.0), (2, 10.19, 50.0)],
+        "point_id long, longitude double, latitude double",
+    )
+    out = nearest_shots(shots, points, k=3)
+    by_point = {}
+    for r in out.collect():
+        by_point.setdefault(r["point_id"], []).append((r["rank"], r["shot"], r["distance_m"]))
+    for pid in (1, 2):
+        ranks = sorted(by_point[pid])
+        assert [x[0] for x in ranks] == [1, 2, 3]
+        # distances non-decreasing with rank
+        assert ranks[0][2] <= ranks[1][2] <= ranks[2][2]
+    assert sorted(x[1] for x in by_point[1]) == ["s0", "s1", "s2"]
+    assert sorted(x[1] for x in by_point[2]) == ["s17", "s18", "s19"]
