@@ -1,0 +1,104 @@
+"""High-level corpus-preparation pipeline — one call chaining the
+standard passes the tests compose by hand (quality gates → exact +
+near dedup → leakage-safe splits), with a stats dict for the run
+report. This is the "switch to this repo and run your pipeline today"
+entry point for the training-data surface, the way ``api.extract_data``
+is for the reference's GEDI surface.
+
+Everything inside is the audited operators; this module adds ONLY
+sequencing + bookkeeping (no new plan shapes, no new semantics — each
+stage's guarantees are its own module's tests). Laziness is preserved:
+the returned DataFrames are unevaluated plans except where a stage is
+inherently iterative (CC) or the caller asks for counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators import dedup, text
+from gedixr_spark.operators.sampling import leakage_safe_split
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    compression_band: tuple[float, float] | None = (0.05, 0.98),
+    near_dedup: bool = True,
+    minhash_k: int = 8,
+    bands: int = 2,
+    split_fractions: dict[str, float] | None = None,
+    count_stages: bool = False,
+) -> dict:
+    """Run the standard preparation pipeline; returns::
+
+        {"splits": DataFrame,      # docs + bucket/split columns
+         "clusters": DataFrame,    # near-dup components (may be empty)
+         "stats": {stage: rows}}   # only when count_stages=True
+
+    Stages: (1) token-count quality gate; (2) zlib compression-ratio
+    rail (``compression_band=None`` skips); (3) exact dedup to min-id
+    survivors; (4) MinHash-LSH near-dedup via star CC + anti-join
+    (``near_dedup=False`` skips); (5) leakage-safe train/val/test
+    assignment at cluster granularity, so surviving near-dup
+    neighborhoods never straddle a boundary.
+    """
+    stats: dict[str, int] = {}
+
+    def note(name: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            stats[name] = df.count()
+        return df
+
+    note("input", docs)
+    clean = text.filter_documents(
+        docs, min_tokens=min_tokens, min_stopword_ratio=None,
+        text_col=text_col,
+    )
+    note("after_quality_gate", clean)
+
+    if compression_band is not None:
+        lo, hi = compression_band
+        scored = text.compression_ratio(clean, text_col=text_col)
+        # the rail only means something for docs with enough bytes for
+        # the codec to bite — a 50-byte doc "compresses" to >1.0 from
+        # header overhead alone; below the floor the doc passes and
+        # the token gate above is the relevant filter
+        short = F.length(text_col) < 256
+        clean = scored.filter(
+            short
+            | F.col("compression_ratio").isNull()
+            | F.col("compression_ratio").between(lo, hi)
+        ).drop("compression_ratio")
+        note("after_compression_rail", clean)
+
+    survivors = clean.join(
+        dedup.exact_dedup(clean, text_col=text_col, id_col=id_col).select(id_col),
+        id_col,
+        "semi",
+    )
+    note("after_exact_dedup", survivors)
+
+    spark = docs.sparkSession
+    clusters = spark.createDataFrame(
+        [], "doc_id long, cluster_id long, is_survivor boolean"
+    )
+    if near_dedup:
+        # LSH band-candidate pairs feed CC directly (the registry's
+        # checked shape); callers needing exact-Jaccard confirmation
+        # run ngram_jaccard_pairs on the candidate neighborhoods —
+        # bounded input, so the quadratic guard stays honest
+        pairs = dedup.minhash_lsh_pairs(
+            survivors, k=minhash_k, bands=bands, text_col=text_col, id_col=id_col
+        )
+        clusters = dedup.dedup_clusters_star(pairs)
+        survivors = dedup.apply_dedup(survivors, clusters, id_col=id_col)
+        note("after_near_dedup", survivors)
+
+    splits = leakage_safe_split(
+        survivors, clusters, id_col=id_col, fractions=split_fractions
+    )
+    return {"splits": splits, "clusters": clusters, "stats": stats}
