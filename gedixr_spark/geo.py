@@ -618,3 +618,54 @@ def nearest_shots(
         .filter(F.col("rank") <= k)
         .drop("__plon", "__plat")
     )
+
+
+# standard geohash base32 alphabet (no a, i, l, o)
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon: Column, lat: Column, precision: int = 9) -> Column:
+    """Standard base32 geohash string of a WGS84 point — pure column
+    math (the classic bit-interleave built from the same shift/mask
+    expressions as layout.zorder_index, then 5-bit groups mapped
+    through the alphabet with substring on a literal). Each character
+    adds ~5 bits; precision 9 ≈ 4.8 m cells.
+
+    Use for grouping/joining against geohash-keyed external data and
+    human-debuggable cell ids; for FILE layout prefer the Morton key
+    (`layout.zorder_index`) — same curve, no string materialization."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2  # even positions (from MSB) are longitude
+    lat_bits = nbits // 2
+    x = F.floor(
+        (F.least(F.greatest(lon, F.lit(-180.0)), F.lit(180.0)) + 180.0)
+        / 360.0
+        * (1 << lon_bits)
+    ).cast("long")
+    y = F.floor(
+        (F.least(F.greatest(lat, F.lit(-90.0)), F.lit(90.0)) + 90.0)
+        / 180.0
+        * (1 << lat_bits)
+    ).cast("long")
+    # clamp the exact upper edge into the last cell
+    x = F.least(x, F.lit((1 << lon_bits) - 1))
+    y = F.least(y, F.lit((1 << lat_bits) - 1))
+    # interleave from the MSB: bit j of the hash (j=0 is MSB) takes
+    # lon bit (lon_bits-1 - j//2) for even j, lat bit (lat_bits-1 -
+    # j//2) for odd j
+    z = F.lit(0).cast("long")
+    for j in range(nbits):
+        src, top = (x, lon_bits) if j % 2 == 0 else (y, lat_bits)
+        bit = F.shiftright(src, top - 1 - j // 2).bitwiseAND(1)
+        z = z.bitwiseOR(F.shiftleft(bit, nbits - 1 - j))
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftright(z, (precision - 1 - i) * 5).bitwiseAND(31).cast("int") + 1,
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)

@@ -121,3 +121,71 @@ def test_nearest_shots_topk(spark):
         assert ranks[0][2] <= ranks[1][2] <= ranks[2][2]
     assert sorted(x[1] for x in by_point[1]) == ["s0", "s1", "s2"]
     assert sorted(x[1] for x in by_point[2]) == ["s17", "s18", "s19"]
+
+
+def test_geohash_known_values(spark):
+    """Differential vs the canonical examples (Wikipedia: 42.605,
+    -5.603 → ezs42) and a property sweep against the pure-Python
+    reference encoder."""
+    from gedixr_spark.geo import geohash
+
+    df = spark.createDataFrame(
+        [(0, -5.6030, 42.6050), (1, -0.1276, 51.5072), (2, 0.0, 0.0)],
+        "i long, lon double, lat double",
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", geohash(F.col("lon"), F.col("lat"), 5).alias("g")).collect()
+    }
+    assert got[0] == "ezs42"
+
+    # pure-Python reference
+    def ref(lat, lon, precision):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, "", True
+        n = 0
+        while len(out) < precision:
+            if even:
+                mid = (lon_r[0] + lon_r[1]) / 2
+                if lon >= mid:
+                    n = n * 2 + 1
+                    lon_r[0] = mid
+                else:
+                    n = n * 2
+                    lon_r[1] = mid
+            else:
+                mid = (lat_r[0] + lat_r[1]) / 2
+                if lat >= mid:
+                    n = n * 2 + 1
+                    lat_r[0] = mid
+                else:
+                    n = n * 2
+                    lat_r[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out += b32[n]
+                bits, n = 0, 0
+        return out
+
+    pts = [(-5.603, 42.605), (-0.1276, 51.5072), (0.0, 0.0), (139.6917, 35.6895),
+           (-122.4194, 37.7749), (179.9, -89.9)]
+    pdf = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(pts)], "i long, lon double, lat double"
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in pdf.select("i", geohash(F.col("lon"), F.col("lat"), 9).alias("g")).collect()
+    }
+    for i, (lo, la) in enumerate(pts):
+        assert got[i] == ref(la, lo, 9), (i, got[i], ref(la, lo, 9))
+
+
+def test_geohash_validates(spark):
+    from gedixr_spark.geo import geohash
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        geohash(F.lit(0.0), F.lit(0.0), 13)
