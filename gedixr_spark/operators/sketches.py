@@ -253,3 +253,61 @@ def with_estimates(
     """Materialize the distinct-count estimate (±~1.6%/sqrt(2^lg_k))
     and drop the binary sketch."""
     return df.withColumn(out_col, F.hll_sketch_estimate(sketch_col)).drop(sketch_col)
+
+
+def sliding_distinct(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    width_minutes: int = 120,
+    slide_minutes: int = 60,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate distinct counts over SLIDING windows via sketch
+    re-use: one HLL sketch per slide-aligned bucket, then each window
+    unions its width/slide member buckets — the raw rows are touched
+    ONCE regardless of overlap factor. The naive per-window
+    approx_count_distinct re-aggregates every event width/slide times;
+    this is the mergeable-sketch payoff applied to overlapping windows
+    (exactly why hll_sketch_agg exists over approx_count_distinct).
+
+    Window starts are slide-grid-aligned exact long µs (sliding_agg's
+    convention). Returns (window_start, distinct_est).
+    """
+    if width_minutes <= 0 or slide_minutes <= 0 or width_minutes < slide_minutes:
+        raise ValueError(
+            f"need width >= slide > 0: width={width_minutes}, slide={slide_minutes}"
+        )
+    import math
+
+    slide_us = slide_minutes * 60_000_000
+    n = math.ceil(width_minutes / slide_minutes)
+    us = F.unix_micros(F.col(ts_col))
+    bucket_us = us - (us % F.lit(slide_us))
+    per_bucket = (
+        df.groupBy(F.timestamp_micros(bucket_us).alias("bucket"))
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"))
+    )
+    # each bucket contributes to the n windows starting at
+    # bucket - j*slide for j in [0, n); windows wider than the data's
+    # span still only materialize where a bucket exists
+    member_of = per_bucket.select(
+        F.explode(
+            F.array(
+                *[
+                    F.timestamp_micros(
+                        F.unix_micros(F.col("bucket")) - j * slide_us
+                    )
+                    for j in range(n)
+                ]
+            )
+        ).alias("window_start"),
+        "sketch",
+    )
+    return (
+        member_of.groupBy("window_start")
+        .agg(F.hll_union_agg("sketch").alias("s"))
+        .select(
+            "window_start", F.hll_sketch_estimate("s").alias("distinct_est")
+        )
+    )

@@ -132,3 +132,71 @@ def test_retention_matches_duckdb(spark, sf_dir):
     assert [(str(g[0])[:10], g[1], g[2], g[3]) for g in got] == [
         (str(w[0])[:10], w[1], w[2], w[3]) for w in want
     ]
+
+
+# ------------------------------------------------- hypothesis differential
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_funnel(events, steps):
+    """Pure-python greedy funnel: per user, earliest step-0 time, then
+    earliest later occurrence of each next step."""
+    out = {}
+    by_user = {}
+    for ts, user, etype in events:
+        by_user.setdefault(user, []).append((ts, etype))
+    for user, evs in by_user.items():
+        t0 = min((t for t, e in evs if e == steps[0]), default=None)
+        if t0 is None:
+            continue
+        times = [t0]
+        for step in steps[1:]:
+            prev = times[-1]
+            if prev is None:
+                times.append(None)
+                continue
+            nxt = min((t for t, e in evs if e == step and t > prev), default=None)
+            times.append(nxt)
+        out[user] = times
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 500),  # minutes offset
+            st.integers(1, 6),  # user
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_python_reference(spark, events):
+    steps = ["a", "b", "c"]
+    rows = [
+        (i, TS0 + datetime.timedelta(minutes=m), u, e, 1.0)
+        for i, (m, u, e) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    got = {
+        r["user_id"]: [r["ts_step_0"], r["ts_step_1"], r["ts_step_2"]]
+        for r in funnel_analysis(df, steps).collect()
+    }
+    want = {
+        u: [
+            TS0 + datetime.timedelta(minutes=t) if t is not None else None
+            for t in times
+        ]
+        for u, times in _py_funnel(
+            [(m, u, e) for (m, u, e) in events], steps
+        ).items()
+    }
+    assert got == want

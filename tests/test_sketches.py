@@ -211,3 +211,71 @@ def test_bloom_semi_join_null_keys_behave_like_semijoin(spark):
         r["key"] for r in big.join(small, "key", "leftsemi").collect()
     )
     assert got == want == [1]
+
+
+def test_sliding_distinct_matches_naive_per_window(spark, sf_dir):
+    """Sketch-union sliding distinct == the naive per-window
+    approx_count_distinct with the same window assignment (identical
+    HLL algorithm + lossless union ⇒ identical estimates), and both
+    are near the exact distinct counts."""
+    from gedixr_spark.contract_ext import load_events
+
+    events = load_events(spark, sf_dir)
+    width, slide = 720, 360  # 12h windows sliding 6h
+    naive = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.timestamp_micros(
+                            F.unix_micros("ts")
+                            - (F.unix_micros("ts") % (slide * 60_000_000))
+                            - j * slide * 60_000_000
+                        )
+                        for j in range(width // slide)
+                    ]
+                )
+            ).alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+    )
+    want = {r["window_start"]: r["est"] for r in naive.collect()}
+    got = {
+        r["window_start"]: r["distinct_est"]
+        for r in sk.sliding_distinct(
+            events, "user_id", width_minutes=width, slide_minutes=slide
+        ).collect()
+    }
+    assert got == want
+    exact = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.timestamp_micros(
+                            F.unix_micros("ts")
+                            - (F.unix_micros("ts") % (slide * 60_000_000))
+                            - j * slide * 60_000_000
+                        )
+                        for j in range(width // slide)
+                    ]
+                )
+            ).alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    for r in exact.collect():
+        assert got[r["window_start"]] == pytest.approx(r["n"], rel=0.06)
+
+
+def test_sliding_distinct_validates(spark, sf_dir):
+    from gedixr_spark.contract_ext import load_events
+
+    with pytest.raises(ValueError, match="width >= slide"):
+        sk.sliding_distinct(
+            load_events(spark, sf_dir), "user_id", width_minutes=30, slide_minutes=60
+        )
