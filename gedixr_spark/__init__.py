@@ -16,4 +16,28 @@ from gedixr_spark import constants
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "constants", "__version__"]
+
+def extract_data(*args, **kwargs):
+    """Lazy re-export of :func:`gedixr_spark.api.extract_data` (the
+    reference's entry point) without importing the API module at
+    package import time."""
+    from gedixr_spark.api import extract_data as _extract
+
+    return _extract(*args, **kwargs)
+
+
+def prepare_corpus(*args, **kwargs):
+    """Lazy re-export of :func:`gedixr_spark.pipeline.prepare_corpus`
+    (the training-data surface's one-call pipeline)."""
+    from gedixr_spark.pipeline import prepare_corpus as _prep
+
+    return _prep(*args, **kwargs)
+
+
+__all__ = [
+    "get_spark",
+    "constants",
+    "extract_data",
+    "prepare_corpus",
+    "__version__",
+]
