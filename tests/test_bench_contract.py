@@ -1,0 +1,52 @@
+"""bench.py driver contract: the FINAL stdout line must be the compact
+metric JSON with every registry query — the exact invariant whose
+violation lost round 4's perf record (BENCH_r04.json parsed: null when
+the line grew past the driver's tail-capture window).
+
+Runs the real bench as a subprocess at sf0.001 with runs=1 so the
+check costs ~1 min, not the full sf0.1 triple run."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_final_line_is_compact_parseable_metric():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    final = lines[-1]
+    # the driver parses exactly the final line — it must be the metric
+    # record, stand alone, and compact (diagnostics on earlier lines)
+    d = json.loads(final)
+    assert d["metric"] == "gedixr_spark_contract_queries_total"
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert set(d["queries"]) == set(entry.queries()), (
+        "bench must time every registry query"
+    )
+    assert "spread" not in d, "diagnostics belong on a preceding line"
+    # compactness guard: well inside any plausible tail-capture window
+    assert len(final) < 4000, len(final)
+    # the preceding diagnostics line exists and carries the spread map
+    diag = json.loads(lines[-2])
+    assert "spread" in diag and "runs_per_query" in diag
