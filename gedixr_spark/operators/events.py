@@ -680,3 +680,52 @@ def retention_cohorts(
         )
         .orderBy("cohort", "period_offset")
     )
+
+
+def rolling_anomaly_flags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_minutes: int = 60,
+    threshold: float = 3.0,
+    min_baseline: int = 5,
+) -> DataFrame:
+    """Per-event anomaly flag against the key's OWN trailing-window
+    baseline: |x − mean_prev| > threshold·std_prev over the
+    ``window_minutes`` BEFORE the event (current row excluded — a
+    spike must not dilute the baseline it's judged against). Events
+    with fewer than ``min_baseline`` prior points flag false (no
+    baseline, no verdict).
+
+    Same single key-shuffle RANGE frame as ``rolling_stats``, with the
+    frame's upper bound at −1 µs so the current row stays out. The
+    std uses the population form over exact-decimal sums (computed
+    from Σx, Σx² — no second pass)."""
+    if window_minutes <= 0:
+        raise ValueError(f"window_minutes must be > 0, got {window_minutes}")
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-(window_minutes * 60_000_000), -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    flag = (
+        (n >= min_baseline)
+        & (F.abs(x - mean) > threshold * std)
+        & (std > 0)
+    )
+    return df.select(
+        "*",
+        n.alias("n_baseline"),
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+    )

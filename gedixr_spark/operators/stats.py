@@ -243,3 +243,63 @@ def outlier_flags(
     return df.withColumn(
         "is_outlier", F.coalesce(~c.between(lo, hi), F.lit(False))
     )
+
+
+def histogram_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Per-group equi-width histograms on a SHARED bin grid —
+    (group, bin, bin_lo, bin_hi, n_rows) with every (group, bin) cell
+    present. Shared bounds (global min/max unless given) make the
+    groups directly comparable — the point of a faceted histogram;
+    per-group bounds would silently rescale every facet.
+
+    One binned groupBy over (group, bin) + a generated dense spine
+    (distinct groups × sequence of bins) left-joined on — both sides
+    output-sized."""
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be > 0, got {n_bins}")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).collect()[0]
+        lo = lo if lo is not None else row[0]
+        hi = hi if hi is not None else row[1]
+        if lo is None:
+            raise ValueError(f"column {col} is all-null")
+    if not hi > lo:
+        hi = lo + 1.0
+    width = (hi - lo) / n_bins
+    c = F.col(col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor((c - lo) / width), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = (
+        df.filter(c.isNotNull())
+        .groupBy(F.col(group_col).alias("group"), bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = (
+        df.select(F.col(group_col).alias("group"))
+        .distinct()
+        .select(
+            "group",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    return (
+        spine.join(counts, ["group", "bin"], "left")
+        .select(
+            "group",
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+        .orderBy("group", "bin")
+    )

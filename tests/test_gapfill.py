@@ -169,3 +169,65 @@ def test_rolling_stats_validates(spark):
     )
     with pytest.raises(ValueError, match="window_minutes"):
         rolling_stats(df, window_minutes=0)
+
+
+# ------------------------------------------------- rolling anomaly flags
+
+
+def test_rolling_anomaly_exact_fixture(spark):
+    from gedixr_spark.operators.events import rolling_anomaly_flags
+
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, ts0 + datetime.timedelta(minutes=i), 10.0 + (i % 2)) for i in range(8)]
+    rows.append((1, ts0 + datetime.timedelta(minutes=8), 500.0))  # spike
+    rows.append((1, ts0 + datetime.timedelta(minutes=9), 10.0))  # normal after
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["ts"]: (r["is_anomaly"], r["n_baseline"])
+        for r in rolling_anomaly_flags(df, window_minutes=60, min_baseline=5).collect()
+    }
+    spike_ts = ts0 + datetime.timedelta(minutes=8)
+    assert got[spike_ts][0] is True and got[spike_ts][1] == 8
+    # early events lack baseline → never flagged
+    for i in range(5):
+        assert got[(ts0 + datetime.timedelta(minutes=i))][0] is False
+    # the spike sits in the NEXT event's baseline and inflates its std,
+    # so the normal event after it must not flag
+    assert got[(ts0 + datetime.timedelta(minutes=9))][0] is False
+
+
+def test_rolling_anomaly_matches_python_reference(spark):
+    import math
+    import random
+
+    from gedixr_spark.operators.events import rolling_anomaly_flags
+
+    random.seed(3)
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (random.randint(1, 3), ts0 + datetime.timedelta(minutes=m), float(random.randint(0, 40)))
+        for m in range(60)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"]): r["is_anomaly"]
+        for r in rolling_anomaly_flags(
+            df, window_minutes=15, threshold=2.0, min_baseline=3
+        ).collect()
+    }
+
+    def ref_flag(user, ts, x):
+        base = [
+            v
+            for (u, t, v) in rows
+            if u == user and ts - datetime.timedelta(minutes=15) <= t < ts
+        ]
+        if len(base) < 3:
+            return False
+        m = sum(base) / len(base)
+        var = max(sum(v * v for v in base) / len(base) - m * m, 0.0)
+        s = math.sqrt(var)
+        return s > 0 and abs(x - m) > 2.0 * s
+
+    for (u, t, v) in rows:
+        assert got[(u, t)] == ref_flag(u, t, v), (u, t, v)

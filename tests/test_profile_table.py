@@ -201,3 +201,22 @@ def test_outlier_flags_degenerate_inputs(spark):
     )
     single = spark.createDataFrame([(5.0,)], "x double")
     assert outlier_flags(single, "x").collect()[0]["is_outlier"] is False
+
+
+def test_histogram_by_group_shared_grid(spark):
+    from gedixr_spark.operators.stats import histogram_by_group
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(10)] + [("b", 9.0), ("b", 0.0)],
+        "g string, x double",
+    )
+    rows = histogram_by_group(df, "x", "g", n_bins=5).collect()
+    # dense spine: 2 groups × 5 bins
+    assert len(rows) == 10
+    by = {(r["group"], r["bin"]): r["n_rows"] for r in rows}
+    assert sum(v for (g, _), v in by.items() if g == "a") == 10
+    assert by[("b", 0)] == 1 and by[("b", 4)] == 1
+    assert by[("b", 2)] == 0  # empty cell present
+    # shared grid: identical bin edges across groups
+    edges = {(r["bin"], r["bin_lo"], r["bin_hi"]) for r in rows}
+    assert len(edges) == 5
