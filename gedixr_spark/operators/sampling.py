@@ -303,3 +303,24 @@ def build_eval_set(
         .filter(F.col("__r") <= per_stratum)
         .drop("__r")
     )
+
+
+def bottomk_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic uniform k-row sample by hash priority: rank every
+    row by xxhash64(seed, id) and keep the k smallest (ties → lowest
+    id). Why this over df.sample(): (a) exact size k, (b) bit-identical
+    under any partitioning/ordering, (c) the plan is
+    TakeOrderedAndProject — per-partition top-k heaps + a driver merge
+    of p·k candidate rows, never a full sort shuffle, and (d) the
+    sample is a MERGEABLE sketch: bottomk(A ∪ B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)), so per-shard / per-day samples
+    maintained independently combine into the corpus sample without
+    touching raw data again (the bottom-k trick HLL/KMV sketches are
+    built on). At 100 TB this is how you keep a standing 1M-row QA
+    sample current per ingest batch for ~free."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    pri = F.xxhash64(F.lit(seed), F.col(id_col))
+    return df.orderBy(pri.asc(), F.col(id_col).asc()).limit(k)

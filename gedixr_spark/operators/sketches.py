@@ -1,8 +1,11 @@
 """Mergeable sketches and membership filters for 100 TB-scale pruning.
 
-Two families, both chosen because they stay JVM-side and their state is
-mergeable across partitions/executors — the property that makes them
-work on a 1000-executor cluster:
+Four families — Bloom (membership), HLL (distinct counts), count-min
+(frequencies), KMV bottom-k (quantiles) — all chosen because they stay
+JVM-side and their state is mergeable across partitions/executors/
+batches — the property that makes them work on a 1000-executor
+cluster and lets per-day state answer per-month questions without
+rescanning. The first two in detail:
 
 - **Bloom-filter semi-join pruning**: build a packed-bitset Bloom
   filter over the small side's join keys (one shuffle of 8-byte
@@ -311,3 +314,212 @@ def sliding_distinct(
             "window_start", F.hll_sketch_estimate("s").alias("distinct_est")
         )
     )
+
+
+# --- Count-min sketch: mergeable frequency state ---------------------------
+# Third sketch family (Cormode & Muthukrishnan 2005): a depth×width
+# counter matrix where every key increments one masked-hash cell per
+# row; a point query reads the MIN over rows (always >= truth, over by
+# at most εN with ε = e/width at the usual depth=ln(1/δ)). Chosen for
+# the same reason as Bloom/HLL: the state is mergeable by element-wise
+# ADDITION, so per-batch / per-partition sketches combine exactly —
+# the property a continuously-fed 100 TB corpus needs. Complements
+# heavy_hitters (exact, two passes) with a one-pass persistable
+# frequency store, and adds join-size estimation (the CMS inner
+# product) for free.
+
+
+def _check_cms_params(width: int, depth: int) -> None:
+    if width & (width - 1) or width < 64:
+        raise ValueError(f"width must be a power of two >= 64 (got {width})")
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8] (got {depth})")
+    if width * depth > (1 << 20):
+        raise ValueError(
+            f"width*depth={width * depth} cells is too large to ship as a "
+            "plan literal for estimates; cap at 2^20 cells"
+        )
+
+
+def _cms_pos(key: Column, width: int, i: int) -> Column:
+    # seed disjoint from the Bloom family's (lit(i)) so composing both
+    # sketches over one column never correlates their collisions
+    return F.xxhash64(F.lit(0xC0DE + i), key).bitwiseAND(F.lit(width - 1))
+
+
+def cms_build(
+    df: DataFrame, key: str, width: int = 4096, depth: int = 4
+) -> list[list[int]]:
+    """Build a count-min sketch over ``df[key]`` (one count per row).
+
+    Fully JVM-side: each row explodes into its ``depth`` (row, masked
+    xxhash64 position) cells, then ONE groupBy counts per cell — the
+    shuffle carries at most depth×width algebraic partials per map
+    task, never the rows. Driver state is the depth×width int matrix
+    (128 KiB at the 4096×4 default), same driver-small contract as
+    `bloom_build`."""
+    _check_cms_params(width, depth)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_pos(F.col(key), width, i).alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    rows = (
+        cells.groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .count()
+        .collect()
+    )
+    mat = [[0] * width for _ in range(depth)]
+    for row in rows:
+        mat[row["r"]][row["c"]] = row["count"]
+    return mat
+
+
+def cms_merge(a: Sequence[Sequence[int]], b: Sequence[Sequence[int]]) -> list[list[int]]:
+    """Element-wise sum — exact: merge(build(A), build(B)) ==
+    build(A ∪ B) cell for cell, so per-batch sketches maintain a
+    frequency store incrementally with no rescan."""
+    if len(a) != len(b) or any(len(ra) != len(rb) for ra, rb in zip(a, b)):
+        raise ValueError("cannot merge sketches of differing shape")
+    return [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)]
+
+
+def cms_estimate(
+    df: DataFrame, key: str, sketch: Sequence[Sequence[int]], out_col: str = "freq_est"
+) -> DataFrame:
+    """Point-frequency estimates for every row's ``key``: min over the
+    sketch rows of the row's cell. The matrix rides as one nested array
+    literal; the lookup is pure column math in whole-stage codegen —
+    the same hash expressions as the build, so build and probe can
+    never disagree. Guarantees est >= true count, est <= true + εN."""
+    depth = len(sketch)
+    width = len(sketch[0]) if depth else 0
+    _check_cms_params(width, depth)
+    lit_rows = [F.lit(list(r)) for r in sketch]
+    est = F.least(
+        *[
+            F.get(lit_rows[i], _cms_pos(F.col(key), width, i).cast("int"))
+            for i in range(depth)
+        ]
+    )
+    return df.withColumn(out_col, est)
+
+
+def cms_join_size(
+    a: Sequence[Sequence[int]], b: Sequence[Sequence[int]]
+) -> int:
+    """Equi-join cardinality estimate from two sketches built with the
+    SAME shape over each side's join key: min over rows of the row dot
+    product (the CMS inner-product estimator — always >= the true join
+    size, within εN_aN_b/width). Driver-side numpy over KB-scale state:
+    what a cost-based planner consults before choosing broadcast vs
+    shuffle vs salting, without scanning either table."""
+    import numpy as np
+
+    if len(a) != len(b) or any(len(ra) != len(rb) for ra, rb in zip(a, b)):
+        raise ValueError("join-size estimate needs same-shape sketches")
+    am = np.asarray(a, dtype=np.int64)
+    bm = np.asarray(b, dtype=np.int64)
+    return int((am * bm).sum(axis=1).min())
+
+
+# --- KMV quantile sketch: mergeable rank/percentile state ------------------
+# Fourth family: per-group QUANTILES with mergeable state. Spark's
+# percentile_approx output is a number, not re-aggregatable state — a
+# persisted per-day percentile cannot answer "p95 of the month". The
+# classic fix is a mergeable sample: keep the k rows with the SMALLEST
+# deterministic hash priority (the bottom-k/KMV construction backing
+# sampling.bottomk_sample). A bottom-k-by-hash sample of a union is
+# recoverable from bottom-k samples of the parts — union + re-min —
+# so per-day sketches roll up to any coarser grain exactly as a direct
+# sketch would, raw rows untouched. Sample quantiles carry the usual
+# ±O(1/sqrt(k)) rank error.
+
+
+def quantile_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Per-group mergeable quantile sketch: array of the group's k
+    lowest-priority (xxhash64(id), value) pairs, priority-sorted. One
+    shuffle on ``keys`` (window rank + filter ≥ collect) and the
+    result is k rows of state per group — the persistable quantile
+    store. ``id_col`` must be row-unique: the priority is the row's
+    identity, which is what makes re-merging deterministic."""
+    if k < 8:
+        raise ValueError(f"k must be >= 8 (got {k})")
+    from pyspark.sql import Window
+
+    proj = df.select(
+        *keys,
+        F.xxhash64(F.lit("kmv"), F.col(id_col)).alias("__pri"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("double").alias("__val"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col("__pri").asc(), F.col("__id").asc()
+    )
+    return (
+        proj.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pri").alias("pri"), F.col("__val").alias("val")
+                    )
+                )
+            ).alias(sketch_col)
+        )
+    )
+
+
+def merge_quantile_sketches(
+    df: DataFrame, keys: Sequence[str], k: int = 256, sketch_col: str = "qsketch"
+) -> DataFrame:
+    """Roll sketches to coarser groups (``keys=[]`` = grand total):
+    concatenate member arrays, re-sort by priority, keep the k
+    smallest. Exactly equals the direct sketch of the union — the
+    bottom-k merge identity (test-pinned)."""
+    agg = F.expr(
+        f"slice(array_sort(flatten(collect_list({sketch_col}))), 1, {k})"
+    ).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+
+
+def quantile_estimates(
+    df: DataFrame,
+    qs: Sequence[float],
+    sketch_col: str = "qsketch",
+    prefix: str = "p",
+) -> DataFrame:
+    """Materialize quantile estimates from a sketch column: the sample
+    is uniform (hash priority is independent of the value), so the
+    q-quantile estimate is the element at rank round(q·(n-1)) of the
+    sample's values sorted ascending. Adds one column per q and drops
+    the sketch."""
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in [0, 1]: {qs}")
+    vals = F.array_sort(
+        F.transform(F.col(sketch_col), lambda s: s.getField("val"))
+    )
+    n = F.size(vals)
+    out = df
+    for q in qs:
+        idx = F.round(F.lit(float(q)) * (n - F.lit(1))).cast("int") + F.lit(1)
+        name = f"{prefix}{str(q).replace('0.', '').replace('.', '_')}"
+        out = out.withColumn(name, F.element_at(vals, idx))
+    return out.drop(sketch_col)

@@ -1,0 +1,462 @@
+"""Versioned parquet table with a commit log — snapshot reads, time
+travel, file-granularity upsert, rollback, and optimistic concurrency
+on plain parquet (the Delta/Iceberg shape, minus a metastore).
+
+Why this exists at 100 TB: `merge_upsert` (sinks/merge.py) rewrites at
+PARTITION granularity and mutates the table in place — readers racing a
+swap can observe a half-renamed directory, and there is no way back
+after a bad batch. The commit log fixes all three at once:
+
+- **Snapshot isolation**: data files are immutable and uniquely named;
+  a reader resolves the live-file list from one log entry and is
+  untouched by concurrent commits (no half-states to observe).
+- **File-granularity MERGE**: an upsert rewrites only the files that
+  actually contain a matching key (found with ``input_file_name`` over
+  a key semi-join), not the whole partition — a CDC batch touching
+  0.1% of files costs 0.1% of the table, and the untouched 99.9% are
+  never opened, written, or moved (mtime-asserted in tests).
+- **Time travel / rollback**: every version's file list is replayable
+  from the log; `rollback` is a metadata-only commit restoring an old
+  live set (no data copied — the old files still exist until `vacuum`).
+
+Layout::
+
+    table/
+      _log/00000000.json, 00000001.json, ...   # one entry per commit
+      data/v00000001-<uuid>-part-....parquet    # immutable, unique names
+
+A log entry is ``{"version", "op", "add": [names], "remove": [names],
+"schema": <json>, "meta": {...}}``; the live set at version N is the
+replay of add/remove from 0..N. Commit atomicity is an exclusive
+create of ``_log/<version>.json`` — two writers racing the same
+version: one wins, the loser gets ``ConcurrentCommitError`` (its
+already-written data files are orphans; `vacuum` collects them). On a
+real object store the exclusive create needs a conditional-PUT or a
+lock service — the same caveat Delta-on-S3 has; the local/HDFS path
+here uses O_EXCL / FileSystem.create(overwrite=false).
+
+No reference counterpart (the reference writes plain GeoParquet once);
+this is §7.4 extension surface composing with merge/compact/layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from gedixr_spark.operators.layout import _hadoop_fs
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    return path
+
+
+def _log_dir(path: str) -> str:
+    return path.rstrip("/") + "/_log"
+
+
+def _data_dir(path: str) -> str:
+    return path.rstrip("/") + "/data"
+
+
+def _entry_name(version: int) -> str:
+    return f"{version:08d}.json"
+
+
+def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    ld = jpath(_log_dir(path))
+    if not fs.exists(ld):
+        raise ValueError(f"{path} is not a versioned table (no _log dir)")
+    out = []
+    for st in fs.listStatus(ld):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_entry(spark: SparkSession, path: str, version: int) -> dict:
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = jpath(_log_dir(path) + "/" + _entry_name(version))
+    stream = fs.open(p)
+    try:
+        # read fully through the JVM stream (FS-agnostic)
+        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        ioutils.copyBytes(stream, bos, 65536, False)
+        raw = bytes(bos.toByteArray())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _atomic_create(spark: SparkSession, full_path: str, payload: bytes) -> bool:
+    """Exclusive-create ``full_path`` with ``payload``; False if it
+    already exists (the optimistic-concurrency loser's signal)."""
+    local = _strip_scheme(full_path)
+    if "://" not in full_path or full_path.startswith("file://"):
+        # local filesystem: O_CREAT|O_EXCL is the atomic primitive
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return True
+    # HDFS-like: create(path, overwrite=false) throws if present
+    fs, _ = _hadoop_fs(spark, full_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(full_path)
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    return True
+
+
+def init_versioned(spark: SparkSession, path: str) -> dict:
+    """Create an empty versioned table at ``path`` (version 0)."""
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(jpath(_log_dir(path))):
+        raise ValueError(f"versioned table already exists at {path}")
+    fs.mkdirs(jpath(_log_dir(path)))
+    fs.mkdirs(jpath(_data_dir(path)))
+    entry = {"version": 0, "op": "create", "add": [], "remove": [],
+             "schema": None, "meta": {}}
+    payload = json.dumps(entry, sort_keys=True).encode("utf-8")
+    if not _atomic_create(spark, _log_dir(path) + "/" + _entry_name(0), payload):
+        raise ConcurrentCommitError(f"version 0 already committed at {path}")
+    return entry
+
+
+def table_history(spark: SparkSession, path: str) -> list[dict]:
+    """All log entries, oldest first."""
+    return [_read_entry(spark, path, v) for v in _list_log_versions(spark, path)]
+
+
+def live_files(spark: SparkSession, path: str, version: int | None = None) -> list[str]:
+    """Replay the log to the live data-file names at ``version``
+    (default latest). Names are relative to ``data/``."""
+    versions = _list_log_versions(spark, path)
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions})")
+    live: list[str] = []
+    for v in versions:
+        if v > version:
+            break
+        e = _read_entry(spark, path, v)
+        removed = set(e.get("remove", []))
+        live = [f for f in live if f not in removed]
+        live.extend(e.get("add", []))
+    return live
+
+
+def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    schema = None
+    for v in versions:
+        if v > cap:
+            break
+        s = _read_entry(spark, path, v).get("schema")
+        if s is not None:
+            schema = s
+    return schema
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table exactly as of ``version`` (default
+    latest). The file list comes from one log replay — concurrent
+    commits after the replay cannot change what this scan reads."""
+    files = live_files(spark, path, version)
+    if not files:
+        schema = _latest_schema(spark, path, version)
+        if schema is None:
+            raise ValueError(
+                f"{path} is empty at version {version} and no commit has "
+                "recorded a schema yet — nothing to read"
+            )
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    data = _data_dir(path)
+    return spark.read.parquet(*[data + "/" + f for f in files])
+
+
+def _write_data_files(
+    spark: SparkSession, path: str, df: DataFrame, version_hint: int
+) -> list[str]:
+    """Write ``df`` into ``data/`` as immutable uniquely-named files
+    (staging write + per-file rename). Returns the new names."""
+    token = uuid.uuid4().hex[:12]
+    staging = path.rstrip("/") + f"/.__commit-{token}"
+    df.write.mode("overwrite").parquet(staging)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    names = []
+    for st in fs.globStatus(jpath(staging + "/part-*")):
+        base = st.getPath().getName()
+        new = f"v{version_hint:08d}-{token}-{base}"
+        if not fs.rename(st.getPath(), jpath(_data_dir(path) + "/" + new)):
+            raise IOError(f"rename {base} into {path}/data failed")
+        names.append(new)
+    fs.delete(jpath(staging), True)
+    return sorted(names)
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    add: list[str],
+    remove: list[str],
+    schema_json: str | None,
+    meta: dict,
+    expected_version: int,
+) -> dict:
+    entry = {
+        "version": expected_version,
+        "op": op,
+        "add": sorted(add),
+        "remove": sorted(remove),
+        "schema": schema_json,
+        "meta": meta,
+    }
+    payload = json.dumps(entry, sort_keys=True).encode("utf-8")
+    target = _log_dir(path) + "/" + _entry_name(expected_version)
+    if not _atomic_create(spark, target, payload):
+        raise ConcurrentCommitError(
+            f"version {expected_version} at {path} was committed by another "
+            "writer — re-read the snapshot and retry"
+        )
+    return entry
+
+
+def commit_append(
+    spark: SparkSession, path: str, df: DataFrame, max_retries: int = 5
+) -> dict:
+    """Append-only commit. Appends are conflict-free by construction
+    (they remove nothing), so a version collision is safely retried
+    against the bumped version — the only multi-writer op that needs
+    no re-read."""
+    versions = _list_log_versions(spark, path)
+    next_v = versions[-1] + 1
+    names = _write_data_files(spark, path, df, next_v)
+    schema_json = df.schema.json()
+    for attempt in range(max_retries + 1):
+        try:
+            return _commit(
+                spark, path, "append", names, [], schema_json,
+                {"n_files": len(names)}, next_v + attempt,
+            )
+        except ConcurrentCommitError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def commit_overwrite(
+    spark: SparkSession, path: str, df: DataFrame, base_version: int | None = None
+) -> dict:
+    """Replace the table contents (previous versions stay readable
+    until vacuum). ``base_version`` pins the snapshot this writer read
+    (default: latest right now); if another writer lands first, the
+    commit raises — the caller's snapshot no longer exists and it must
+    re-read, the read-check-retry loop optimistic concurrency means."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    old = live_files(spark, path, base)
+    names = _write_data_files(spark, path, df, base + 1)
+    return _commit(
+        spark, path, "overwrite", names, old, df.schema.json(),
+        {"n_files": len(names)}, base + 1,
+    )
+
+
+def commit_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    base_version: int | None = None,
+) -> dict:
+    """File-granularity MERGE: rewrite ONLY the live files that contain
+    a key present in ``updates`` (full-row replace), append everything
+    else as new files. Untouched files are never opened for write —
+    at 100 TB a CDC batch pays for the files it hits, not the table.
+
+    The touched-file discovery is one semi-join over the live scan with
+    ``input_file_name()`` — file-count rows collected, never data-scale.
+    Same one-row-per-key contract as merge_upsert."""
+    if not keys:
+        raise ValueError("commit_upsert needs at least one key column")
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    files = live_files(spark, path, base)
+    n_upserted = updates.count()
+    n_keys = updates.select(*keys).distinct().count()
+    if n_keys != n_upserted:
+        raise ValueError(
+            f"updates batch has {n_upserted} rows but {n_keys} distinct keys "
+            "— compact to one row per key (last-write-wins) before upsert"
+        )
+    if not files:
+        names = _write_data_files(spark, path, updates, base + 1)
+        return _commit(
+            spark, path, "upsert", names, [], updates.schema.json(),
+            {"n_files_rewritten": 0, "n_upserted": n_upserted}, base + 1,
+        )
+    target = read_versioned(spark, path, base)
+    missing = [c for c in target.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"updates batch is missing target columns {missing} — upsert is "
+            "full-row replace, partial-column updates need a pre-join"
+        )
+    updates = updates.select(*target.columns)
+    data = _data_dir(path)
+    tagged = target.withColumn("__file", F.input_file_name())
+    hit = (
+        tagged.join(F.broadcast(updates.select(*keys).distinct()), on=list(keys))
+        .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(r["name"] for r in hit)
+    if touched:
+        kept = (
+            spark.read.parquet(*[data + "/" + f for f in touched])
+            .join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
+        )
+        out_df = kept.unionByName(updates)
+    else:
+        out_df = updates
+    names = _write_data_files(spark, path, out_df, base + 1)
+    return _commit(
+        spark, path, "upsert", names, touched, updates.schema.json(),
+        {
+            "n_files_rewritten": len(touched),
+            "n_files_live": len(files),
+            "n_upserted": n_upserted,
+        },
+        base + 1,
+    )
+
+
+def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
+    """Metadata-only commit restoring the live set of ``to_version``.
+    No data moves — the restored files still exist in ``data/`` (only
+    vacuum deletes); the bad versions stay in history for audit."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1]
+    if to_version == base:
+        raise ValueError(f"already at version {base}")
+    current = live_files(spark, path, base)
+    target = live_files(spark, path, to_version)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    gone = [
+        f for f in target
+        if not fs.exists(jpath(_data_dir(path) + "/" + f))
+    ]
+    if gone:
+        raise ValueError(
+            f"cannot roll back to version {to_version}: {len(gone)} of its "
+            f"files were vacuumed (first: {gone[0]})"
+        )
+    return _commit(
+        spark, path, "rollback",
+        [f for f in target if f not in set(current)],
+        [f for f in current if f not in set(target)],
+        _latest_schema(spark, path, to_version),
+        {"restored_version": to_version}, base + 1,
+    )
+
+
+def vacuum_versioned(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> list[str]:
+    """Delete data files not live in any of the last ``keep_last``
+    versions, plus crashed-commit staging dirs and orphaned data files
+    (written by a commit that lost its race). Time travel to versions
+    older than the retention window stops working — same trade as
+    ``delta vacuum``. Returns deleted names."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_log_versions(spark, path)
+    retained: set[str] = set()
+    for v in versions[-keep_last:]:
+        retained.update(live_files(spark, path, v))
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    deleted = []
+    for st in fs.listStatus(jpath(_data_dir(path))):
+        name = st.getPath().getName()
+        if name not in retained:
+            fs.delete(st.getPath(), False)
+            deleted.append(name)
+    for st in fs.globStatus(jpath(path.rstrip("/") + "/.__commit-*")) or []:
+        fs.delete(st.getPath(), True)
+        deleted.append(st.getPath().getName())
+    return sorted(deleted)
+
+
+def commit_compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    base_version: int | None = None,
+) -> dict:
+    """Small-file compaction as a COMMIT: coalesce every live file
+    smaller than ``target_mb`` into ~target-sized replacements and log
+    the swap. Unlike `layout.compact_table` (in-place rename swap) this
+    is transactional — readers of the pre-compaction snapshot keep
+    their exact file list, the operation is one atomic log entry, and a
+    bad compaction rolls back like any other version. Large files are
+    left untouched (no add/remove entry, no rewrite). No-op (version
+    unchanged, returns meta only) when fewer than two small files
+    exist."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    files = live_files(spark, path, base)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    data = _data_dir(path)
+    target_bytes = target_mb * 1024 * 1024
+    small, small_bytes = [], 0
+    for f in files:
+        ln = fs.getFileStatus(jpath(data + "/" + f)).getLen()
+        if ln < target_bytes:
+            small.append(f)
+            small_bytes += ln
+    if len(small) < 2:
+        return {"op": "noop", "n_files_compacted": 0, "version": base}
+    n_out = max(1, -(-small_bytes // target_bytes))
+    df = spark.read.parquet(*[data + "/" + f for f in small]).repartition(n_out)
+    names = _write_data_files(spark, path, df, base + 1)
+    return _commit(
+        spark, path, "compact", names, small, df.schema.json(),
+        {"n_files_compacted": len(small), "n_files_out": len(names)},
+        base + 1,
+    )

@@ -121,3 +121,57 @@ def test_eval_set_validates(spark):
 
     with _pytest.raises(ValueError, match="per_stratum"):
         build_eval_set(df, ["stratum"], per_stratum=0)
+
+
+# --- bottom-k deterministic sample -----------------------------------------
+
+
+def test_bottomk_deterministic_under_repartition(spark):
+    from gedixr_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in bottomk_sample(df, 100).collect()]
+    b = [
+        r["doc_id"]
+        for r in bottomk_sample(df.repartition(17), 100).collect()
+    ]
+    assert sorted(a) == sorted(b)
+    assert len(set(a)) == 100
+
+
+def test_bottomk_is_a_mergeable_sketch(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — per-shard
+    samples combine without rescanning raw data."""
+    from gedixr_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = df.filter(F.col("doc_id") < 2000)
+    b = df.filter(F.col("doc_id") >= 2000)
+    direct = {
+        r["doc_id"] for r in bottomk_sample(df, 64).collect()
+    }
+    merged = {
+        r["doc_id"]
+        for r in bottomk_sample(
+            bottomk_sample(a, 64).unionByName(bottomk_sample(b, 64)), 64
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_bottomk_plan_avoids_full_sort_shuffle(spark):
+    from gedixr_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    plan = (
+        bottomk_sample(df, 10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bottomk_validates(spark):
+    from gedixr_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="positive"):
+        bottomk_sample(df, 0)

@@ -279,3 +279,144 @@ def test_sliding_distinct_validates(spark, sf_dir):
         sk.sliding_distinct(
             load_events(spark, sf_dir), "user_id", width_minutes=30, slide_minutes=60
         )
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_cms_estimate_bounds(lineitem):
+    """est >= truth always; est <= truth + eps*N with the matrix sized
+    so the slack is tight on this cardinality."""
+    li = lineitem.limit(20000).cache()
+    n = li.count()
+    sketch = sk.cms_build(li, "l_suppkey", width=1 << 12, depth=4)
+    exact = li.groupBy("l_suppkey").count().withColumnRenamed("count", "truth")
+    est = sk.cms_estimate(exact, "l_suppkey", sketch)
+    bad_under = est.filter(F.col("freq_est") < F.col("truth")).count()
+    assert bad_under == 0
+    # eps = e/width; allow the full theoretical slack
+    eps_n = int(2.7182818 * n / (1 << 12)) + 1
+    bad_over = est.filter(F.col("freq_est") > F.col("truth") + eps_n).count()
+    assert bad_over == 0
+    li.unpersist()
+
+
+def test_cms_exact_when_sparse(spark):
+    """Few distinct keys vs a wide matrix: collisions are practically
+    impossible at every depth, so min-over-rows is exact."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("k")
+    )
+    sketch = sk.cms_build(df, "k", width=1 << 12, depth=4)
+    exact = df.groupBy("k").count().withColumnRenamed("count", "truth")
+    est = sk.cms_estimate(exact, "k", sketch)
+    assert est.filter(F.col("freq_est") != F.col("truth")).count() == 0
+
+
+def test_cms_merge_equals_direct(lineitem):
+    """Mergeability is EXACT: build(A)+build(B) == build(A ∪ B) cell
+    for cell — the per-batch maintenance identity."""
+    li = lineitem.limit(8000).cache()
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = sk.cms_merge(
+        sk.cms_build(half_a, "l_suppkey", width=1 << 10, depth=3),
+        sk.cms_build(half_b, "l_suppkey", width=1 << 10, depth=3),
+    )
+    direct = sk.cms_build(li, "l_suppkey", width=1 << 10, depth=3)
+    assert merged == direct
+    li.unpersist()
+
+
+def test_cms_join_size_estimate(orders, customer):
+    """CMS inner product >= true equi-join size and within the
+    theoretical slack — the planner probe that never scans the table."""
+    o = orders.limit(5000).cache()
+    c = customer.limit(2000).cache()
+    so = sk.cms_build(o, "o_custkey", width=1 << 12, depth=4)
+    sc = sk.cms_build(c, "c_custkey", width=1 << 12, depth=4)
+    est = sk.cms_join_size(so, sc)
+    true_size = o.join(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).count()
+    assert est >= true_size
+    slack = 2.7182818 * o.count() * c.count() / (1 << 12)
+    assert est <= true_size + slack
+    o.unpersist(); c.unpersist()
+
+
+def test_cms_param_validation(spark):
+    df = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="power of two"):
+        sk.cms_build(df, "k", width=100, depth=2)
+    with pytest.raises(ValueError, match="depth"):
+        sk.cms_build(df, "k", width=64, depth=0)
+    with pytest.raises(ValueError, match="differing shape"):
+        sk.cms_merge([[0] * 64], [[0] * 128])
+    with pytest.raises(ValueError, match="same-shape"):
+        sk.cms_join_size([[0] * 64], [[0] * 64, [0] * 64])
+
+
+def test_cms_estimate_plan_stays_jvm_side(spark):
+    """The probe is pure column math — no Python eval node in the
+    plan, matching the bloom_filter_rows contract."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    sketch = sk.cms_build(df, "k", width=64, depth=2)
+    plan = sk.cms_estimate(df, "k", sketch)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+# --- KMV quantile sketches -------------------------------------------------
+
+
+def test_quantile_sketch_merge_equals_direct(events):
+    """Union of per-day sketches re-merged == sketch built directly on
+    the union — the bottom-k identity, exact because priorities are
+    deterministic."""
+    ev = events.limit(20000).select(
+        "event_id", "user_id", F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    ).cache()
+    per_day = sk.quantile_sketches(ev, ["day"], "v", id_col="event_id", k=64)
+    rolled = sk.merge_quantile_sketches(per_day, [], k=64)
+    direct = sk.quantile_sketches(
+        ev.withColumn("g", F.lit(1)), ["g"], "v", id_col="event_id", k=64
+    )
+    got = rolled.collect()[0]["qsketch"]
+    want = direct.collect()[0]["qsketch"]
+    assert [tuple(x) for x in got] == [tuple(x) for x in want]
+    ev.unpersist()
+
+
+def test_quantile_estimates_within_rank_tolerance(events):
+    """Sample-quantile estimate lands within a few rank percentiles of
+    the exact percentile (k=512 → ~4.4% rank stderr; assert 10%)."""
+    ev = events.limit(30000).select(
+        "event_id", F.col("value").cast("double").alias("v")
+    ).withColumn("g", F.lit(1)).cache()
+    sketch = sk.quantile_sketches(ev, ["g"], "v", id_col="event_id", k=512)
+    est = sk.quantile_estimates(sketch, [0.5, 0.9]).collect()[0]
+    n = ev.count()
+    ranks = {
+        q: ev.filter(F.col("v") <= est[f"p{tag}"]).count() / n
+        for q, tag in [(0.5, "5"), (0.9, "9")]
+    }
+    for q, r in ranks.items():
+        assert abs(r - q) < 0.10, (q, r)
+    ev.unpersist()
+
+
+def test_quantile_sketch_validates(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("i"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        sk.quantile_sketches(df, [], "v", id_col="i", k=4)
+    s = sk.quantile_sketches(df.withColumn("g", F.lit(1)), ["g"], "v", id_col="i")
+    with pytest.raises(ValueError, match="fractions"):
+        sk.quantile_estimates(s, [1.5])

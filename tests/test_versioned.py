@@ -1,0 +1,216 @@
+"""Versioned table: snapshot reads, time travel, file-granularity
+upsert, rollback, optimistic concurrency, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gedixr_spark.sinks.versioned import (
+    ConcurrentCommitError,
+    commit_append,
+    commit_overwrite,
+    commit_upsert,
+    init_versioned,
+    live_files,
+    read_versioned,
+    rollback,
+    table_history,
+    vacuum_versioned,
+)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in pairs])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    init_versioned(spark, path)
+    return path
+
+
+def test_append_and_time_travel(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]))
+    commit_append(spark, table, _mk(spark, [(3, "c")]))
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
+    # snapshot at version 1 sees only the first batch
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a"), (2, "b")]
+    hist = table_history(spark, table)
+    assert [e["op"] for e in hist] == ["create", "append", "append"]
+    assert [e["version"] for e in hist] == [0, 1, 2]
+
+
+def test_empty_table_read_raises_without_schema(spark, table):
+    with pytest.raises(ValueError, match="no commit has recorded a schema"):
+        read_versioned(spark, table)
+
+
+def test_empty_read_after_schema_known(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    # overwrite with an empty frame: schema survives, zero rows
+    empty = _mk(spark, [(1, "a")]).filter(F.lit(False))
+    commit_overwrite(spark, table, empty)
+    got = read_versioned(spark, table)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v"}
+
+
+def test_overwrite_keeps_old_versions_readable(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_overwrite(spark, table, _mk(spark, [(9, "z")]))
+    assert _rows(read_versioned(spark, table)) == [(9, "z")]
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
+
+
+def test_upsert_rewrites_only_hit_files(spark, table):
+    # two appends → at least two distinct data files
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    commit_append(spark, table, _mk(spark, [(3, "c"), (4, "d")]).coalesce(1))
+    files_before = live_files(spark, table)
+    assert len(files_before) == 2
+    data = table + "/data"
+    mtimes = {f: os.path.getmtime(os.path.join(data, f)) for f in files_before}
+
+    entry = commit_upsert(
+        spark, table, _mk(spark, [(3, "C"), (5, "e")]), keys=["k"]
+    )
+    # only the file holding k=3 was rewritten
+    assert entry["meta"]["n_files_rewritten"] == 1
+    assert _rows(read_versioned(spark, table)) == [
+        (1, "a"), (2, "b"), (3, "C"), (4, "d"), (5, "e")
+    ]
+    untouched = [f for f in files_before if f not in entry["remove"]]
+    assert untouched, "expected an untouched file"
+    for f in untouched:
+        assert os.path.getmtime(os.path.join(data, f)) == mtimes[f]
+    # pre-upsert snapshot unchanged (removed file still on disk)
+    assert _rows(read_versioned(spark, table, version=2)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    ]
+
+
+def test_upsert_rejects_duplicate_keys_and_missing_columns(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="distinct keys"):
+        commit_upsert(spark, table, _mk(spark, [(1, "x"), (1, "y")]), keys=["k"])
+    with pytest.raises(ValueError, match="missing target columns"):
+        commit_upsert(
+            spark, table,
+            spark.createDataFrame([Row(k=1)]), keys=["k"],
+        )
+
+
+def test_upsert_into_empty_table(spark, table):
+    entry = commit_upsert(spark, table, _mk(spark, [(1, "a")]), keys=["k"])
+    assert entry["meta"]["n_files_rewritten"] == 0
+    assert _rows(read_versioned(spark, table)) == [(1, "a")]
+
+
+def test_rollback_is_metadata_only(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_overwrite(spark, table, _mk(spark, [(9, "z")]))
+    entry = rollback(spark, table, to_version=1)
+    assert entry["op"] == "rollback"
+    assert _rows(read_versioned(spark, table)) == [(1, "a")]
+    # the bad version remains in history for audit
+    assert [e["op"] for e in table_history(spark, table)] == [
+        "create", "append", "overwrite", "rollback"
+    ]
+    with pytest.raises(ValueError, match="already at version"):
+        rollback(spark, table, to_version=3)
+
+
+def test_concurrent_commit_conflict(spark, table, tmp_path):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    # simulate a racing writer landing version 2 first
+    conflict = os.path.join(table, "_log", "00000002.json")
+    with open(conflict, "w") as f:
+        f.write('{"version": 2, "op": "append", "add": [], "remove": [], '
+                '"schema": null, "meta": {}}')
+    # a writer whose snapshot was version 1 must NOT retry blindly —
+    # its snapshot is stale; the commit for version 2 is taken
+    with pytest.raises(ConcurrentCommitError):
+        commit_overwrite(spark, table, _mk(spark, [(9, "z")]), base_version=1)
+    # append IS safe to retry: it lands on the next free version
+    entry = commit_append(spark, table, _mk(spark, [(2, "b")]))
+    assert entry["version"] == 3
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_removes_unreferenced_and_orphans(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    old_files = live_files(spark, table)
+    commit_overwrite(spark, table, _mk(spark, [(9, "z")]))
+    # orphan: a crashed commit's staging dir
+    os.makedirs(os.path.join(table, ".__commit-deadbeef"), exist_ok=True)
+    deleted = vacuum_versioned(spark, table, keep_last=1)
+    assert set(old_files) <= set(deleted)
+    assert ".__commit-deadbeef" in deleted
+    # latest still reads fine; old version is gone
+    assert _rows(read_versioned(spark, table)) == [(9, "z")]
+    with pytest.raises(Exception):
+        read_versioned(spark, table, version=1).collect()
+    # rollback to a vacuumed version is refused with a clear error
+    with pytest.raises(ValueError, match="vacuumed"):
+        rollback(spark, table, to_version=1)
+
+
+def test_vacuum_retention_window_keeps_time_travel(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_append(spark, table, _mk(spark, [(2, "b")]))
+    deleted = vacuum_versioned(spark, table, keep_last=2)
+    assert deleted == []  # both versions retained → nothing to delete
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
+
+
+def test_upsert_snapshot_consistency_chain(spark, table):
+    """Four CDC batches; every intermediate snapshot stays exactly
+    reconstructible (the dict-merge oracle per version)."""
+    state: dict[int, str] = {}
+    snapshots = []
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(2, "B"), (3, "c")],
+        [(1, "A")],
+        [(4, "d"), (3, "C")],
+    ]
+    for batch in batches:
+        commit_upsert(spark, table, _mk(spark, batch), keys=["k"])
+        state.update(dict(batch))
+        snapshots.append(sorted(state.items()))
+    hist = table_history(spark, table)
+    upsert_versions = [e["version"] for e in hist if e["op"] == "upsert"]
+    for v, expect in zip(upsert_versions, snapshots):
+        assert _rows(read_versioned(spark, table, version=v)) == expect
+
+
+def test_commit_compact_is_transactional(spark, table):
+    from gedixr_spark.sinks.versioned import commit_compact
+
+    for i in range(4):
+        commit_append(
+            spark, table, _mk(spark, [(i * 2, "x"), (i * 2 + 1, "y")]).coalesce(1)
+        )
+    before = live_files(spark, table)
+    assert len(before) == 4
+    pre_version = table_history(spark, table)[-1]["version"]
+    entry = commit_compact(spark, table, target_mb=128)
+    assert entry["op"] == "compact"
+    assert entry["meta"]["n_files_compacted"] == 4
+    after = live_files(spark, table)
+    assert len(after) < len(before)
+    # data identical, pre-compaction snapshot intact
+    expect = sorted((i, "x" if i % 2 == 0 else "y") for i in range(8))
+    assert _rows(read_versioned(spark, table)) == expect
+    assert _rows(read_versioned(spark, table, version=pre_version)) == expect
+    # second compact is a no-op (single output file left)
+    assert commit_compact(spark, table, target_mb=128)["op"] == "noop"
