@@ -254,21 +254,27 @@ def _commit(
 
 
 def commit_append(
-    spark: SparkSession, path: str, df: DataFrame, max_retries: int = 5
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    max_retries: int = 5,
+    meta: dict | None = None,
 ) -> dict:
     """Append-only commit. Appends are conflict-free by construction
     (they remove nothing), so a version collision is safely retried
     against the bumped version — the only multi-writer op that needs
-    no re-read."""
+    no re-read. ``meta`` entries are recorded in the log entry (e.g.
+    a stream batch id for idempotent replay detection)."""
     versions = _list_log_versions(spark, path)
     next_v = versions[-1] + 1
     names = _write_data_files(spark, path, df, next_v)
     schema_json = df.schema.json()
+    entry_meta = {"n_files": len(names), **(meta or {})}
     for attempt in range(max_retries + 1):
         try:
             return _commit(
                 spark, path, "append", names, [], schema_json,
-                {"n_files": len(names)}, next_v + attempt,
+                entry_meta, next_v + attempt,
             )
         except ConcurrentCommitError:
             if attempt == max_retries:

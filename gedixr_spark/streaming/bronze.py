@@ -94,3 +94,58 @@ def bronze_with_metrics_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def commit_stream_batch(
+    batch_df: DataFrame, table_path: str, batch_id: int
+) -> dict | None:
+    """Idempotent per-micro-batch append into a VERSIONED table (the
+    `foreachBatch` body of `versioned_landing_query`, exposed so tests
+    and manual recovery can replay a batch safely). The commit log
+    itself is the idempotence ledger: each commit records its
+    ``stream_batch_id``; a replayed batch (restart after a crash
+    BETWEEN the commit and the checkpoint write) finds its id already
+    in the history and becomes a no-op — the versioned twin of
+    bronze_with_metrics_query's per-batch-slot overwrite trick, but
+    stronger: the data append itself is exactly-once, not just the
+    metrics. Returns the log entry, or None if the batch was already
+    committed. History scan cost is one small-JSON read per commit;
+    a long-lived stream should vacuum + checkpoint the log
+    periodically (same maintenance Delta needs)."""
+    from gedixr_spark.sinks.versioned import commit_append, table_history
+
+    spark = batch_df.sparkSession
+    done = {
+        e.get("meta", {}).get("stream_batch_id")
+        for e in table_history(spark, table_path)
+    }
+    if batch_id in done:
+        return None
+    return commit_append(
+        spark, table_path, batch_df, meta={"stream_batch_id": batch_id}
+    )
+
+
+def versioned_landing_query(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ingest into a versioned table with exactly-once
+    COMMITS: every micro-batch becomes one atomic log entry, so
+    downstream batch readers always see a consistent snapshot (never a
+    half-written batch), replays never double-append, and a bad batch
+    is `rollback`-able by version. The versioned upgrade of
+    `bronze_landing_query` — same checkpoint recovery, plus snapshot
+    isolation and time travel over the landed history."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(batch_df, table_path, batch_id)
+
+    writer = events.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -83,3 +83,48 @@ def test_bronze_with_metrics_exactly_once_both_sinks(spark, tmp_path):
     assert sum(r["n_rows"] for r in rows) == 10
     # per-batch slots are distinct partitions
     assert len({r["batch"] for r in rows}) == 2
+
+
+def test_versioned_landing_exactly_once_commits(spark, tmp_path):
+    from gedixr_spark.sinks.versioned import (
+        init_versioned, read_versioned, table_history,
+    )
+    from gedixr_spark.streaming.bronze import (
+        commit_stream_batch, versioned_landing_query,
+    )
+
+    landing = tmp_path / "landing"
+    table = str(tmp_path / "vtable")
+    ckpt = str(tmp_path / "vckpt")
+    init_versioned(spark, table)
+    schema = _write_batch(spark, landing, 0, day=1)
+
+    q = versioned_landing_query(
+        read_event_stream(spark, str(landing), schema), table, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert read_versioned(spark, table).count() == 5
+    hist = table_history(spark, table)
+    batch_ids = [
+        e["meta"].get("stream_batch_id") for e in hist if e["op"] == "append"
+    ]
+    assert batch_ids and all(b is not None for b in batch_ids)
+
+    # resumed stream processes only the delta (checkpoint) and commits
+    # it as its own version
+    _write_batch(spark, landing, 100, day=2)
+    q2 = versioned_landing_query(
+        read_event_stream(spark, str(landing), schema), table, ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination()
+    assert read_versioned(spark, table).count() == 10
+
+    # crash-between-commit-and-checkpoint replay: re-running an
+    # already-committed batch id is a no-op (the log IS the ledger)
+    n_before = len(table_history(spark, table))
+    replay = spark.read.parquet(str(landing))
+    assert commit_stream_batch(replay, table, batch_ids[0]) is None
+    assert len(table_history(spark, table)) == n_before
+    assert read_versioned(spark, table).count() == 10
