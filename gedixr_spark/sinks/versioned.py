@@ -46,7 +46,7 @@ import os
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -466,3 +466,83 @@ def commit_compact(
         {"n_files_compacted": len(small), "n_files_out": len(names)},
         base + 1,
     )
+
+
+def commit_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    base_version: int | None = None,
+) -> dict:
+    """Delete rows matching ``predicate`` as one atomic commit,
+    rewriting ONLY the files that contain a matching row (same
+    ``input_file_name`` discovery as commit_upsert). The
+    right-to-be-forgotten shape at 100 TB: deleting one user's rows
+    costs the files they appear in, not a table rewrite — and the
+    commit log records exactly which files were purged (the audit
+    trail). NOTE the flip side: pre-delete versions still hold the
+    rows until ``vacuum_versioned`` ages them out — a compliance
+    delete is commit_delete + vacuum, and the test pins that."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    files = live_files(spark, path, base)
+    if not files:
+        return {"op": "noop", "n_files_rewritten": 0, "version": base}
+    data = _data_dir(path)
+    target = read_versioned(spark, path, base)
+    hit = (
+        target.withColumn("__file", F.input_file_name())
+        .filter(predicate)
+        .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+        .distinct()
+        .collect()
+    )
+    touched = sorted(r["name"] for r in hit)
+    if not touched:
+        return {"op": "noop", "n_files_rewritten": 0, "version": base}
+    kept = spark.read.parquet(*[data + "/" + f for f in touched]).filter(
+        ~predicate
+    )
+    names = _write_data_files(spark, path, kept, base + 1)
+    return _commit(
+        spark, path, "delete", names, touched, target.schema.json(),
+        {"n_files_rewritten": len(touched), "n_files_live": len(files)},
+        base + 1,
+    )
+
+
+def read_appended(
+    spark: SparkSession, path: str, since_version: int, version: int | None = None
+) -> DataFrame:
+    """Incremental read: rows in files ADDED after ``since_version``
+    (up to ``version``, default latest) — the change feed a downstream
+    consumer polls to process only new data. Exact for append-only
+    tables (e.g. `versioned_landing_query` streams); for tables taking
+    upserts/deletes it raises, because rewritten files carry old rows
+    and a file-granularity feed would double-count — use
+    `diff.table_diff` between two snapshot reads there."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    if since_version not in versions or cap not in versions:
+        raise ValueError(
+            f"versions must exist in the log: since={since_version}, to={cap}"
+        )
+    added: list[str] = []
+    for v in versions:
+        if v <= since_version or v > cap:
+            continue
+        e = _read_entry(spark, path, v)
+        if e["op"] not in ("append", "create"):
+            raise ValueError(
+                f"version {v} is op={e['op']!r} — the file-granularity "
+                "change feed is only exact for append-only history; use "
+                "diff.table_diff between snapshot reads instead"
+            )
+        added.extend(e.get("add", []))
+    if not added:
+        schema = _latest_schema(spark, path, cap)
+        if schema is None:
+            raise ValueError(f"{path} has no recorded schema")
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    data = _data_dir(path)
+    return spark.read.parquet(*[data + "/" + f for f in added])

@@ -214,3 +214,47 @@ def test_commit_compact_is_transactional(spark, table):
     assert _rows(read_versioned(spark, table, version=pre_version)) == expect
     # second compact is a no-op (single output file left)
     assert commit_compact(spark, table, target_mb=128)["op"] == "noop"
+
+
+def test_commit_delete_rewrites_only_hit_files(spark, table):
+    from gedixr_spark.sinks.versioned import commit_delete
+
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    commit_append(spark, table, _mk(spark, [(3, "c"), (4, "d")]).coalesce(1))
+    files_before = live_files(spark, table)
+    entry = commit_delete(spark, table, F.col("k") == 3)
+    assert entry["meta"]["n_files_rewritten"] == 1
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b"), (4, "d")]
+    # untouched file survives by identity
+    assert set(files_before) & set(live_files(spark, table))
+    # the deleted row is STILL in the pre-delete snapshot — compliance
+    # delete = commit_delete + vacuum, which severs time travel to it
+    assert (3, "c") in _rows(read_versioned(spark, table, version=2))
+    vacuum_versioned(spark, table, keep_last=1)
+    with pytest.raises(Exception):
+        read_versioned(spark, table, version=2).collect()
+    # no-op paths
+    assert commit_delete(spark, table, F.col("k") == 999)["op"] == "noop"
+
+
+def test_read_appended_change_feed(spark, table):
+    from gedixr_spark.sinks.versioned import commit_delete, read_appended
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_append(spark, table, _mk(spark, [(2, "b")]))
+    commit_append(spark, table, _mk(spark, [(3, "c")]))
+    # consumer last saw version 1 → feed is exactly batches 2 and 3
+    assert _rows(read_appended(spark, table, since_version=1)) == [
+        (2, "b"), (3, "c")
+    ]
+    # bounded feed
+    assert _rows(read_appended(spark, table, since_version=1, version=2)) == [
+        (2, "b")
+    ]
+    # nothing new → empty with schema
+    got = read_appended(spark, table, since_version=3)
+    assert got.count() == 0 and set(got.columns) == {"k", "v"}
+    # non-append history breaks file-granularity exactness → refuse
+    commit_delete(spark, table, F.col("k") == 1)
+    with pytest.raises(ValueError, match="append-only"):
+        read_appended(spark, table, since_version=1)
