@@ -186,22 +186,47 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool | None = None,
 ) -> DataFrame:
     """Snapshot read: the table exactly as of ``version`` (default
     latest). The file list comes from one log replay — concurrent
-    commits after the replay cannot change what this scan reads."""
-    files = live_files(spark, path, version)
+    commits after the replay cannot change what this scan reads.
+
+    Schema evolution: appends may ADD columns over time (the log
+    records each commit's schema). By default the read turns on
+    parquet ``mergeSchema`` exactly when the live entries disagree on
+    schema — old files surface NULL for later-added columns, and the
+    footer-merge cost is only paid when evolution actually happened.
+    Pass ``merge_schema`` to force either behavior."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    files = live_files(spark, path, cap)
     if not files:
-        schema = _latest_schema(spark, path, version)
+        schema = _latest_schema(spark, path, cap)
         if schema is None:
             raise ValueError(
                 f"{path} is empty at version {version} and no commit has "
                 "recorded a schema yet — nothing to read"
             )
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    if merge_schema is None:
+        live = set(files)
+        seen: set[str] = set()
+        for v in versions:
+            if v > cap:
+                break
+            e = _read_entry(spark, path, v)
+            if e.get("schema") is not None and set(e.get("add", [])) & live:
+                seen.add(e["schema"])
+        merge_schema = len(seen) > 1
     data = _data_dir(path)
-    return spark.read.parquet(*[data + "/" + f for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[data + "/" + f for f in files])
 
 
 def _write_data_files(

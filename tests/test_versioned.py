@@ -258,3 +258,26 @@ def test_read_appended_change_feed(spark, table):
     commit_delete(spark, table, F.col("k") == 1)
     with pytest.raises(ValueError, match="append-only"):
         read_appended(spark, table, since_version=1)
+
+
+def test_schema_evolution_append_adds_column(spark):
+    # fresh table (module fixtures reuse `table`; make our own)
+    import tempfile
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append, init_versioned, read_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/vt"
+        init_versioned(spark, path)
+        commit_append(spark, path, _mk(spark, [(1, "a")]))
+        wide = spark.createDataFrame([Row(k=2, v="b", w=9.5)])
+        commit_append(spark, path, wide)
+        got = read_versioned(spark, path)  # auto-detects evolution
+        assert set(got.columns) == {"k", "v", "w"}
+        rows = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}
+        # pre-evolution snapshot keeps the narrow schema (no merge)
+        old = read_versioned(spark, path, version=1)
+        assert set(old.columns) == {"k", "v"}
