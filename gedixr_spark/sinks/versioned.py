@@ -308,7 +308,11 @@ def commit_append(
 
 
 def commit_overwrite(
-    spark: SparkSession, path: str, df: DataFrame, base_version: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    base_version: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """Replace the table contents (previous versions stay readable
     until vacuum). ``base_version`` pins the snapshot this writer read
@@ -321,7 +325,7 @@ def commit_overwrite(
     names = _write_data_files(spark, path, df, base + 1)
     return _commit(
         spark, path, "overwrite", names, old, df.schema.json(),
-        {"n_files": len(names)}, base + 1,
+        {"n_files": len(names), **(meta or {})}, base + 1,
     )
 
 
