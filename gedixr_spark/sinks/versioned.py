@@ -259,6 +259,7 @@ def _commit(
     schema_json: str | None,
     meta: dict,
     expected_version: int,
+    stats: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -268,6 +269,8 @@ def _commit(
         "schema": schema_json,
         "meta": meta,
     }
+    if stats:
+        entry["stats"] = stats
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -284,22 +287,31 @@ def commit_append(
     df: DataFrame,
     max_retries: int = 5,
     meta: dict | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> dict:
     """Append-only commit. Appends are conflict-free by construction
     (they remove nothing), so a version collision is safely retried
     against the bumped version — the only multi-writer op that needs
     no re-read. ``meta`` entries are recorded in the log entry (e.g.
-    a stream batch id for idempotent replay detection)."""
+    a stream batch id for idempotent replay detection). ``stats_cols``
+    records per-file min/max for those columns in the log — the
+    data-skipping index `read_where` prunes with (one extra job over
+    just the new files)."""
     versions = _list_log_versions(spark, path)
     next_v = versions[-1] + 1
     names = _write_data_files(spark, path, df, next_v)
     schema_json = df.schema.json()
     entry_meta = {"n_files": len(names), **(meta or {})}
+    stats = (
+        _file_column_stats(spark, path, names, list(stats_cols))
+        if stats_cols
+        else None
+    )
     for attempt in range(max_retries + 1):
         try:
             return _commit(
                 spark, path, "append", names, [], schema_json,
-                entry_meta, next_v + attempt,
+                entry_meta, next_v + attempt, stats=stats,
             )
         except ConcurrentCommitError:
             if attempt == max_retries:
@@ -462,6 +474,8 @@ def commit_compact(
     path: str,
     target_mb: int = 128,
     base_version: int | None = None,
+    sort_by: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction as a COMMIT: coalesce every live file
     smaller than ``target_mb`` into ~target-sized replacements and log
@@ -488,12 +502,23 @@ def commit_compact(
     if len(small) < 2:
         return {"op": "noop", "n_files_compacted": 0, "version": base}
     n_out = max(1, -(-small_bytes // target_bytes))
-    df = spark.read.parquet(*[data + "/" + f for f in small]).repartition(n_out)
+    df = spark.read.parquet(*[data + "/" + f for f in small])
+    if sort_by:
+        # clustering compaction: disjoint per-file key ranges, which is
+        # what makes read_where's log-level pruning actually skip files
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
     names = _write_data_files(spark, path, df, base + 1)
+    stats = (
+        _file_column_stats(spark, path, names, list(stats_cols))
+        if stats_cols
+        else None
+    )
     return _commit(
         spark, path, "compact", names, small, df.schema.json(),
         {"n_files_compacted": len(small), "n_files_out": len(names)},
-        base + 1,
+        base + 1, stats=stats,
     )
 
 
@@ -575,3 +600,124 @@ def read_appended(
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     data = _data_dir(path)
     return spark.read.parquet(*[data + "/" + f for f in added])
+
+
+def _file_column_stats(
+    spark: SparkSession, path: str, names: list[str], cols: Sequence[str]
+) -> dict:
+    """Per-file min/max of ``cols`` for freshly-committed files — ONE
+    Spark job over just those files (input_file_name groupBy), JSON-
+    serializable values only (numeric/string/bool)."""
+    if not names:
+        return {}
+    data = _data_dir(path)
+    df = spark.read.parquet(*[data + "/" + n for n in names])
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    rows = (
+        df.withColumn("__f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    # every committed file gets an entry; files the groupBy never saw
+    # (zero rows) keep [None, None] — "no non-null values", which the
+    # pruner may skip for any range predicate
+    out: dict = {n: {c: [None, None] for c in cols} for n in names}
+    for r in rows:
+        ent = {}
+        for c in cols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            for v in (mn, mx):
+                if v is not None and not isinstance(v, (int, float, str, bool)):
+                    raise ValueError(
+                        f"stats_cols only supports JSON-scalar columns; "
+                        f"{c!r} has {type(v).__name__}"
+                    )
+            ent[c] = [mn, mx]
+        out[r["__f"]] = ent
+    return out
+
+
+def file_range_stats(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """{live file name: {col: [min, max]}} from the log — files whose
+    commit recorded no stats are absent (a pruned read must include
+    them)."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    live = set(live_files(spark, path, cap))
+    out: dict = {}
+    for v in versions:
+        if v > cap:
+            break
+        for name, st in _read_entry(spark, path, v).get("stats", {}).items():
+            if name in live:
+                out[name] = st
+    return out
+
+
+def files_for_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(files a [lo, hi] range query on ``col`` must read, total live
+    count). A file is skipped only when its recorded [min, max] proves
+    no overlap; files without stats are conservatively read — pruning
+    never changes results, it only removes provably-irrelevant I/O."""
+    files = live_files(spark, path, version)
+    stats = file_range_stats(spark, path, version)
+    keep = []
+    for f in files:
+        rng = stats.get(f, {}).get(col)
+        if rng is None:
+            keep.append(f)  # no stats recorded — must read
+            continue
+        mn, mx = rng
+        if mn is None and mx is None:
+            continue  # stats prove zero non-null values — skip
+        if mn is None or mx is None:
+            keep.append(f)
+            continue
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            continue
+        keep.append(f)
+    return keep, len(files)
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read with LOG-LEVEL file skipping: resolve the file list
+    with `files_for_range`, scan only those, then apply the exact
+    filter. The Delta data-skipping shape — at 100 TB a selective
+    range touches the files the log proves relevant, before any
+    parquet footer is opened. Clustering the data (`commit_compact`
+    with a sorted write, or Z-ordered appends) is what makes per-file
+    ranges disjoint enough to skip most of the table."""
+    keep, _ = files_for_range(spark, path, col, lo, hi, version)
+    if not keep:
+        schema = _latest_schema(spark, path, version)
+        if schema is None:
+            raise ValueError(f"{path} has no recorded schema")
+        out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    else:
+        data = _data_dir(path)
+        out = spark.read.parquet(*[data + "/" + f for f in keep])
+    c = F.col(col)
+    if lo is not None:
+        out = out.filter(c >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(c <= F.lit(hi))
+    return out
