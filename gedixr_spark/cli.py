@@ -86,6 +86,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     vac = sub.add_parser("vacuum", help="remove crashed-compaction/merge staging dirs")
     vac.add_argument("path")
+
+    hist = sub.add_parser("history", help="commit history of a versioned table")
+    hist.add_argument("path")
+
+    tvac = sub.add_parser(
+        "tvacuum", help="vacuum a versioned table (delete unreferenced data files)"
+    )
+    tvac.add_argument("path")
+    tvac.add_argument("--keep-last", type=int, default=2)
+
+    rb = sub.add_parser("rollback", help="roll a versioned table back to a version")
+    rb.add_argument("path")
+    rb.add_argument("--to-version", type=int, required=True)
     return p
 
 
@@ -172,6 +185,34 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("gedixr-cli")
         print(json.dumps({"removed": vacuum_staging(spark, args.path)}))
+        return 0
+
+    if args.command == "history":
+        from gedixr_spark.sinks.versioned import table_history
+
+        spark = get_spark("gedixr-cli")
+        hist = [
+            {k: e[k] for k in ("version", "op", "meta")}
+            | {"n_add": len(e.get("add", [])), "n_remove": len(e.get("remove", []))}
+            for e in table_history(spark, args.path)
+        ]
+        print(json.dumps(hist))
+        return 0
+
+    if args.command == "tvacuum":
+        from gedixr_spark.sinks.versioned import vacuum_versioned
+
+        spark = get_spark("gedixr-cli")
+        deleted = vacuum_versioned(spark, args.path, keep_last=args.keep_last)
+        print(json.dumps({"deleted": deleted}))
+        return 0
+
+    if args.command == "rollback":
+        from gedixr_spark.sinks.versioned import rollback
+
+        spark = get_spark("gedixr-cli")
+        entry = rollback(spark, args.path, to_version=args.to_version)
+        print(json.dumps({"version": entry["version"], "meta": entry["meta"]}))
         return 0
 
     return 2

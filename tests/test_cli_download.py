@@ -125,3 +125,34 @@ def test_cli_profile_card_compact_vacuum(spark, tmp_path, capsys):
     assert main(["vacuum", path]) == 0
     vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac == {"removed": []}
+
+
+def test_cli_versioned_table_commands(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from gedixr_spark.cli import main
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_overwrite, init_versioned, read_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    init_versioned(spark, table)
+    commit_append(spark, table, spark.createDataFrame([Row(k=1, v="a")]))
+    commit_overwrite(spark, table, spark.createDataFrame([Row(k=9, v="z")]))
+
+    assert main(["history", table]) == 0
+    hist = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [e["op"] for e in hist] == ["create", "append", "overwrite"]
+
+    assert main(["rollback", table, "--to-version", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["meta"]["restored_version"] == 1
+    assert [(r["k"], r["v"]) for r in read_versioned(spark, table).collect()] == [
+        (1, "a")
+    ]
+
+    assert main(["tvacuum", table, "--keep-last", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"]  # the overwritten version's file aged out
