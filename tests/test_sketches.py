@@ -420,3 +420,49 @@ def test_quantile_sketch_validates(spark):
     s = sk.quantile_sketches(df.withColumn("g", F.lit(1)), ["g"], "v", id_col="i")
     with pytest.raises(ValueError, match="fractions"):
         sk.quantile_estimates(s, [1.5])
+
+
+# --- join advisor ----------------------------------------------------------
+
+
+def test_advise_join_broadcast_small_dim(spark, orders, customer):
+    from gedixr_spark.operators.skew import advise_join
+
+    out = advise_join(
+        spark, orders.limit(20000), customer.limit(500),
+        "o_custkey", "c_custkey",
+    )
+    assert out["strategy"] == "broadcast"
+    true_rows = (
+        orders.limit(20000)
+        .join(
+            customer.limit(500).withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+        )
+        .count()
+    )
+    assert out["est_join_rows"] >= true_rows
+
+
+def test_advise_join_salt_on_hot_key(spark):
+    from gedixr_spark.operators.skew import advise_join
+
+    # 90% of the fact side is ONE key; dim side too big to broadcast
+    fact = spark.range(0, 40000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    dim = spark.range(0, 30000).select(F.col("id").alias("k"))
+    out = advise_join(
+        spark, fact, dim, "k", broadcast_threshold_rows=1000
+    )
+    assert out["strategy"] == "salt"
+    assert out["hot_key_ratio"] > 20
+
+
+def test_advise_join_shuffle_uniform_big(spark):
+    from gedixr_spark.operators.skew import advise_join
+
+    a = spark.range(0, 50000).select((F.col("id") % 9973).alias("k"))
+    b = spark.range(0, 50000).select((F.col("id") % 9973).alias("k"))
+    out = advise_join(spark, a, b, "k", broadcast_threshold_rows=1000)
+    assert out["strategy"] == "shuffle"
