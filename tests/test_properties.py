@@ -282,3 +282,56 @@ def test_merge_upsert_is_dict_merge(spark, base, updates, tmp_path_factory):
     merge_upsert(spark, path, upd, keys=["id"])
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {**base, **updates}
+
+
+# --- versioned table: model-based sequence property -------------------------
+
+_vt_op = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.dictionaries(st.integers(0, 5), st.text("abc", min_size=1, max_size=2),
+                        min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 5)),
+)
+
+
+@given(ops=st.lists(_vt_op, min_size=1, max_size=4))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_versioned_table_matches_dict_model(spark, tmp_path_factory, ops):
+    """Any sequence of upserts/deletes: the latest snapshot equals the
+    dict model, and EVERY historical snapshot equals the model's state
+    at that point (time travel is total recall)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from gedixr_spark.sinks.versioned import (
+        commit_delete, commit_upsert, init_versioned, read_versioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("vtprop") / "t")
+    init_versioned(spark, path)
+    model: dict[int, str] = {}
+    checkpoints: list[tuple[int, dict[int, str]]] = []
+    for op in ops:
+        if op[0] == "upsert":
+            batch = op[1]
+            df = spark.createDataFrame(
+                [Row(k=k, v=v) for k, v in batch.items()]
+            )
+            entry = commit_upsert(spark, path, df, keys=["k"])
+            model.update(batch)
+            checkpoints.append((entry["version"], dict(model)))
+        else:
+            k = op[1]
+            entry = commit_delete(spark, path, F.col("k") == k)
+            model.pop(k, None)
+            if entry.get("op") != "noop":
+                checkpoints.append((entry["version"], dict(model)))
+    for version, snap in checkpoints:
+        got = {
+            r["k"]: r["v"]
+            for r in read_versioned(spark, path, version=version).collect()
+        }
+        assert got == snap, (version, got, snap)
