@@ -260,6 +260,7 @@ def _commit(
     meta: dict,
     expected_version: int,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -271,6 +272,8 @@ def _commit(
     }
     if stats:
         entry["stats"] = stats
+    if blooms:
+        entry["blooms"] = blooms
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -288,6 +291,7 @@ def commit_append(
     max_retries: int = 5,
     meta: dict | None = None,
     stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """Append-only commit. Appends are conflict-free by construction
     (they remove nothing), so a version collision is safely retried
@@ -307,11 +311,16 @@ def commit_append(
         if stats_cols
         else None
     )
+    blooms = (
+        _file_bloom_filters(spark, path, names, list(bloom_cols))
+        if bloom_cols
+        else None
+    )
     for attempt in range(max_retries + 1):
         try:
             return _commit(
                 spark, path, "append", names, [], schema_json,
-                entry_meta, next_v + attempt, stats=stats,
+                entry_meta, next_v + attempt, stats=stats, blooms=blooms,
             )
         except ConcurrentCommitError:
             if attempt == max_retries:
@@ -721,3 +730,129 @@ def read_where(
     if hi is not None:
         out = out.filter(c <= F.lit(hi))
     return out
+
+
+_BLOOM_M_BITS = 1 << 12  # 64 longs = 512 B per (file, col) in the log
+_BLOOM_K = 5
+
+
+def _file_bloom_filters(
+    spark: SparkSession, path: str, names: list[str], cols: Sequence[str]
+) -> dict:
+    """Per-file Bloom bitsets of ``cols`` for freshly-committed files —
+    ONE job (explode k positions, groupBy (file, col, word), bit_or).
+    512 B of log per file per column at the fixed 2^12/5 shape."""
+    if not names:
+        return {}
+    from gedixr_spark.operators.sketches import _positions
+
+    data = _data_dir(path)
+    df = spark.read.parquet(*[data + "/" + n for n in names])
+    rows = []
+    for c in cols:
+        pos = (
+            df.select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+                # canonical string cast: the probe hashes a literal,
+                # and xxhash64 is type-sensitive (int lit != bigint col)
+                F.explode(
+                    F.array(
+                        *_positions(
+                            F.col(c).cast("string"), _BLOOM_M_BITS, _BLOOM_K
+                        )
+                    )
+                ).alias("pos"),
+            )
+            .groupBy(
+                "__f", F.shiftright("pos", 6).alias("w")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                ).alias("bits")
+            )
+            .collect()
+        )
+        rows.append((c, pos))
+    out: dict = {n: {} for n in names}
+    for c, pos in rows:
+        per_file: dict = {}
+        for r in pos:
+            per_file.setdefault(r["__f"], [0] * (_BLOOM_M_BITS >> 6))[
+                r["w"]
+            ] = r["bits"]
+        for n in names:
+            out[n][c] = per_file.get(n, [0] * (_BLOOM_M_BITS >> 6))
+    return out
+
+
+def file_bloom_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """{live file: {col: bitset}} from the log (files committed without
+    ``bloom_cols`` are absent — point lookups must read them)."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    live = set(live_files(spark, path, cap))
+    out: dict = {}
+    for v in versions:
+        if v > cap:
+            break
+        for name, bl in _read_entry(spark, path, v).get("blooms", {}).items():
+            if name in live:
+                out[name] = bl
+    return out
+
+
+def files_for_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(files a ``col == value`` lookup must read, total live). A file
+    is skipped when its logged Bloom bitset proves absence (no false
+    negatives — pruning never changes results). The probe positions
+    come from ONE 1-row local Spark job so the hash is bit-identical
+    to the JVM build — build and probe can never disagree."""
+    from gedixr_spark.operators.sketches import _positions
+
+    files = live_files(spark, path, version)
+    index = file_bloom_index(spark, path, version)
+    lit = F.lit(value).cast("string")  # match the build's canonical cast
+    probe = spark.range(1).select(
+        F.array(*_positions(lit, _BLOOM_M_BITS, _BLOOM_K)).alias("p")
+    ).collect()[0]["p"]
+    keep = []
+    for f in files:
+        bits = index.get(f, {}).get(col)
+        if bits is None:
+            keep.append(f)  # no bloom recorded — must read
+            continue
+        if all((bits[p >> 6] >> (p % 64)) & 1 for p in probe):
+            keep.append(f)
+    return keep, len(files)
+
+
+def read_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with Bloom file skipping: scan only the files the
+    log can't rule out, then apply the exact equality filter. With
+    key-clustered files (commit_compact sort_by) a needle lookup on a
+    100 TB table opens a handful of files instead of every footer."""
+    keep, _ = files_for_point(spark, path, col, value, version)
+    if not keep:
+        schema = _latest_schema(spark, path, version)
+        if schema is None:
+            raise ValueError(f"{path} has no recorded schema")
+        out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    else:
+        data = _data_dir(path)
+        out = spark.read.parquet(*[data + "/" + f for f in keep])
+    return out.filter(F.col(col) == F.lit(value))

@@ -348,3 +348,37 @@ def test_clustering_compaction_restores_pruning(spark, table):
     assert _rows(read_versioned(spark, table)) == [
         (1, "a"), (2, "c"), (38, "d"), (39, "b")
     ]
+
+
+def test_bloom_index_point_lookup_prunes(spark, table):
+    from gedixr_spark.sinks.versioned import files_for_point, read_point
+
+    for base in (0, 100, 200, 300):
+        commit_append(
+            spark, table,
+            _mk(spark, [(base + i, f"v{base + i}") for i in range(20)]).coalesce(1),
+            bloom_cols=["k"],
+        )
+    keep, total = files_for_point(spark, table, "k", 205)
+    assert total == 4 and len(keep) == 1
+    assert _rows(read_point(spark, table, "k", 205)) == [(205, "v205")]
+    # absent key: typically zero files survive the probe (FP rate tiny
+    # at 20 keys / 4096 bits); result must be empty regardless
+    assert read_point(spark, table, "k", 9999).count() == 0
+    # NO FALSE NEGATIVES: every present key's file survives pruning
+    for k in (0, 119, 219, 300):
+        keep, _ = files_for_point(spark, table, "k", k)
+        assert _rows(read_point(spark, table, "k", k)) == [(k, f"v{k}")]
+        assert len(keep) >= 1
+
+
+def test_bloomless_files_conservatively_read(spark, table):
+    from gedixr_spark.sinks.versioned import files_for_point, read_point
+
+    commit_append(
+        spark, table, _mk(spark, [(1, "a")]).coalesce(1), bloom_cols=["k"]
+    )
+    commit_append(spark, table, _mk(spark, [(2, "b")]).coalesce(1))  # no bloom
+    keep, total = files_for_point(spark, table, "k", 2)
+    assert total == 2 and len(keep) >= 1
+    assert _rows(read_point(spark, table, "k", 2)) == [(2, "b")]
