@@ -523,3 +523,29 @@ def quantile_estimates(
         name = f"{prefix}{str(q).replace('0.', '').replace('.', '_')}"
         out = out.withColumn(name, F.element_at(vals, idx))
     return out.drop(sketch_col)
+
+
+def update_quantile_store(
+    store: DataFrame,
+    new_batch: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Incremental maintenance of a persisted quantile store: sketch
+    the NEW batch only, union with the existing store, re-merge per
+    key — history contributes k-row sketches, never raw rows (the
+    HLL `update_sketch_store` twin; identical per-batch shape). Exact
+    identity with the direct sketch because bottom-k merge is
+    deterministic."""
+    fresh = quantile_sketches(
+        new_batch, keys, value_col, id_col=id_col, k=k, sketch_col=sketch_col
+    )
+    return merge_quantile_sketches(
+        store.select(*keys, sketch_col).unionByName(fresh),
+        list(keys),
+        k=k,
+        sketch_col=sketch_col,
+    )

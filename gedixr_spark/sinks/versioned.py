@@ -292,6 +292,7 @@ def commit_append(
     meta: dict | None = None,
     stats_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    expect: dict | None = None,
 ) -> dict:
     """Append-only commit. Appends are conflict-free by construction
     (they remove nothing), so a version collision is safely retried
@@ -303,6 +304,14 @@ def commit_append(
     just the new files)."""
     versions = _list_log_versions(spark, path)
     next_v = versions[-1] + 1
+    if expect:
+        # constraints gate BEFORE any file is written: a rejected batch
+        # leaves no orphans and no log entry
+        check_expectations(
+            df,
+            not_null=expect.get("not_null", ()),
+            unique=expect.get("unique", ()),
+        )
     names = _write_data_files(spark, path, df, next_v)
     schema_json = df.schema.json()
     entry_meta = {"n_files": len(names), **(meta or {})}
@@ -856,3 +865,36 @@ def read_point(
         data = _data_dir(path)
         out = spark.read.parquet(*[data + "/" + f for f in keep])
     return out.filter(F.col(col) == F.lit(value))
+
+
+def check_expectations(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+) -> dict:
+    """Data-quality expectations, evaluated in ONE aggregate job:
+    per-column null counts for ``not_null`` and a duplicate-key count
+    for ``unique`` (a column LIST forming one composite key). Returns
+    {null_counts, n_rows, n_dup_keys}; raises ValueError naming every
+    violated expectation — the write-time constraint check a curated
+    table needs (catching bad batches at the door is 10^6× cheaper
+    than repairing a 100 TB table after the fact)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+    if unique:
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in unique]).alias("__uk")
+        )
+    row = df.agg(*aggs).collect()[0]
+    nulls = {c: row[f"__nn_{c}"] for c in not_null}
+    n = row["__n"]
+    n_dup = (n - row["__uk"]) if unique else 0
+    violations = [f"{c} has {v} NULLs" for c, v in nulls.items() if v]
+    if n_dup:
+        violations.append(f"{n_dup} duplicate keys on {list(unique)}")
+    if violations:
+        raise ValueError(
+            "batch violates table expectations: " + "; ".join(violations)
+        )
+    return {"null_counts": nulls, "n_rows": n, "n_dup_keys": n_dup}

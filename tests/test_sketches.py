@@ -466,3 +466,23 @@ def test_advise_join_shuffle_uniform_big(spark):
     b = spark.range(0, 50000).select((F.col("id") % 9973).alias("k"))
     out = advise_join(spark, a, b, "k", broadcast_threshold_rows=1000)
     assert out["strategy"] == "shuffle"
+
+
+def test_update_quantile_store_equals_direct(events):
+    """Per-batch maintenance identity: update(store(batch1), batch2)
+    == direct sketch of batch1 ∪ batch2, exactly."""
+    ev = events.limit(10000).select(
+        "event_id", F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    ).cache()
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    store = sk.quantile_sketches(b1, ["day"], "v", id_col="event_id", k=64)
+    updated = sk.update_quantile_store(
+        store, b2, ["day"], "v", id_col="event_id", k=64
+    )
+    direct = sk.quantile_sketches(ev, ["day"], "v", id_col="event_id", k=64)
+    got = {r["day"]: [tuple(x) for x in r["qsketch"]] for r in updated.collect()}
+    want = {r["day"]: [tuple(x) for x in r["qsketch"]] for r in direct.collect()}
+    assert got == want
+    ev.unpersist()

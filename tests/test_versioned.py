@@ -382,3 +382,26 @@ def test_bloomless_files_conservatively_read(spark, table):
     keep, total = files_for_point(spark, table, "k", 2)
     assert total == 2 and len(keep) >= 1
     assert _rows(read_point(spark, table, "k", 2)) == [(2, "b")]
+
+
+def test_commit_expectations_gate(spark, table):
+    from gedixr_spark.sinks.versioned import check_expectations
+
+    good = _mk(spark, [(1, "a"), (2, "b")])
+    entry = commit_append(
+        spark, table, good, expect={"not_null": ["k", "v"], "unique": ["k"]}
+    )
+    assert entry["op"] == "append"
+
+    dup = _mk(spark, [(3, "c"), (3, "d")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        commit_append(spark, table, dup, expect={"unique": ["k"]})
+    nul = spark.createDataFrame([Row(k=4, v=None)], "k int, v string")
+    with pytest.raises(ValueError, match="NULLs"):
+        commit_append(spark, table, nul, expect={"not_null": ["v"]})
+    # rejected batches left no log entries and no data behind
+    assert [e["op"] for e in table_history(spark, table)] == ["create", "append"]
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b")]
+    # direct API reports counts on clean input
+    out = check_expectations(good, not_null=["k"], unique=["k"])
+    assert out == {"null_counts": {"k": 0}, "n_rows": 2, "n_dup_keys": 0}
