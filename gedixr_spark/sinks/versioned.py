@@ -494,6 +494,8 @@ def commit_compact(
     base_version: int | None = None,
     sort_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Small-file compaction as a COMMIT: coalesce every live file
     smaller than ``target_mb`` into ~target-sized replacements and log
@@ -519,9 +521,26 @@ def commit_compact(
             small_bytes += ln
     if len(small) < 2:
         return {"op": "noop", "n_files_compacted": 0, "version": base}
-    n_out = max(1, -(-small_bytes // target_bytes))
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by OR zorder_by, not both")
+    n_out = n_files if n_files else max(1, -(-small_bytes // target_bytes))
     df = spark.read.parquet(*[data + "/" + f for f in small])
-    if sort_by:
+    if zorder_by:
+        # multi-column clustering: range-partition + sort on the Morton
+        # key so each output file covers a compact hyper-rectangle of
+        # ALL zorder_by columns — the layout that makes per-file
+        # min/max stats prunable on every one of them (layout.py's
+        # write_zordered, transactionalized)
+        from gedixr_spark.operators.layout import zorder_index_columns
+
+        zkey, _ = zorder_index_columns(df, list(zorder_by))
+        df = (
+            df.withColumn("__z", zkey)
+            .repartitionByRange(n_out, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_by:
         # clustering compaction: disjoint per-file key ranges, which is
         # what makes read_where's log-level pruning actually skip files
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
