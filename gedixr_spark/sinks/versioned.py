@@ -84,7 +84,7 @@ def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
     out = []
     for st in fs.listStatus(ld):
         name = st.getPath().getName()
-        if name.endswith(".json"):
+        if name.endswith(".json") and not name.startswith("checkpoint-"):
             out.append(int(name[:-5]))
     return sorted(out)
 
@@ -103,6 +103,53 @@ def _read_entry(spark: SparkSession, path: str, version: int) -> dict:
     finally:
         stream.close()
     return json.loads(raw.decode("utf-8"))
+
+
+def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    ld = jpath(_log_dir(path))
+    if not fs.exists(ld):
+        return []
+    out = []
+    for st in fs.listStatus(ld):
+        name = st.getPath().getName()
+        if name.startswith("checkpoint-") and name.endswith(".json"):
+            out.append(int(name[len("checkpoint-"):-5]))
+    return sorted(out)
+
+
+def _read_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    p = jpath(_log_dir(path) + f"/checkpoint-{version:08d}.json")
+    stream = fs.open(p)
+    try:
+        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        ioutils.copyBytes(stream, bos, 65536, False)
+        raw = bytes(bos.toByteArray())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _replay_base(
+    spark: SparkSession, path: str, cap: int
+) -> tuple[int, list[str], str | None, dict, dict]:
+    """(start_version_exclusive, live, schema, stats, blooms) to begin
+    a replay at: the newest checkpoint <= cap, or a cold start."""
+    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
+    if not cks:
+        return -1, [], None, {}, {}
+    ck = _read_checkpoint(spark, path, cks[-1])
+    return (
+        ck["version"],
+        list(ck["live"]),
+        ck.get("schema"),
+        dict(ck.get("stats", {})),
+        dict(ck.get("blooms", {})),
+    )
 
 
 def _atomic_create(spark: SparkSession, full_path: str, payload: bytes) -> bool:
@@ -161,8 +208,10 @@ def live_files(spark: SparkSession, path: str, version: int | None = None) -> li
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in log (have {versions})")
-    live: list[str] = []
+    start, live, _, _, _ = _replay_base(spark, path, version)
     for v in versions:
+        if v <= start:
+            continue
         if v > version:
             break
         e = _read_entry(spark, path, v)
@@ -175,8 +224,10 @@ def live_files(spark: SparkSession, path: str, version: int | None = None) -> li
 def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
-    schema = None
+    start, _, schema, _, _ = _replay_base(spark, path, cap)
     for v in versions:
+        if v <= start:
+            continue
         if v > cap:
             break
         s = _read_entry(spark, path, v).get("schema")
@@ -365,6 +416,8 @@ def commit_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     base_version: int | None = None,
+    stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """File-granularity MERGE: rewrite ONLY the live files that contain
     a key present in ``updates`` (full-row replace), append everything
@@ -386,11 +439,24 @@ def commit_upsert(
             f"updates batch has {n_upserted} rows but {n_keys} distinct keys "
             "— compact to one row per key (last-write-wins) before upsert"
         )
+    def _indexes(names):
+        st = (
+            _file_column_stats(spark, path, names, list(stats_cols))
+            if stats_cols else None
+        )
+        bl = (
+            _file_bloom_filters(spark, path, names, list(bloom_cols))
+            if bloom_cols else None
+        )
+        return st, bl
+
     if not files:
         names = _write_data_files(spark, path, updates, base + 1)
+        st, bl = _indexes(names)
         return _commit(
             spark, path, "upsert", names, [], updates.schema.json(),
             {"n_files_rewritten": 0, "n_upserted": n_upserted}, base + 1,
+            stats=st, blooms=bl,
         )
     target = read_versioned(spark, path, base)
     missing = [c for c in target.columns if c not in updates.columns]
@@ -418,6 +484,7 @@ def commit_upsert(
     else:
         out_df = updates
     names = _write_data_files(spark, path, out_df, base + 1)
+    st, bl = _indexes(names)
     return _commit(
         spark, path, "upsert", names, touched, updates.schema.json(),
         {
@@ -425,7 +492,7 @@ def commit_upsert(
             "n_files_live": len(files),
             "n_upserted": n_upserted,
         },
-        base + 1,
+        base + 1, stats=st, blooms=bl,
     )
 
 
@@ -686,8 +753,11 @@ def file_range_stats(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap))
-    out: dict = {}
+    start, _, _, base_stats, _ = _replay_base(spark, path, cap)
+    out: dict = {n: st for n, st in base_stats.items() if n in live}
     for v in versions:
+        if v <= start:
+            continue
         if v > cap:
             break
         for name, st in _read_entry(spark, path, v).get("stats", {}).items():
@@ -822,8 +892,11 @@ def file_bloom_index(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap))
-    out: dict = {}
+    start, _, _, _, base_blooms = _replay_base(spark, path, cap)
+    out: dict = {n: bl for n, bl in base_blooms.items() if n in live}
     for v in versions:
+        if v <= start:
+            continue
         if v > cap:
             break
         for name, bl in _read_entry(spark, path, v).get("blooms", {}).items():
@@ -917,3 +990,61 @@ def check_expectations(
             "batch violates table expectations: " + "; ".join(violations)
         )
     return {"null_counts": nulls, "n_rows": n, "n_dup_keys": n_dup}
+
+
+def checkpoint_log(spark: SparkSession, path: str) -> dict:
+    """Write a log CHECKPOINT at the current latest version: one file
+    consolidating the live set, schema, and per-file stats/bloom
+    indexes. Every replay (live_files / schema / stats / blooms)
+    afterwards starts from the newest checkpoint and reads only the
+    entries past it — O(Δ commits) instead of O(all commits), which is
+    what keeps a table taking thousands of streaming commits readable
+    (the Delta `_last_checkpoint` shape). Checkpoints are derived data:
+    safe to re-create, never required for correctness."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1]
+    ck = {
+        "version": cap,
+        "live": live_files(spark, path, cap),
+        "schema": _latest_schema(spark, path, cap),
+        "stats": file_range_stats(spark, path, cap),
+        "blooms": file_bloom_index(spark, path, cap),
+    }
+    target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
+    payload = json.dumps(ck, sort_keys=True).encode("utf-8")
+    # overwrite-safe (derived data): write tmp + rename
+    local = _strip_scheme(target)
+    if "://" not in target or target.startswith("file://"):
+        tmp = local + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, local)
+    else:
+        fs, _ = _hadoop_fs(spark, target)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(target)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+    return {"version": cap, "n_live": len(ck["live"])}
+
+
+def expire_log(spark: SparkSession, path: str) -> list[int]:
+    """Delete log entries strictly BELOW the newest checkpoint (whose
+    state the checkpoint fully reproduces; the checkpoint version's
+    own entry stays so the log is never empty). Time travel to expired
+    versions stops working — pair with `vacuum_versioned`, same
+    retention trade. Returns the expired version numbers."""
+    cks = _list_checkpoints(spark, path)
+    if not cks:
+        raise ValueError(f"no checkpoint at {path}; run checkpoint_log first")
+    cutoff = cks[-1]
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    expired = []
+    for v in _list_log_versions(spark, path):
+        if v < cutoff:
+            fs.delete(jpath(_log_dir(path) + "/" + _entry_name(v)), False)
+            expired.append(v)
+    return expired

@@ -470,3 +470,46 @@ def test_zorder_compaction_prunes_both_dimensions(spark, table):
     assert total_a == 8
     assert len(post_a) < total_a, (len(post_a), total_a)
     assert len(post_b) < total_b, (len(post_b), total_b)
+
+
+def test_checkpoint_log_replay_and_expiry(spark, table):
+    from gedixr_spark.sinks.versioned import (
+        checkpoint_log, commit_upsert, expire_log, files_for_point,
+        files_for_range, read_point, read_where,
+    )
+
+    for base in (0, 10):
+        commit_append(
+            spark, table,
+            _mk(spark, [(base + i, f"v{base + i}") for i in range(5)]).coalesce(1),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    commit_upsert(
+        spark, table, _mk(spark, [(3, "X")]), keys=["k"],
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    expect = _rows(read_versioned(spark, table))
+
+    ck = checkpoint_log(spark, table)
+    assert ck["version"] == 3
+    # replay from the checkpoint gives identical answers
+    assert _rows(read_versioned(spark, table)) == expect
+    # stats/blooms survive consolidation: pruning still works
+    keep, total = files_for_range(spark, table, "k", lo=10, hi=12)
+    assert len(keep) < total
+    assert _rows(read_point(spark, table, "k", 14)) == [(14, "v14")]
+
+    # post-checkpoint commits replay on top of the base
+    commit_append(spark, table, _mk(spark, [(99, "z")]), stats_cols=["k"])
+    assert (99, "z") in _rows(read_versioned(spark, table))
+    keep, _ = files_for_point(spark, table, "k", 14)
+    assert keep  # bloom index still consulted through the checkpoint
+
+    # expiry: pre-checkpoint entries go away; latest reads fine;
+    # expired versions give a clear error
+    expired = expire_log(spark, table)
+    assert expired == [0, 1, 2]
+    assert (99, "z") in _rows(read_versioned(spark, table))
+    assert _rows(read_versioned(spark, table, version=3)) == expect
+    with pytest.raises(ValueError, match="not in log"):
+        read_versioned(spark, table, version=1)
