@@ -984,7 +984,9 @@ def check_expectations(
     n_dup = (n - row["__uk"]) if unique else 0
     violations = [f"{c} has {v} NULLs" for c, v in nulls.items() if v]
     if n_dup:
-        violations.append(f"{n_dup} duplicate keys on {list(unique)}")
+        # count_distinct ignores NULL keys, so NULL-keyed rows surface
+        # here too — a unique key constraint implies non-null keys
+        violations.append(f"{n_dup} duplicate-or-NULL keys on {list(unique)}")
     if violations:
         raise ValueError(
             "batch violates table expectations: " + "; ".join(violations)

@@ -394,7 +394,7 @@ def test_commit_expectations_gate(spark, table):
     assert entry["op"] == "append"
 
     dup = _mk(spark, [(3, "c"), (3, "d")])
-    with pytest.raises(ValueError, match="duplicate keys"):
+    with pytest.raises(ValueError, match="duplicate-or-NULL keys"):
         commit_append(spark, table, dup, expect={"unique": ["k"]})
     nul = spark.createDataFrame([Row(k=4, v=None)], "k int, v string")
     with pytest.raises(ValueError, match="NULLs"):
