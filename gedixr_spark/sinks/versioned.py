@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -187,8 +188,8 @@ def init_versioned(spark: SparkSession, path: str) -> dict:
         raise ValueError(f"versioned table already exists at {path}")
     fs.mkdirs(jpath(_log_dir(path)))
     fs.mkdirs(jpath(_data_dir(path)))
-    entry = {"version": 0, "op": "create", "add": [], "remove": [],
-             "schema": None, "meta": {}}
+    entry = {"version": 0, "op": "create", "ts": round(time.time(), 3),
+             "add": [], "remove": [], "schema": None, "meta": {}}
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     if not _atomic_create(spark, _log_dir(path) + "/" + _entry_name(0), payload):
         raise ConcurrentCommitError(f"version 0 already committed at {path}")
@@ -316,6 +317,7 @@ def _commit(
     entry = {
         "version": expected_version,
         "op": op,
+        "ts": round(time.time(), 3),
         "add": sorted(add),
         "remove": sorted(remove),
         "schema": schema_json,
@@ -418,6 +420,7 @@ def commit_upsert(
     base_version: int | None = None,
     stats_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """File-granularity MERGE: rewrite ONLY the live files that contain
     a key present in ``updates`` (full-row replace), append everything
@@ -455,8 +458,9 @@ def commit_upsert(
         st, bl = _indexes(names)
         return _commit(
             spark, path, "upsert", names, [], updates.schema.json(),
-            {"n_files_rewritten": 0, "n_upserted": n_upserted}, base + 1,
-            stats=st, blooms=bl,
+            {"n_files_rewritten": 0, "n_upserted": n_upserted,
+             **(meta or {})},
+            base + 1, stats=st, blooms=bl,
         )
     target = read_versioned(spark, path, base)
     missing = [c for c in target.columns if c not in updates.columns]
@@ -491,6 +495,7 @@ def commit_upsert(
             "n_files_rewritten": len(touched),
             "n_files_live": len(files),
             "n_upserted": n_upserted,
+            **(meta or {}),
         },
         base + 1, stats=st, blooms=bl,
     )
@@ -1050,3 +1055,20 @@ def expire_log(spark: SparkSession, path: str) -> list[int]:
             fs.delete(jpath(_log_dir(path) + "/" + _entry_name(v)), False)
             expired.append(v)
     return expired
+
+
+def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
+    """Newest version committed at or before epoch-seconds ``ts`` —
+    timestamp-based time travel: pass the result to `read_versioned`.
+    Commit wall-clock rides in every log entry (entries from before
+    this field existed sort as ts=0, i.e. always eligible)."""
+    best = None
+    for v in _list_log_versions(spark, path):
+        e = _read_entry(spark, path, v)
+        if e.get("ts", 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at or before timestamp {ts}"
+        )
+    return best

@@ -149,3 +149,68 @@ def versioned_landing_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_stream_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    batch_id: int,
+    keys: list[str],
+    order_col: str | None = None,
+) -> dict | None:
+    """Idempotent per-micro-batch CDC UPSERT into a versioned table —
+    the `commit_stream_batch` twin for change streams. The batch is
+    first compacted to one row per key (last-write-wins by
+    ``order_col`` descending, ties broken deterministically by the
+    full row; required when a micro-batch can carry several changes
+    for one key), then applied with file-granularity
+    `commit_upsert`. Replayed batch ids no-op via the commit-log
+    ledger, so restart-after-crash never double-applies a batch."""
+    from pyspark.sql import Window
+
+    from gedixr_spark.sinks.versioned import commit_upsert, table_history
+
+    spark = batch_df.sparkSession
+    done = {
+        e.get("meta", {}).get("stream_batch_id")
+        for e in table_history(spark, table_path)
+    }
+    if batch_id in done:
+        return None
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc() for c in batch_df.columns]
+        )
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return commit_upsert(
+        spark, table_path, batch_df, keys=keys,
+        meta={"stream_batch_id": batch_id},
+    )
+
+
+def versioned_upsert_query(
+    changes: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of change rows upserts
+    into the versioned table as one atomic commit (exactly-once via
+    checkpoint + the log ledger). The streaming front door for
+    mutable entities — the append twin is `versioned_landing_query`."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_stream_batch(batch_df, table_path, batch_id, keys, order_col)
+
+    writer = changes.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

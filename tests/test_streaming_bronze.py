@@ -128,3 +128,55 @@ def test_versioned_landing_exactly_once_commits(spark, tmp_path):
     assert commit_stream_batch(replay, table, batch_ids[0]) is None
     assert len(table_history(spark, table)) == n_before
     assert read_versioned(spark, table).count() == 10
+
+
+def test_versioned_upsert_stream_cdc(spark, tmp_path):
+    import datetime
+
+    from gedixr_spark.sinks.versioned import init_versioned, read_versioned
+    from gedixr_spark.streaming.bronze import (
+        upsert_stream_batch, versioned_upsert_query,
+    )
+    from gedixr_spark.streaming.events import read_event_stream
+
+    landing = tmp_path / "cdc"
+    table = str(tmp_path / "ctable")
+    ckpt = str(tmp_path / "cckpt")
+    init_versioned(spark, table)
+
+    # batch 1: two entities; batch 2 updates one and adds one, with an
+    # intra-batch double-change for user 1 (last-write-wins by ts)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows1 = [(1, t0, 1, "a", 1.0), (2, t0, 2, "b", 2.0)]
+    rows2 = [
+        (1, t0 + datetime.timedelta(hours=1), 1, "mid", 9.0),
+        (1, t0 + datetime.timedelta(hours=2), 1, "final", 10.0),
+        (3, t0, 3, "c", 3.0),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    schema = spark.createDataFrame(rows1, cols).schema
+    spark.createDataFrame(rows1, cols).write.mode("append").parquet(str(landing))
+    q = versioned_upsert_query(
+        read_event_stream(spark, str(landing), schema), table, ckpt,
+        keys=["user_id"], order_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+    spark.createDataFrame(rows2, cols).write.mode("append").parquet(str(landing))
+    q2 = versioned_upsert_query(
+        read_event_stream(spark, str(landing), schema), table, ckpt,
+        keys=["user_id"], order_col="ts", available_now=True,
+    )
+    q2.awaitTermination()
+    got = {
+        r["user_id"]: r["event_type"]
+        for r in read_versioned(spark, table).collect()
+    }
+    assert got == {1: "final", 2: "b", 3: "c"}
+
+    # replayed batch id → no-op
+    from gedixr_spark.sinks.versioned import table_history
+
+    n = len(table_history(spark, table))
+    replay = spark.createDataFrame(rows2, cols)
+    assert upsert_stream_batch(replay, table, 0, ["user_id"], "ts") is None
+    assert len(table_history(spark, table)) == n

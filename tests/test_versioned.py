@@ -513,3 +513,20 @@ def test_checkpoint_log_replay_and_expiry(spark, table):
     assert _rows(read_versioned(spark, table, version=3)) == expect
     with pytest.raises(ValueError, match="not in log"):
         read_versioned(spark, table, version=1)
+
+
+def test_timestamp_time_travel(spark, table):
+    import time as _time
+
+    from gedixr_spark.sinks.versioned import version_at_timestamp
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    t_mid = _time.time()
+    _time.sleep(0.01)
+    commit_append(spark, table, _mk(spark, [(2, "b")]))
+    v = version_at_timestamp(spark, table, t_mid)
+    assert v == 1
+    assert _rows(read_versioned(spark, table, version=v)) == [(1, "a")]
+    assert version_at_timestamp(spark, table, _time.time()) == 2
+    with pytest.raises(ValueError, match="no version"):
+        version_at_timestamp(spark, table, 0.0)
