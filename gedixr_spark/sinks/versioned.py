@@ -695,6 +695,12 @@ def read_appended(
         if v <= since_version or v > cap:
             continue
         e = _read_entry(spark, path, v)
+        if e["op"] == "compact":
+            # compaction rewrites FILES, not content — transparent to a
+            # change feed (its adds re-package rows already consumed;
+            # its removes may still be referenced by older feed reads,
+            # which keep working until vacuum ages the files out)
+            continue
         if e["op"] not in ("append", "create"):
             raise ValueError(
                 f"version {v} is op={e['op']!r} — the file-granularity "

@@ -530,3 +530,70 @@ def test_timestamp_time_travel(spark, table):
     assert version_at_timestamp(spark, table, _time.time()) == 2
     with pytest.raises(ValueError, match="no version"):
         version_at_timestamp(spark, table, 0.0)
+
+
+def test_change_feed_is_transparent_to_compaction(spark, table):
+    from gedixr_spark.sinks.versioned import commit_compact, read_appended
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]).coalesce(1))
+    commit_append(spark, table, _mk(spark, [(2, "b")]).coalesce(1))
+    commit_compact(spark, table, target_mb=128)  # rewrites both files
+    commit_append(spark, table, _mk(spark, [(3, "c")]))
+    # feed since v1: batch 2 (pre-compaction file still on disk) +
+    # batch 4; the compaction itself contributes nothing
+    assert _rows(read_appended(spark, table, since_version=1)) == [
+        (2, "b"), (3, "c")
+    ]
+    # feed since the compaction: only the new append
+    assert _rows(read_appended(spark, table, since_version=3)) == [(3, "c")]
+
+
+def test_versioned_lakehouse_lifecycle(spark, tmp_path):
+    """The whole lifecycle composed: streaming land → incremental MV →
+    checkpoint + expire → Z-order compaction → data-skipped reads →
+    rollback-able history → vacuum."""
+    import datetime
+
+    from gedixr_spark.operators.incremental import (
+        init_incremental_agg, read_incremental_agg, refresh_incremental_agg,
+    )
+    from gedixr_spark.sinks.versioned import (
+        checkpoint_log, commit_append, commit_compact, expire_log,
+        files_for_range, init_versioned, read_versioned, read_where,
+        vacuum_versioned,
+    )
+
+    table = str(tmp_path / "lake")
+    mv = str(tmp_path / "mv")
+    init_versioned(spark, table)
+    init_incremental_agg(spark, mv)
+
+    # 1. land three batches (with skipping stats), refreshing the MV
+    for day in (1, 2, 3):
+        ts = datetime.datetime(2024, 1, day)
+        batch = spark.createDataFrame(
+            [Row(k=day * 100 + i, day=day, x=float(i)) for i in range(50)]
+        )
+        commit_append(spark, table, batch.coalesce(1), stats_cols=["k", "day"])
+        refresh_incremental_agg(spark, table, mv, ["day"], "x")
+    mv_rows = {r["day"]: r["n_rows"] for r in
+               read_incremental_agg(spark, mv).collect()}
+    assert mv_rows == {1: 50, 2: 50, 3: 50}
+
+    # 2. checkpoint + expire the landing log
+    checkpoint_log(spark, table)
+    expire_log(spark, table)
+
+    # 3. clustering compaction (keeps pruning effective), then a
+    # data-skipped range read
+    commit_compact(spark, table, n_files=3, sort_by=["k"], stats_cols=["k"])
+    keep, total = files_for_range(spark, table, "k", lo=200, hi=249)
+    assert total == 3 and len(keep) == 1
+    assert read_where(spark, table, "k", lo=200, hi=249).count() == 50
+
+    # 4. full content intact through the whole pipeline
+    assert read_versioned(spark, table).count() == 150
+
+    # 5. vacuum the superseded landing files; latest still reads
+    vacuum_versioned(spark, table, keep_last=1)
+    assert read_versioned(spark, table).count() == 150
