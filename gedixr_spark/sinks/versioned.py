@@ -188,7 +188,7 @@ def init_versioned(spark: SparkSession, path: str) -> dict:
         raise ValueError(f"versioned table already exists at {path}")
     fs.mkdirs(jpath(_log_dir(path)))
     fs.mkdirs(jpath(_data_dir(path)))
-    entry = {"version": 0, "op": "create", "ts": round(time.time(), 3),
+    entry = {"version": 0, "op": "create", "ts": int(time.time() * 1000) / 1000.0,
              "add": [], "remove": [], "schema": None, "meta": {}}
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     if not _atomic_create(spark, _log_dir(path) + "/" + _entry_name(0), payload):
@@ -317,7 +317,7 @@ def _commit(
     entry = {
         "version": expected_version,
         "op": op,
-        "ts": round(time.time(), 3),
+        "ts": int(time.time() * 1000) / 1000.0,
         "add": sorted(add),
         "remove": sorted(remove),
         "schema": schema_json,
