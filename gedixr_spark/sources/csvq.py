@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gedixr_spark.sources.jsonl import _BLANK_LINE
+
 _CORRUPT = "_corrupt_record"
 
 
@@ -46,7 +48,9 @@ def read_csv_quarantine(
             },
         ).alias("__c"),
     )
-    nonblank = parsed.filter(F.trim("value") != "")
+    # same str.strip()-blank rule as read_jsonl (F.trim strips only
+    # ASCII space; a "\x0c" line must be blank, not quarantined)
+    nonblank = parsed.filter(~F.col("value").rlike(_BLANK_LINE))
     if header:
         header_line = sep.join(f.name for f in schema.fields)
         nonblank = nonblank.filter(F.col("value") != header_line)

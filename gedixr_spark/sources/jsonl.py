@@ -38,6 +38,10 @@ DOCUMENT_SCHEMA = T.StructType(
 
 _CORRUPT = "_corrupt_record"
 
+# Matches a line that Python's str.strip() would reduce to "": Unicode
+# whitespace ((?U)\s = White_Space property) plus FS/GS/RS/US controls.
+_BLANK_LINE = r"(?U)^[\s\x1c-\x1f]*$"
+
 
 def read_jsonl(
     spark: SparkSession,
@@ -69,8 +73,13 @@ def read_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
         ).alias("__j"),
     )
-    # blank lines parse to an all-null struct — not data, not an error
-    nonblank = parsed.filter(F.trim("value") != "")
+    # blank lines parse to an all-null struct — not data, not an error.
+    # "Blank" means Python str.strip() blank: any Unicode whitespace
+    # ((?U) makes \s match the White_Space property, not just 0x20)
+    # plus the \x1c-\x1f separators Python's isspace() also strips.
+    # F.trim strips ASCII space only and would send a "\x0c" line to
+    # quarantine (caught by the hypothesis fuzz property).
+    nonblank = parsed.filter(~F.col("value").rlike(_BLANK_LINE))
     good = (
         nonblank.filter(F.col(f"__j.{_CORRUPT}").isNull())
         .select("__j.*")

@@ -78,6 +78,20 @@ def test_land_clean_dump_has_no_quarantine(spark, tmp_path):
     }
 
 
+def test_blank_means_python_strip_blank(spark, tmp_path):
+    """The r5 falsifier: a line of non-space whitespace ('\\x0c') is
+    BLANK under the documented contract (Python str.strip()), not a
+    quarantined parse failure. F.trim-as-blank got this wrong."""
+    p = tmp_path / "ws.jsonl"
+    lines = ["0", "\x0c", "\t \x0b", "\x1c\x1d", "  ", ""]
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    good, bad = read_jsonl(spark, str(p), schema=schema)
+    n_nonblank = sum(1 for l in lines if l.strip())
+    assert good.count() + bad.count() == n_nonblank == 1
+    assert bad.count() == 1  # "0" is valid JSON but not a struct → quarantine
+
+
 # ---------------------------------------------------------------- CSV
 
 
@@ -119,3 +133,15 @@ def test_csv_custom_separator_no_header(spark, tmp_path):
     good, bad = read_csv_quarantine(spark, str(p), schema, sep="\t")
     assert {(r["k"], r["v"]) for r in good.collect()} == {(1, "x"), (2, "y")}
     assert bad.count() == 1
+
+
+def test_csv_whitespace_only_line_is_blank(spark, tmp_path):
+    from gedixr_spark.sources.csvq import read_csv_quarantine
+
+    p = tmp_path / "ws.csv"
+    p.write_text("1,x\n\x0c\n2,y\n", encoding="utf-8")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert good.count() == 2 and bad.count() == 0
