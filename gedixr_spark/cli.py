@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tvac.add_argument("path")
     tvac.add_argument("--keep-last", type=int, default=2)
+    tvac.add_argument(
+        "--retention-hours", type=float, default=168.0,
+        help="skip files newer than this (in-flight-commit race guard); "
+        "0 only when no writer can be running",
+    )
 
     rb = sub.add_parser("rollback", help="roll a versioned table back to a version")
     rb.add_argument("path")
@@ -203,7 +208,10 @@ def main(argv: list[str] | None = None) -> int:
         from gedixr_spark.sinks.versioned import vacuum_versioned
 
         spark = get_spark("gedixr-cli")
-        deleted = vacuum_versioned(spark, args.path, keep_last=args.keep_last)
+        deleted = vacuum_versioned(
+            spark, args.path, keep_last=args.keep_last,
+            retention_hours=args.retention_hours,
+        )
         print(json.dumps({"deleted": deleted}))
         return 0
 

@@ -237,6 +237,73 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
     return schema
 
 
+def _live_file_schemas(
+    spark: SparkSession, path: str, cap: int
+) -> dict[str, str | None]:
+    """{live file name at ``cap``: schema JSON of the commit that added
+    it, or None if unknowable}. Replay starts from the newest
+    checkpoint's ``file_schemas`` (so schema evolution from before an
+    `expire_log` is still visible); a legacy checkpoint without the
+    field yields None for its inherited files — callers must treat
+    None as "could differ" (mergeSchema on)."""
+    versions = _list_log_versions(spark, path)
+    live = set(live_files(spark, path, cap))
+    out: dict[str, str | None] = {}
+    start = -1
+    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
+    if cks:
+        ck = _read_checkpoint(spark, path, cks[-1])
+        start = ck["version"]
+        pool = ck.get("schema_pool")
+        fsch = ck.get("file_schemas")
+        if pool is not None and fsch is not None:
+            for name, idx in fsch.items():
+                if name in live:
+                    out[name] = pool[idx] if idx is not None else None
+        else:
+            for name in ck.get("live", []):
+                if name in live:
+                    out[name] = None
+    for v in versions:
+        if v <= start or v > cap:
+            continue
+        e = _read_entry(spark, path, v)
+        sch = e.get("schema")
+        for name in e.get("add", []):
+            if name in live:
+                out[name] = sch
+    for name in live:
+        out.setdefault(name, None)
+    return out
+
+
+def seen_stream_batch_ids(spark: SparkSession, path: str) -> set:
+    """Every ``stream_batch_id`` ever committed to the table — the
+    exactly-once ledger `commit_stream_batch`/`upsert_stream_batch`
+    consult. Reads the newest checkpoint's persisted id set plus the
+    entries after it, so `expire_log` cannot destroy the ledger (a
+    crash-replayed batch whose log entry was expired must still
+    no-op). A legacy checkpoint without the field falls back to
+    scanning all surviving entries — exactly-once then only holds for
+    batches whose entries still exist, which is the pre-fix behavior."""
+    versions = _list_log_versions(spark, path)
+    ids: set = set()
+    start = -1
+    cks = _list_checkpoints(spark, path)
+    if cks:
+        ck = _read_checkpoint(spark, path, cks[-1])
+        if "stream_batch_ids" in ck:
+            ids.update(ck["stream_batch_ids"])
+            start = ck["version"]
+    for v in versions:
+        if v <= start:
+            continue
+        bid = _read_entry(spark, path, v).get("meta", {}).get("stream_batch_id")
+        if bid is not None:
+            ids.add(bid)
+    return ids
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
@@ -265,15 +332,13 @@ def read_versioned(
             )
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     if merge_schema is None:
-        live = set(files)
-        seen: set[str] = set()
-        for v in versions:
-            if v > cap:
-                break
-            e = _read_entry(spark, path, v)
-            if e.get("schema") is not None and set(e.get("add", [])) & live:
-                seen.add(e["schema"])
-        merge_schema = len(seen) > 1
+        # per-live-file schemas survive log expiry via the checkpoint's
+        # file_schemas (a raw entry scan would miss evolution that
+        # happened before the checkpoint and silently drop columns);
+        # an unknown schema (None — legacy checkpoint) merges
+        # conservatively: footer-merge cost, never a wrong result.
+        seen = set(_live_file_schemas(spark, path, cap).values())
+        merge_schema = len(seen - {None}) > 1 or None in seen
     data = _data_dir(path)
     reader = spark.read
     if merge_schema:
@@ -532,30 +597,47 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
 
 
 def vacuum_versioned(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    retention_hours: float = 168.0,
 ) -> list[str]:
     """Delete data files not live in any of the last ``keep_last``
     versions, plus crashed-commit staging dirs and orphaned data files
     (written by a commit that lost its race). Time travel to versions
     older than the retention window stops working — same trade as
-    ``delta vacuum``. Returns deleted names."""
+    ``delta vacuum``. Returns deleted names.
+
+    ``retention_hours`` (default 7 days, Delta's default) skips any
+    candidate whose mtime is newer than the cutoff. This is the race
+    guard: a concurrent writer renames its data files into ``data/``
+    BEFORE creating its log entry, so between those two steps the
+    files look orphaned — an ageless vacuum would delete them, and if
+    that commit then won its race the new log entry would reference
+    vacuumed files (a corrupt table). Fresh files are never orphans of
+    a FINISHED commit; only pass ``retention_hours=0`` when no writer
+    can be in flight (e.g. the compliance-delete test path)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if retention_hours < 0:
+        raise ValueError("retention_hours must be >= 0")
     versions = _list_log_versions(spark, path)
     retained: set[str] = set()
     for v in versions[-keep_last:]:
         retained.update(live_files(spark, path, v))
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     deleted = []
     for st in fs.listStatus(jpath(_data_dir(path))):
         name = st.getPath().getName()
-        if name not in retained:
+        if name not in retained and st.getModificationTime() <= cutoff_ms:
             fs.delete(st.getPath(), False)
             deleted.append(name)
     for st in fs.globStatus(jpath(path.rstrip("/") + "/.__commit-*")) or []:
-        fs.delete(st.getPath(), True)
-        deleted.append(st.getPath().getName())
+        if st.getModificationTime() <= cutoff_ms:
+            fs.delete(st.getPath(), True)
+            deleted.append(st.getPath().getName())
     return sorted(deleted)
 
 
@@ -663,8 +745,13 @@ def commit_delete(
     touched = sorted(r["name"] for r in hit)
     if not touched:
         return {"op": "noop", "n_files_rewritten": 0, "version": base}
+    # keep rows where the predicate is NOT TRUE — `~predicate` alone
+    # would also drop NULL-evaluating rows (e.g. col > 5 with col NULL)
+    # from rewritten files while identical rows in untouched files
+    # survive: silent, file-dependent data loss. SQL/Delta DELETE
+    # keeps NULL-predicate rows; so do we.
     kept = spark.read.parquet(*[data + "/" + f for f in touched]).filter(
-        ~predicate
+        ~F.coalesce(predicate, F.lit(False))
     )
     names = _write_data_files(spark, path, kept, base + 1)
     return _commit(
@@ -932,7 +1019,18 @@ def files_for_point(
 
     files = live_files(spark, path, version)
     index = file_bloom_index(spark, path, version)
-    lit = F.lit(value).cast("string")  # match the build's canonical cast
+    # cast the probe literal to the COLUMN's type before the canonical
+    # string cast: probing int 1 against a double column must hash
+    # "1.0" (what the build side saw), not "1" — a mismatch would
+    # false-negative and silently skip files with real matches even
+    # though the final equality filter matches via coercion
+    lit = F.lit(value)
+    schema_json = _latest_schema(spark, path, version)
+    if schema_json is not None:
+        st = StructType.fromJson(json.loads(schema_json))
+        if col in st.fieldNames():
+            lit = lit.cast(st[col].dataType)
+    lit = lit.cast("string")  # match the build's canonical cast
     probe = spark.range(1).select(
         F.array(*_positions(lit, _BLOOM_M_BITS, _BLOOM_K)).alias("p")
     ).collect()[0]["p"]
@@ -1016,12 +1114,28 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     safe to re-create, never required for correctness."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1]
+    # per-file schemas (pooled — many files share one schema string) and
+    # the stream-batch ledger must ride in the checkpoint: expire_log
+    # deletes the entries that carry them, and without these fields a
+    # post-expiry read misses pre-checkpoint schema evolution and a
+    # crash-replayed stream batch re-appends (duplicates).
+    fsch = _live_file_schemas(spark, path, cap)
+    pool = sorted({s for s in fsch.values() if s is not None})
+    pool_idx = {s: i for i, s in enumerate(pool)}
     ck = {
         "version": cap,
         "live": live_files(spark, path, cap),
         "schema": _latest_schema(spark, path, cap),
         "stats": file_range_stats(spark, path, cap),
         "blooms": file_bloom_index(spark, path, cap),
+        "schema_pool": pool,
+        "file_schemas": {
+            n: (pool_idx[s] if s is not None else None)
+            for n, s in fsch.items()
+        },
+        "stream_batch_ids": sorted(
+            seen_stream_batch_ids(spark, path), key=str
+        ),
     }
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")

@@ -112,14 +112,14 @@ def commit_stream_batch(
     committed. History scan cost is one small-JSON read per commit;
     a long-lived stream should vacuum + checkpoint the log
     periodically (same maintenance Delta needs)."""
-    from gedixr_spark.sinks.versioned import commit_append, table_history
+    from gedixr_spark.sinks.versioned import (
+        commit_append, seen_stream_batch_ids,
+    )
 
     spark = batch_df.sparkSession
-    done = {
-        e.get("meta", {}).get("stream_batch_id")
-        for e in table_history(spark, table_path)
-    }
-    if batch_id in done:
+    # ledger = checkpointed id set + surviving entries, so the dedup
+    # survives checkpoint_log + expire_log on a long-lived stream
+    if batch_id in seen_stream_batch_ids(spark, table_path):
         return None
     return commit_append(
         spark, table_path, batch_df, meta={"stream_batch_id": batch_id}
@@ -168,14 +168,12 @@ def upsert_stream_batch(
     ledger, so restart-after-crash never double-applies a batch."""
     from pyspark.sql import Window
 
-    from gedixr_spark.sinks.versioned import commit_upsert, table_history
+    from gedixr_spark.sinks.versioned import (
+        commit_upsert, seen_stream_batch_ids,
+    )
 
     spark = batch_df.sparkSession
-    done = {
-        e.get("meta", {}).get("stream_batch_id")
-        for e in table_history(spark, table_path)
-    }
-    if batch_id in done:
+    if batch_id in seen_stream_batch_ids(spark, table_path):
         return None
     if order_col is not None:
         w = Window.partitionBy(*keys).orderBy(

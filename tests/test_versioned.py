@@ -152,7 +152,7 @@ def test_vacuum_removes_unreferenced_and_orphans(spark, table):
     commit_overwrite(spark, table, _mk(spark, [(9, "z")]))
     # orphan: a crashed commit's staging dir
     os.makedirs(os.path.join(table, ".__commit-deadbeef"), exist_ok=True)
-    deleted = vacuum_versioned(spark, table, keep_last=1)
+    deleted = vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
     assert set(old_files) <= set(deleted)
     assert ".__commit-deadbeef" in deleted
     # latest still reads fine; old version is gone
@@ -167,7 +167,7 @@ def test_vacuum_removes_unreferenced_and_orphans(spark, table):
 def test_vacuum_retention_window_keeps_time_travel(spark, table):
     commit_append(spark, table, _mk(spark, [(1, "a")]))
     commit_append(spark, table, _mk(spark, [(2, "b")]))
-    deleted = vacuum_versioned(spark, table, keep_last=2)
+    deleted = vacuum_versioned(spark, table, keep_last=2, retention_hours=0.0)
     assert deleted == []  # both versions retained → nothing to delete
     assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
 
@@ -230,7 +230,7 @@ def test_commit_delete_rewrites_only_hit_files(spark, table):
     # the deleted row is STILL in the pre-delete snapshot — compliance
     # delete = commit_delete + vacuum, which severs time travel to it
     assert (3, "c") in _rows(read_versioned(spark, table, version=2))
-    vacuum_versioned(spark, table, keep_last=1)
+    vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
     with pytest.raises(Exception):
         read_versioned(spark, table, version=2).collect()
     # no-op paths
@@ -595,5 +595,92 @@ def test_versioned_lakehouse_lifecycle(spark, tmp_path):
     assert read_versioned(spark, table).count() == 150
 
     # 5. vacuum the superseded landing files; latest still reads
-    vacuum_versioned(spark, table, keep_last=1)
+    vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
     assert read_versioned(spark, table).count() == 150
+
+
+# --- round-6 advisory fixes -------------------------------------------------
+
+
+def test_delete_keeps_null_predicate_rows(spark, table):
+    """DELETE WHERE v = 'b' must NOT delete rows where v IS NULL (the
+    predicate evaluates to NULL, not TRUE) — SQL/Delta semantics. A
+    bare ~predicate rewrite silently dropped them from touched files."""
+    from gedixr_spark.sinks.versioned import commit_delete
+
+    commit_append(
+        spark, table,
+        _mk(spark, [(1, "a")]).union(
+            spark.createDataFrame([Row(k=2, v=None), Row(k=3, v="b")])
+        ).coalesce(1),
+    )
+    commit_delete(spark, table, F.col("v") == "b")
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, None)]
+
+
+def test_vacuum_retention_guards_inflight_files(spark, table):
+    """Default vacuum must not delete fresh non-live files — they may
+    belong to a commit still between its data rename and its log
+    entry. retention_hours=0 restores the immediate-delete behavior."""
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_overwrite(spark, table, _mk(spark, [(2, "b")]))
+    # default 7-day retention: the just-overwritten v1 files are fresh
+    assert vacuum_versioned(spark, table, keep_last=1) == []
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
+    deleted = vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
+    assert deleted  # explicit zero retention: old files go
+
+
+def test_stream_ledger_survives_checkpoint_expire(spark, table):
+    """Exactly-once must hold across checkpoint_log + expire_log: a
+    crash-replayed batch whose log entry was expired still no-ops
+    (the checkpoint persists the stream_batch_id ledger)."""
+    from gedixr_spark.sinks.versioned import (
+        checkpoint_log, expire_log, seen_stream_batch_ids,
+    )
+    from gedixr_spark.streaming.bronze import commit_stream_batch
+
+    commit_stream_batch(_mk(spark, [(1, "a")]), table, batch_id=0)
+    commit_stream_batch(_mk(spark, [(2, "b")]), table, batch_id=1)
+    checkpoint_log(spark, table)
+    assert expire_log(spark, table) == [0, 1]
+    assert seen_stream_batch_ids(spark, table) == {0, 1}
+    # replay of an EXPIRED batch: still a no-op, no duplicate rows
+    assert commit_stream_batch(_mk(spark, [(1, "a")]), table, batch_id=0) is None
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b")]
+    # a genuinely new batch still lands
+    assert commit_stream_batch(_mk(spark, [(3, "c")]), table, batch_id=2)
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_schema_detected_after_expire(spark, table):
+    """Schema evolution from BEFORE a checkpoint must still trigger
+    mergeSchema after expire_log (per-file schemas ride in the
+    checkpoint; without them the read takes an arbitrary footer and
+    later-added columns silently vanish)."""
+    from gedixr_spark.sinks.versioned import checkpoint_log, expire_log
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_append(
+        spark, table,
+        spark.createDataFrame([Row(k=2, v="b", extra=42)]),
+    )
+    checkpoint_log(spark, table)
+    expire_log(spark, table)
+    got = read_versioned(spark, table)
+    assert "extra" in got.columns
+    by_k = {r["k"]: r for r in got.collect()}
+    assert by_k[1]["extra"] is None and by_k[2]["extra"] == 42
+
+
+def test_bloom_probe_casts_literal_to_column_type(spark, table):
+    """Probing int 1 against a DOUBLE column must hash '1.0' (what the
+    build hashed), not '1' — a string-form mismatch false-negatives
+    and silently skips files containing real matches."""
+    from gedixr_spark.sinks.versioned import files_for_point, read_point
+
+    df = spark.createDataFrame([Row(k=i, d=float(i)) for i in range(4)])
+    commit_append(spark, table, df.coalesce(1), bloom_cols=["d"])
+    keep, total = files_for_point(spark, table, "d", 1)  # int probe
+    assert keep and total == 1
+    assert [r["k"] for r in read_point(spark, table, "d", 1).collect()] == [1]
