@@ -100,23 +100,64 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[int]]:
     ]
 
 
-def lsh_bucket(vec_col: Column | str, planes: list[list[int]], scale: int = 1000) -> Column:
+def _lit_mat(rows: list[list[int]]) -> Column:
+    """An integer weight matrix as ONE array<array<bigint>> plan
+    constant, built from a single SQL string. Why not lit()/array():
+    per-element construction ships rows·dim values over Py4J one
+    round-trip each (even ``F.lit(nested_list)`` does — py4j's
+    ListConverter appends element-wise), measured at ~0.7 s of driver
+    time per ≈10³-element matrix; one parsed expr is ~1 ms and yields
+    one Literal node for analysis + every Catalyst pass, not a deep
+    CreateArray tree."""
+    inner = ",".join(
+        "array(" + ",".join(f"{int(w)}L" for w in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def lsh_bucket(
+    vec_col: Column | str,
+    planes: list[list[int]],
+    scale: int = 1000,
+    impl: str = "jvm",
+) -> Column:
     """Random-hyperplane signature: bit i = sign(q · plane_i), packed
-    into an int. Vectorized numpy int64 matmul in an Arrow UDF — exact
-    integer arithmetic (|q|≤~1000·64 terms ·10⁴ ≈ 2^40 per plane, far
-    inside int64), ~100× less plan-compile + eval cost than a
-    512-term codegen expression, and the realistic kernel at 100 TB."""
-    pl = np.asarray(planes, dtype=np.int64).T  # dim × n_planes
-    weights = (2 ** np.arange(len(planes))).astype(np.int64)
+    into an int. All arithmetic is exact int64 (|q|≤~1000·64 terms
+    ·10⁴ ≈ 2^40 per plane), so the JVM fold and the numpy matmul agree
+    bit-for-bit under any summation order.
+
+    ``impl='jvm'`` (default) evaluates inside whole-stage codegen —
+    no Arrow hop, no Python worker pool, the signature stays fused
+    with the scan/join it feeds (this family was the only Arrow
+    dependency in the ANN hot path). ``impl='arrow'`` keeps the
+    vectorized numpy kernel: one n×dim @ dim×planes matmul per batch,
+    the better shape when dim·planes is large (≥~10⁴ terms/row, e.g.
+    768-dim production embeddings with 16+ planes)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if impl == "arrow":
+        pl = np.asarray(planes, dtype=np.int64).T  # dim × n_planes
+        weights = (2 ** np.arange(len(planes))).astype(np.int64)
 
-    @pandas_udf(IntegerType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # n × dim (quantized int64)
-        proj = m.astype(np.int64) @ pl  # exact
-        return pd.Series(((proj > 0) @ weights).astype(np.int32))
+        @pandas_udf(IntegerType())
+        def _bucket(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())  # n × dim (quantized int64)
+            proj = m.astype(np.int64) @ pl  # exact
+            return pd.Series(((proj > 0) @ weights).astype(np.int32))
 
-    return _bucket(quantize(c, scale))
+        return _bucket(quantize(c, scale))
+    qv = quantize(c, scale)
+    # ONE transform over a 2-D plane literal instead of n_planes
+    # unrolled folds: the expression tree is O(1) in n_planes, which
+    # keeps plan build (Py4J) + analysis time flat — at 2000-row bench
+    # scale those dominated the query (~2.5 s of driver time)
+    bits = F.transform(
+        _lit_mat(planes),
+        lambda p: F.when(dot(qv, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # pack bit i with weight 2^i: fold MSB-first as acc*2 + bit
+    return F.aggregate(
+        F.reverse(bits), F.lit(0), lambda acc, v: acc * 2 + v
+    ).cast("int")
 
 
 def lsh_ann_topk(
@@ -199,20 +240,42 @@ def load_centroids(spark, path: str) -> list[list[int]]:
     return [[int(w) for w in r["weights"]] for r in rows]
 
 
-def ivf_cell(vec_col: Column | str, centroids: list[list[int]], scale: int = 1000) -> Column:
+def _cell_entries(qv: Column, centroids: list[list[int]]) -> Column:
+    """array<struct<nd,idx>> of (negated dot, centroid index): struct
+    ordering (nd asc, idx asc) = dot desc with first-max tie-break —
+    array_min is argmax, array_sort is the probe order. One transform
+    over a 2-D centroid literal (O(1) tree, see `_lit_mat`)."""
+    return F.transform(
+        _lit_mat(centroids),
+        lambda cen, i: F.struct(
+            (-dot(qv, cen)).alias("nd"), i.alias("idx")
+        ),
+    )
+
+
+def ivf_cell(
+    vec_col: Column | str,
+    centroids: list[list[int]],
+    scale: int = 1000,
+    impl: str = "jvm",
+) -> Column:
     """Nearest-centroid cell id by max exact-int dot product; ties break
     to the lowest centroid index (first max), matching the SQL oracle's
-    CASE chain."""
-    cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
+    CASE chain. ``impl`` trade as in `lsh_bucket`: 'jvm' (default)
+    stays in whole-stage codegen; 'arrow' is the numpy-matmul kernel
+    for large dim·cells."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if impl == "arrow":
+        cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
 
-    @pandas_udf(IntegerType())
-    def _cell(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.int64)
-        dots = m @ cen  # exact
-        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))  # first max
+        @pandas_udf(IntegerType())
+        def _cell(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.int64)
+            dots = m @ cen  # exact
+            return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
-    return _cell(quantize(c, scale))
+        return _cell(quantize(c, scale))
+    return F.array_min(_cell_entries(quantize(c, scale), centroids))["idx"]
 
 
 def ivf_probe_cells(
@@ -220,23 +283,30 @@ def ivf_probe_cells(
     centroids: list[list[int]],
     nprobe: int = 1,
     scale: int = 1000,
+    impl: str = "jvm",
 ) -> Column:
     """Top-``nprobe`` nearest cells by exact-int dot product, nearest
-    first, ties to the lower centroid index (stable argsort — matches
-    ivf_cell's first-max rule for the top cell). Query-side fan-out
-    only: the corpus index stays single-celled."""
-    cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
+    first, ties to the lower centroid index (matches ivf_cell's
+    first-max rule for the top cell). Query-side fan-out only: the
+    corpus index stays single-celled. ``impl`` trade as in
+    `lsh_bucket`."""
     n = min(nprobe, len(centroids))
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if impl == "arrow":
+        cen = np.asarray(centroids, dtype=np.int64).T  # dim × cells
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def _cells(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.int64)
-        dots = m @ cen  # exact
-        order = np.argsort(-dots, axis=1, kind="stable")[:, :n].astype(np.int32)
-        return pd.Series(list(order))
+        @pandas_udf(ArrayType(IntegerType()))
+        def _cells(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.int64)
+            dots = m @ cen  # exact
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n].astype(
+                np.int32
+            )
+            return pd.Series(list(order))
 
-    return _cells(quantize(c, scale))
+        return _cells(quantize(c, scale))
+    ordered = F.array_sort(_cell_entries(quantize(c, scale), centroids))
+    return F.transform(F.slice(ordered, 1, n), lambda s: s["idx"])
 
 
 def ivf_ann_topk(
@@ -306,45 +376,65 @@ def hyperplane_tables(
 
 
 def lsh_table_buckets(
-    vec_col: Column | str, tables: list[list[list[int]]], scale: int = 1000
+    vec_col: Column | str,
+    tables: list[list[list[int]]],
+    scale: int = 1000,
+    impl: str = "jvm",
 ) -> Column:
     """array<struct<tbl:int, bucket:int>> — the vector's bucket in every
-    table, computed in ONE Arrow pass: all L·bits planes stack into a
-    single int64 matmul, then each table's sign-block packs to its
-    bucket id. Explode + equi-join on (tbl, bucket) downstream."""
-    from pyspark.sql.types import StructField, StructType
-
-    bits = len(tables[0])
-    all_planes = np.asarray(
-        [p for tbl in tables for p in tbl], dtype=np.int64
-    ).T  # dim × (L·bits)
-    weights = (2 ** np.arange(bits)).astype(np.int64)
-    n_tables = len(tables)
+    table. Explode + equi-join on (tbl, bucket) downstream. ``impl``
+    trade as in `lsh_bucket`: 'jvm' (default) packs each table's sign
+    block in whole-stage codegen; 'arrow' stacks all L·bits planes
+    into one numpy matmul per batch for large dim·L·bits."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if impl == "arrow":
+        from pyspark.sql.types import StructField, StructType
 
-    out_t = ArrayType(
-        StructType(
-            [StructField("tbl", IntegerType()), StructField("bucket", IntegerType())]
+        bits = len(tables[0])
+        all_planes = np.asarray(
+            [p for tbl in tables for p in tbl], dtype=np.int64
+        ).T  # dim × (L·bits)
+        weights = (2 ** np.arange(bits)).astype(np.int64)
+        n_tables = len(tables)
+
+        out_t = ArrayType(
+            StructType(
+                [
+                    StructField("tbl", IntegerType()),
+                    StructField("bucket", IntegerType()),
+                ]
+            )
         )
-    )
 
-    @pandas_udf(out_t)
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.int64)
-        proj = m @ all_planes  # exact int64
-        signs = proj > 0
-        per_table = [
-            (signs[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
-            for t in range(n_tables)
-        ]
-        return pd.Series(
-            [
-                [{"tbl": t, "bucket": int(per_table[t][i])} for t in range(n_tables)]
-                for i in range(len(m))
+        @pandas_udf(out_t)
+        def _buckets(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.int64)
+            proj = m @ all_planes  # exact int64
+            signs = proj > 0
+            per_table = [
+                (signs[:, t * bits : (t + 1) * bits] @ weights).astype(np.int32)
+                for t in range(n_tables)
             ]
-        )
+            return pd.Series(
+                [
+                    [
+                        {"tbl": t, "bucket": int(per_table[t][i])}
+                        for t in range(n_tables)
+                    ]
+                    for i in range(len(m))
+                ]
+            )
 
-    return _buckets(quantize(c, scale))
+        return _buckets(quantize(c, scale))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(c, tbl, scale).alias("bucket"),
+            )
+            for t, tbl in enumerate(tables)
+        ]
+    )
 
 
 def embedding_neardup_pairs_multitable(

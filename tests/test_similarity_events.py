@@ -438,3 +438,41 @@ def test_asof_bucketed_partitions_by_key_and_bucket(spark):
         .toString()
     )
     assert "hashpartitioning(user_id" in plan and "__bucket" in plan
+
+
+def test_jvm_and_arrow_kernels_agree(spark):
+    """The codegen (default) and Arrow (large-dim) implementations of
+    every ANN kernel are exact-int twins — same buckets, cells, probe
+    orders on random vectors, bit for bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = similarity.hyperplanes(64, 8, 42)
+    cents = similarity.ivf_centroids(64, 8, 7)
+    tables = similarity.hyperplane_tables(64, 2, 6, 42)
+    got = df.select(
+        "vec_id",
+        similarity.lsh_bucket("embedding", planes).alias("b_j"),
+        similarity.lsh_bucket("embedding", planes, impl="arrow").alias("b_a"),
+        similarity.ivf_cell("embedding", cents).alias("c_j"),
+        similarity.ivf_cell("embedding", cents, impl="arrow").alias("c_a"),
+        similarity.ivf_probe_cells("embedding", cents, nprobe=3).alias("p_j"),
+        similarity.ivf_probe_cells(
+            "embedding", cents, nprobe=3, impl="arrow"
+        ).alias("p_a"),
+        similarity.lsh_table_buckets("embedding", tables).alias("t_j"),
+        similarity.lsh_table_buckets("embedding", tables, impl="arrow").alias(
+            "t_a"
+        ),
+    ).collect()
+    for r in got:
+        assert r["b_j"] == r["b_a"]
+        assert r["c_j"] == r["c_a"]
+        assert list(r["p_j"]) == list(r["p_a"])
+        assert [(s["tbl"], s["bucket"]) for s in r["t_j"]] == [
+            (s["tbl"], s["bucket"]) for s in r["t_a"]
+        ]
