@@ -720,13 +720,10 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_tokens,
         q_compression_gate,
         q_distinct_rollup,
-        q_funnel,
-        q_gapfill,
         q_heavy_hitters,
         q_kmeans_clusters,
         q_mixture_sample,
         q_profile_docs,
-        q_retention,
         q_semantic_dedup,
         q_term_search,
     )
@@ -753,9 +750,8 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         # zlib float surface is library-specific; exact differential in pytest
         "compression_gate": q_compression_gate,
-        # exact (DuckDB-pinned in pytest); rows-only: oracle window full
-        "gapfill": q_gapfill,
+        # exact (DuckDB-pinned in pytest); rows-only: oracle window full.
+        # gapfill / funnel / retention were promoted to recorded slots
+        # in r6 (window consolidation); term_search stays rows-only.
         "term_search": q_term_search,
-        "funnel": q_funnel,
-        "retention": q_retention,
     }

@@ -520,6 +520,136 @@ def q_retention(spark, sf_dir):
     return events.retention_cohorts(_t(spark, sf_dir, "events"), period="day")
 
 
+# ---------------------------------------------------------------------------
+# r6 window consolidation: labeled unions freeing recorded slots, and
+# the promotions that take them (VERDICT r5 items #3 and #5)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_gates(spark, sf_dir):
+    """PII audit+redaction, source blocklist, and the C4/Gopher quality
+    gate as ONE labeled union — three document-cleaning rails in one
+    registry slot (each leg is the former standalone recorded query,
+    unchanged; the freed slots let funnel/retention/gapfill/
+    versioned_snapshot earn driver-checked rows)."""
+    pii = q_pii_redact(spark, sf_dir).select(
+        F.lit("pii").alias("leg"),
+        "doc_id",
+        F.col("n_email").cast("long").alias("n1"),
+        F.col("n_ipv4").cast("long").alias("n2"),
+        F.col("text_redacted").alias("s"),
+    )
+    bl = q_blocklist_filter(spark, sf_dir).select(
+        F.lit("blocklist").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("source").alias("s"),
+    )
+    gate = q_quality_gate(spark, sf_dir).select(
+        F.lit("gate").alias("leg"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n1"),
+        F.col("n_chars").cast("long").alias("n2"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return pii.unionByName(bl).unionByName(gate)
+
+
+def q_contamination_audit(spark, sf_dir):
+    """Benchmark decontamination, doc-level flags + span-level redact
+    ranges, as one labeled union (former `contamination` +
+    `contamination_spans` recorded queries)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flag = text.contamination(docs, bench).select(
+        F.lit("flag").alias("leg"),
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("contaminated").alias("flag"),
+    )
+    spans = text.contamination_spans(docs, bench).select(
+        F.lit("spans").alias("leg"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return flag.unionByName(spans)
+
+
+def q_funnel_retention(spark, sf_dir):
+    """Event analytics, promoted to the recorded window (r6): the
+    3-step ordered funnel (view→click→purchase completion histogram)
+    and the daily retention cohort matrix as one labeled union."""
+    e = _t(spark, sf_dir, "events")
+    fun = (
+        events.funnel_analysis(e, ["view", "click", "purchase"])
+        .groupBy("n_steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit("funnel").alias("leg"),
+            F.lit(None).cast("timestamp").alias("cohort"),
+            F.col("n_steps_completed").cast("long").alias("k"),
+            F.col("n_users").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("rate"),
+        )
+    )
+    ret = events.retention_cohorts(e, period="day").select(
+        F.lit("retention").alias("leg"),
+        "cohort",
+        F.col("period_offset").alias("k"),
+        F.col("n_active").alias("n1"),
+        F.col("n_cohort").alias("n2"),
+        F.col("retention_rate").alias("rate"),
+    )
+    return fun.unionByName(ret)
+
+
+def q_versioned_snapshot(spark, sf_dir):
+    """The versioned parquet table on the driver-checked path
+    (sinks/versioned.py): build a commit history from customer subsets
+    — append (v1) → file-granularity upsert (v2) → predicate delete
+    (v3) — in a fresh temp table, then read BOTH the pre-delete
+    snapshot (time travel to v2) and the latest state as one labeled
+    union. The oracle replays the same key-value history in pure SQL,
+    so snapshot isolation, upsert last-write-wins, and NULL-safe
+    delete semantics are all hash-checked."""
+    import tempfile
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append,
+        commit_delete,
+        commit_upsert,
+        init_versioned,
+        read_versioned,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    path = tempfile.mkdtemp(prefix="gedixr_vsnap_") + "/t"
+    init_versioned(spark, path)
+    commit_append(spark, path, base)
+    upd = base.filter(F.col("c_custkey") % 8 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    commit_upsert(spark, path, upd, keys=["c_custkey"])
+    commit_delete(spark, path, F.col("c_nationkey") == 3)
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    v2 = read_versioned(spark, path, version=2).select(
+        F.lit("v2").alias("snap"), *cols
+    )
+    latest = read_versioned(spark, path).select(
+        F.lit("latest").alias("snap"), *cols
+    )
+    return v2.unionByName(latest)
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and
@@ -1736,6 +1866,114 @@ def build_oracles() -> dict[str, str]:
             SELECT doc_id, n_tokens, pack_group, seq_id FROM packed
         """,
     }
+
+    # --- r6 window consolidation -----------------------------------------
+    # Merge the five standalone doc-cleaning oracles into two labeled
+    # unions (their SQL bodies are reused verbatim as subqueries), then
+    # spend the freed recorded slots on funnel/retention, gapfill, and
+    # the versioned-table snapshot.
+    oracles["doc_gates"] = f"""
+        SELECT 'pii' AS leg, doc_id, CAST(n_email AS BIGINT) AS n1,
+               CAST(n_ipv4 AS BIGINT) AS n2, text_redacted AS s
+        FROM ({oracles.pop('pii_redact')})
+        UNION ALL
+        SELECT 'blocklist', doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), source
+        FROM ({oracles.pop('blocklist_filter')})
+        UNION ALL
+        SELECT 'gate', doc_id, CAST(n_tokens AS BIGINT),
+               CAST(n_chars AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM ({oracles.pop('quality_gate')})
+    """
+    oracles["contamination_audit"] = f"""
+        SELECT 'flag' AS leg, doc_id, CAST(n_overlap AS BIGINT) AS a,
+               CAST(NULL AS BIGINT) AS b, contaminated AS flag
+        FROM ({oracles.pop('contamination')})
+        UNION ALL
+        SELECT 'spans', doc_id, CAST(span_start AS BIGINT),
+               CAST(span_end AS BIGINT), CAST(NULL AS BOOLEAN)
+        FROM ({oracles.pop('contamination_spans')})
+    """
+    oracles["funnel_retention"] = """
+        WITH s0 AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), s1 AS (
+          SELECT s0.user_id, t0,
+                 (SELECT min(ts) FROM events e
+                  WHERE e.user_id = s0.user_id AND e.event_type = 'click'
+                    AND e.ts > s0.t0) AS t1
+          FROM s0
+        ), s2 AS (
+          SELECT s1.user_id, t0, t1,
+                 (SELECT min(ts) FROM events e
+                  WHERE e.user_id = s1.user_id AND e.event_type = 'purchase'
+                    AND e.ts > s1.t1) AS t2
+          FROM s1
+        ), fun AS (
+          SELECT 1 + CAST(t1 IS NOT NULL AS INTEGER)
+                   + CAST(t2 IS NOT NULL AS INTEGER) AS n_steps
+          FROM s2
+        ),
+        act AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events
+        ), first AS (
+          SELECT user_id, min(p) AS cohort FROM act GROUP BY 1
+        ), sizes AS (
+          SELECT cohort, count(*) AS n_cohort FROM first GROUP BY 1
+        ), ret AS (
+          SELECT f.cohort, CAST(date_diff('day', f.cohort, a.p) AS BIGINT) AS k,
+                 count(DISTINCT a.user_id) AS n_active,
+                 any_value(s.n_cohort) AS n_cohort
+          FROM act a JOIN first f USING (user_id)
+          JOIN sizes s ON f.cohort = s.cohort
+          GROUP BY 1, 2
+        )
+        SELECT 'funnel' AS leg, CAST(NULL AS TIMESTAMP) AS cohort,
+               CAST(n_steps AS BIGINT) AS k, count(*) AS n1,
+               CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS rate
+        FROM fun GROUP BY n_steps
+        UNION ALL
+        SELECT 'retention', CAST(cohort AS TIMESTAMP), k, n_active, n_cohort,
+               CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+        FROM ret
+    """
+    oracles["gapfill"] = """
+        WITH obs AS (
+            SELECT user_id,
+                   to_timestamp((epoch_us(ts) - epoch_us(ts) % 21600000000)
+                                / 1000000)::timestamp AS bucket,
+                   max_by(value, ts) AS last_value,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        ), spans AS (
+            SELECT user_id, min(bucket) lo, max(bucket) hi FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 360 MINUTE)) AS bucket
+            FROM spans
+        )
+        SELECT g.user_id, g.bucket,
+               last_value(o.last_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS UNBOUNDED PRECEDING) AS value_locf,
+               coalesce(o.n_events, 0) AS n_events,
+               o.last_value IS NULL AS filled
+        FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    """
+    oracles["versioned_snapshot"] = """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 8 = 0 THEN 'UPDATED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 4 = 0
+        )
+        SELECT 'v2' AS snap, c_custkey, c_nationkey, c_mktsegment FROM base
+        UNION ALL
+        SELECT 'latest', c_custkey, c_nationkey, c_mktsegment FROM base
+        WHERE c_nationkey <> 3
+    """
     return oracles
 
 
@@ -1756,11 +1994,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_spans": q_substring_dedup_spans,
         "segment_dedup": q_segment_dedup,
         "repetition": q_repetition,
-        "contamination": q_contamination,
-        "contamination_spans": q_contamination_spans,
-        "pii_redact": q_pii_redact,
-        "blocklist_filter": q_blocklist_filter,
-        "quality_gate": q_quality_gate,
+        # r6 consolidation: contamination+spans and pii/blocklist/gate
+        # merged into labeled unions (legs unchanged), freeing three
+        # recorded slots for the promotions at the end of this dict
+        "contamination_audit": q_contamination_audit,
+        "doc_gates": q_doc_gates,
         "term_rankings": q_term_rankings,
         "text_features": q_text_features,
         "cosine_topk": q_cosine_topk,
@@ -1778,6 +2016,11 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": q_top_users,
         "binary_payload_meta": q_binary_payload_meta,
         "pack_sequences": q_pack_sequences,
+        # r6 promotions into the freed slots: previously rows-only
+        # exact queries (+ the versioned table's first driver row)
+        "funnel_retention": q_funnel_retention,
+        "gapfill": q_gapfill,
+        "versioned_snapshot": q_versioned_snapshot,
     }
 
 

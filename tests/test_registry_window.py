@@ -65,10 +65,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "profile_docs",
         "heavy_hitters",
         "compression_gate",
-        "gapfill",
         "term_search",
-        "funnel",
-        "retention",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
