@@ -1051,6 +1051,56 @@ def ivf_pq_ann_topk(
 # extension surface beside the lexical dedup family in operators/dedup.
 
 
+def _enforce_cluster_bound(
+    v: DataFrame,
+    max_cluster: int | None,
+    sub_bucket_bits: int,
+) -> DataFrame:
+    """Bound semantic dedup's per-cluster quadratic (the same failure
+    ``ngram_jaccard_pairs`` guards with ``max_docs``): a skewed k-means
+    — one mega-cluster — would silently make the within-cluster
+    self-join O(n²).
+
+    ``sub_bucket_bits > 0`` shards every cluster by an LSH sub-key
+    (hyperplane signature over the already-quantized vectors), cutting
+    occupancy ~2^bits at a recall cost only for cross-sub-bucket pairs
+    — the composition the SemDeDup docstring prescribes, now
+    mechanical. ``max_cluster`` then ENFORCES the bound: one k-row
+    count, and any (sub-)cluster above the cap raises naming both
+    remedies. All-identical vectors defeat LSH sub-bucketing (same
+    signature by construction), so the count check runs after
+    sharding too — the degenerate fixture raises instead of silently
+    going quadratic."""
+    if sub_bucket_bits:
+        dim = len(v.select("__v").first()["__v"])
+        planes = hyperplanes(dim, sub_bucket_bits, seed=99)
+        v = v.withColumn(
+            "cluster",
+            F.concat(
+                F.col("cluster").cast("string"),
+                F.lit("_"),
+                lsh_bucket(F.col("__v"), planes, scale=1).cast("string"),
+            ),
+        )
+    if max_cluster is not None:
+        top = (
+            v.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        if top and top > max_cluster:
+            raise ValueError(
+                f"largest semantic-dedup cluster holds {top} vectors "
+                f"(> max_cluster={max_cluster}); its self-join would be "
+                f"quadratic. Raise k (target k ≈ n/cluster_size), pass "
+                f"sub_bucket_bits to shard clusters by an LSH sub-key "
+                f"(recall trade), or raise max_cluster if the blow-up "
+                f"is intended."
+            )
+    return v
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     k: int = 8,
@@ -1059,6 +1109,8 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
+    max_cluster: int | None = 100_000,
+    sub_bucket_bits: int = 0,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: k-means the corpus
     (``clustering.kmeans_fit`` — deterministic init, k×dim driver
@@ -1069,15 +1121,17 @@ def semantic_dedup_pairs(
     Scale: the self-join is keyed on the cluster id, so the quadratic
     term is per-cluster — pick k ≈ n/target_cluster_size to bound it
     (SemDeDup used 110k clusters for LAION-scale). Quantized vectors do
-    ride this join (scoring needs them); at 100 TB shard oversized
-    clusters by an LSH sub-key first (``lsh_bucket`` composes directly)
-    the same way embedding_neardup_pairs_multitable buckets globally."""
+    ride this join (scoring needs them). ``max_cluster`` /
+    ``sub_bucket_bits`` ENFORCE the bound (see
+    `_enforce_cluster_bound`) — a skewed fit fails loudly instead of
+    silently going quadratic."""
     _, assigned = kmeans_fit(
         df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
     v = df.select(
         F.col(id_col), quantize(vec_col, scale).alias("__v")
     ).join(assigned.select(id_col, "cluster"), id_col)
+    v = _enforce_cluster_bound(v, max_cluster, sub_bucket_bits)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
     )
@@ -1135,9 +1189,13 @@ def semantic_dedup(
     id_col: str = "vec_id",
     scale: int = 1000,
     keep: str = "min_id",
+    max_cluster: int | None = 100_000,
+    sub_bucket_bits: int = 0,
 ) -> DataFrame:
     """End-to-end SemDeDup: cluster → within-cluster pairs → connected
-    components → survivor per component → anti-join. ``keep``:
+    components → survivor per component → anti-join. ``max_cluster`` /
+    ``sub_bucket_bits`` bound the within-cluster quadratic (see
+    `_enforce_cluster_bound`). ``keep``:
 
     - ``"min_id"``: deterministic arbitrary survivor (cluster_id
       holder), zero extra passes;
@@ -1160,6 +1218,7 @@ def semantic_dedup(
     v = df.select(F.col(id_col), quantize(vec_col, scale).alias("__v")).join(
         assigned.select(id_col, "cluster"), id_col
     )
+    v = _enforce_cluster_bound(v, max_cluster, sub_bucket_bits)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
     )

@@ -129,3 +129,42 @@ def test_component_stats_histogram(spark):
     clusters = dedup.dedup_clusters(pairs)
     got = {r["size"]: (r["n_components"], r["n_docs"]) for r in dedup.component_stats(clusters).collect()}
     assert got == {4: (1, 4), 2: (2, 4)}
+
+
+def test_degenerate_mega_cluster_raises_with_named_alternative(spark):
+    """All-identical vectors collapse into one k-means cluster (and
+    one LSH sub-bucket — the sub-key can't split identical vectors),
+    so the within-cluster join would go quadratic; the max_cluster
+    guard must fail loudly naming the remedies instead."""
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="sub_bucket_bits"):
+        sim.semantic_dedup_pairs(df, k=4, max_cluster=20)
+    with pytest.raises(ValueError, match="max_cluster"):
+        sim.semantic_dedup(df, k=4, max_cluster=20)
+    # identical vectors share every hyperplane sign: sharding cannot
+    # split them, and the post-shard count still trips the guard
+    with pytest.raises(ValueError, match="max_cluster"):
+        sim.semantic_dedup_pairs(df, k=4, max_cluster=20, sub_bucket_bits=4)
+
+
+def test_sub_bucket_shards_skewed_but_distinct_vectors(spark):
+    """Distinct vectors in one hot cluster: LSH sub-bucketing splits
+    the occupancy below the cap, and surviving pairs are a subset of
+    the unguarded result (recall trade, never false positives)."""
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in sim.semantic_dedup_pairs(
+            df, k=1, threshold=-1.0, max_cluster=None
+        ).collect()
+    }
+    sharded = {
+        (r["id_a"], r["id_b"])
+        for r in sim.semantic_dedup_pairs(
+            df, k=1, threshold=-1.0, max_cluster=45, sub_bucket_bits=3
+        ).collect()
+    }
+    assert sharded <= full and sharded
