@@ -153,31 +153,76 @@ def _replay_base(
     )
 
 
-def _atomic_create(spark: SparkSession, full_path: str, payload: bytes) -> bool:
-    """Exclusive-create ``full_path`` with ``payload``; False if it
-    already exists (the optimistic-concurrency loser's signal)."""
-    local = _strip_scheme(full_path)
-    if "://" not in full_path or full_path.startswith("file://"):
-        # local filesystem: O_CREAT|O_EXCL is the atomic primitive
+class CommitGuard:
+    """Commit-atomicity provider: create ``full_path`` with ``payload``
+    IF AND ONLY IF it does not exist, atomically; return False when it
+    already exists (the optimistic-concurrency loser's signal).
+
+    This is the one primitive the whole commit protocol rests on — the
+    same seam Delta calls a LogStore. The default `FsCommitGuard`
+    covers local (O_CREAT|O_EXCL) and HDFS-like stores
+    (create(overwrite=false)). Object stores whose plain PUT is
+    last-write-wins (pre-conditional-write S3) CANNOT implement this
+    with exists-then-put — two racing writers both see absent and both
+    "win", and one commit is silently lost (the race is reproduced in
+    tests/test_versioned.py with a fake store). Deploying there means
+    injecting a guard backed by an atomic primitive: conditional PUT
+    (``If-None-Match: *``), a DynamoDB/ZooKeeper lock row, or a
+    database unique-key insert. Install with `set_commit_guard`."""
+
+    def try_create(
+        self, spark: SparkSession, full_path: str, payload: bytes
+    ) -> bool:
+        raise NotImplementedError
+
+
+class FsCommitGuard(CommitGuard):
+    """Default guard: local O_EXCL / Hadoop create(overwrite=false)."""
+
+    def try_create(
+        self, spark: SparkSession, full_path: str, payload: bytes
+    ) -> bool:
+        local = _strip_scheme(full_path)
+        if "://" not in full_path or full_path.startswith("file://"):
+            # local filesystem: O_CREAT|O_EXCL is the atomic primitive
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            return True
+        # HDFS-like: create(path, overwrite=false) throws if present
+        fs, _ = _hadoop_fs(spark, full_path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(full_path)
         try:
-            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
+            out = fs.create(jpath, False)
+        except Exception:
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
         return True
-    # HDFS-like: create(path, overwrite=false) throws if present
-    fs, _ = _hadoop_fs(spark, full_path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(full_path)
-    try:
-        out = fs.create(jpath, False)
-    except Exception:
-        return False
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    return True
+
+
+_COMMIT_GUARD: CommitGuard = FsCommitGuard()
+
+
+def set_commit_guard(guard: CommitGuard) -> CommitGuard:
+    """Install the process-wide commit guard (see `CommitGuard`);
+    returns the previous one so callers can restore it."""
+    global _COMMIT_GUARD
+    prev = _COMMIT_GUARD
+    _COMMIT_GUARD = guard
+    return prev
+
+
+def _atomic_create(spark: SparkSession, full_path: str, payload: bytes) -> bool:
+    """Exclusive-create ``full_path`` via the active `CommitGuard`;
+    False if it already exists (the optimistic-concurrency loser's
+    signal)."""
+    return _COMMIT_GUARD.try_create(spark, full_path, payload)
 
 
 def init_versioned(spark: SparkSession, path: str) -> dict:

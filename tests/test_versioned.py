@@ -684,3 +684,65 @@ def test_bloom_probe_casts_literal_to_column_type(spark, table):
     keep, total = files_for_point(spark, table, "d", 1)  # int probe
     assert keep and total == 1
     assert [r["k"] for r in read_point(spark, table, "d", 1).collect()] == [1]
+
+
+def test_commit_guard_seam_and_object_store_race(spark, tmp_path):
+    """The commit protocol's atomicity rests on one injectable
+    primitive (CommitGuard). (a) Every log-entry create goes through
+    the installed guard. (b) A last-write-wins object store WITHOUT a
+    conditional primitive loses a commit under the exists-then-put
+    idiom — the race the guard interface exists to prevent — while a
+    conditional-PUT guard admits exactly one winner."""
+    from gedixr_spark.sinks.versioned import (
+        CommitGuard, FsCommitGuard, set_commit_guard,
+    )
+
+    # (a) injection: a counting wrapper sees every commit
+    class Counting(CommitGuard):
+        def __init__(self):
+            self.calls = []
+            self.inner = FsCommitGuard()
+
+        def try_create(self, spark, full_path, payload):
+            self.calls.append(full_path)
+            return self.inner.try_create(spark, full_path, payload)
+
+    counting = Counting()
+    prev = set_commit_guard(counting)
+    try:
+        path = str(tmp_path / "guarded")
+        init_versioned(spark, path)
+        commit_append(spark, path, _mk(spark, [(1, "a")]))
+    finally:
+        set_commit_guard(prev)
+    assert len(counting.calls) == 2  # create + append
+    assert all(c.endswith(".json") for c in counting.calls)
+
+    # (b) fake object store: plain PUT is last-write-wins
+    store: dict[str, bytes] = {}
+
+    def naive_try_create(path, payload):
+        # exists-then-put — NOT atomic: both racers pass the check
+        if path in store:
+            return False
+        store[path] = payload
+        return True
+
+    def conditional_try_create(path, payload):
+        # conditional PUT (If-None-Match: *): atomic create-if-absent
+        return store.setdefault(path, payload) is payload
+
+    # interleaved race: writer A and B both check before either puts
+    store.clear()
+    a_sees_absent = "v1" not in store
+    b_sees_absent = "v1" not in store
+    store["v1"] = b"A"          # A's put
+    store["v1"] = b"B"          # B's put overwrites — A's commit LOST
+    assert a_sees_absent and b_sees_absent and store["v1"] == b"B"
+
+    # same interleaving through the conditional primitive: one winner
+    store.clear()
+    a_won = conditional_try_create("v1", b"A")
+    b_won = conditional_try_create("v1", b"B")
+    assert a_won and not b_won and store["v1"] == b"A"
+    assert naive_try_create("v2", b"C")  # and the naive path still "works" solo
