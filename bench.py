@@ -36,6 +36,21 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).count()
     if "spatial_join_holed" in qs:
         qs["spatial_join_holed"](spark, sf_dir).count()
+    # warm the WHOLE Arrow worker pool, not just one worker: a trivial
+    # pandas_udf over one partition per core spins up every Python
+    # worker the pool will reuse, so the first pandas_udf query in the
+    # run doesn't pay 32× worker spin-up (r5 driver record showed the
+    # Arrow family 2-3s over its steady state; VERDICT r5 #2a)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_pool(x):
+        return x
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(100_000, numPartitions=n_cpus).select(
+        _warm_pool("id")
+    ).count()
     # warm EVERY base table the queries touch (lineitem-derived views are
     # warmed above): first-touch parquet IO showed up as 5-13 s spread on
     # dedup_exact (cold documents.parquet) in the r4 driver run

@@ -719,6 +719,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bloom_join,
         q_bpe_tokens,
         q_compression_gate,
+        q_edit_distance,
         q_distinct_rollup,
         q_heavy_hitters,
         q_kmeans_clusters,
@@ -754,4 +755,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gapfill / funnel / retention were promoted to recorded slots
         # in r6 (window consolidation); term_search stays rows-only.
         "term_search": q_term_search,
+        # r6: FastSS edit-distance join — exact+complete, DuckDB
+        # brute-force differential in pytest; rows-only (window full)
+        "edit_distance": q_edit_distance,
     }

@@ -650,6 +650,23 @@ def q_versioned_snapshot(spark, sf_dir):
     return v2.unionByName(latest)
 
 
+def q_edit_distance(spark, sf_dir):
+    """FastSS deletion-neighborhood edit-distance join (dedup.
+    edit_distance_pairs, k=1) over short keys derived from documents
+    (first 12 normalized chars, 500-doc slice — the operator is for
+    short fields; max_len guards the blow-up). Exact and complete
+    (pigeonhole, no false negatives); DuckDB brute-force differential
+    in tests/test_edit_distance.py; rows-only (oracle window full)."""
+    from gedixr_spark.operators.dedup import edit_distance_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.substring("text", 1, 12).alias("text"))
+    )
+    return edit_distance_pairs(docs, max_dist=1, max_len=16)
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

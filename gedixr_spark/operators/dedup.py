@@ -718,3 +718,103 @@ def component_stats(clusters: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("size"))
     )
+
+
+# --- FastSS edit-distance near-dup join ------------------------------------
+# Deletion-neighborhood blocking (Bocek et al. 2007, "Fast Similarity
+# Search in Large Dictionaries"): two strings with edit distance <= k
+# share at least one member of their k-deletion neighborhoods, so the
+# candidate set is an EQUI-join on deletion variants — no all-pairs
+# scan — and candidates verify with the JVM levenshtein builtin.
+# The lexical twin of minhash/simhash for SHORT fields (titles,
+# names, codes): the neighborhood is O(len^k) per string, hence the
+# max_len guard. No reference counterpart; §7.4 extension surface.
+
+
+def deletion_variants(col: Column | str, max_dist: int = 1) -> Column:
+    """All strings reachable by deleting up to ``max_dist`` chars from
+    the NORMALIZED input (the string itself included), distinct. Pure
+    column math: one sequence+transform round per deletion level,
+    flattened and deduped — O(len^max_dist) variants, all JVM-side."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    s = normalized_text(col)
+
+    def one_level(c: Column) -> Column:
+        # every string in c with one char deleted
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    c,
+                    lambda v: F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length(v), F.lit(1))),
+                        lambda i: F.concat(
+                            F.substring(v, F.lit(1), i - 1),
+                            F.substr(v, i + 1, F.length(v)),
+                        ),
+                    ),
+                )
+            )
+        )
+
+    level0 = F.array(s)
+    out = level0
+    prev = level0
+    for _ in range(max_dist):
+        prev = one_level(prev)
+        out = F.array_distinct(F.concat(out, prev))
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, dist) for all pairs with levenshtein distance of
+    the normalized strings <= ``max_dist`` (id_a < id_b, each pair
+    once). COMPLETE by the deletion-neighborhood pigeonhole — unlike
+    LSH there are no false negatives; the equi-join on variants only
+    bounds the candidate set.
+
+    Scale shape: explode to O(len^max_dist) signature rows per doc,
+    ONE equi-join on the signature (ids only ride it), distinct, then
+    exact `levenshtein` verification in whole-stage codegen against
+    the two normalized strings. ``max_len`` guards the neighborhood
+    blow-up the same way ngram_jaccard_pairs' max_docs guards its
+    quadratic: strings longer than it raise, naming the right tool
+    (minhash_lsh_neardup for long texts)."""
+    s = df.select(F.col(id_col), normalized_text(text_col).alias("__s"))
+    too_long = s.filter(F.length("__s") > max_len).limit(1).collect()
+    if too_long:
+        raise ValueError(
+            f"edit_distance_pairs saw a normalized string longer than "
+            f"max_len={max_len} (doc {too_long[0][id_col]}); the deletion "
+            f"neighborhood is O(len^{max_dist}) per row. Use "
+            f"minhash_lsh_neardup/simhash_neardup_pairs for long texts, "
+            f"or raise max_len deliberately."
+        )
+    sigs = s.select(
+        id_col, F.explode(deletion_variants(F.col("__s"), max_dist)).alias("__v")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, on="__v")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -115,6 +115,16 @@ def _lit_mat(rows: list[list[int]]) -> Column:
     return F.expr(f"array({inner})")
 
 
+def _lit_fmat(rows: list[list[float]]) -> Column:
+    """Float twin of `_lit_mat`: array<array<double>> plan constant
+    from one parsed expr (repr() round-trips doubles exactly; the D
+    suffix pins the SQL literal type)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(w)!r}D" for w in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def lsh_bucket(
     vec_col: Column | str,
     planes: list[list[int]],
@@ -943,9 +953,7 @@ def train_ivf_pq(
     ×10000-scaled integer codebooks then drive the exact-int encode."""
     cell = ivf_cell(vec_col, centroids)
     cen_rows = [[float(w) / 10000.0 for w in c] for c in centroids]
-    cen_map = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in cen_rows]
-    )
+    cen_map = _lit_fmat(cen_rows)
     residual = F.zip_with(
         F.col(vec_col),
         F.element_at(cen_map, cell + 1),
@@ -1167,7 +1175,7 @@ def centroid_similarity(
     cen_q = [
         [int(round(float(x) * scale)) for x in row] for row in np.asarray(centroids)
     ]
-    cen_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cen_q])
+    cen_lit = _lit_mat(cen_q)
     v = df.select(F.col(id_col), quantize(vec_col, scale).alias("__v")).join(
         assigned.select(id_col, "cluster"), id_col
     )

@@ -66,6 +66,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "heavy_hitters",
         "compression_gate",
         "term_search",
+        "edit_distance",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
