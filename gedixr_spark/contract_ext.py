@@ -631,6 +631,7 @@ def q_versioned_snapshot(spark, sf_dir):
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 4 == 0)
         .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .coalesce(4)  # compaction-sized commits: 4 files, not 32
     )
     path = tempfile.mkdtemp(prefix="gedixr_vsnap_") + "/t"
     init_versioned(spark, path)

@@ -549,3 +549,121 @@ def update_quantile_store(
         k=k,
         sketch_col=sketch_col,
     )
+
+
+# --- KMV distinct sketch: mergeable set-OPERATION estimates ----------------
+# Fifth family: HLL union-rollups (distinct_sketches) cannot answer
+# INTERSECTION questions — "how many users did segments A and B
+# share", "what fraction of corpus A's shingles appear in B" — because
+# HLL state only unions. The KMV bottom-k sketch over distinct VALUE
+# hashes can (Beyer et al. 2007, "On synopses for distinct-value
+# estimation under multiset operations"): the k smallest hashes are a
+# uniform sample of the distinct values, so
+#   union:        bottom-k of the two sketches' union, estimated as
+#                 (k-1) / h_(k) in normalized hash space;
+#   jaccard:      fraction of the COMBINED bottom-k present in both;
+#   intersection: jaccard × union.
+# Merge is exact (bottom-k of a union == bottom-k of the parts'
+# bottom-ks), so per-partition/per-day sketches roll up losslessly —
+# the cross-corpus overlap audit at 100 TB is sketch-sized arithmetic,
+# never a join of the corpora.
+
+
+_KMV_SPAN = float(1 << 64)
+
+
+def kmv_distinct_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: sorted array of the k smallest DISTINCT
+    xxhash64 values of ``value_col`` (cast to string — the canonical
+    cast rule: build and any probe must hash the same bytes). One
+    groupBy shuffle; state is ≤ k longs per group."""
+    if k < 8:
+        raise ValueError(f"k must be >= 8 (got {k})")
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.lit("kmvset"), F.col(value_col).cast("string"))
+    # dedupe values, then RANK-FILTER to k before any collect — a
+    # billion-distinct group must never materialize its full hash set
+    # in one aggregation buffer (same discipline as quantile_sketches)
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col("__h").asc()
+    )
+    return (
+        df.select(*keys, h.alias("__h"))
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("__h")).alias(sketch_col))
+    )
+
+
+def kmv_merge_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    k: int = 256,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Roll KMV sketches to coarser groups (``keys=[]`` = grand
+    total): union member arrays, keep the k smallest distinct hashes.
+    EXACTLY equals the direct sketch of the union (identity
+    test-pinned)."""
+    agg = F.expr(
+        f"slice(array_sort(array_distinct(flatten("
+        f"collect_list({sketch_col})))), 1, {k})"
+    ).alias(sketch_col)
+    return df.groupBy(*keys).agg(agg) if keys else df.groupBy().agg(agg)
+
+
+def kmv_estimate(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch column: EXACT when
+    the sketch holds fewer than k hashes (every distinct value is in
+    it); else (k-1)/h_(k) with the int64 hash normalized to (0,1)."""
+    n = F.size(sketch)
+    kth = F.element_at(sketch, k).cast("double")
+    frac = (kth + F.lit(2.0**63)) / F.lit(_KMV_SPAN)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    sketch_a: str,
+    sketch_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Given two KMV sketch columns on each row, add
+    ``union_est`` / ``intersect_est`` / ``jaccard_est``. Pure column
+    math over ≤ 2k-long arrays — comparing a billion-key segment pair
+    costs the same as a ten-key one. Combined bottom-k is itself a
+    valid KMV sketch of A∪B; jaccard = |combined ∩ A ∩ B| / |combined|
+    (ratio of a uniform distinct-value sample, Beyer et al. §4)."""
+    comb = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col(sketch_a), F.col(sketch_b)))
+        ),
+        1,
+        k,
+    )
+    out = df.withColumn("__comb", comb)
+    both = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__comb"), F.col(sketch_a)),
+            F.col(sketch_b),
+        )
+    )
+    union_est = kmv_estimate(F.col("__comb"), k)
+    jac = both.cast("double") / F.size("__comb").cast("double")
+    return (
+        out.withColumn("union_est", union_est)
+        .withColumn("jaccard_est", jac)
+        .withColumn("intersect_est", F.col("union_est") * jac)
+        .drop("__comb")
+    )

@@ -545,12 +545,17 @@ def commit_upsert(
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
     files = live_files(spark, path, base)
-    n_upserted = updates.count()
-    n_keys = updates.select(*keys).distinct().count()
+    # one job for both facts (count + distinct keys), not two
+    row = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in keys]).alias("nk"),
+    ).collect()[0]
+    n_upserted, n_keys = row["n"], row["nk"]
     if n_keys != n_upserted:
         raise ValueError(
             f"updates batch has {n_upserted} rows but {n_keys} distinct keys "
-            "— compact to one row per key (last-write-wins) before upsert"
+            "(NULL-keyed rows excluded — they are never a valid upsert) — "
+            "compact to one row per key (last-write-wins) before upsert"
         )
     def _indexes(names):
         st = (

@@ -486,3 +486,64 @@ def test_update_quantile_store_equals_direct(events):
     want = {r["day"]: [tuple(x) for x in r["qsketch"]] for r in direct.collect()}
     assert got == want
     ev.unpersist()
+
+
+# --- KMV distinct sketch: set-operation estimates (r6) ----------------------
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    from gedixr_spark.operators.sketches import (
+        kmv_distinct_sketches, kmv_merge_sketches,
+    )
+
+    rows = [(i % 7, f"u{i % 400}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, u string")
+    direct = kmv_distinct_sketches(
+        df.withColumn("g", F.lit(0)), ["g"], "u", k=64
+    ).collect()[0]["kmv"]
+    per_group = kmv_distinct_sketches(df, ["g"], "u", k=64)
+    merged = kmv_merge_sketches(per_group, [], k=64).collect()[0]["kmv"]
+    assert list(merged) == list(direct)  # exact bottom-k merge identity
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    from gedixr_spark.operators.sketches import (
+        kmv_distinct_sketches, kmv_estimate,
+    )
+
+    df = spark.createDataFrame([(0, f"v{i}") for i in range(30)], "g int, u string")
+    sk = kmv_distinct_sketches(df, ["g"], "u", k=64)
+    est = sk.select(kmv_estimate(F.col("kmv"), 64).alias("e")).collect()[0]["e"]
+    assert est == 30.0  # fewer than k distinct: exact by construction
+
+
+def test_kmv_set_estimates_overlap(spark):
+    from gedixr_spark.operators.sketches import (
+        kmv_distinct_sketches, kmv_set_estimates,
+    )
+
+    # A = 0..5999, B = 3000..8999 → union 9000, intersection 3000, J=1/3
+    a = spark.createDataFrame([(0, f"v{i}") for i in range(6000)], "g int, u string")
+    b = spark.createDataFrame(
+        [(0, f"v{i}") for i in range(3000, 9000)], "g int, u string"
+    )
+    ka = kmv_distinct_sketches(a, ["g"], "u", k=256, sketch_col="ka")
+    kb = kmv_distinct_sketches(b, ["g"], "u", k=256, sketch_col="kb")
+    row = kmv_set_estimates(ka.join(kb, "g"), "ka", "kb", k=256).collect()[0]
+    # 1/sqrt(256) ≈ 6% 1-sigma: assert a generous 20% band
+    assert abs(row["union_est"] - 9000) / 9000 < 0.2
+    assert abs(row["intersect_est"] - 3000) / 3000 < 0.25
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+
+
+def test_kmv_disjoint_sets(spark):
+    from gedixr_spark.operators.sketches import (
+        kmv_distinct_sketches, kmv_set_estimates,
+    )
+
+    a = spark.createDataFrame([(0, f"a{i}") for i in range(500)], "g int, u string")
+    b = spark.createDataFrame([(0, f"b{i}") for i in range(500)], "g int, u string")
+    ka = kmv_distinct_sketches(a, ["g"], "u", k=128, sketch_col="ka")
+    kb = kmv_distinct_sketches(b, ["g"], "u", k=128, sketch_col="kb")
+    row = kmv_set_estimates(ka.join(kb, "g"), "ka", "kb", k=128).collect()[0]
+    assert row["jaccard_est"] == 0.0 and row["intersect_est"] == 0.0
