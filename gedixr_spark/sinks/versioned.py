@@ -447,6 +447,40 @@ def _commit(
     return entry
 
 
+def _check_schema_compat(
+    spark: SparkSession, path: str, new_schema: StructType, cap: int
+) -> None:
+    """Write-time schema gate for appends: columns may be ADDED over
+    time (old files NULL-backfill through mergeSchema), but a column
+    that already exists must keep its exact type — parquet's footer
+    merge cannot reconcile e.g. bigint-then-string, so without this
+    check the bad batch lands and every subsequent mergeSchema READ
+    fails instead (the worst place to discover it: after the write,
+    for every reader, with the table already poisoned). Delta calls
+    this schema enforcement; same trade here — reject at the door,
+    evolve additively."""
+    latest = _latest_schema(spark, path, cap)
+    if latest is None:
+        return
+    old = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(latest)).fields
+    }
+    conflicts = [
+        f"{f.name}: {old[f.name].simpleString()} -> {f.dataType.simpleString()}"
+        for f in new_schema.fields
+        if f.name in old and f.dataType != old[f.name]
+    ]
+    if conflicts:
+        raise ValueError(
+            f"append schema changes the type of existing column(s) "
+            f"[{'; '.join(conflicts)}] — parquet mergeSchema cannot "
+            f"reconcile that and every later read would fail. Cast the "
+            f"batch to the table's types, or commit_overwrite to "
+            f"deliberately rewrite the table under the new schema."
+        )
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
@@ -475,6 +509,7 @@ def commit_append(
             not_null=expect.get("not_null", ()),
             unique=expect.get("unique", ()),
         )
+    _check_schema_compat(spark, path, df.schema, cap=next_v - 1)
     names = _write_data_files(spark, path, df, next_v)
     schema_json = df.schema.json()
     entry_meta = {"n_files": len(names), **(meta or {})}

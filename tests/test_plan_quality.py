@@ -141,3 +141,29 @@ def test_materialize_packed_two_shuffles_max(spark):
     # pack + join(ids side) + join(text side) + agg
     assert plan.count("Exchange hashpartitioning") <= 4
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_ann_family_plans_are_python_free(spark):
+    """r6 pin: the LSH/IVF ANN kernels evaluate as JVM column math —
+    zero ArrowEvalPython/BatchEvalPython nodes anywhere in the plans
+    (the Arrow kernels exist only behind impl='arrow'). Guards
+    against a regression re-introducing the Python worker hop on the
+    ANN hot path."""
+    import numpy as np
+
+    from gedixr_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in rng.standard_normal(16)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    plans = [
+        _plan(sim.lsh_ann_topk(q, df, k=3, dim=16)),
+        _plan(sim.lsh_ann_topk_multitable(q, df, k=3, dim=16, bits=6)),
+        _plan(sim.ivf_ann_topk(q, df, k=3, dim=16, nprobe=2)),
+        _plan(sim.embedding_neardup_pairs_multitable(df, dim=16, bits=6)),
+    ]
+    for plan in plans:
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

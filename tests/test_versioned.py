@@ -746,3 +746,21 @@ def test_commit_guard_seam_and_object_store_race(spark, tmp_path):
     b_won = conditional_try_create("v1", b"B")
     assert a_won and not b_won and store["v1"] == b"A"
     assert naive_try_create("v2", b"C")  # and the naive path still "works" solo
+
+
+def test_append_rejects_type_change_at_the_door(spark, table):
+    """Schema enforcement: additive evolution is fine, but changing an
+    existing column's TYPE is rejected at commit time — otherwise the
+    batch lands and every later mergeSchema read fails instead."""
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    # additive: new column OK
+    commit_append(spark, table, spark.createDataFrame([Row(k=2, v="b", w=1)]))
+    # type flip on existing column: rejected before any file is written
+    files_before = set(live_files(spark, table))
+    with pytest.raises(ValueError, match="type of existing column"):
+        commit_append(
+            spark, table, spark.createDataFrame([Row(k="three", v="c")])
+        )
+    assert set(live_files(spark, table)) == files_before
+    got = read_versioned(spark, table)
+    assert {r["k"] for r in got.collect()} == {1, 2}
