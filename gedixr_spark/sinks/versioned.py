@@ -686,12 +686,15 @@ def vacuum_versioned(
     path: str,
     keep_last: int = 1,
     retention_hours: float = 168.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files not live in any of the last ``keep_last``
     versions, plus crashed-commit staging dirs and orphaned data files
     (written by a commit that lost its race). Time travel to versions
     older than the retention window stops working — same trade as
-    ``delta vacuum``. Returns deleted names.
+    ``delta vacuum``. Returns deleted names. ``dry_run`` lists what
+    WOULD be deleted without touching anything — run it before a
+    destructive vacuum on a table other jobs time-travel into.
 
     ``retention_hours`` (default 7 days, Delta's default) skips any
     candidate whose mtime is newer than the cutoff. This is the race
@@ -717,11 +720,13 @@ def vacuum_versioned(
     for st in fs.listStatus(jpath(_data_dir(path))):
         name = st.getPath().getName()
         if name not in retained and st.getModificationTime() <= cutoff_ms:
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             deleted.append(name)
     for st in fs.globStatus(jpath(path.rstrip("/") + "/.__commit-*")) or []:
         if st.getModificationTime() <= cutoff_ms:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             deleted.append(st.getPath().getName())
     return sorted(deleted)
 
@@ -979,6 +984,68 @@ def files_for_range(
             continue
         keep.append(f)
     return keep, len(files)
+
+
+def files_for_ranges(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Conjunctive multi-column pruning: ``ranges`` maps col ->
+    (lo, hi) (either bound None = unbounded); a file survives only if
+    NO column's recorded [min, max] rules it out — the keep set is the
+    intersection of the per-column keeps. Stats are read once."""
+    files = live_files(spark, path, version)
+    stats = file_range_stats(spark, path, version)
+    keep = []
+    for f in files:
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            rng = stats.get(f, {}).get(col)
+            if rng is None:
+                continue  # no stats for this col — can't rule out
+            mn, mx = rng
+            if mn is None and mx is None:
+                ok = False  # provably zero non-null values
+                break
+            if mn is None or mx is None:
+                continue
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    return keep, len(files)
+
+
+def read_where_all(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """`read_where` for a CONJUNCTION of range predicates: prune with
+    every column's log stats at once (a Z-ordered table prunes
+    multiplicatively — each clustered dimension cuts the survivor set
+    again), scan only the intersection, then apply the exact
+    filters."""
+    keep, _ = files_for_ranges(spark, path, ranges, version)
+    if not keep:
+        schema = _latest_schema(spark, path, version)
+        if schema is None:
+            raise ValueError(f"{path} has no recorded schema")
+        out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    else:
+        data = _data_dir(path)
+        out = spark.read.parquet(*[data + "/" + f for f in keep])
+    for col, (lo, hi) in ranges.items():
+        c = F.col(col)
+        if lo is not None:
+            out = out.filter(c >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(c <= F.lit(hi))
+    return out
 
 
 def read_where(

@@ -153,6 +153,13 @@ def test_cli_versioned_table_commands(spark, tmp_path, capsys):
         (1, "a")
     ]
 
+    # default retention (7 days) keeps the fresh files: dry list empty
     assert main(["tvacuum", table, "--keep-last", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == []
+    # explicit zero retention (single-writer maintenance): files go
+    assert main(
+        ["tvacuum", table, "--keep-last", "1", "--retention-hours", "0"]
+    ) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["deleted"]  # the overwritten version's file aged out

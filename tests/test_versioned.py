@@ -764,3 +764,45 @@ def test_append_rejects_type_change_at_the_door(spark, table):
     assert set(live_files(spark, table)) == files_before
     got = read_versioned(spark, table)
     assert {r["k"] for r in got.collect()} == {1, 2}
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, table):
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_overwrite(spark, table, _mk(spark, [(2, "b")]))
+    would = vacuum_versioned(
+        spark, table, keep_last=1, retention_hours=0.0, dry_run=True
+    )
+    assert would
+    # nothing touched: time travel still works, and a real vacuum
+    # deletes exactly what the dry run listed
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
+    deleted = vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
+    assert deleted == would
+
+
+def test_multi_column_pruning_is_conjunctive(spark, table):
+    """Z-ordered two-column table: each range clause prunes on its own
+    axis; the conjunction keeps only the files BOTH clauses allow —
+    multiplicative skipping — and the read is exact."""
+    from gedixr_spark.sinks.versioned import (
+        commit_compact, files_for_range, files_for_ranges, read_where_all,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 40, "p") for i in range(400)], "x long, y long, p string"
+    )
+    commit_append(spark, table, df)
+    commit_compact(
+        spark, table, target_mb=128, zorder_by=["x", "y"],
+        stats_cols=["x", "y"], n_files=8,
+    )
+    kx, total = files_for_range(spark, table, "x", lo=0, hi=40)
+    ky, _ = files_for_range(spark, table, "y", lo=0, hi=4)
+    kboth, _ = files_for_ranges(
+        spark, table, {"x": (0, 40), "y": (0, 4)}
+    )
+    assert set(kboth) == set(kx) & set(ky)
+    assert len(kboth) < total
+    got = read_where_all(spark, table, {"x": (0, 40), "y": (0, 4)})
+    want = [(i, i % 40) for i in range(400) if i <= 40 and i % 40 <= 4]
+    assert sorted((r["x"], r["y"]) for r in got.collect()) == sorted(want)
