@@ -217,3 +217,75 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     """Load a merge list saved by ``save_merges``, rank order restored."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+def build_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic (token, token_id) vocabulary from a trained merge
+    list over a corpus: the distinct encoded symbols, ids assigned in
+    lexicographic order (reproducible across runs and partitionings —
+    ids must be STABLE or every re-run silently re-labels the training
+    data). One distinct shuffle over exploded tokens; the vocab is
+    merge-bounded (≤ alphabet + n_merges symbols), driver-small by
+    construction."""
+    from pyspark.sql import Window
+
+    toks = (
+        bpe_encode(df, merges, text_col, "__toks")
+        .select(F.explode("__toks").alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    # single tiny table: the global sort window is over vocab-sized
+    # rows (≤ alphabet+n_merges), not the corpus
+    return toks.withColumn(
+        "token_id", F.row_number().over(w).cast("int") - 1
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Materialize token-ID arrays — what a training pipeline actually
+    writes next to `packing.pack_sequences`. Plan shape: posexplode
+    the encoded tokens, BROADCAST-join the (tiny, merge-bounded)
+    vocab, re-assemble per doc with a sort_array on position — the
+    corpus text moves once into the explode and only (id, pos,
+    token_id) ints ride the re-assembly shuffle. Out-of-vocab tokens
+    (a later corpus batch against a frozen vocab) map to ``unk_id``,
+    never dropped — silent token loss would corrupt every downstream
+    count."""
+    enc = bpe_encode(df, merges, text_col, "__toks")
+    exploded = enc.select(
+        id_col, F.posexplode("__toks").alias("__pos", "token")
+    )
+    joined = exploded.join(F.broadcast(vocab), on="token", how="left").select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("__tid"),
+    )
+    ids = (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__tid"))
+                ),
+                lambda s: s["__tid"],
+            ).alias(out_col)
+        )
+    )
+    # empty docs produce no exploded rows — restore them with []
+    return df.select(id_col).join(ids, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
+    )

@@ -152,3 +152,64 @@ def test_merge_list_persistence_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["toks"] for r in bpe.bpe_encode(df, merges, out_col="toks").collect()}
     b = {r["doc_id"]: r["toks"] for r in bpe.bpe_encode(df, loaded, out_col="toks").collect()}
     assert a == b
+
+
+# --- vocab + token-id materialization (r6) ----------------------------------
+
+
+def test_vocab_is_deterministic_and_merge_bounded(spark):
+    from gedixr_spark.operators.bpe import (
+        bpe_train, build_vocab, word_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest new newer") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(word_counts(df), n_merges=5)
+    v1 = {(r["token"], r["token_id"]) for r in build_vocab(df, merges).collect()}
+    v2 = {
+        (r["token"], r["token_id"])
+        for r in build_vocab(df.repartition(7), merges).collect()
+    }
+    assert v1 == v2  # stable across partitionings
+    toks = sorted(t for t, _ in v1)
+    ids = sorted(i for _, i in v1)
+    assert ids == list(range(len(v1)))  # dense 0..n-1
+    assert toks == sorted(set(toks))
+
+
+def test_encode_ids_roundtrip_and_unk(spark):
+    from gedixr_spark.operators.bpe import (
+        bpe_encode, bpe_encode_ids, bpe_train, build_vocab, word_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab aa ab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(word_counts(train), n_merges=3)
+    vocab = build_vocab(train, merges)
+    id2tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+
+    # round trip on in-vocab text: ids decode back to the string tokens
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(train, merges).collect()}
+    got = {
+        r["doc_id"]: [id2tok[i] for i in r["token_ids"]]
+        for r in bpe_encode_ids(train, merges, vocab).collect()
+    }
+    assert got == enc
+
+    # frozen vocab vs a new batch: OOV symbols become unk, not dropped
+    new = spark.createDataFrame(
+        [(3, "aa zz"), (4, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(new, merges, vocab, unk_id=-1).collect()
+    }
+    n_toks = {
+        r["doc_id"]: len(r["bpe_tokens"])
+        for r in bpe_encode(new, merges).collect()
+    }
+    assert len(out[3]) == n_toks[3] and -1 in out[3]
+    assert out[4] == []  # empty doc survives as an empty array
