@@ -92,3 +92,66 @@ def _jsonable(v):
         return v
     except TypeError:
         return str(v)
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Read tar shards written by `write_webdataset` back into a
+    DataFrame — (key, text, meta JSON string) per document. Closes
+    the export loop: a corpus handed to trainers as shards can be
+    re-ingested for audits/re-filters without a separate copy.
+
+    Scale shape: ONE task per shard (a tar is a sequential format —
+    intra-file parallelism would re-read the stream per split), from a
+    shard-path DataFrame mapped through ``mapInPandas``; shard count
+    is the parallelism, exactly like the HDF5 granule reader
+    (sources/hdf5.py). Members pair up as {key}.txt/{key}.json; a
+    member missing its twin surfaces with the other field NULL rather
+    than being dropped."""
+    import glob as _glob
+
+    shards = sorted(_glob.glob(os.path.join(path, "shard-*.tar")))
+    if not shards:
+        raise ValueError(f"no shard-*.tar under {path}")
+    paths = spark.createDataFrame(
+        [(s,) for s in shards], "shard string"
+    ).repartition(len(shards), "shard")
+
+    def _read(batches):
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                texts: dict[str, str] = {}
+                metas: dict[str, str] = {}
+                with tarfile.open(shard, "r") as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        key, dot, ext = m.name.rpartition(".")
+                        body = tar.extractfile(m).read()
+                        if ext == "txt":
+                            texts[key] = body.decode("utf-8")
+                        elif ext == "json":
+                            metas[key] = body.decode("utf-8")
+                keys = sorted(set(texts) | set(metas))
+                yield pd.DataFrame(
+                    {
+                        "__key": keys,
+                        "__text": [texts.get(k) for k in keys],
+                        "meta": [metas.get(k) for k in keys],
+                    }
+                )
+
+    out = paths.mapInPandas(
+        _read, schema="__key string, __text string, meta string"
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        F.col("__key").alias(key_col),
+        F.col("__text").alias(text_col),
+        "meta",
+    )

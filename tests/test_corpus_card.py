@@ -57,3 +57,30 @@ def test_card_duplicate_heavy_corpus(spark):
     card = corpus_card(df)
     # 51 docs, 2 distinct contents → dup rate ≈ 49/51
     assert card["exact_dup_rate"] == pytest.approx(49 / 51, abs=0.03)
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    """write_webdataset → read_webdataset is lossless for (key, text,
+    meta): every doc comes back, text byte-identical, meta JSON
+    parseable, one task per shard."""
+    import json
+
+    from gedixr_spark.sinks.webdataset import read_webdataset, write_webdataset
+
+    df = spark.createDataFrame(
+        [(i, f"text {i} ü", f"lang{i % 3}") for i in range(57)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, out, meta_cols=["lang"], docs_per_shard=20
+    ).collect()
+    assert sum(m["n_docs"] for m in manifest) == 57
+    back = read_webdataset(spark, out)
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert len(got) == 57
+    for i in range(57):
+        r = got[str(i)]  # tar keys are strings
+        assert r["text"] == f"text {i} ü"
+        assert json.loads(r["meta"]) == {"lang": f"lang{i % 3}"}
+    assert back.rdd.getNumPartitions() == len(manifest)
