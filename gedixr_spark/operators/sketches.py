@@ -667,3 +667,39 @@ def kmv_set_estimates(
         .withColumn("intersect_est", F.col("union_est") * jac)
         .drop("__comb")
     )
+
+
+def corpus_overlap_estimate(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 1024,
+) -> DataFrame:
+    """Shingle-level overlap between two corpora WITHOUT joining them:
+    KMV-sketch each side's distinct n-gram shingles, then estimate
+    distinct-shingle counts, union, intersection, and Jaccard from the
+    two sketches alone. The cross-corpus contamination smell test at
+    100 TB — "how much of corpus A's content appears in B" costs two
+    map+sketch passes and 2k longs of arithmetic, vs text.contamination's
+    exact-but-joined per-doc audit (run THAT on the corpora this flags).
+    Returns one row: a_est, b_est, union_est, intersect_est,
+    jaccard_est."""
+    def sketch(df: DataFrame, name: str) -> DataFrame:
+        from gedixr_spark.operators.dedup import word_shingles
+
+        sh = df.select(
+            F.lit(0).alias("g"),
+            F.explode(word_shingles(text_col, n)).alias("sh"),
+        )
+        return kmv_distinct_sketches(sh, ["g"], "sh", k=k, sketch_col=name)
+
+    a, b = sketch(corpus_a, "ka"), sketch(corpus_b, "kb")
+    out = kmv_set_estimates(a.join(b, "g"), "ka", "kb", k=k)
+    return out.select(
+        kmv_estimate(F.col("ka"), k).alias("a_est"),
+        kmv_estimate(F.col("kb"), k).alias("b_est"),
+        "union_est",
+        "intersect_est",
+        "jaccard_est",
+    )

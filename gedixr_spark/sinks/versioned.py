@@ -1344,3 +1344,33 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
             f"no version of {path} existed at or before timestamp {ts}"
         )
     return best
+
+
+def table_file_stats(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    small_mb: int = 16,
+) -> dict:
+    """Live-file census for maintenance planning: {n_files,
+    total_bytes, small_files, small_bytes, p50_bytes, max_bytes}.
+    Metadata-only (one listStatus over live names — file-count cost,
+    never data); the number a scheduler checks before deciding
+    `commit_compact` is worth a commit."""
+    files = live_files(spark, path, version)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    data = _data_dir(path)
+    sizes = sorted(
+        fs.getFileStatus(jpath(data + "/" + f)).getLen() for f in files
+    )
+    cut = small_mb * 1024 * 1024
+    small = [s for s in sizes if s < cut]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "small_files": len(small),
+        "small_bytes": sum(small),
+        "p50_bytes": sizes[len(sizes) // 2] if sizes else 0,
+        "max_bytes": sizes[-1] if sizes else 0,
+    }

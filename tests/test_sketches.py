@@ -547,3 +547,52 @@ def test_kmv_disjoint_sets(spark):
     kb = kmv_distinct_sketches(b, ["g"], "u", k=128, sketch_col="kb")
     row = kmv_set_estimates(ka.join(kb, "g"), "ka", "kb", k=128).collect()[0]
     assert row["jaccard_est"] == 0.0 and row["intersect_est"] == 0.0
+
+
+def test_corpus_overlap_estimate(spark):
+    """Sketch-only cross-corpus overlap: two corpora sharing half
+    their shingle space — estimates land near truth without any join
+    of the corpora; disjoint corpora estimate ~zero overlap."""
+    from gedixr_spark.operators.sketches import corpus_overlap_estimate
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 6))) for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    a, b = mk(0, 400), mk(200, 600)  # heavy shingle overlap in 200..400
+    row = corpus_overlap_estimate(a, b, k=512).collect()[0]
+    assert row["intersect_est"] > 0
+    assert row["union_est"] > max(row["a_est"], row["b_est"]) * 0.9
+    # exact truth for the 4-gram... compute shingle sets in python? n=3 shingles of 6 words: 4 per doc
+    import itertools
+    sh = lambda lo, hi: {
+        " ".join(f"w{j}" for j in range(i + p, i + p + 3))
+        for i in range(lo, hi) for p in range(4)
+    }
+    A, B = sh(0, 400), sh(200, 600)
+    truth_j = len(A & B) / len(A | B)
+    assert abs(row["jaccard_est"] - truth_j) < 0.12
+
+    disj = corpus_overlap_estimate(mk(0, 100), mk(5000, 5100), k=256).collect()[0]
+    assert disj["jaccard_est"] < 0.02
+
+
+def test_table_file_stats(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append, init_versioned, table_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    init_versioned(spark, path)
+    df = spark.createDataFrame([Row(k=i) for i in range(100)]).coalesce(5)
+    commit_append(spark, path, df)
+    st = table_file_stats(spark, path)
+    # partition->file mapping is Spark's call; census must agree with
+    # the live set and classify every tiny file as small
+    from gedixr_spark.sinks.versioned import live_files
+    assert st["n_files"] == len(live_files(spark, path)) >= 1
+    assert st["small_files"] == st["n_files"]  # tiny test files < 16 MB
+    assert st["total_bytes"] == st["small_bytes"] > 0
+    assert st["max_bytes"] >= st["p50_bytes"] > 0
