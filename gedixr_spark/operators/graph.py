@@ -1,0 +1,93 @@
+"""Link-graph operators — PageRank over an edge table.
+
+Why in a training-data engine: page/domain authority over the crawl's
+link graph is a standard corpus-curation quality signal (the original
+use of PageRank; Common Crawl curation pipelines rank hosts exactly
+this way) — compose the score with text.quality gates when selecting
+documents.
+
+Spark-first shape: the graph stays distributed end-to-end. Each
+iteration is one equi-join (edges ⋈ ranks on src) + one groupBy(dst)
+sum — both shuffles keyed on node id, map-side combining on. Driver
+state is SCALARS only (n_nodes, dangling mass), never a node vector;
+`localCheckpoint` every few rounds truncates the iterative lineage
+(the MLlib pattern, same as clustering.kmeans_fit). Deterministic:
+init and teleport are exact constants, sums are per-key float adds
+whose operand sets are fixed per node — stable enough for the pinned
+fixture tests; cross-partitioning float-order variance is the usual
+PageRank tolerance, so tests compare within 1e-6 of a numpy power
+iteration, not bit-exactly.
+
+No reference counterpart; §7.4 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Rank nodes of a directed edge table — returns (node, rank),
+    ranks summing to ~1. Standard damped PageRank with dangling-node
+    mass redistributed uniformly (without it rank leaks and the sum
+    decays). Nodes = src ∪ dst; duplicate edges count once."""
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degree rides WITH the edges so the per-iteration join is
+    # edges ⋈ ranks only (degree never recomputed or re-joined)
+    ed = e.join(deg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for i in range(n_iter):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no out-edges — one
+        # scalar to the driver, redistributed uniformly
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = teleport + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks

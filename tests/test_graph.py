@@ -1,0 +1,70 @@
+"""PageRank: numpy power-iteration differential, dangling mass,
+teleport, determinism, degenerate graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gedixr_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, n_iter=10, d=0.85):
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for u, v in set(edges):
+        out[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        nxt += d * dangling / n
+        for u, v in set(edges):
+            nxt[idx[v]] += d * r[idx[u]] / out[u]
+        r = nxt
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    rng = np.random.default_rng(5)
+    edges = list(
+        {(int(rng.integers(0, 30)), int(rng.integers(0, 30))) for _ in range(120)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    want = _numpy_pagerank(edges, n_iter=8)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_mass_is_conserved(spark):
+    # chain into a sink: 0→1→2; node 2 has no out-edges
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=20).collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] > got[1] > got[0]  # rank accumulates down the chain
+
+
+def test_authority_ordering(spark):
+    # hub pattern: everyone links to 9
+    df = spark.createDataFrame(
+        [(i, 9) for i in range(9)] + [(9, 0)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=15).collect()}
+    assert got[9] == max(got.values())
+    assert got[0] > got[1]  # 0 gets 9's endorsement
+
+
+def test_duplicate_edges_count_once_and_bad_damping(spark):
+    df1 = spark.createDataFrame([(0, 1), (0, 1), (1, 0)], "src long, dst long")
+    df2 = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    g1 = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=5).collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(df2, n_iter=5).collect()}
+    assert g1 == g2
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df2, damping=1.5)
