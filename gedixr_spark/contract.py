@@ -720,6 +720,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_bpe_tokens,
         q_compression_gate,
         q_edit_distance,
+        q_pagerank,
         q_distinct_rollup,
         q_heavy_hitters,
         q_kmeans_clusters,
@@ -758,4 +759,6 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: FastSS edit-distance join — exact+complete, DuckDB
         # brute-force differential in pytest; rows-only (window full)
         "edit_distance": q_edit_distance,
+        # r6: iterative link analysis — numpy differential in pytest
+        "pagerank": q_pagerank,
     }

@@ -668,6 +668,28 @@ def q_edit_distance(spark, sf_dir):
     return edit_distance_pairs(docs, max_dist=1, max_len=16)
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the part→supplier supply graph (edges = distinct
+    (l_partkey, l_suppkey) straight off lineitem — a two-column scan,
+    no join, so the bench times the ITERATION, not edge prep):
+    supplier authority under link analysis — the crawl-curation
+    quality signal exercised on the driver's tables. Iterative ⇒
+    rows-only; numpy power-iteration differential in
+    tests/test_graph.py. Top-100 by (rank, node) so the bench sink is
+    small and deterministic."""
+    from gedixr_spark.operators.graph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        # deterministic 1/6 slice: the query showcases the iteration's
+        # plan shape; the full-corpus run is the same operator
+        .filter(F.col("l_orderkey") % 6 == 0)
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=5)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
 def q_ann_partitions(spark, sf_dir):
     """All three ANN partitioning shapes as one labeled histogram:
     hyperplane-LSH buckets (8 planes), IVF nearest-centroid cells, and

@@ -67,6 +67,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "compression_gate",
         "term_search",
         "edit_distance",
+        "pagerank",
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
