@@ -818,3 +818,23 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def edit_distance_dedup(
+    df: DataFrame,
+    max_dist: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 64,
+) -> DataFrame:
+    """End-to-end fuzzy dedup on short fields: `edit_distance_pairs`
+    → connected components → min-id survivor → anti-join, the same
+    composition every other near-dup family exposes (minhash/simhash/
+    semantic). Components and survivors are ids-only; the corpus
+    never moves for the decision (apply_dedup's anti-join)."""
+    pairs = edit_distance_pairs(
+        df, max_dist=max_dist, text_col=text_col, id_col=id_col,
+        max_len=max_len,
+    ).select(F.col("id_a"), F.col("id_b"))
+    clusters = dedup_clusters(pairs)
+    return apply_dedup(df, clusters, id_col=id_col)
