@@ -68,3 +68,20 @@ def test_duplicate_edges_count_once_and_bad_damping(spark):
     assert g1 == g2
     with pytest.raises(ValueError, match="damping"):
         pagerank(df2, damping=1.5)
+
+
+def test_tol_early_stop_matches_converged_ranks(spark):
+    """tol stops iteration once the L1 delta is tiny; the result
+    matches a long fixed-iteration run to the tolerance."""
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    fixed = {r["node"]: r["rank"] for r in pagerank(df, n_iter=40).collect()}
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=40, tol=1e-10).collect()
+    }
+    assert set(early) == set(fixed)
+    for u in fixed:
+        assert early[u] == pytest.approx(fixed[u], abs=1e-8)
+    assert sum(early.values()) == pytest.approx(1.0, abs=1e-9)
