@@ -21,6 +21,28 @@ from gedixr_spark.operators import dedup, events, similarity, text
 from gedixr_spark.operators.multimodal import attach_fake_payload
 
 
+def _scratch_dir(name: str, key: str = "") -> str:
+    """Fixed per-(name, key) scratch dir under the system temp root,
+    wiped and recreated on each call. Repeated bench/correctness runs
+    (warm-up + min-of-3 × many rounds) reuse ONE path instead of
+    accumulating a mkdtemp tree per invocation (r6 VERDICT #6 /
+    ADVICE): /tmp stays flat no matter how often the query runs. The
+    caller must materialize the returned DataFrame before invoking the
+    same query again — the next call wipes the files."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "gedixr_scratch",
+        f"{name}_{key}" if key else name,
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from gedixr_spark.operators.skew import fan_out
 
@@ -321,10 +343,8 @@ def _ivf_centroids_roundtripped(spark) -> list[list[int]]:
     assert losslessness."""
     global _IVF_ROUNDTRIP_CACHE
     if _IVF_ROUNDTRIP_CACHE is None:
-        import tempfile
-
         cen = similarity.ivf_centroids(dim=64, n_cells=8, seed=7)
-        path = tempfile.mkdtemp(prefix="ivf_centroids_") + "/centroids.parquet"
+        path = _scratch_dir("ivf_centroids") + "/centroids.parquet"
         similarity.save_centroids(spark, cen, path)
         loaded = similarity.load_centroids(spark, path)
         if loaded != cen:  # not assert: must survive python -O
@@ -617,8 +637,6 @@ def q_versioned_snapshot(spark, sf_dir):
     union. The oracle replays the same key-value history in pure SQL,
     so snapshot isolation, upsert last-write-wins, and NULL-safe
     delete semantics are all hash-checked."""
-    import tempfile
-
     from gedixr_spark.sinks.versioned import (
         commit_append,
         commit_delete,
@@ -633,7 +651,9 @@ def q_versioned_snapshot(spark, sf_dir):
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .coalesce(4)  # compaction-sized commits: 4 files, not 32
     )
-    path = tempfile.mkdtemp(prefix="gedixr_vsnap_") + "/t"
+    import os as _os
+
+    path = _scratch_dir("vsnap", _os.path.basename(sf_dir.rstrip("/"))) + "/t"
     init_versioned(spark, path)
     commit_append(spark, path, base)
     upd = base.filter(F.col("c_custkey") % 8 == 0).withColumn(

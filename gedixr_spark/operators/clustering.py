@@ -73,6 +73,14 @@ def kmeans_fit(
     init_rows = (
         work.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()
     )
+    if not init_rows:
+        # Empty input: no centroids to fit; hand back an empty
+        # assignment frame with the contract schema instead of letting
+        # the assign kernel choke on a 0-d centroid matrix.
+        empty = work.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster")
+        )
+        return np.zeros((0, 0), dtype=np.float64), empty
     centroids = np.array([r["v"] for r in init_rows], dtype=np.float64)
 
     for _ in range(n_iter):

@@ -785,17 +785,32 @@ def edit_distance_pairs(
     the two normalized strings. ``max_len`` guards the neighborhood
     blow-up the same way ngram_jaccard_pairs' max_docs guards its
     quadratic: strings longer than it raise, naming the right tool
-    (minhash_lsh_neardup for long texts)."""
+    (minhash_lsh_neardup for long texts). The guard is IN-PLAN
+    (`raise_error` under a `when` on the signature path, r6 VERDICT
+    #5): composing the DataFrame fires no Spark job; the check rides
+    the scan the join already pays and costs nothing on clean
+    inputs."""
     s = df.select(F.col(id_col), normalized_text(text_col).alias("__s"))
-    too_long = s.filter(F.length("__s") > max_len).limit(1).collect()
-    if too_long:
-        raise ValueError(
-            f"edit_distance_pairs saw a normalized string longer than "
-            f"max_len={max_len} (doc {too_long[0][id_col]}); the deletion "
-            f"neighborhood is O(len^{max_dist}) per row. Use "
-            f"minhash_lsh_neardup/simhash_neardup_pairs for long texts, "
-            f"or raise max_len deliberately."
-        )
+    s = s.withColumn(
+        "__s",
+        F.when(F.length("__s") <= max_len, F.col("__s")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "edit_distance_pairs saw a normalized string longer "
+                        f"than max_len={max_len} (doc "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f"); the deletion neighborhood is O(len^{max_dist}) "
+                        "per row. Use minhash_lsh_neardup/"
+                        "simhash_neardup_pairs for long texts, or raise "
+                        "max_len deliberately."
+                    ),
+                )
+            )
+        ),
+    )
     sigs = s.select(
         id_col, F.explode(deletion_variants(F.col("__s"), max_dist)).alias("__v")
     )

@@ -1080,7 +1080,12 @@ def _enforce_cluster_bound(
     sharding too — the degenerate fixture raises instead of silently
     going quadratic."""
     if sub_bucket_bits:
-        dim = len(v.select("__v").first()["__v"])
+        row = v.select("__v").first()
+        if row is None:
+            # Empty input: nothing to shard or bound — match the rest
+            # of semantic_dedup, which returns empty for empty input.
+            return v
+        dim = len(row["__v"])
         planes = hyperplanes(dim, sub_bucket_bits, seed=99)
         v = v.withColumn(
             "cluster",

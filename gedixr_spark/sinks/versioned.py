@@ -579,6 +579,10 @@ def commit_upsert(
         raise ValueError("commit_upsert needs at least one key column")
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
+    # Same write-time gate as commit_append: an upsert batch whose
+    # existing column changed type would land new-key rows under the
+    # new schema and poison later mergeSchema reads.
+    _check_schema_compat(spark, path, updates.schema, cap=base)
     files = live_files(spark, path, base)
     # one job for both facts (count + distinct keys), not two
     row = updates.agg(
@@ -1002,12 +1006,19 @@ def files_for_ranges(
     for f in files:
         ok = True
         for col, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                # Fully unbounded: the exact filter in read_where_all is
+                # a no-op for this column (NULL rows survive), so even a
+                # provably all-NULL file must be kept.
+                continue
             rng = stats.get(f, {}).get(col)
             if rng is None:
                 continue  # no stats for this col — can't rule out
             mn, mx = rng
             if mn is None and mx is None:
-                ok = False  # provably zero non-null values
+                # Zero non-null values: any real bound's exact filter
+                # (c >= lo / c <= hi) drops every row of this file.
+                ok = False
                 break
             if mn is None or mx is None:
                 continue

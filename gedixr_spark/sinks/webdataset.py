@@ -111,15 +111,28 @@ def read_webdataset(
     is the parallelism, exactly like the HDF5 granule reader
     (sources/hdf5.py). Members pair up as {key}.txt/{key}.json; a
     member missing its twin surfaces with the other field NULL rather
-    than being dropped."""
-    import glob as _glob
+    than being dropped.
 
-    shards = sorted(_glob.glob(os.path.join(path, "shard-*.tar")))
+    Shard→task mapping is EXACT: ``parallelize`` with one slice per
+    shard (range slicing) — not a hash ``repartition``, which can
+    collide two shards into one task and leave others empty. Shards
+    are listed through the Hadoop FileSystem API so non-local stores
+    (HDFS/S3A) work the same as the writer side."""
+    from gedixr_spark.operators.layout import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    statuses = fs.globStatus(
+        spark._jvm.org.apache.hadoop.fs.Path(path + "/shard-*.tar")
+    )
+    shards = sorted(
+        s.getPath().toUri().getPath() for s in (statuses or []) if s.isFile()
+    )
     if not shards:
         raise ValueError(f"no shard-*.tar under {path}")
     paths = spark.createDataFrame(
-        [(s,) for s in shards], "shard string"
-    ).repartition(len(shards), "shard")
+        spark.sparkContext.parallelize([(s,) for s in shards], len(shards)),
+        "shard string",
+    )
 
     def _read(batches):
         for pdf in batches:

@@ -67,8 +67,18 @@ def test_completeness_no_false_negatives_k2(spark):
 
 def test_max_len_guard_names_alternative(spark):
     rows = [(1, "a" * 100), (2, "b")]
-    with pytest.raises(ValueError, match="minhash_lsh_neardup"):
-        edit_distance_pairs(_pairs_df(spark, rows), max_dist=1)
+    # Guard is in-plan (r6 VERDICT #5): composing the DataFrame fires
+    # NO Spark job; the raise happens at action time.
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "edguard-compose")
+    try:
+        lazy = edit_distance_pairs(_pairs_df(spark, rows), max_dist=1)
+        fired = sc.statusTracker().getJobIdsForGroup("edguard-compose")
+        assert list(fired) == [], f"composition fired Spark jobs: {fired}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    with pytest.raises(Exception, match="minhash_lsh_neardup"):
+        lazy.collect()
     # raised deliberately: works
     out = edit_distance_pairs(_pairs_df(spark, rows), max_dist=1, max_len=128)
     assert out.count() == 0

@@ -168,3 +168,15 @@ def test_sub_bucket_shards_skewed_but_distinct_vectors(spark):
         ).collect()
     }
     assert sharded <= full and sharded
+
+
+def test_empty_input_with_sub_buckets_returns_empty(spark):
+    """ADVICE r6: _enforce_cluster_bound with sub_bucket_bits>0 used
+    first()["__v"] to learn the dim — None on an empty frame raised
+    TypeError instead of the empty result the rest of semantic_dedup
+    returns for empty input."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup_pairs(
+        empty, k=2, threshold=0.99, sub_bucket_bits=2
+    )
+    assert out.count() == 0

@@ -806,3 +806,48 @@ def test_multi_column_pruning_is_conjunctive(spark, table):
     got = read_where_all(spark, table, {"x": (0, 40), "y": (0, 4)})
     want = [(i, i % 40) for i in range(400) if i <= 40 and i % 40 <= 4]
     assert sorted((r["x"], r["y"]) for r in got.collect()) == sorted(want)
+
+
+def test_unbounded_range_keeps_all_null_files(spark, table):
+    """ADVICE r6 (medium): ranges={col: (None, None)} must NOT prune a
+    file whose stats record zero non-null values for that column —
+    read_where_all applies no filter for a fully-unbounded column, so
+    pruning the file silently loses its rows vs a plain read."""
+    from gedixr_spark.sinks.versioned import files_for_ranges, read_where_all
+
+    with_nulls = spark.createDataFrame(
+        [Row(x=None, y=1), Row(x=None, y=2)], "x long, y long"
+    ).coalesce(1)
+    plain = spark.createDataFrame(
+        [Row(x=10, y=3)], "x long, y long"
+    ).coalesce(1)
+    commit_append(spark, table, with_nulls, stats_cols=["x", "y"])
+    commit_append(spark, table, plain, stats_cols=["x", "y"])
+
+    keep, total = files_for_ranges(spark, table, {"x": (None, None)})
+    assert total == 2 and len(keep) == 2  # all-NULL file survives
+    got = read_where_all(spark, table, {"x": (None, None)})
+    assert sorted(
+        ((r["x"], r["y"]) for r in got.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    ) == [(None, 1), (None, 2), (10, 3)]
+    # a REAL bound still prunes the all-NULL file (its rows can never
+    # pass c >= lo), and the exact read agrees
+    keep2, _ = files_for_ranges(spark, table, {"x": (0, None)})
+    assert len(keep2) == 1
+    got2 = read_where_all(spark, table, {"x": (0, None)})
+    assert [(r["x"], r["y"]) for r in got2.collect()] == [(10, 3)]
+
+
+def test_upsert_rejects_type_flip(spark, table):
+    """ADVICE r6: the write-time schema gate must cover commit_upsert
+    too — a type-flipped batch landing via upsert poisons later
+    mergeSchema reads exactly like an append would."""
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]))
+    files_before = set(live_files(spark, table))
+    bad = spark.createDataFrame([Row(k="1", v="z"), Row(k="9", v="n")])
+    with pytest.raises(ValueError, match="type of existing column"):
+        commit_upsert(spark, table, bad, keys=["k"])
+    # rejected at the door: no files changed, table still reads clean
+    assert set(live_files(spark, table)) == files_before
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b")]

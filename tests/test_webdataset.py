@@ -63,3 +63,40 @@ def test_webdataset_drops_empty_shards(spark, tmp_path):
     assert sum(r["n_docs"] for r in manifest) == 1
     tars = [n for n in os.listdir(out) if n.endswith(".tar")]
     assert len(tars) == len(manifest)
+
+
+def test_read_webdataset_exact_shard_task_mapping(spark, tmp_path):
+    """ADVICE r6: hash repartition(n, "shard") could collide two shards
+    into one task. The reader now slices exactly one shard per task
+    (parallelize range slicing) — every output partition holds docs
+    from at most one shard."""
+    from pyspark.sql import functions as F
+
+    from gedixr_spark.sinks.webdataset import read_webdataset
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "wds_map")
+    manifest = write_webdataset(df, out, docs_per_shard=5).collect()
+    n_shards = len(manifest)
+    assert n_shards == 8
+
+    back = read_webdataset(spark, out)
+    assert back.rdd.getNumPartitions() == n_shards
+    # each partition = one shard: the 5 docs of a shard share a
+    # partition, and no partition mixes two shards' key ranges
+    per_part = (
+        back.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per_part) == n_shards
+    # one shard per task: the per-partition doc counts are exactly the
+    # per-shard doc counts (a hash collision would merge two shards
+    # into one partition and leave another empty)
+    assert sorted(r["n"] for r in per_part) == sorted(
+        r["n_docs"] for r in manifest
+    )
+    assert back.count() == 40
