@@ -116,3 +116,42 @@ def kmeans_cluster_sizes(
     (rows-only check: iterative, not SQL-expressible)."""
     _, assigned = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign rows to a FITTED centroid set — the inference half of
+    `kmeans_fit`, split out so a write-once index (fit once, persist)
+    can serve many queries without re-running Lloyd iterations: one
+    Arrow-batched map pass, no shuffle, no driver state beyond the
+    k×dim matrix in the closure. Returns (id, cluster) with the same
+    assignment rule (squared-L2, first minimum wins) as the fit."""
+    cen = np.asarray(centroids, dtype=np.float64)
+    if cen.ndim != 2 or cen.shape[0] == 0:
+        raise ValueError(f"centroids must be a non-empty k×dim matrix, got shape {cen.shape}")
+    assign = _assign_udf(cen)
+    return df.select(F.col(id_col), assign(F.col(vec_col)).alias("cluster"))
+
+
+def save_kmeans_centroids(spark, centroids: np.ndarray, path: str) -> str:
+    """Persist a fitted float centroid matrix as parquet — the
+    write-once index-metadata lifecycle (fit on a sample / one big job,
+    broadcast-load everywhere after). float64 survives parquet exactly,
+    so load-then-assign is bit-identical to fit-then-assign."""
+    cen = np.asarray(centroids, dtype=np.float64)
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(cen)]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def load_kmeans_centroids(spark, path: str) -> np.ndarray:
+    """Inverse of `save_kmeans_centroids` (k×dim float64, row order by
+    cluster id)."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)

@@ -45,8 +45,14 @@ def pagerank(
     the L1 delta between consecutive rank vectors drops below it
     (``n_iter`` then acts as the cost CEILING — the discipline every
     iterative operator here follows: bound cost, measure progress).
-    The delta check joins the two checkpointed node-sized vectors —
-    one extra node-keyed job per round, nothing data-scale."""
+    Both per-round scalar reductions — the dangling mass and (in tol
+    mode) the L1 delta — ride ONE join-free aggregate job over the
+    checkpointed rank vector (r6 VERDICT #4): the dangling flag is
+    computed once and carried in the node table, and the previous
+    rank rides the update join as a column, so tol mode fires exactly
+    the same Spark jobs as fixed-iteration mode (asserted in
+    tests/test_graph.py). One node-table scan per round for the
+    reductions, not four."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     e = (
@@ -69,13 +75,30 @@ def pagerank(
     # edges ⋈ ranks only (degree never recomputed or re-joined)
     ed = e.join(deg, "src")
     # nodes/edges are reused every round — checkpoint ONCE so the
-    # distinct/join lineage above doesn't re-execute per iteration
-    nodes = nodes.localCheckpoint()
+    # distinct/join lineage above doesn't re-execute per iteration.
+    # The dangling flag (no out-edges) is static: compute it here and
+    # carry it in the node table so the per-round dangling-mass
+    # reduction is a plain aggregate, never a join.
+    nodes = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("__d")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("__d", F.lit(True)).alias("__dangling"))
+        .localCheckpoint()
+    )
     ed = ed.localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # `__pr` carries the PREVIOUS round's rank through the update (the
+    # update is a node-keyed join anyway, so the column rides free):
+    # the convergence delta then needs no prev-ranks join — both
+    # per-round reductions are one join-free aggregate, and tol mode
+    # fires exactly the same jobs as fixed-iteration mode.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).withColumn(
+        "__pr", F.lit(None).cast("double")
+    )
     teleport = (1.0 - damping) / n
     broadcast_ranks = n <= 5_000_000  # ~tens of MB of (node, rank)
-    prev = None
     for i in range(n_iter):
         # eager checkpoint each round (default): the dangling-mass
         # collect AND the next join both read the materialized round,
@@ -85,18 +108,24 @@ def pagerank(
         # bench graph)
         if i % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-        if tol is not None and prev is not None:
-            p = prev.select(
-                F.col("node").alias("__pn"), F.col("rank").alias("__pr")
+        # ONE join-free scalar-reduction job per round: dangling mass
+        # always; the L1 delta vs __pr too when tol mode is on (null
+        # on round 0 — sum over all-null — so no spurious early stop)
+        aggs = [
+            F.sum(F.when(F.col("__dangling"), F.col("rank"))).alias("__dm")
+        ]
+        if tol is not None:
+            aggs.append(
+                F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("__delta")
             )
-            delta = (
-                ranks.join(p, ranks["node"] == p["__pn"])
-                .agg(F.sum(F.abs(F.col("rank") - F.col("__pr"))))
-                .collect()[0][0]
-            )
-            if delta is not None and delta < tol:
-                break
-        prev = ranks
+        row = ranks.agg(*aggs).collect()[0]
+        if (
+            tol is not None
+            and row["__delta"] is not None
+            and row["__delta"] < tol
+        ):
+            break
+        dangling = row["__dm"] or 0.0
         # ranks is node-sized; when it fits a broadcast the edge table
         # never shuffles for the join — only the groupBy(dst) partial
         # sums move. At web scale (nodes too big to broadcast) the
@@ -109,23 +138,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass: rank held by nodes with no out-edges — one
-        # scalar to the driver, redistributed uniformly
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
         base = teleport + damping * dangling / n
+        prev_r = ranks.select(
+            "node", "__dangling", F.col("rank").alias("__pr")
+        )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            prev_r.join(contribs, prev_r["node"] == contribs["dst"], "left")
             .select(
                 "node",
+                "__dangling",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
+                "__pr",
             )
         )
-    return ranks
+    return ranks.select("node", "rank")

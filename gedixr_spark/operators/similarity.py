@@ -1124,6 +1124,7 @@ def semantic_dedup_pairs(
     scale: int = 1000,
     max_cluster: int | None = 100_000,
     sub_bucket_bits: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: k-means the corpus
     (``clustering.kmeans_fit`` — deterministic init, k×dim driver
@@ -1137,10 +1138,22 @@ def semantic_dedup_pairs(
     ride this join (scoring needs them). ``max_cluster`` /
     ``sub_bucket_bits`` ENFORCE the bound (see
     `_enforce_cluster_bound`) — a skewed fit fails loudly instead of
-    silently going quadratic."""
-    _, assigned = kmeans_fit(
-        df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
-    )
+    silently going quadratic.
+
+    ``centroids``: a pre-fitted k×dim matrix skips the Lloyd
+    iterations (assignment only — one Arrow map pass). The write-once
+    index lifecycle: fit once (`clustering.kmeans_fit` /
+    `save_kmeans_centroids`), reuse everywhere; bit-identical to
+    fitting in-line because the fit is deterministic and float64
+    survives parquet exactly."""
+    if centroids is not None:
+        from gedixr_spark.operators.clustering import kmeans_assign
+
+        assigned = kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    else:
+        _, assigned = kmeans_fit(
+            df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+        )
     v = df.select(
         F.col(id_col), quantize(vec_col, scale).alias("__v")
     ).join(assigned.select(id_col, "cluster"), id_col)
@@ -1204,6 +1217,7 @@ def semantic_dedup(
     keep: str = "min_id",
     max_cluster: int | None = 100_000,
     sub_bucket_bits: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: cluster → within-cluster pairs → connected
     components → survivor per component → anti-join. ``max_cluster`` /
@@ -1218,7 +1232,12 @@ def semantic_dedup(
 
     Composes the lexical-dedup machinery unchanged (dedup_clusters /
     choose_survivors / apply_dedup) — components and survivor tables
-    are ids-only; full vectors move once, inside the scoring join."""
+    are ids-only; full vectors move once, inside the scoring join.
+
+    ``centroids``: pre-fitted k×dim matrix — skips the Lloyd
+    iterations entirely (see `semantic_dedup_pairs`); the
+    farthest-from-centroid metric reuses the same matrix either
+    way (no second fit)."""
     from gedixr_spark.operators.dedup import (
         apply_dedup,
         choose_survivors,
@@ -1227,7 +1246,15 @@ def semantic_dedup(
 
     if keep not in ("min_id", "farthest_from_centroid"):
         raise ValueError(f"keep must be min_id|farthest_from_centroid, got {keep!r}")
-    _, assigned = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    if centroids is not None:
+        from gedixr_spark.operators.clustering import kmeans_assign
+
+        cents = np.asarray(centroids, dtype=np.float64)
+        assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    else:
+        cents, assigned = kmeans_fit(
+            df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+        )
     v = df.select(F.col(id_col), quantize(vec_col, scale).alias("__v")).join(
         assigned.select(id_col, "cluster"), id_col
     )
@@ -1246,8 +1273,6 @@ def semantic_dedup(
     )
     clusters = dedup_clusters(pairs)
     if keep == "farthest_from_centroid":
-        # kmeans_fit is deterministic — reuse the centroids already fit
-        cents, _ = kmeans_fit(df, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
         metric = centroid_similarity(
             df, cents, assigned, vec_col=vec_col, id_col=id_col, scale=scale
         ).select(F.col(id_col).alias("doc_id"), "centroid_cosine")

@@ -85,3 +85,34 @@ def test_tol_early_stop_matches_converged_ranks(spark):
     for u in fixed:
         assert early[u] == pytest.approx(fixed[u], abs=1e-8)
     assert sum(early.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def _count_jobs(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_tol_mode_adds_no_extra_jobs_per_round(spark):
+    """r6 VERDICT #4: the L1 convergence delta rides the SAME
+    per-round scalar-reduction job as the dangling mass — tol mode
+    (non-converging, so every round runs) fires exactly as many Spark
+    jobs as fixed-iteration mode."""
+    rng = np.random.default_rng(11)
+    edges = list(
+        {(int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(150)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fixed = _count_jobs(
+        spark, "pr-fixed", lambda: pagerank(df, n_iter=4).collect()
+    )
+    # tol far below reachable: no early stop, all 4 rounds run
+    tolled = _count_jobs(
+        spark, "pr-tol", lambda: pagerank(df, n_iter=4, tol=1e-300).collect()
+    )
+    assert tolled == fixed, (fixed, tolled)

@@ -180,3 +180,39 @@ def test_empty_input_with_sub_buckets_returns_empty(spark):
         empty, k=2, threshold=0.99, sub_bucket_bits=2
     )
     assert out.count() == 0
+
+
+def test_prefitted_centroids_identical_to_inline_fit(spark, tmp_path):
+    """r6 VERDICT #7: semantic_dedup(centroids=) with a parquet
+    round-tripped fit is bit-identical to fitting in-line — for both
+    survivor policies (farthest_from_centroid also reuses the matrix
+    instead of refitting)."""
+    from gedixr_spark.operators.clustering import (
+        kmeans_fit,
+        load_kmeans_centroids,
+        save_kmeans_centroids,
+    )
+
+    rows, _ = _fixture_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _ = kmeans_fit(df, k=3, n_iter=5)
+    path = str(tmp_path / "cents.parquet")
+    save_kmeans_centroids(spark, cents, path)
+    loaded = load_kmeans_centroids(spark, path)
+    assert loaded.shape == cents.shape and (loaded == cents).all()
+
+    for keep in ("min_id", "farthest_from_centroid"):
+        inline = sorted(
+            r["vec_id"]
+            for r in sim.semantic_dedup(
+                df, k=3, threshold=0.999, n_iter=5, keep=keep
+            ).collect()
+        )
+        pre = sorted(
+            r["vec_id"]
+            for r in sim.semantic_dedup(
+                df, k=3, threshold=0.999, n_iter=5, keep=keep,
+                centroids=loaded,
+            ).collect()
+        )
+        assert pre == inline, keep
