@@ -24,11 +24,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface + §7.4 extension operators (dedup/similarity/text/events/
     multimodal/packing). Ordering is deliberate: the driver records
     CORRECTNESS rows for at most the first 50 entries, and exactly the
-    50 oracle-backed queries fill that window. The 2 rows-only-by-design
-    queries (approx_distinct: HLL differs across engines; kmeans:
-    iterative) sit at slots 51-52, beyond the recorded window — their
-    weak rows-only rows traded for pack_sequences' and pq_ann_topk's
-    full oracle rows; both stay pytest-covered and bench-timed."""
+    50 oracle-backed queries fill that window. The 10 rows-only
+    queries (HLL/zlib engine-specific surfaces and genuinely iterative
+    algorithms) sit beyond it — every EXACT, SQL-expressible operator
+    now carries a hash-checked row (r7 promoted bloom_join /
+    heavy_hitters / term_search / edit_distance via labeled-union
+    consolidation); the rest stay pytest-differential-covered and
+    bench-timed."""
     return {
         **contract.reference_queries(),
         **contract_ext.extension_queries(),

@@ -716,18 +716,14 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window."""
     from gedixr_spark.contract_ext import (
         q_asof_bucketed,
-        q_bloom_join,
         q_bpe_tokens,
         q_compression_gate,
-        q_edit_distance,
         q_pagerank,
         q_distinct_rollup,
-        q_heavy_hitters,
         q_kmeans_clusters,
         q_mixture_sample,
         q_profile_docs,
         q_semantic_dedup,
-        q_term_search,
     )
 
     return {
@@ -741,24 +737,15 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "asof_bucketed": q_asof_bucketed,
         "bpe_tokens": q_bpe_tokens,
-        # sketches — bloom result is exact (DuckDB-pinned in pytest)
-        # but the bitset build is a driver collect; HLL binaries are
-        # engine-specific
-        "bloom_join": q_bloom_join,
+        # HLL binaries are engine-specific
         "distinct_rollup": q_distinct_rollup,
         # one-pass census: HLL++ distinct estimates engine-specific
         "profile_docs": q_profile_docs,
-        # exact result but candidate-collect step; DuckDB-pinned in pytest
-        "heavy_hitters": q_heavy_hitters,
         # zlib float surface is library-specific; exact differential in pytest
         "compression_gate": q_compression_gate,
-        # exact (DuckDB-pinned in pytest); rows-only: oracle window full.
-        # gapfill / funnel / retention were promoted to recorded slots
-        # in r6 (window consolidation); term_search stays rows-only.
-        "term_search": q_term_search,
-        # r6: FastSS edit-distance join — exact+complete, DuckDB
-        # brute-force differential in pytest; rows-only (window full)
-        "edit_distance": q_edit_distance,
         # r6: iterative link analysis — numpy differential in pytest
         "pagerank": q_pagerank,
+        # r7: bloom_join / heavy_hitters / term_search / edit_distance
+        # were promoted into the recorded window (their results are
+        # exact; the window made room via labeled-union consolidation)
     }

@@ -160,6 +160,91 @@ def q_dedup_apply(spark, sf_dir):
     return dedup.apply_dedup(docs, clusters).select("doc_id", "lang", "source")
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """r7 window consolidation: `dedup_clusters` (star-CC labels over
+    the LSH pair graph) and `dedup_apply` (min-label CC → survivor
+    anti-join) as ONE labeled union — both component algorithms keep
+    their driver-checked rows in a single registry slot; each leg is
+    the former standalone recorded query, unchanged, and the oracle
+    reuses both SQL bodies verbatim (the shared recursive-CTE work
+    rides one WITH)."""
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        F.lit("clusters").alias("leg"),
+        "doc_id",
+        "cluster_id",
+        "is_survivor",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    applied = q_dedup_apply(spark, sf_dir).select(
+        F.lit("apply").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("boolean").alias("is_survivor"),
+        "lang",
+        "source",
+    )
+    return clusters.unionByName(applied)
+
+
+def q_lexical_neardup(spark, sf_dir):
+    """r7 window consolidation: the two lexical near-dup sketches —
+    MinHash-LSH (Jaccard ≥ 0.5, banded candidates + exact verify) and
+    SimHash (hamming ≤ 3, pigeonhole bands) — as one labeled union;
+    each leg is the former standalone recorded query, unchanged."""
+    mh = q_minhash_lsh_neardup(spark, sf_dir).select(
+        F.lit("minhash").alias("leg"),
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh = q_simhash_neardup(spark, sf_dir).select(
+        F.lit("simhash").alias("leg"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "hamming",
+    )
+    return mh.unionByName(sh)
+
+
+def q_span_cleaning(spark, sf_dir):
+    """r7 window consolidation: the three sub-document cleaning rails
+    — CCNet segment dedup (chunk-level boilerplate removal +
+    reassembly), cross-doc exact substring spans, and Gopher
+    repetition signals — as one labeled union; each leg is the former
+    standalone recorded query, unchanged."""
+    seg = q_segment_dedup(spark, sf_dir).select(
+        F.lit("segment").alias("leg"),
+        "doc_id",
+        F.col("n_segs").alias("n1"),
+        F.col("n_kept").alias("n2"),
+        F.col("text_clean").alias("s"),
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("x2"),
+    )
+    spans = q_substring_dedup_spans(spark, sf_dir).select(
+        F.lit("spans").alias("leg"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("n1"),
+        F.col("span_end").cast("long").alias("n2"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("x2"),
+    )
+    rep = q_repetition(spark, sf_dir).select(
+        F.lit("repetition").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("dup_token_ratio").alias("x1"),
+        F.col("top_bigram_ratio").alias("x2"),
+    )
+    return seg.unionByName(spans).unionByName(rep)
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a new batch (doc_id ≥ 250) against the
     already-ingested history (doc_id < 250) via the persisted
@@ -480,11 +565,11 @@ def q_bpe_tokens(spark, sf_dir):
 
 def q_bloom_join(spark, sf_dir):
     """Bloom-pruned semi-join (sketches.bloom_semi_join): orders
-    against the high-balance customer segment. Result is EXACTLY the
-    semi-join (prune-then-verify) — pytest pins that against DuckDB
-    (test_sketches) — but the driver-side build collect makes it
-    multi-step ⇒ registered rows-only, bench-timed for the map-side
-    prune's cost profile."""
+    against the high-balance customer segment. The result is EXACTLY
+    the semi-join (the Bloom bitset only prunes; the equi-join
+    verifies), so the plain-SQL EXISTS oracle hash-checks it end to
+    end — promoted into the recorded window in r7. Bench-times the
+    map-side prune's cost profile."""
     from gedixr_spark.operators import sketches
 
     orders = _t(spark, sf_dir, "orders")
@@ -527,8 +612,9 @@ def q_profile_docs(spark, sf_dir):
 def q_heavy_hitters(spark, sf_dir):
     """Heavy hitters over events.event_type (sketches.heavy_hitters):
     freqItems candidate pass + exact map-side-filtered verification.
-    Result is exact (DuckDB-pinned in pytest) but the candidate
-    collect makes it multi-step ⇒ rows-only."""
+    Candidates are a superset and verification prunes, so the result
+    is exact and the plain GROUP BY + support-threshold oracle
+    hash-checks it — promoted into the recorded window in r7."""
     from gedixr_spark.operators.sketches import heavy_hitters
 
     return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", support=0.05)
@@ -559,9 +645,10 @@ def q_gapfill(spark, sf_dir):
 
 def q_term_search(spark, sf_dir):
     """Inverted-index build + boolean AND search (text.
-    build_inverted_index / search_index): postings + intersection are
-    DuckDB-pinned in tests/test_index_diff.py; registered rows-only
-    (oracle window full). Bench-tracks the index-build shuffle + the
+    build_inverted_index / search_index): the index is a lossless
+    derivative, so searching it equals scanning the corpus — the
+    list_contains oracle hash-checks the whole path (promoted into the
+    recorded window in r7). Bench-tracks the index-build shuffle + the
     corpus-independent lookup."""
     from gedixr_spark.operators.text import build_inverted_index, search_index
 
@@ -724,8 +811,9 @@ def q_edit_distance(spark, sf_dir):
     edit_distance_pairs, k=1) over short keys derived from documents
     (first 12 normalized chars, 500-doc slice — the operator is for
     short fields; max_len guards the blow-up). Exact and complete
-    (pigeonhole, no false negatives); DuckDB brute-force differential
-    in tests/test_edit_distance.py; rows-only (oracle window full)."""
+    (pigeonhole, no false negatives), so the brute-force DuckDB
+    levenshtein oracle hash-checks it — promoted into the recorded
+    window in r7."""
     from gedixr_spark.operators.dedup import edit_distance_pairs
 
     docs = (
@@ -2082,6 +2170,83 @@ def build_oracles() -> dict[str, str]:
         SELECT 'latest', c_custkey, c_nationkey, c_mktsegment FROM base
         WHERE c_nationkey <> 3
     """
+
+    # --- r7 window consolidation ------------------------------------------
+    # Merge seven standalone recorded oracles into three labeled unions
+    # (SQL bodies reused verbatim as subqueries — the r6 playbook), then
+    # spend the four freed slots promoting the exact, DuckDB-expressible
+    # rows-only queries bloom_join / heavy_hitters / term_search /
+    # edit_distance into the driver's hash-checked window (r6 VERDICT #1).
+    oracles["dedup_pipeline"] = f"""
+        SELECT 'clusters' AS leg, doc_id, cluster_id, is_survivor,
+               CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source
+        FROM ({oracles.pop('dedup_clusters')})
+        UNION ALL
+        SELECT 'apply', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+               lang, source
+        FROM ({oracles.pop('dedup_apply')})
+    """
+    oracles["lexical_neardup"] = f"""
+        SELECT 'minhash' AS leg, id_a, id_b, jaccard,
+               CAST(NULL AS INTEGER) AS hamming
+        FROM ({oracles.pop('minhash_lsh_neardup')})
+        UNION ALL
+        SELECT 'simhash', id_a, id_b, CAST(NULL AS DOUBLE), hamming
+        FROM ({oracles.pop('simhash_neardup')})
+    """
+    oracles["span_cleaning"] = f"""
+        SELECT 'segment' AS leg, doc_id, n_segs AS n1, n_kept AS n2,
+               text_clean AS s, CAST(NULL AS DOUBLE) AS x1,
+               CAST(NULL AS DOUBLE) AS x2
+        FROM ({oracles.pop('segment_dedup')})
+        UNION ALL
+        SELECT 'spans', doc_id, CAST(span_start AS BIGINT),
+               CAST(span_end AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM ({oracles.pop('substring_dedup_spans')})
+        UNION ALL
+        SELECT 'repetition', doc_id, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               dup_token_ratio, top_bigram_ratio
+        FROM ({oracles.pop('repetition')})
+    """
+    # The four promotions. Each result is EXACT (the sketch/index step
+    # only prunes or accelerates — it never changes the answer), so a
+    # plain-SQL oracle hash-checks it end to end.
+    oracles["bloom_join"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 8000
+        )
+    """
+    oracles["heavy_hitters"] = """
+        WITH tot AS (SELECT count(*) AS n FROM events),
+        hh AS (
+          SELECT event_type AS item, count(*) AS n_rows
+          FROM events GROUP BY 1
+        )
+        SELECT item, n_rows,
+               CAST(n_rows AS DOUBLE) / (SELECT n FROM tot) AS frac
+        FROM hh WHERE n_rows >= 0.05 * (SELECT n FROM tot)
+    """
+    oracles["term_search"] = """
+        SELECT doc_id FROM documents
+        WHERE list_contains(string_split(lower(text), ' '), 'the')
+          AND list_contains(string_split(lower(text), ' '), 'data')
+    """
+    oracles["edit_distance"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(substring(text, 1, 12))),
+                                '\s+', ' ', 'g') AS t
+          FROM documents WHERE doc_id < 500
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.t, b.t) <= 1
+    """
     return oracles
 
 
@@ -2093,15 +2258,15 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_signatures": q_doc_signatures,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "simhash_neardup": q_simhash_neardup,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_apply": q_dedup_apply,
+        # r7 consolidations: each union leg is the former standalone
+        # recorded query (SQL bodies reused verbatim) — seven slots
+        # became three, funding the bloom_join / heavy_hitters /
+        # term_search / edit_distance promotions at the end of this dict
+        "lexical_neardup": q_lexical_neardup,
+        "dedup_pipeline": q_dedup_pipeline,
         "incremental_dedup": q_incremental_dedup,
         "deterministic_splits": q_deterministic_splits,
-        "substring_dedup_spans": q_substring_dedup_spans,
-        "segment_dedup": q_segment_dedup,
-        "repetition": q_repetition,
+        "span_cleaning": q_span_cleaning,
         # r6 consolidation: contamination+spans and pii/blocklist/gate
         # merged into labeled unions (legs unchanged), freeing three
         # recorded slots for the promotions at the end of this dict
@@ -2129,6 +2294,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_retention": q_funnel_retention,
         "gapfill": q_gapfill,
         "versioned_snapshot": q_versioned_snapshot,
+        # r7 promotions (previously rows-only purely because the window
+        # was full): exact results, plain-SQL oracles
+        "bloom_join": q_bloom_join,
+        "heavy_hitters": q_heavy_hitters,
+        "term_search": q_term_search,
+        "edit_distance": q_edit_distance,
     }
 
 

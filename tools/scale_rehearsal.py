@@ -1,0 +1,162 @@
+"""sf1.0 scale rehearsal (r6 VERDICT #2): back SCALE.md's 100 TB
+arguments with measured sf0.1 → sf1 runtime pairs for the most
+expensive registry operators.
+
+No sf1 testdata ships with the driver, so this builds one: each sf0.1
+table replicated 10× with key-column offsets (the standard scale-up
+rehearsal — same value distributions, 10× cardinality). The offset is
+a multiple of 8 so the contract queries' modular slices (c_custkey %
+4/8) keep their selectivity; fixed-slice queries (doc_id < 500 etc.)
+intentionally DON'T scale and are excluded here. Replicas of a
+document are near-identical texts, which makes the dedup rehearsals
+*adversarial* (every doc gains 9 near-dups) — runtime ratios below are
+therefore upper bounds for organic data.
+
+semantic_dedup scales k with n (k ≈ n / target_cluster_size — the
+operator's documented discipline); everything else runs with the
+registry query's own parameters.
+
+Usage:
+    python tools/scale_rehearsal.py [--build-only] [--queries a,b,c]
+Prints one line per query: name, sf0.1 sec, sf1 sec, ratio (data grew
+10×; a ratio well above ~13 flags superlinear behavior).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/gedixr_sf1")
+REPLICAS = 10
+OFFSET = 100_000_000  # multiple of 8: preserves the %4/%8 slice patterns
+
+# key columns to offset per table; tables absent here are copied as-is
+KEYED = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# the expensive operators whose work actually scales with the corpus
+# (fixed-slice quadratic twins like ngram_jaccard/edit_distance are
+# deliberately excluded — their input is capped by construction)
+DEFAULT_QUERIES = [
+    "semantic_dedup_k32",
+    "pagerank",
+    "bloom_join",
+    "spatial_join_aoi",
+    "versioned_snapshot",
+    "dedup_pipeline",
+    "incremental_dedup",
+    "lexical_neardup",
+    "pack_sequences",
+    "set_algebra",
+    "merge_l2a_l2b",
+]
+
+
+def build_sf1(spark) -> None:
+    for t in TABLES:
+        out = os.path.join(DST, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        keys = KEYED.get(t)
+        if not keys:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        parts = []
+        for i in range(REPLICAS):
+            p = df
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            parts.append(p)
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(out)
+        print(f"built {t}", flush=True)
+
+
+def _semantic_dedup_scaled(scale_k: int):
+    """semantic_dedup with k scaled to the corpus (the documented
+    k ≈ n/cluster_size discipline) and a fresh in-line fit — the
+    rehearsal times fit + dedup, the honest end-to-end cost."""
+    from gedixr_spark.operators import similarity
+
+    def q(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return similarity.semantic_dedup(
+            emb, k=scale_k, threshold=0.99, n_iter=3
+        )
+
+    return q
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from gedixr_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("scale-rehearsal")
+    build_sf1(spark)
+    if args.build_only:
+        return
+
+    qs = entry.queries()
+    names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
+    rows = []
+    for name in names:
+        if name == "semantic_dedup_k32":
+            fns = {SRC: _semantic_dedup_scaled(32), DST: _semantic_dedup_scaled(320)}
+        else:
+            fns = {SRC: qs[name], DST: qs[name]}
+        times = {}
+        for sf_dir, fn in fns.items():
+            fn(spark, sf_dir).count()  # warm-up
+            best = min(
+                _timed(fn, spark, sf_dir) for _ in range(args.reps)
+            )
+            times[sf_dir] = best
+        r = times[DST] / times[SRC]
+        rows.append((name, times[SRC], times[DST], r))
+        print(
+            f"{name:24s} sf0.1={times[SRC]:7.2f}s  sf1={times[DST]:8.2f}s  "
+            f"ratio={r:5.1f}x",
+            flush=True,
+        )
+    print("\n| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name, a, b, r in rows:
+        print(f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x |")
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t = time.time()
+    fn(spark, sf_dir).count()
+    return time.time() - t
+
+
+if __name__ == "__main__":
+    main()
