@@ -76,6 +76,27 @@ def _entry_name(version: int) -> str:
     return f"{version:08d}.json"
 
 
+def _resolve_file(path: str, f: str) -> str:
+    """A log file entry is either a bare name (a file in THIS table's
+    ``data/`` dir — every normal commit) or a path containing "/"
+    (an external reference — `shallow_clone` records the source
+    table's files in place). Bare names keep the log relocatable;
+    external entries are what make a clone zero-copy."""
+    return f if "/" in f else _data_dir(path) + "/" + f
+
+
+def _file_paths(path: str, files) -> list[str]:
+    return [_resolve_file(path, f) for f in files]
+
+
+def _touched_entries(files, hit_basenames) -> list[str]:
+    """Map input_file_name basenames back to the RECORDED log entries
+    (bare name or external path). Data files are uuid-named at write
+    time, so basenames are unique across local and external sets."""
+    hit = set(hit_basenames)
+    return sorted(f for f in files if f.rsplit("/", 1)[-1] in hit)
+
+
 def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -384,11 +405,10 @@ def read_versioned(
         # conservatively: footer-merge cost, never a wrong result.
         seen = set(_live_file_schemas(spark, path, cap).values())
         merge_schema = len(seen - {None}) > 1 or None in seen
-    data = _data_dir(path)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[data + "/" + f for f in files])
+    return reader.parquet(*_file_paths(path, files))
 
 
 def _write_data_files(
@@ -624,7 +644,6 @@ def commit_upsert(
             "full-row replace, partial-column updates need a pre-join"
         )
     updates = updates.select(*target.columns)
-    data = _data_dir(path)
     tagged = target.withColumn("__file", F.input_file_name())
     hit = (
         tagged.join(F.broadcast(updates.select(*keys).distinct()), on=list(keys))
@@ -632,10 +651,10 @@ def commit_upsert(
         .distinct()
         .collect()
     )
-    touched = sorted(r["name"] for r in hit)
+    touched = _touched_entries(files, (r["name"] for r in hit))
     if touched:
         kept = (
-            spark.read.parquet(*[data + "/" + f for f in touched])
+            spark.read.parquet(*_file_paths(path, touched))
             .join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
         )
         out_df = kept.unionByName(updates)
@@ -669,7 +688,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     gone = [
         f for f in target
-        if not fs.exists(jpath(_data_dir(path) + "/" + f))
+        if not fs.exists(jpath(_resolve_file(path, f)))
     ]
     if gone:
         raise ValueError(
@@ -759,11 +778,10 @@ def commit_compact(
     files = live_files(spark, path, base)
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    data = _data_dir(path)
     target_bytes = target_mb * 1024 * 1024
     small, small_bytes = [], 0
     for f in files:
-        ln = fs.getFileStatus(jpath(data + "/" + f)).getLen()
+        ln = fs.getFileStatus(jpath(_resolve_file(path, f))).getLen()
         if ln < target_bytes:
             small.append(f)
             small_bytes += ln
@@ -772,7 +790,7 @@ def commit_compact(
     if sort_by and zorder_by:
         raise ValueError("pass sort_by OR zorder_by, not both")
     n_out = n_files if n_files else max(1, -(-small_bytes // target_bytes))
-    df = spark.read.parquet(*[data + "/" + f for f in small])
+    df = spark.read.parquet(*_file_paths(path, small))
     if zorder_by:
         # multi-column clustering: range-partition + sort on the Morton
         # key so each output file covers a compact hyper-rectangle of
@@ -827,7 +845,6 @@ def commit_delete(
     files = live_files(spark, path, base)
     if not files:
         return {"op": "noop", "n_files_rewritten": 0, "version": base}
-    data = _data_dir(path)
     target = read_versioned(spark, path, base)
     hit = (
         target.withColumn("__file", F.input_file_name())
@@ -836,7 +853,7 @@ def commit_delete(
         .distinct()
         .collect()
     )
-    touched = sorted(r["name"] for r in hit)
+    touched = _touched_entries(files, (r["name"] for r in hit))
     if not touched:
         return {"op": "noop", "n_files_rewritten": 0, "version": base}
     # keep rows where the predicate is NOT TRUE — `~predicate` alone
@@ -844,7 +861,7 @@ def commit_delete(
     # from rewritten files while identical rows in untouched files
     # survive: silent, file-dependent data loss. SQL/Delta DELETE
     # keeps NULL-predicate rows; so do we.
-    kept = spark.read.parquet(*[data + "/" + f for f in touched]).filter(
+    kept = spark.read.parquet(*_file_paths(path, touched)).filter(
         ~F.coalesce(predicate, F.lit(False))
     )
     names = _write_data_files(spark, path, kept, base + 1)
@@ -894,8 +911,7 @@ def read_appended(
         if schema is None:
             raise ValueError(f"{path} has no recorded schema")
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
-    data = _data_dir(path)
-    return spark.read.parquet(*[data + "/" + f for f in added])
+    return spark.read.parquet(*_file_paths(path, added))
 
 
 def _file_column_stats(
@@ -1048,8 +1064,7 @@ def read_where_all(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        data = _data_dir(path)
-        out = spark.read.parquet(*[data + "/" + f for f in keep])
+        out = spark.read.parquet(*_file_paths(path, keep))
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
         if lo is not None:
@@ -1081,8 +1096,7 @@ def read_where(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        data = _data_dir(path)
-        out = spark.read.parquet(*[data + "/" + f for f in keep])
+        out = spark.read.parquet(*_file_paths(path, keep))
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(lo))
@@ -1226,8 +1240,7 @@ def read_point(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        data = _data_dir(path)
-        out = spark.read.parquet(*[data + "/" + f for f in keep])
+        out = spark.read.parquet(*_file_paths(path, keep))
     return out.filter(F.col(col) == F.lit(value))
 
 
@@ -1373,7 +1386,7 @@ def table_file_stats(
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     data = _data_dir(path)
     sizes = sorted(
-        fs.getFileStatus(jpath(data + "/" + f)).getLen() for f in files
+        fs.getFileStatus(jpath(_resolve_file(path, f))).getLen() for f in files
     )
     cut = small_mb * 1024 * 1024
     small = [s for s in sizes if s < cut]
@@ -1385,3 +1398,108 @@ def table_file_stats(
         "p50_bytes": sizes[len(sizes) // 2] if sizes else 0,
         "max_bytes": sizes[-1] if sizes else 0,
     }
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    meta: dict | None = None,
+) -> dict:
+    """Zero-copy clone: initialize ``dst`` as a versioned table whose
+    first commit references ``src``'s live files IN PLACE (absolute
+    paths in the log — no data moves, no bytes copied). The Delta
+    SHALLOW CLONE shape: at 100 TB a dev/test/experiment environment
+    costs one metadata commit instead of a table copy.
+
+    The clone is immediately a first-class table: reads, time travel
+    from its own history, upserts/deletes/compaction all work — any
+    rewrite lands NEW files in the clone's own ``data/`` dir and drops
+    the external references it replaced, so the clone diverges
+    copy-on-write at file granularity. ``vacuum_versioned`` on the
+    clone only ever lists the clone's own ``data/`` dir, so it can
+    never delete source files.
+
+    CAVEAT (same as Delta's): vacuuming or deleting the SOURCE can
+    remove files the clone still references — the clone's reads then
+    fail on the missing file. Clone lifetimes must respect the
+    source's retention window; ``meta['cloned_from']`` records the
+    dependency for exactly that audit."""
+    src_versions = _list_log_versions(spark, src)
+    v = src_versions[-1] if version is None else version
+    files = live_files(spark, src, v)
+    schema = _latest_schema(spark, src, v)
+    src_stats = {}
+    src_blooms = {}
+    cap_entries = [(_read_entry(spark, src, sv)) for sv in src_versions if sv <= v]
+    for e in cap_entries:
+        for name, st in e.get("stats", {}).items():
+            src_stats[name] = st
+        for name, bl in e.get("blooms", {}).items():
+            src_blooms[name] = bl
+    init_versioned(spark, dst)
+    # external references: absolute resolved paths of the source files,
+    # carrying over any per-file stats/bloom indexes recorded for them
+    ext = [_resolve_file(src, f) for f in files]
+    stats = {
+        _resolve_file(src, n): s for n, s in src_stats.items() if n in set(files)
+    }
+    blooms = {
+        _resolve_file(src, n): b for n, b in src_blooms.items() if n in set(files)
+    }
+    return _commit(
+        spark,
+        dst,
+        "clone",
+        ext,
+        [],
+        schema,
+        {
+            "cloned_from": src.rstrip("/"),
+            "source_version": v,
+            "n_files_referenced": len(ext),
+            **(meta or {}),
+        },
+        1,
+        stats=stats or None,
+        blooms=blooms or None,
+    )
+
+
+def find_orphan_files(
+    spark: SparkSession,
+    path: str,
+    older_than_hours: float = 168.0,
+) -> list[str]:
+    """Audit: data files present in ``data/`` that NO log version ever
+    referenced — leftovers of commits that crashed between writing
+    files and creating their log entry, or that lost their
+    optimistic-concurrency race. `vacuum_versioned` already deletes
+    them; this is the read-only census (run it on a table you don't
+    own before asking its owner to vacuum). ``older_than_hours``
+    applies the same in-flight-writer guard as vacuum: younger files
+    may belong to a commit still racing."""
+    if older_than_hours < 0:
+        raise ValueError("older_than_hours must be >= 0")
+    referenced: set[str] = set()
+    for v in _list_log_versions(spark, path):
+        e = _read_entry(spark, path, v)
+        referenced.update(e.get("add", []))
+    for c in _list_checkpoints(spark, path):
+        referenced.update(_read_checkpoint(spark, path, c).get("live", []))
+    # compare by basename: external (clone) entries never appear in the
+    # local data/ listing anyway, and local entries are bare names
+    referenced = {f.rsplit("/", 1)[-1] for f in referenced}
+    cutoff_ms = (time.time() - older_than_hours * 3600.0) * 1000.0
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dd = jpath(_data_dir(path))
+    if not fs.exists(dd):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(dd)
+        if st.getPath().getName() not in referenced
+        and st.getModificationTime() <= cutoff_ms
+    )

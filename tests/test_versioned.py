@@ -851,3 +851,86 @@ def test_upsert_rejects_type_flip(spark, table):
     # rejected at the door: no files changed, table still reads clean
     assert set(live_files(spark, table)) == files_before
     assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b")]
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, table, tmp_path):
+    """Clone references source files in place (no bytes copied); reads
+    match; a later upsert diverges copy-on-write — the clone rewrites
+    into its OWN data dir and the source is untouched."""
+    from gedixr_spark.sinks.versioned import shallow_clone
+
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    commit_append(spark, table, _mk(spark, [(3, "c")]).coalesce(1))
+    dst = str(tmp_path / "clone")
+    entry = shallow_clone(spark, table, dst)
+    assert entry["meta"]["cloned_from"] == table.rstrip("/")
+    # zero-copy: the clone's data dir holds nothing
+    assert os.listdir(os.path.join(dst, "data")) == []
+    assert _rows(read_versioned(spark, dst)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # diverge: upsert on the clone rewrites only locally
+    commit_upsert(spark, dst, _mk(spark, [(2, "B!")]), keys=["k"])
+    assert _rows(read_versioned(spark, dst)) == [(1, "a"), (2, "B!"), (3, "c")]
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert len(os.listdir(os.path.join(dst, "data"))) >= 1
+    # clone time travel: pre-upsert snapshot still reads through source
+    assert _rows(read_versioned(spark, dst, version=1)) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # source file survived the rewrite (only the reference was dropped)
+    src_files = [
+        f for f in os.listdir(os.path.join(table, "data"))
+        if not f.startswith(".")
+    ]
+    assert len(src_files) == 2
+
+
+def test_clone_at_version_and_vacuum_safety(spark, table, tmp_path):
+    """Clone of an older version sees that snapshot; vacuum on the
+    clone lists only its own data dir and can never delete source
+    files."""
+    from gedixr_spark.sinks.versioned import shallow_clone
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    commit_overwrite(spark, table, _mk(spark, [(9, "z")]))
+    dst = str(tmp_path / "clone_v1")
+    shallow_clone(spark, table, dst, version=1)
+    assert _rows(read_versioned(spark, dst)) == [(1, "a")]
+
+    # a rewrite on the clone + aggressive vacuum: source files intact
+    commit_overwrite(spark, dst, _mk(spark, [(7, "q")]))
+    deleted = vacuum_versioned(spark, dst, keep_last=1, retention_hours=0.0)
+    assert all("/" not in d or d.startswith(".__") for d in deleted)
+    assert _rows(read_versioned(spark, table, version=1)) == [(1, "a")]
+    assert _rows(read_versioned(spark, table)) == [(9, "z")]
+
+
+def test_find_orphan_files_census(spark, table):
+    """A file in data/ that no log version references (crashed commit
+    leftover) is reported by the census — subject to the same
+    in-flight-writer age guard as vacuum — and a plain read never sees
+    it."""
+    from gedixr_spark.sinks.versioned import find_orphan_files
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    stray = os.path.join(table, "data", "v99999999-dead-part-0.parquet")
+    _mk(spark, [(8, "x")]).coalesce(1).write.mode("overwrite").parquet(
+        str(stray) + ".dir"
+    )
+    import shutil
+
+    part = next(
+        f for f in os.listdir(stray + ".dir") if f.startswith("part-")
+    )
+    shutil.move(os.path.join(stray + ".dir", part), stray)
+    shutil.rmtree(stray + ".dir")
+
+    # age guard: a fresh file is NOT an orphan yet
+    assert find_orphan_files(spark, table) == []
+    got = find_orphan_files(spark, table, older_than_hours=0.0)
+    assert got == ["v99999999-dead-part-0.parquet"]
+    # reads replay the log, so the orphan never leaks into results
+    assert _rows(read_versioned(spark, table)) == [(1, "a")]
+    # vacuum collects it
+    deleted = vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
+    assert "v99999999-dead-part-0.parquet" in deleted
