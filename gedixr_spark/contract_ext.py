@@ -167,8 +167,14 @@ def q_dedup_pipeline(spark, sf_dir):
     their driver-checked rows in a single registry slot; each leg is
     the former standalone recorded query, unchanged, and the oracle
     reuses both SQL bodies verbatim (the shared recursive-CTE work
-    rides one WITH)."""
-    clusters = q_dedup_clusters(spark, sf_dir).select(
+    rides one WITH). The Spark side shares the LSH pair graph the same
+    way the oracle shares its CTE: pairs are banded once
+    (localCheckpoint) and both CC algorithms consume the materialized
+    edge list — without it each leg re-runs the shingle→minhash→band
+    pipeline from the parquet scan."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=4, bands=2).localCheckpoint()
+    clusters = dedup.dedup_clusters_star(pairs).select(
         F.lit("clusters").alias("leg"),
         "doc_id",
         "cluster_id",
@@ -176,7 +182,7 @@ def q_dedup_pipeline(spark, sf_dir):
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("source"),
     )
-    applied = q_dedup_apply(spark, sf_dir).select(
+    applied = dedup.apply_dedup(docs, dedup.dedup_clusters(pairs)).select(
         F.lit("apply").alias("leg"),
         "doc_id",
         F.lit(None).cast("long").alias("cluster_id"),
