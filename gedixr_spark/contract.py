@@ -724,6 +724,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_mixture_sample,
         q_profile_docs,
         q_semantic_dedup,
+        q_bm25_search,
     )
 
     return {
@@ -745,6 +746,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_gate": q_compression_gate,
         # r6: iterative link analysis — numpy differential in pytest
         "pagerank": q_pagerank,
+        # r7: BM25 float scoring is log/divide — numpy differential in
+        # tests/test_bm25.py
+        "bm25_search": q_bm25_search,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

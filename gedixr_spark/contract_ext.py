@@ -662,6 +662,19 @@ def q_term_search(spark, sf_dir):
     return search_index(idx, ["the", "data"], mode="all").orderBy("doc_id")
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-20 over the tf inverted index (text.
+    build_tf_index / bm25_topk, Lucene idf variant) for a 3-term
+    query. Float log/divide scoring ⇒ no cross-engine hash oracle;
+    numpy differential in tests/test_bm25.py; rows-only. Bench-tracks
+    index build + the corpus-independent ranked lookup."""
+    from gedixr_spark.operators.text import bm25_topk, build_tf_index, doc_lengths
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_tf_index(docs)
+    return bm25_topk(idx, doc_lengths(docs), ["the", "data", "model"], k=20)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel view → click → purchase (events.funnel_analysis):
     per-step conditional-min joins, no window sort. Exact semantics

@@ -840,3 +840,120 @@ def phrase_search(
     for leg in legs[1:]:
         matched = matched.join(leg, [id_col, "__anchor"])
     return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def build_tf_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Term-frequency inverted index: one row per term with its
+    document frequency and a posting array of (doc_id, tf) structs —
+    the ranked-retrieval sibling of `build_inverted_index` (whose
+    boolean postings can't score). Same plan shape: one explode +
+    groupBy(term, doc) for tf, one groupBy(term) to assemble; postings
+    sorted by doc_id so the index is hash-stable.
+
+    Persist it once and BM25 queries never touch the corpus again —
+    the same persist-the-derivative pattern as signature_store."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+        ).alias("postings"),
+    )
+
+
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) token lengths — BM25's length-normalization input;
+    one map-side pass, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.lower(F.col(text_col))).alias("dl"),
+    )
+
+
+def bm25_topk(
+    tf_index: DataFrame,
+    lengths: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k over a `build_tf_index` table: (doc_id, score,
+    rank), score descending, ties broken by ascending doc_id (fully
+    deterministic output order).
+
+    Uses the Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (never negative, so a stop-word-frequency query term cannot
+    subtract relevance). Cost is corpus-independent past the index:
+    |terms| index rows are touched (pushed-down IN filter), their
+    postings exploded, one broadcast of the per-query idf map is
+    implicit in the row itself, and the doc-length join runs on the
+    candidate set, not the corpus. Top-k compiles to
+    TakeOrderedAndProject — no full sort.
+
+    Scoring is float (log/divide), so cross-engine hash oracles don't
+    apply; correctness is pinned by the numpy differential in
+    tests/test_bm25.py."""
+    want = sorted({t.lower() for t in terms})
+    if not want:
+        raise ValueError("terms must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs:
+        return tf_index.sparkSession.createDataFrame(
+            [], "doc_id long, score double, rank int"
+        )
+    hits = (
+        tf_index.filter(F.col("term").isin(want))
+        .select("df", F.explode("postings").alias("p"))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        hits.join(lengths, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    w_ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+
+    return w_ordered.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )

@@ -1,0 +1,97 @@
+"""BM25 ranked retrieval (text.build_tf_index / bm25_topk): numpy
+differential on the exact Lucene-variant formula, determinism of the
+tie-broken ordering, and corpus-independence of the plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gedixr_spark.operators.text import bm25_topk, build_tf_index, doc_lengths
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox"),
+    (2, "data systems and data pipelines move data"),
+    (3, "lazy evaluation in data systems"),
+    (4, "the the the the the"),
+    (5, "completely unrelated text about gardening"),
+]
+
+
+def _numpy_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in {t.lower() for t in terms}:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return (
+        build_tf_index(df).localCheckpoint(),
+        doc_lengths(df).localCheckpoint(),
+    )
+
+
+def test_bm25_matches_numpy(corpus):
+    idx, lens = corpus
+    for terms in (["data"], ["the", "data"], ["quick", "lazy", "data"]):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(idx, lens, terms, k=10).collect()
+        }
+        want = _numpy_bm25(DOCS, terms)
+        assert set(got) == set(want), terms
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-12), (terms, d)
+
+
+def test_bm25_rank_order_and_ties(corpus):
+    idx, lens = corpus
+    rows = bm25_topk(idx, lens, ["data", "systems"], k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2]  # only 2 docs match
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # doc 2 (three 'data' + 'systems') must outrank doc 3
+    assert rows[0]["doc_id"] == 2
+
+
+def test_bm25_idf_never_negative(corpus):
+    """Lucene variant: a term in EVERY doc still gets idf > 0, so
+    adding a ubiquitous term can't subtract relevance."""
+    idx, lens = corpus
+    rows = bm25_topk(idx, lens, ["the"], k=10).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+
+
+def test_bm25_unknown_term_and_validation(spark, corpus):
+    idx, lens = corpus
+    assert bm25_topk(idx, lens, ["zzzz"], k=5).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(idx, lens, [])
+    with pytest.raises(ValueError, match="k1"):
+        bm25_topk(idx, lens, ["data"], k1=-1)
+
+
+def test_bm25_plan_touches_terms_only(corpus):
+    """The index filter must reach the scan as a pushed-down IN — the
+    retrieval cost is |terms| index rows, not the term space."""
+    idx, lens = corpus
+    plan = bm25_topk(idx, lens, ["data"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
