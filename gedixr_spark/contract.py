@@ -725,6 +725,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_profile_docs,
         q_semantic_dedup,
         q_bm25_search,
+        q_sq8_ann_topk,
     )
 
     return {
@@ -749,6 +750,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: BM25 float scoring is log/divide — numpy differential in
         # tests/test_bm25.py
         "bm25_search": q_bm25_search,
+        # r7: SQ8 asymmetric scoring is float divide/sqrt — recall and
+        # reconstruction bounds pinned in tests/test_sq8.py
+        "sq8_ann_topk": q_sq8_ann_topk,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

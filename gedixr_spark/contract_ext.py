@@ -662,6 +662,36 @@ def q_term_search(spark, sf_dir):
     return search_index(idx, ["the", "data"], mode="all").orderBy("doc_id")
 
 
+def q_sq8_ann_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN top-3 (similarity.sq8_train/encode/
+    topk): one-byte-per-dim codes, asymmetric float-query ×
+    decoded-candidate cosine over the compressed scan (8× less I/O
+    than the float corpus — the feasible brute pass at 100 TB of
+    embeddings). Float log-free but divide/sqrt scoring ⇒ no
+    cross-engine hash oracle; recall + reconstruction bounds pinned in
+    tests/test_sq8.py; rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _sq8_params(spark, sf_dir)
+    enc = similarity.sq8_encode(emb, params)
+    return similarity.sq8_topk(
+        emb.filter(F.col("vec_id") < 5), enc, params, k=3
+    )
+
+
+_SQ8_PARAMS: dict[str, dict] = {}
+
+
+def _sq8_params(spark, sf_dir):
+    """Train the per-dim SQ8 codebook once per (process, sf) — 2·dim
+    floats of write-once index metadata, same lifecycle as the IVF and
+    k-means centroid caches."""
+    if sf_dir not in _SQ8_PARAMS:
+        _SQ8_PARAMS[sf_dir] = similarity.sq8_train(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _SQ8_PARAMS[sf_dir]
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 top-20 over the tf inverted index (text.
     build_tf_index / bm25_topk, Lucene idf variant) for a 3-term

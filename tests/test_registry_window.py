@@ -65,6 +65,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "compression_gate",
         "pagerank",
         "bm25_search",
+        "sq8_ann_topk",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
