@@ -726,6 +726,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_semantic_dedup,
         q_bm25_search,
         q_sq8_ann_topk,
+        q_contrastive_triplets,
     )
 
     return {
@@ -753,6 +754,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: SQ8 asymmetric scoring is float divide/sqrt — recall and
         # reconstruction bounds pinned in tests/test_sq8.py
         "sq8_ann_topk": q_sq8_ann_topk,
+        # r7: multi-step mining pipeline (pairs -> pool -> ranked
+        # negatives); differential-pinned in tests/test_mining.py
+        "contrastive_triplets": q_contrastive_triplets,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

@@ -662,6 +662,26 @@ def q_term_search(spark, sf_dir):
     return search_index(idx, ["the", "data"], mode="all").orderBy("doc_id")
 
 
+def q_contrastive_triplets(spark, sf_dir):
+    """Contrastive training-pair mining (operators/mining.py): LSH
+    embedding near-dup pairs as positives → hard negatives ranked by
+    exact quantized cosine against a deterministic 256-vector pool,
+    known positives excluded. Hard-negative selection is the
+    similarity ordering (float-free int math) but the pipeline is
+    multi-step ⇒ rows-only; determinism + exclusion + argmax pinned in
+    tests/test_mining.py."""
+    from gedixr_spark.operators.mining import mine_contrastive_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs_multitable(
+        emb, threshold=0.3, n_tables=2, bits=10
+    ).select("id_a", "id_b")
+    return mine_contrastive_triplets(
+        pairs, emb, n_negatives=2, mode="hard", pool_size=256,
+        id_col="vec_id",
+    )
+
+
 def q_sq8_ann_topk(spark, sf_dir):
     """SQ8 scalar-quantized ANN top-3 (similarity.sq8_train/encode/
     topk): one-byte-per-dim codes, asymmetric float-query ×
