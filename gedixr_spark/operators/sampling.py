@@ -324,3 +324,41 @@ def bottomk_sample(
         raise ValueError(f"k must be positive (got {k})")
     pri = F.xxhash64(F.lit(seed), F.col(id_col))
     return df.orderBy(pri.asc(), F.col(id_col).asc()).limit(k)
+
+
+def leakage_audit(
+    splits: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Verification twin of `leakage_safe_split`: count near-dup pairs
+    by the (ordered) split pair they land in. A clean cluster-granular
+    assignment has ZERO cross-split rows; a plain per-doc hash split
+    leaks ~2·p·(1−p) of every dup pair across the train/test boundary
+    — this is the audit that catches it BEFORE the eval set is
+    contaminated (run it on any externally-supplied split column, not
+    just ours).
+
+    Returns (split_a, split_b, n_pairs), split_a <= split_b
+    lexicographically so symmetric pairs aggregate once. Two
+    broadcast-size joins of the ids-only pair table against the
+    (id, split) projection — the corpus never moves."""
+    s = splits.select(F.col(id_col), F.col(split_col))
+    a = s.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("__sa")
+    )
+    b = s.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("__sb")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -175,3 +175,41 @@ def test_bottomk_validates(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="positive"):
         bottomk_sample(df, 0)
+
+
+def test_leakage_audit_clean_vs_leaky(spark):
+    """leakage_safe_split → zero cross-split pairs; a per-doc hash
+    split on the same corpus shows straddling pairs (the audit's whole
+    point)."""
+    from gedixr_spark.operators.sampling import (
+        hash_split,
+        leakage_audit,
+        leakage_safe_split,
+    )
+
+    # 40 dup pairs: (2i, 2i+1) are near-dups
+    docs = spark.createDataFrame(
+        [(i,) for i in range(80)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    clusters = spark.createDataFrame(
+        [(2 * i + off, 2 * i, False) for i in range(40) for off in (0, 1)],
+        "doc_id long, cluster_id long, is_survivor boolean",
+    )
+    clean = leakage_safe_split(docs, clusters)
+    audit = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in leakage_audit(clean, pairs).collect()
+    }
+    cross = {k: v for k, v in audit.items() if k[0] != k[1]}
+    assert cross == {}, cross
+    assert sum(audit.values()) == 40  # every pair accounted for
+
+    leaky = hash_split(docs)
+    audit2 = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in leakage_audit(leaky, pairs).collect()
+    }
+    assert any(k[0] != k[1] for k in audit2), audit2
