@@ -934,3 +934,44 @@ def test_find_orphan_files_census(spark, table):
     # vacuum collects it
     deleted = vacuum_versioned(spark, table, keep_last=1, retention_hours=0.0)
     assert "v99999999-dead-part-0.parquet" in deleted
+
+
+def test_clone_compaction_localizes_files(spark, table, tmp_path):
+    """commit_compact on a clone reads the external references and
+    rewrites them as LOCAL files — the clone detaches from the source
+    at compaction granularity."""
+    from gedixr_spark.sinks.versioned import commit_compact, shallow_clone
+
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    commit_append(spark, table, _mk(spark, [(3, "c")]).coalesce(1))
+    dst = str(tmp_path / "clone_cmp")
+    shallow_clone(spark, table, dst)
+    entry = commit_compact(spark, dst, target_mb=128, n_files=1)
+    assert entry["op"] == "compact"
+    live = live_files(spark, dst)
+    assert all("/" not in f for f in live), live  # all local now
+    assert _rows(read_versioned(spark, dst)) == [(1, "a"), (2, "b"), (3, "c")]
+    # source untouched
+    assert _rows(read_versioned(spark, table)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_clone_carries_stats_for_pruned_reads(spark, table, tmp_path):
+    """Per-file min/max stats recorded on the source survive the clone
+    (re-keyed to the external entries), so file-skipping reads work on
+    the clone without re-scanning."""
+    from gedixr_spark.sinks.versioned import (
+        files_for_range,
+        read_where,
+        shallow_clone,
+    )
+
+    lo = spark.createDataFrame([Row(x=i) for i in range(10)], "x long")
+    hi = spark.createDataFrame([Row(x=i) for i in range(100, 110)], "x long")
+    commit_append(spark, table, lo.coalesce(1), stats_cols=["x"])
+    commit_append(spark, table, hi.coalesce(1), stats_cols=["x"])
+    dst = str(tmp_path / "clone_stats")
+    shallow_clone(spark, table, dst)
+    keep, total = files_for_range(spark, dst, "x", lo=0, hi=50)
+    assert total == 2 and len(keep) == 1  # the hi file was pruned
+    got = sorted(r["x"] for r in read_where(spark, dst, "x", 0, 50).collect())
+    assert got == list(range(10))
