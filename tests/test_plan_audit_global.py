@@ -35,6 +35,12 @@ NESTED_LOOP_ALLOWED = {
     # scan over the (64×-smaller) code table with a != self predicate —
     # the classic flat-ADC layout; the cell-restricted escape is
     # ivf_pq_ann_topk
+    "sq8_ann_topk",  # similarity.py sq8_topk: broadcast(queries) over
+    # the 8×-compressed code scan — the SQ8 flat-ADC baseline; bucket/
+    # cell-restricted search composes via ivf/lsh on the same codes
+    "contrastive_triplets",  # mining.py: anchors × BOUNDED broadcast
+    # pool (pool_size rows, corpus-independent) — quadratic only in
+    # |anchors|·pool_size by construction
 }
 
 # hard ceiling on SHUFFLE-exchange count per query plan (broadcast
