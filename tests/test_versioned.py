@@ -975,3 +975,22 @@ def test_clone_carries_stats_for_pruned_reads(spark, table, tmp_path):
     assert total == 2 and len(keep) == 1  # the hi file was pruned
     got = sorted(r["x"] for r in read_where(spark, dst, "x", 0, 50).collect())
     assert got == list(range(10))
+
+
+def test_clone_of_a_clone(spark, table, tmp_path):
+    """A clone whose source is itself a diverged clone: live entries
+    mix external (grand-source) and local (clone-written) files; the
+    second clone resolves both absolutely and reads the merged state."""
+    from gedixr_spark.sinks.versioned import shallow_clone
+
+    commit_append(spark, table, _mk(spark, [(1, "a")]))
+    c1 = str(tmp_path / "c1")
+    shallow_clone(spark, table, c1)
+    commit_append(spark, c1, _mk(spark, [(2, "b")]))  # local file in c1
+    c2 = str(tmp_path / "c2")
+    entry = shallow_clone(spark, c1, c2)
+    assert entry["meta"]["cloned_from"] == c1
+    assert os.listdir(os.path.join(c2, "data")) == []  # still zero-copy
+    assert _rows(read_versioned(spark, c2)) == [(1, "a"), (2, "b")]
+    # all entries in c2's clone commit are absolute
+    assert all("/" in f for f in live_files(spark, c2))
