@@ -1430,14 +1430,10 @@ def shallow_clone(
     v = src_versions[-1] if version is None else version
     files = live_files(spark, src, v)
     schema = _latest_schema(spark, src, v)
-    src_stats = {}
-    src_blooms = {}
-    cap_entries = [(_read_entry(spark, src, sv)) for sv in src_versions if sv <= v]
-    for e in cap_entries:
-        for name, st in e.get("stats", {}).items():
-            src_stats[name] = st
-        for name, bl in e.get("blooms", {}).items():
-            src_blooms[name] = bl
+    # checkpoint-aware replay (the same one pruned reads use), so stats
+    # and blooms survive even when the source's raw entries were expired
+    src_stats = file_range_stats(spark, src, v)
+    src_blooms = file_bloom_index(spark, src, v)
     init_versioned(spark, dst)
     # external references: absolute resolved paths of the source files,
     # carrying over any per-file stats/bloom indexes recorded for them

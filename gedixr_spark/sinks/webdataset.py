@@ -116,8 +116,10 @@ def read_webdataset(
     Shard→task mapping is EXACT: ``parallelize`` with one slice per
     shard (range slicing) — not a hash ``repartition``, which can
     collide two shards into one task and leave others empty. Shards
-    are listed through the Hadoop FileSystem API so non-local stores
-    (HDFS/S3A) work the same as the writer side."""
+    are listed through the Hadoop FileSystem API (so the listing works
+    against any store Spark can see); OPENING a shard still goes
+    through executor-local tarfile, so non-POSIX stores need a
+    fuse-style mount — the same constraint as the writer side."""
     from gedixr_spark.operators.layout import _hadoop_fs
 
     fs, _ = _hadoop_fs(spark, path)
