@@ -957,3 +957,59 @@ def bm25_topk(
             Window.orderBy(F.desc("score"), F.asc("doc_id"))
         ),
     )
+
+
+def init_tf_index_table(spark, path: str, docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Materialize `build_tf_index` output as a VERSIONED table
+    (sinks/versioned.py) keyed by term — the transactional home for an
+    index that must stay fresh as batches land (see
+    `update_tf_index`)."""
+    from gedixr_spark.sinks.versioned import commit_append, init_versioned
+
+    init_versioned(spark, path)
+    return commit_append(
+        spark, path, build_tf_index(docs, text_col=text_col, id_col=id_col)
+    )
+
+
+def update_tf_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental index maintenance: fold a NEW batch of documents
+    into a versioned tf-index table without rebuilding it. The delta's
+    terms are computed from the batch alone; current postings for
+    exactly those terms are read back (semi-join on the term key),
+    merged (concat, re-sort, df recomputed from the merged posting
+    set), and committed as one file-granularity upsert — untouched
+    terms' files are never rewritten, and a reader mid-update sees
+    either the old or the new snapshot, never a half-merged index.
+
+    Contract: ``new_docs`` ids must be previously UNSEEN (the standard
+    append-only ingest); re-sending a doc would double-count its tf.
+    The differential test pins incremental == from-scratch equality.
+
+    At 100 TB this is the retrieval-derivative lifecycle: the corpus
+    is touched once per batch (the delta build), the index rewrite is
+    proportional to the batch's term footprint, and the commit log
+    gives the index time travel for free (query yesterday's index
+    while today's builds)."""
+    from gedixr_spark.sinks.versioned import commit_upsert, read_versioned
+
+    delta = build_tf_index(new_docs, text_col=text_col, id_col=id_col)
+    cur = read_versioned(spark, path)
+    touched = cur.join(delta.select("term"), "term", "semi")
+    merged = (
+        touched.unionByName(delta)
+        .select("term", F.explode("postings").alias("p"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("p")).alias("postings"),
+        )
+    )
+    return commit_upsert(spark, path, merged, keys=["term"])

@@ -478,7 +478,15 @@ def _check_schema_compat(
     fails instead (the worst place to discover it: after the write,
     for every reader, with the table already poisoned). Delta calls
     this schema enforcement; same trade here — reject at the door,
-    evolve additively."""
+    evolve additively.
+
+    The comparison is NULLABILITY-INSENSITIVE (simpleString): an
+    aggregate-produced batch routinely carries non-null flags where
+    the table recorded nullable (or vice versa), and mergeSchema
+    reconciles that fine — only a real TYPE flip poisons reads.
+    Comparing raw DataType objects here rejected identical types that
+    differed only in containsNull/field nullability (the error message
+    printed two equal types)."""
     latest = _latest_schema(spark, path, cap)
     if latest is None:
         return
@@ -489,7 +497,8 @@ def _check_schema_compat(
     conflicts = [
         f"{f.name}: {old[f.name].simpleString()} -> {f.dataType.simpleString()}"
         for f in new_schema.fields
-        if f.name in old and f.dataType != old[f.name]
+        if f.name in old
+        and f.dataType.simpleString() != old[f.name].simpleString()
     ]
     if conflicts:
         raise ValueError(

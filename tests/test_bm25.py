@@ -95,3 +95,69 @@ def test_bm25_plan_touches_terms_only(corpus):
     idx, lens = corpus
     plan = bm25_topk(idx, lens, ["data"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_index_equals_from_scratch(spark, tmp_path):
+    """Three ingest batches folded with update_tf_index produce the
+    EXACT index (terms, dfs, sorted postings) a from-scratch build on
+    the full corpus produces — and BM25 over the maintained table
+    matches BM25 over the fresh one."""
+    from gedixr_spark.operators.text import (
+        init_tf_index_table,
+        update_tf_index,
+    )
+    from gedixr_spark.sinks.versioned import read_versioned
+
+    batches = [DOCS[:2], DOCS[2:4], DOCS[4:]]
+    path = str(tmp_path / "tfidx")
+    init_tf_index_table(
+        spark, path, spark.createDataFrame(batches[0], "doc_id long, text string")
+    )
+    for b in batches[1:]:
+        update_tf_index(
+            spark, path, spark.createDataFrame(b, "doc_id long, text string")
+        )
+    maintained = {
+        r["term"]: (r["df"], r["postings"])
+        for r in read_versioned(spark, path).collect()
+    }
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    scratch = {
+        r["term"]: (r["df"], r["postings"])
+        for r in build_tf_index(full).collect()
+    }
+    assert maintained == scratch
+
+    got = bm25_topk(
+        read_versioned(spark, path), doc_lengths(full), ["data", "lazy"], k=5
+    ).collect()
+    want = bm25_topk(
+        build_tf_index(full), doc_lengths(full), ["data", "lazy"], k=5
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_incremental_index_time_travel(spark, tmp_path):
+    """The commit log gives the index time travel: version 1 is the
+    first batch's index, unchanged by later folds."""
+    from gedixr_spark.operators.text import (
+        init_tf_index_table,
+        update_tf_index,
+    )
+    from gedixr_spark.sinks.versioned import read_versioned
+
+    path = str(tmp_path / "tfidx_tt")
+    b0 = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    init_tf_index_table(spark, path, b0)
+    update_tf_index(
+        spark, path, spark.createDataFrame(DOCS[2:], "doc_id long, text string")
+    )
+    v1 = {
+        r["term"]: (r["df"], r["postings"])
+        for r in read_versioned(spark, path, version=1).collect()
+    }
+    scratch0 = {
+        r["term"]: (r["df"], r["postings"])
+        for r in build_tf_index(b0).collect()
+    }
+    assert v1 == scratch0

@@ -994,3 +994,29 @@ def test_clone_of_a_clone(spark, table, tmp_path):
     assert _rows(read_versioned(spark, c2)) == [(1, "a"), (2, "b")]
     # all entries in c2's clone commit are absolute
     assert all("/" in f for f in live_files(spark, c2))
+
+
+def test_schema_gate_ignores_nullability(spark, table):
+    """An aggregate-produced batch carries non-null flags where the
+    table recorded nullable — same logical type, and mergeSchema
+    reconciles it; the gate must not reject it (r7 regression: raw
+    DataType comparison rejected identical types differing only in
+    containsNull)."""
+    base = spark.createDataFrame(
+        [(1, ["a"])], "k long, tags array<string>"
+    )
+    commit_append(spark, table, base)
+    # groupBy output: non-nullable count, collect_list array
+    agg = (
+        base.groupBy("k")
+        .agg(F.collect_list(F.col("tags")[0]).alias("tags"))
+        .select("k", "tags")
+    )
+    commit_append(spark, table, agg)  # must not raise
+    assert read_versioned(spark, table).count() == 2
+    # a REAL type flip still raises
+    with pytest.raises(ValueError, match="type of existing column"):
+        commit_append(
+            spark, table,
+            spark.createDataFrame([(2, "x")], "k long, tags string"),
+        )
