@@ -979,6 +979,7 @@ def update_tf_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    meta: dict | None = None,
 ) -> dict:
     """Incremental index maintenance: fold a NEW batch of documents
     into a versioned tf-index table without rebuilding it. The delta's
@@ -1012,4 +1013,4 @@ def update_tf_index(
             F.sort_array(F.collect_list("p")).alias("postings"),
         )
     )
-    return commit_upsert(spark, path, merged, keys=["term"])
+    return commit_upsert(spark, path, merged, keys=["term"], meta=meta)

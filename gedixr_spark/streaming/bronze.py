@@ -212,3 +212,55 @@ def versioned_upsert_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_stream_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict | None:
+    """Idempotent per-micro-batch fold of new documents into a
+    versioned tf index (`text.update_tf_index`) — the retrieval
+    derivative stays fresh as the corpus streams in, with the same
+    commit-log ledger exactly-once guarantee as the other versioned
+    sinks: a replayed batch id no-ops, a crash between commit and
+    checkpoint cannot double-count a document's term frequencies."""
+    from gedixr_spark.operators.text import update_tf_index
+    from gedixr_spark.sinks.versioned import seen_stream_batch_ids
+
+    spark = batch_df.sparkSession
+    if batch_id in seen_stream_batch_ids(spark, index_path):
+        return None
+    return update_tf_index(
+        spark, index_path, batch_df, text_col=text_col, id_col=id_col,
+        meta={"stream_batch_id": batch_id},
+    )
+
+
+def index_maintenance_query(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming incremental index maintenance: each micro-batch of
+    NEW documents merges into the versioned tf-index table as one
+    atomic file-granularity upsert. Query yesterday's index (time
+    travel) while today's streams in — the streaming front door for
+    `text.init_tf_index_table`/`update_tf_index`."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        index_stream_batch(
+            batch_df, index_path, batch_id, text_col=text_col, id_col=id_col
+        )
+
+    writer = docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

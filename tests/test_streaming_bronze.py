@@ -180,3 +180,59 @@ def test_versioned_upsert_stream_cdc(spark, tmp_path):
     replay = spark.createDataFrame(rows2, cols)
     assert upsert_stream_batch(replay, table, 0, ["user_id"], "ts") is None
     assert len(table_history(spark, table)) == n
+
+
+def test_streaming_index_maintenance_exactly_once(spark, tmp_path):
+    """Docs streamed in two waves fold into the versioned tf index;
+    the maintained index equals a from-scratch build on everything
+    seen, a replayed batch id no-ops, and time travel reaches the
+    first wave's index."""
+    from gedixr_spark.operators.text import build_tf_index, init_tf_index_table
+    from gedixr_spark.sinks.versioned import read_versioned, table_history
+    from gedixr_spark.streaming.bronze import (
+        index_stream_batch, index_maintenance_query,
+    )
+
+    landing = tmp_path / "docs"
+    index = str(tmp_path / "tfidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = [(0, "alpha beta gamma"), (1, "beta delta")]
+    wave2 = [(2, "alpha alpha epsilon"), (3, "delta zeta")]
+    df1 = spark.createDataFrame(wave1, "doc_id long, text string")
+    df1.write.mode("append").parquet(str(landing))
+    init_tf_index_table(
+        spark, index, spark.createDataFrame([], "doc_id long, text string")
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(landing)
+    )
+    q = index_maintenance_query(stream, index, ckpt, available_now=True)
+    q.awaitTermination()
+    df2 = spark.createDataFrame(wave2, "doc_id long, text string")
+    df2.write.mode("append").parquet(str(landing))
+    q2 = index_maintenance_query(
+        spark.readStream.schema("doc_id long, text string").parquet(str(landing)),
+        index, ckpt, available_now=True,
+    )
+    q2.awaitTermination()
+
+    def snap(df):
+        return {r["term"]: (r["df"], r["postings"]) for r in df.collect()}
+
+    full = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    assert snap(read_versioned(spark, index)) == snap(build_tf_index(full))
+
+    # replay of an already-committed batch id: no-op
+    hist = table_history(spark, index)
+    bids = [e["meta"].get("stream_batch_id") for e in hist if e["op"] == "upsert"]
+    n_before = len(hist)
+    assert index_stream_batch(df1, index, bids[0]) is None
+    assert len(table_history(spark, index)) == n_before
+
+    # time travel: the first upsert version is wave1's index alone
+    first_v = next(e["version"] for e in hist if e["op"] == "upsert")
+    assert snap(read_versioned(spark, index, version=first_v)) == snap(
+        build_tf_index(df1)
+    )
