@@ -173,7 +173,9 @@ def q_dedup_pipeline(spark, sf_dir):
     edge list — without it each leg re-runs the shingle→minhash→band
     pipeline from the parquet scan."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=4, bands=2).localCheckpoint()
+    pairs = dedup.minhash_lsh_pairs(docs, k=4, bands=2).localCheckpoint(
+        eager=False  # first leg's job materializes it; both legs share
+    )
     clusters = dedup.dedup_clusters_star(pairs).select(
         F.lit("clusters").alias("leg"),
         "doc_id",
