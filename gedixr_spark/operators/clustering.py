@@ -68,7 +68,11 @@ def kmeans_fit(
     # executor storage — the standard iterative-algorithm persistence
     # (MLlib caches its training set the same way); storage is freed
     # when the returned assignment frame is garbage-collected.
-    work = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    # eager=False: the init collect below is the first action and
+    # materializes the checkpoint in the same job
+    work = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+        eager=False
+    )
 
     init_rows = (
         work.orderBy(id_col).limit(k).select(F.col(vec_col).alias("v")).collect()

@@ -86,9 +86,9 @@ def pagerank(
             "left",
         )
         .select("node", F.coalesce("__d", F.lit(True)).alias("__dangling"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    ed = ed.localCheckpoint()
+    ed = ed.localCheckpoint(eager=False)
     # `__pr` carries the PREVIOUS round's rank through the update (the
     # update is a node-keyed join anyway, so the column rides free):
     # the convergence delta then needs no prev-ranks join — both
@@ -100,18 +100,15 @@ def pagerank(
     teleport = (1.0 - damping) / n
     broadcast_ranks = n <= 5_000_000  # ~tens of MB of (node, rank)
     for i in range(n_iter):
-        # eager checkpoint each round (default): the dangling-mass
-        # collect AND the next join both read the materialized round,
-        # so total work is O(n_iter) rounds — without it every
-        # round's collect replays the whole lineage from scratch
-        # (O(n_iter²), measured 20-30 s vs ~3 s on the 600k-edge
-        # bench graph)
+        # checkpoint each round (default): the scalar reduction AND the
+        # next update both read the materialized round, so total work
+        # is O(n_iter) rounds — without it every round replays the
+        # whole lineage from scratch (O(n_iter²), measured 20-30 s vs
+        # ~3 s on the 600k-edge bench graph). eager=False: the round's
+        # reduction job below is the FIRST action on this frame, so it
+        # materializes the checkpoint as a side effect — one job per
+        # round does both (5.8 → 4.2 s for 5 rounds, bit-identical).
         if i % checkpoint_every == 0:
-            # eager=False: the round's scalar-reduction job below is
-            # the FIRST action on this frame, so it materializes the
-            # checkpoint as a side effect — one job per round does both
-            # (measured 5.8 → 4.2 s for 5 rounds on the bench graph;
-            # results bit-identical)
             ranks = ranks.localCheckpoint(eager=False)
         # ONE join-free scalar-reduction job per round: dangling mass
         # always; the L1 delta vs __pr too when tol mode is on (null

@@ -140,7 +140,9 @@ def prepare_training_shards(
     prep = prepare_corpus(
         docs, text_col=text_col, id_col=id_col, **(corpus_kwargs or {})
     )
-    splits = prep["splits"].localCheckpoint()  # reused per split below
+    # reused per split below; eager=False — the BPE word-count job is
+    # the first action and materializes it
+    splits = prep["splits"].localCheckpoint(eager=False)
 
     train_docs = splits.filter(F.col("split") == "train")
     merges = bpe.bpe_train(
