@@ -1042,6 +1042,50 @@ def q_sliding_windows(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_windowed_rollups(spark, sf_dir):
+    """r7 window consolidation: the grouping-sets multi-grain rollup
+    and the two-grid sliding windows as ONE labeled union (each leg is
+    the former standalone recorded query, unchanged; the freed slot
+    funds the doc_chunks promotion)."""
+    tr = q_time_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("leg"),
+        "lvl",
+        "day",
+        "hour",
+        "event_type",
+        F.lit(None).cast("string").alias("win"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "n_events",
+        "sum_value",
+        "n_users",
+    )
+    sw = q_sliding_windows(spark, sf_dir).select(
+        F.lit("sliding").alias("leg"),
+        F.lit(None).cast("long").alias("lvl"),
+        F.lit(None).cast("timestamp").alias("day"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.lit(None).cast("string").alias("event_type"),
+        "win",
+        "window_start",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return tr.unionByName(sw)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """RAG/embedding-ingest chunker (text.chunk_documents): 64-token
+    windows with 8-token overlap over the corpus — deterministic
+    (doc_id, chunk_id) keys, map-side explode, short final window.
+    Oracle replays the slicing with DuckDB list arithmetic."""
+    from gedixr_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/events.py:asof_join): each event gets the
     most recent strictly-earlier purchase of the same user. Right side
@@ -2284,6 +2328,37 @@ def build_oracles() -> dict[str, str]:
     # The four promotions. Each result is EXACT (the sketch/index step
     # only prunes or accelerates — it never changes the answer), so a
     # plain-SQL oracle hash-checks it end to end.
+    oracles["windowed_rollups"] = f"""
+        SELECT 'rollup' AS leg, lvl, day, hour, event_type,
+               CAST(NULL AS VARCHAR) AS win,
+               CAST(NULL AS TIMESTAMP) AS window_start,
+               n_events, sum_value, n_users
+        FROM ({oracles.pop('time_rollup')})
+        UNION ALL
+        SELECT 'sliding', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+               win, window_start, n_events, sum_value, CAST(NULL AS BIGINT)
+        FROM ({oracles.pop('sliding_windows')})
+    """
+    oracles["doc_chunks"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, toks,
+                 CASE WHEN n <= 64
+                      THEN CASE WHEN n > 0 THEN 1 ELSE 0 END
+                      ELSE CAST(ceil((n - 64) / 56.0) AS BIGINT) + 1
+                 END AS n_chunks
+          FROM base
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 56 AS BIGINT) AS chunk_start,
+               CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
+        FROM c, unnest(range(n_chunks)) AS t(i)
+    """
     oracles["bloom_join"] = """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         WHERE EXISTS (
@@ -2351,8 +2426,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_partitions": q_ann_partitions,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
-        "time_rollup": q_time_rollup,
-        "sliding_windows": q_sliding_windows,
+        "windowed_rollups": q_windowed_rollups,
+        "doc_chunks": q_doc_chunks,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "session_stats": q_session_stats,

@@ -1014,3 +1014,58 @@ def update_tf_index(
         )
     )
     return commit_upsert(spark, path, merged, keys=["term"], meta=meta)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the
+    RAG/embedding-ingest chunker: (doc_id, chunk_id, chunk_start,
+    n_tokens, chunk_text), chunk i covering tokens
+    [i·stride, i·stride+chunk_tokens) with stride = chunk_tokens −
+    overlap; the final window is allowed to run short rather than
+    re-anchoring to the end (stable chunk ids under document edits
+    past the mutation point).
+
+    Map-side explode, no shuffle: the token array is built once per
+    row and every window is a slice of it in whole-stage codegen.
+    Chunk ids are (doc_id, chunk_id) — deterministic, so re-chunking
+    an unchanged doc reproduces identical keys (what makes a chunk
+    store incrementally maintainable)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    # sequence(0, -1) DESCENDS — guard the empty-doc case explicitly
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(ids).alias("__i"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__i") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("__i").cast("long").alias("chunk_id"),
+        (F.col("__i") * stride).cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -161,3 +161,37 @@ def test_incremental_index_time_travel(spark, tmp_path):
         for r in build_tf_index(b0).collect()
     }
     assert v1 == scratch0
+
+
+def test_chunk_documents_windows(spark):
+    from gedixr_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b"),                                  # shorter than chunk
+            (3, ""),                                     # empty → no chunks
+            (4, " ".join(f"x{i}" for i in range(9))),    # exact boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3 → starts 0,3,6 cover [0..10): ceil((10-4)/3)+1 = 3
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [0, 3, 6]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert c1[2]["n_tokens"] == 4
+    # overlap: last token of chunk i == first token of chunk i+1
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
+    # 9 tokens, chunk 4, stride 3: starts 0,3,6 — last is exactly 3 long? no, slice(7,4)->3 tokens
+    c4 = sorted(by_doc[4], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c4] == [4, 4, 3]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
