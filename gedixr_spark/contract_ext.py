@@ -675,9 +675,11 @@ def q_contrastive_triplets(spark, sf_dir):
     from gedixr_spark.operators.mining import mine_contrastive_triplets
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the pair table rides the mining plan three times (positives leg +
+    # both exclusion directions) — materialize it once
     pairs = similarity.embedding_neardup_pairs_multitable(
         emb, threshold=0.3, n_tables=2, bits=10
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     return mine_contrastive_triplets(
         pairs, emb, n_negatives=2, mode="hard", pool_size=256,
         id_col="vec_id",

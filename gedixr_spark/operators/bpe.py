@@ -289,3 +289,46 @@ def bpe_encode_ids(
         id_col,
         F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
     )
+
+
+def export_tokenizer_json(
+    merges: list[tuple[str, str]], vocab: DataFrame, path: str
+) -> str:
+    """Write the trained tokenizer as a single JSON artifact in the
+    interoperable huggingface/tokenizers BPE layout (``{"model":
+    {"type": "BPE", "vocab": {token: id}, "merges": ["a b", ...]}}``)
+    — the file a training stack actually consumes, beside the
+    parquet-native `save_merges`/`build_vocab` artifacts. Vocab is
+    merge-bounded (driver-small by construction), so the collect is
+    ≤ alphabet+n_merges rows."""
+    import json as _json
+
+    vocab_map = {
+        r["token"]: int(r["token_id"]) for r in vocab.collect()
+    }
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "BPE",
+            "vocab": dict(sorted(vocab_map.items(), key=lambda kv: kv[1])),
+            "merges": [f"{a} {b}" for a, b in merges],
+        },
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        _json.dump(doc, f, ensure_ascii=False, indent=1)
+    return path
+
+
+def load_tokenizer_json(spark, path: str) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Inverse of `export_tokenizer_json`: (merges, vocab DataFrame)
+    ready for `bpe_encode_ids` — round-trips exactly (pinned)."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as f:
+        doc = _json.load(f)
+    merges = [tuple(m.split(" ", 1)) for m in doc["model"]["merges"]]
+    vocab = spark.createDataFrame(
+        [(t, i) for t, i in doc["model"]["vocab"].items()],
+        "token string, token_id int",
+    )
+    return merges, vocab

@@ -213,3 +213,36 @@ def test_encode_ids_roundtrip_and_unk(spark):
     }
     assert len(out[3]) == n_toks[3] and -1 in out[3]
     assert out[4] == []  # empty doc survives as an empty array
+
+
+def test_tokenizer_json_round_trip(spark, tmp_path):
+    """export_tokenizer_json → load_tokenizer_json reproduces the
+    merges and vocab exactly, and encoding with the loaded artifact
+    yields identical token ids."""
+    from gedixr_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        build_vocab,
+        export_tokenizer_json,
+        load_tokenizer_json,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest " * 2) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(word_counts(docs), n_merges=12)
+    vocab = build_vocab(docs, merges)
+    path = str(tmp_path / "tokenizer.json")
+    export_tokenizer_json(merges, vocab, path)
+    m2, v2 = load_tokenizer_json(spark, path)
+    assert m2 == merges
+    assert sorted(map(tuple, v2.collect())) == sorted(
+        map(tuple, vocab.select("token", "token_id").collect())
+    )
+    a = bpe_encode_ids(docs, merges, vocab).collect()
+    b = bpe_encode_ids(docs, m2, v2).collect()
+    assert sorted((r["doc_id"], tuple(r["token_ids"])) for r in a) == sorted(
+        (r["doc_id"], tuple(r["token_ids"])) for r in b
+    )
