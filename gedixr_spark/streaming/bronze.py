@@ -233,6 +233,10 @@ def index_stream_batch(
     spark = batch_df.sparkSession
     if batch_id in seen_stream_batch_ids(spark, index_path):
         return None
+    if batch_df.isEmpty():
+        # empty micro-batches happen on idle triggers — don't grow the
+        # commit log with no-op upserts
+        return None
     return update_tf_index(
         spark, index_path, batch_df, text_col=text_col, id_col=id_col,
         meta={"stream_batch_id": batch_id},
