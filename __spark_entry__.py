@@ -24,11 +24,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface + §7.4 extension operators (dedup/similarity/text/events/
     multimodal/packing). Ordering is deliberate: the driver records
     CORRECTNESS rows for at most the first 50 entries, and exactly the
-    50 oracle-backed queries fill that window. The 10 rows-only
-    queries (HLL/zlib engine-specific surfaces and genuinely iterative
-    algorithms) sit beyond it — every EXACT, SQL-expressible operator
-    now carries a hash-checked row (r7 promoted bloom_join /
-    heavy_hitters / term_search / edit_distance via labeled-union
+    50 oracle-backed queries fill that window. The 13 rows-only
+    queries (HLL/zlib/float-scoring engine-specific surfaces and
+    genuinely iterative or multi-step algorithms) sit beyond it —
+    every EXACT, SQL-expressible operator carries a hash-checked row
+    (r7 promoted bloom_join / heavy_hitters / term_search /
+    edit_distance, and recorded doc_chunks, via labeled-union
     consolidation); the rest stay pytest-differential-covered and
     bench-timed."""
     return {
