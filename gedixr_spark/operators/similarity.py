@@ -1452,3 +1452,89 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def sq8_index(
+    corpus: DataFrame,
+    params: dict,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """The IVF-SQ8 index table: (id, cell, sq8 codes) — coarse cell
+    for candidate pruning, one-byte-per-dim codes for the scan. Built
+    in ONE map-side pass over the corpus (cell assignment and encoding
+    are both whole-stage-codegen column math); persist it partitioned
+    by ``cell`` and a query touches only its probed partitions — the
+    inverted-file layout over the 8×-compressed representation."""
+    mins, steps = _sq8_vec_lit(params["mins"]), _sq8_vec_lit(params["steps"])
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    (x.cast("double") - F.element_at(mins, i + 1))
+                    / F.element_at(steps, i + 1)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return corpus.select(
+        F.col(id_col),
+        ivf_cell(vec_col, centroids, scale).alias("cell"),
+        codes.alias("sq8"),
+    )
+
+
+def ivf_sq8_ann_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    params: dict,
+    centroids: list[list[int]],
+    k: int = 10,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Cell-restricted SQ8 ANN — the compression × partitioning
+    composition (`ivf_pq_ann_topk`'s near-lossless sibling): the query
+    probes its ``nprobe`` nearest cells, candidates come from a
+    broadcastable equi-join on the cell id, and scoring is the
+    asymmetric float-query × decoded-candidate cosine of `sq8_topk`.
+    With ``nprobe = n_cells`` the result equals the flat `sq8_topk`
+    scan exactly (equivalence-pinned) — nprobe is the recall/cost
+    dial, not a different algorithm."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(
+            ivf_probe_cells(vec_col, centroids, nprobe, scale)
+        ).alias("cell"),
+    )
+    dec = sq8_decode(F.col("sq8"), params)
+    scored = (
+        index.select(F.col(id_col).alias("cand_id"), "cell", dec.alias("cv"))
+        .join(F.broadcast(q), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dot_double(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot_double(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot_double(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

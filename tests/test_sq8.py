@@ -94,3 +94,50 @@ def test_sq8_plan_is_python_free(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_sq8_full_probe_equals_flat_scan(spark, corpus):
+    """nprobe = n_cells makes the cell-restricted search equal the
+    flat sq8_topk scan EXACTLY — same candidates, same scores, same
+    ranks (cells are disjoint, so probing all of them recovers the
+    whole corpus)."""
+    params = sim.sq8_train(corpus)
+    cents = sim.ivf_centroids(dim=16, n_cells=4, seed=7)
+    idx = sim.sq8_index(corpus, params, cents).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)
+    flat = sorted(
+        map(tuple, sim.sq8_topk(
+            queries, sim.sq8_encode(corpus, params), params, k=5
+        ).collect())
+    )
+    full = sorted(
+        map(tuple, sim.ivf_sq8_ann_topk(
+            queries, idx, params, cents, k=5, nprobe=4
+        ).collect())
+    )
+    assert full == flat
+
+
+def test_ivf_sq8_restricted_probe_is_subset_and_python_free(spark, corpus):
+    params = sim.sq8_train(corpus)
+    # learned centroids: quantized k-means fit — the production path
+    from gedixr_spark.operators.clustering import kmeans_fit
+
+    cents_f, _ = kmeans_fit(corpus, k=4, n_iter=4)
+    cents = sim.kmeans_to_ivf_centroids(cents_f)
+    idx = sim.sq8_index(corpus, params, cents).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)
+    out = sim.ivf_sq8_ann_topk(queries, idx, params, cents, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = out.collect()
+    # clustered fixture + learned centroids: nprobe=1 recall vs the
+    # flat scan should be high (each cluster maps to one cell)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.sq8_topk(
+            queries, sim.sq8_encode(corpus, params), params, k=5
+        ).collect()
+    }
+    got = {(r["query_id"], r["cand_id"]) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.8, len(got & truth) / len(truth)
