@@ -268,3 +268,67 @@ def index_maintenance_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def standing_sample_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    batch_id: int,
+    k: int = 1000,
+    id_col: str = "doc_id",
+) -> dict | None:
+    """Maintain a standing uniform k-row QA sample as data streams in —
+    the mergeable-bottom-k discipline live: bottomk(old ∪ batch) ==
+    bottomk(all data ever seen) (hash priority is a pure function of
+    the id), so each micro-batch folds its own bottom-k into the
+    k-row versioned table with ONE tiny overwrite commit. The corpus
+    is touched once per batch; the standing sample never re-reads
+    history. Exactly-once via the commit-log ledger; a replayed batch
+    id no-ops — and would be harmless anyway (bottom-k is idempotent
+    under re-merging the same rows, but the ledger keeps the version
+    history clean)."""
+    from gedixr_spark.operators.sampling import bottomk_sample
+    from gedixr_spark.sinks.versioned import (
+        commit_overwrite, read_versioned, seen_stream_batch_ids,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_id in seen_stream_batch_ids(spark, table_path):
+        return None
+    if batch_df.isEmpty():
+        return None
+    fresh = bottomk_sample(batch_df, k, id_col=id_col)
+    try:
+        current = read_versioned(spark, table_path)
+        merged = current.unionByName(fresh)
+    except ValueError:
+        merged = fresh  # first batch: no schema recorded yet
+    new_sample = bottomk_sample(merged, k, id_col=id_col)
+    return commit_overwrite(
+        spark, table_path, new_sample,
+        meta={"stream_batch_id": batch_id},
+    )
+
+
+def standing_sample_query(
+    docs: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    k: int = 1000,
+    id_col: str = "doc_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming front door for `standing_sample_batch`: the table at
+    any version IS a valid uniform sample of everything ingested up to
+    that commit — time travel gives you 'the QA sample as of last
+    Tuesday' for free."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        standing_sample_batch(batch_df, table_path, batch_id, k=k, id_col=id_col)
+
+    writer = docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -236,3 +236,57 @@ def test_streaming_index_maintenance_exactly_once(spark, tmp_path):
     assert snap(read_versioned(spark, index, version=first_v)) == snap(
         build_tf_index(df1)
     )
+
+
+def test_standing_sample_equals_bottomk_over_everything(spark, tmp_path):
+    """Three streamed waves: the maintained k-row table equals
+    bottomk over the union of everything seen (the mergeable-sketch
+    identity), every intermediate version is the valid sample of its
+    prefix, and a replayed batch id no-ops."""
+    from gedixr_spark.operators.sampling import bottomk_sample
+    from gedixr_spark.sinks.versioned import (
+        init_versioned, read_versioned, table_history,
+    )
+    from gedixr_spark.streaming.bronze import (
+        standing_sample_batch, standing_sample_query,
+    )
+
+    landing = tmp_path / "docs"
+    table = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+    init_versioned(spark, table)
+
+    waves = [
+        [(i, f"doc {i}") for i in range(0, 40)],
+        [(i, f"doc {i}") for i in range(40, 55)],
+        [(i, f"doc {i}") for i in range(55, 90)],
+    ]
+    seen = []
+    for w in waves:
+        spark.createDataFrame(w, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(str(landing))
+        seen.extend(w)
+        q = standing_sample_query(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                str(landing)
+            ),
+            table, ckpt, k=10, available_now=True,
+        )
+        q.awaitTermination()
+        got = sorted(r["doc_id"] for r in read_versioned(spark, table).collect())
+        want = sorted(
+            r["doc_id"]
+            for r in bottomk_sample(
+                spark.createDataFrame(seen, "doc_id long, text string"), 10
+            ).collect()
+        )
+        assert got == want, (len(seen), got, want)
+
+    # replay no-op
+    hist = table_history(spark, table)
+    bids = [e["meta"].get("stream_batch_id") for e in hist if e["op"] == "overwrite"]
+    n = len(hist)
+    df0 = spark.createDataFrame(waves[0], "doc_id long, text string")
+    assert standing_sample_batch(df0, table, bids[0], k=10) is None
+    assert len(table_history(spark, table)) == n
