@@ -1088,6 +1088,78 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_temporal_joins(spark, sf_dir):
+    """r7 window consolidation: the as-of join and the interval join
+    as ONE labeled union (each leg is the former standalone recorded
+    query, unchanged; the freed slot funds the index_maintenance
+    promotion — the versioned tf-index lifecycle's driver row)."""
+    ao = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("leg"),
+        "event_id",
+        "user_id",
+        "ts",
+        "last_purchase_ts",
+        "last_purchase_value",
+        F.lit(None).cast("long").alias("incident_id"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    iv = q_interval_join(spark, sf_dir).select(
+        F.lit("interval").alias("leg"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("last_purchase_ts"),
+        F.lit(None).cast("double").alias("last_purchase_value"),
+        "incident_id",
+        "n_events",
+        "sum_value",
+    )
+    return ao.unionByName(iv)
+
+
+def q_index_maintenance(spark, sf_dir):
+    """Incremental tf-index lifecycle on the driver-checked path
+    (text.init_tf_index_table / update_tf_index over sinks/versioned):
+    batch 1 (even doc ids) initializes the index table, batch 2 (odd
+    ids) folds in via the term-keyed file-granularity upsert; the
+    result is BOTH snapshots flattened — v1 (time travel: batch 1's
+    index alone, untouched by the fold) and latest (== a from-scratch
+    build over everything) — so merge correctness, df recomputation,
+    and snapshot isolation are all hash-checked against a pure-SQL
+    term-frequency replay. Uses the wiped per-(sf) scratch dir like
+    versioned_snapshot."""
+    import os as _os
+
+    from gedixr_spark.operators.text import (
+        init_tf_index_table, update_tf_index,
+    )
+    from gedixr_spark.sinks.versioned import read_versioned
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        _scratch_dir("tfidx", _os.path.basename(sf_dir.rstrip("/"))) + "/t"
+    )
+    init_tf_index_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
+    update_tf_index(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+
+    def _flat(df, snap):
+        return df.select(
+            F.lit(snap).alias("snap"),
+            "term",
+            "df",
+            F.explode("postings").alias("p"),
+        ).select(
+            "snap", "term", "df",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+        )
+
+    v1 = _flat(read_versioned(spark, path, version=1), "v1")
+    latest = _flat(read_versioned(spark, path), "latest")
+    return v1.unionByName(latest)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/events.py:asof_join): each event gets the
     most recent strictly-earlier purchase of the same user. Right side
@@ -2361,6 +2433,38 @@ def build_oracles() -> dict[str, str]:
                array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
         FROM c, unnest(range(n_chunks)) AS t(i)
     """
+    oracles["temporal_joins"] = f"""
+        SELECT 'asof' AS leg, event_id, user_id, ts, last_purchase_ts,
+               last_purchase_value, CAST(NULL AS BIGINT) AS incident_id,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS sum_value
+        FROM ({oracles.pop('asof_join')})
+        UNION ALL
+        SELECT 'interval', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+               CAST(NULL AS DOUBLE), incident_id, n_events, sum_value
+        FROM ({oracles.pop('interval_join')})
+    """
+    oracles["index_maintenance"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+        )
+        SELECT 'v1' AS snap, term,
+               CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               doc_id, CAST(tf AS BIGINT) AS tf
+        FROM tf WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'latest', term,
+               CAST(count(*) OVER (PARTITION BY term) AS BIGINT),
+               doc_id, CAST(tf AS BIGINT)
+        FROM tf
+    """
     oracles["bloom_join"] = """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         WHERE EXISTS (
@@ -2430,8 +2534,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "windowed_rollups": q_windowed_rollups,
         "doc_chunks": q_doc_chunks,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
+        "temporal_joins": q_temporal_joins,
+        "index_maintenance": q_index_maintenance,
         "session_stats": q_session_stats,
         "event_enrich": q_event_enrich,
         "top_users": q_top_users,
