@@ -726,6 +726,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_semantic_dedup,
         q_bm25_search,
         q_sq8_ann_topk,
+        q_ivf_sq8_topk,
         q_contrastive_triplets,
     )
 
@@ -754,6 +755,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: SQ8 asymmetric scoring is float divide/sqrt — recall and
         # reconstruction bounds pinned in tests/test_sq8.py
         "sq8_ann_topk": q_sq8_ann_topk,
+        "ivf_sq8_topk": q_ivf_sq8_topk,
         # r7: multi-step mining pipeline (pairs -> pool -> ranked
         # negatives); differential-pinned in tests/test_mining.py
         "contrastive_triplets": q_contrastive_triplets,

@@ -716,6 +716,21 @@ def _sq8_params(spark, sf_dir):
     return _SQ8_PARAMS[sf_dir]
 
 
+def q_ivf_sq8_topk(spark, sf_dir):
+    """Cell-restricted SQ8 ANN top-3 (similarity.sq8_index /
+    ivf_sq8_ann_topk, nprobe=2): the compression × partitioning
+    composition over the 8×-compressed index. Float asymmetric
+    scoring ⇒ rows-only; full-probe == flat-scan equivalence and
+    recall pinned in tests/test_sq8.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _sq8_params(spark, sf_dir)
+    cents = similarity.ivf_centroids(dim=64, n_cells=8, seed=7)
+    idx = similarity.sq8_index(emb, params, cents)
+    return similarity.ivf_sq8_ann_topk(
+        emb.filter(F.col("vec_id") < 5), idx, params, cents, k=3, nprobe=2
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 top-20 over the tf inverted index (text.
     build_tf_index / bm25_topk, Lucene idf variant) for a 3-term

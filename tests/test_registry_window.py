@@ -66,6 +66,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "pagerank",
         "bm25_search",
         "sq8_ann_topk",
+        "ivf_sq8_topk",
         "contrastive_triplets",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
