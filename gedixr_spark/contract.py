@@ -728,6 +728,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_sq8_ann_topk,
         q_ivf_sq8_topk,
         q_contrastive_triplets,
+        q_hybrid_search,
     )
 
     return {
@@ -759,6 +760,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: multi-step mining pipeline (pairs -> pool -> ranked
         # negatives); differential-pinned in tests/test_mining.py
         "contrastive_triplets": q_contrastive_triplets,
+        # r7: RRF float fusion scores — exact python differential in
+        # tests/test_hybrid_search.py
+        "hybrid_search": q_hybrid_search,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

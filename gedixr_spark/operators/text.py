@@ -1069,3 +1069,56 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    rrf_k: int = 60,
+    topk: int | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: score(d) = Σ_lists 1/(rrf_k + rank_d), documents absent
+    from a list contributing nothing. The standard way to fuse a
+    lexical (BM25) and a dense (ANN) retriever without score
+    calibration — ranks are comparable where raw scores are not.
+
+    Inputs are (id, rank[, query]) DataFrames (1-based ranks, as
+    bm25_topk / cosine_topk emit). With ``query_col``, fusion is
+    per-query. Output: (query?, id, rrf_score, rank), rank ascending,
+    ties broken by ascending id — fully deterministic.
+
+    Scale shape: one unionByName (no shuffle) + one groupBy on the id
+    key over |lists|·k candidate rows — the fused set is bounded by
+    the retrievers' k, never corpus-sized; top-k compiles to
+    TakeOrderedAndProject. The retrievers do the heavy lifting; the
+    fusion is O(candidates)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if rrf_k < 0:
+        raise ValueError(f"rrf_k must be >= 0, got {rrf_k}")
+    from pyspark.sql import Window
+
+    keys = ([query_col] if query_col else []) + [id_col]
+    parts = [
+        r.select(
+            *keys,
+            (1.0 / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    scored = fused.groupBy(*keys).agg(F.sum("__c").alias("rrf_score"))
+    w = Window.partitionBy(*([query_col] if query_col else [])).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out.select(*keys, "rrf_score", "rank")

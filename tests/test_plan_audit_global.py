@@ -38,6 +38,10 @@ NESTED_LOOP_ALLOWED = {
     "sq8_ann_topk",  # similarity.py sq8_topk: broadcast(queries) over
     # the 8×-compressed code scan — the SQ8 flat-ADC baseline; bucket/
     # cell-restricted search composes via ivf/lsh on the same codes
+    "hybrid_search",  # contract_ext.q_hybrid_search dense leg:
+    # cosine_topk with a 3-row broadcast query side over one corpus
+    # scan — linear in the corpus, not quadratic; the lexical leg and
+    # the fusion are shuffle-only
     "contrastive_triplets",  # mining.py: anchors × BOUNDED broadcast
     # pool (pool_size rows, corpus-independent) — quadratic only in
     # |anchors|·pool_size by construction
