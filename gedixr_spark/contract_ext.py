@@ -748,14 +748,16 @@ def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 + brute-cosine dense
     top-20, fused per query with reciprocal-rank fusion
     (text.rrf_fuse, Cormack et al. RRF k=60) — the standard
-    two-retriever RAG stack. Three queries, each a (terms, query
+    two-retriever RAG stack. The lexical leg runs all queries in ONE
+    index pass (text.bm25_topk_multi), not one scan per query.
+    Three queries, each a (terms, query
     vector) pair keyed by the query's vec_id; the dense leg only
     covers the embedded subset of the corpus (real-world asymmetric
     coverage), which RRF absorbs by construction. Float 1/(k+rank)
     scoring ⇒ rows-only; exact fusion differential (python reference
     over the collected legs) in tests/test_hybrid_search.py."""
     from gedixr_spark.operators.text import (
-        bm25_topk,
+        bm25_topk_multi,
         build_tf_index,
         doc_lengths,
         rrf_fuse,
@@ -767,17 +769,9 @@ def q_hybrid_search(spark, sf_dir):
     dl = doc_lengths(docs)
     probes = {10: ["the", "data", "model"], 20: ["spark", "join"],
               30: ["hash", "table", "scan"]}
-    lex_parts = [
-        bm25_topk(idx, dl, terms, k=20).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.col("doc_id"),
-            "rank",
-        )
-        for qid, terms in probes.items()
-    ]
-    lex = lex_parts[0]
-    for part in lex_parts[1:]:
-        lex = lex.unionByName(part)
+    lex = bm25_topk_multi(idx, dl, probes, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
     dense = similarity.cosine_topk(
         emb.filter(F.col("vec_id").isin(list(probes))), emb, k=20
     ).select("query_id", F.col("cand_id").alias("doc_id"), "rank")

@@ -959,6 +959,102 @@ def bm25_topk(
     )
 
 
+def bm25_topk_multi(
+    tf_index: DataFrame,
+    lengths: DataFrame,
+    queries: dict[int, Sequence[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k for MANY queries in ONE index pass:
+    (query_id, doc_id, score, rank), rank per query, score descending,
+    ties broken by ascending doc_id. Identical scoring math to
+    `bm25_topk` (Lucene idf variant); the single-query form is the
+    special case ``queries={qid: terms}``.
+
+    Scale shape — this is the batch-retrieval operator a serving or
+    eval pipeline wants: Q queries cost ONE pushed-down IN scan over
+    the union of their terms (not Q index scans), one broadcast
+    hash-join against the tiny (query_id, term) table fans each
+    posting out to only the queries that asked for that term, and one
+    groupBy(query_id, doc_id) + per-query window ranks everything in a
+    single shuffle over candidate rows (bounded by Σ_q |postings of
+    q's terms|, never corpus-sized). Running `bm25_topk` Q times
+    instead costs Q scans, Q doc-length joins, and Q jobs.
+
+    Float scoring ⇒ differential-pinned vs the single-query operator
+    (itself numpy-pinned) in tests/test_bm25.py."""
+    for qid, ts in queries.items():
+        if not ts:
+            raise ValueError(f"query {qid} has no terms")
+    pairs = sorted(
+        {(int(q), t.lower()) for q, ts in queries.items() for t in ts}
+    )
+    if not pairs:
+        raise ValueError("queries must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    spark = tf_index.sparkSession
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    qt = spark.createDataFrame(pairs, "query_id long, term string")
+    want = sorted({t for _, t in pairs})
+    hits = (
+        tf_index.filter(F.col("term").isin(want))
+        .join(F.broadcast(qt), "term")
+        .select(
+            "query_id",
+            "df",
+            F.explode("postings").alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        hits.join(lengths, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def init_tf_index_table(spark, path: str, docs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id") -> dict:
     """Materialize `build_tf_index` output as a VERSIONED table

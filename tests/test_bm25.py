@@ -97,6 +97,49 @@ def test_bm25_plan_touches_terms_only(corpus):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_multi_equals_per_query_single(corpus):
+    """bm25_topk_multi's one-pass batch retrieval must equal running
+    the (numpy-pinned) single-query operator once per query — scores
+    exact, ranks identical."""
+    from gedixr_spark.operators.text import bm25_topk_multi
+
+    idx, lens = corpus
+    probes = {
+        7: ["data"],
+        8: ["the", "data"],
+        9: ["quick", "lazy", "data"],
+    }
+    got = bm25_topk_multi(idx, lens, probes, k=4).collect()
+    for qid, terms in probes.items():
+        want = bm25_topk(idx, lens, terms, k=4).orderBy("rank").collect()
+        got_q = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [r["doc_id"] for r in got_q] == [r["doc_id"] for r in want]
+        assert [r["rank"] for r in got_q] == [r["rank"] for r in want]
+        for g, w in zip(got_q, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
+def test_bm25_multi_single_scan_and_validation(spark, corpus):
+    """One broadcast hash-join against the query-terms table, no
+    per-query plan duplication: exactly one scan of the tf index in
+    the executed plan; empty queries rejected."""
+    from gedixr_spark.operators.text import bm25_topk_multi
+
+    idx, lens = corpus
+    df = bm25_topk_multi(idx, lens, {1: ["data"], 2: ["lazy", "fox"]}, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_multi(idx, lens, {1: []})
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk_multi(idx, lens, {})
+    # unknown-only query contributes nothing; known query unaffected
+    rows = bm25_topk_multi(idx, lens, {1: ["zzzz"], 2: ["data"]}, k=3).collect()
+    assert {r["query_id"] for r in rows} == {2}
+
+
 def test_incremental_index_equals_from_scratch(spark, tmp_path):
     """Three ingest batches folded with update_tf_index produce the
     EXACT index (terms, dfs, sorted postings) a from-scratch build on
