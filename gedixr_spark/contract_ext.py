@@ -21,8 +21,31 @@ from gedixr_spark.operators import dedup, events, similarity, text
 from gedixr_spark.operators.multimodal import attach_fake_payload
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_root() -> str:
+    """One private mkdtemp root PER PROCESS, created lazily, removed at
+    interpreter exit. mkdtemp gives an unpredictable 0700 directory, so
+    (a) two concurrent driver processes (bench + correctness on one
+    host) can never wipe each other's live scratch files, and (b) no
+    other user can pre-own the path — the two hazards of the previous
+    fixed /tmp/gedixr_scratch layout (r7 ADVICE, medium). Within the
+    process the root is reused across calls, so repeated bench runs
+    still leave /tmp flat."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="gedixr_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _SCRATCH_ROOT
+
+
 def _scratch_dir(name: str, key: str = "") -> str:
-    """Fixed per-(name, key) scratch dir under the system temp root,
+    """Per-(name, key) scratch dir under this process's private root,
     wiped and recreated on each call. Repeated bench/correctness runs
     (warm-up + min-of-3 × many rounds) reuse ONE path instead of
     accumulating a mkdtemp tree per invocation (r6 VERDICT #6 /
@@ -31,16 +54,24 @@ def _scratch_dir(name: str, key: str = "") -> str:
     same query again — the next call wipes the files."""
     import os
     import shutil
-    import tempfile
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "gedixr_scratch",
-        f"{name}_{key}" if key else name,
-    )
+    d = os.path.join(_scratch_root(), f"{name}_{key}" if key else name)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _sf_key(sf_dir: str) -> str:
+    """Collision-free scratch key for a data directory: hash of the
+    FULL absolute path, not its basename — two different trees that
+    happen to end in .../sf0.1 must not share cached index metadata
+    (r7 ADVICE)."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:12]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -468,8 +499,6 @@ def _semdedup_centroids(spark, sf_dir):
     parquet exactly, so load-then-assign ≡ fit-then-assign; bench
     repetitions then time the dedup pipeline, not a re-fit of static
     index metadata."""
-    import os as _os
-
     key = sf_dir
     if key not in _SEMDEDUP_CENTROIDS:
         from gedixr_spark.operators.clustering import (
@@ -483,7 +512,7 @@ def _semdedup_centroids(spark, sf_dir):
         )
         path = (
             _scratch_dir(
-                "semdedup_centroids", _os.path.basename(sf_dir.rstrip("/"))
+                "semdedup_centroids", _sf_key(sf_dir)
             )
             + "/centroids.parquet"
         )
@@ -910,9 +939,7 @@ def q_versioned_snapshot(spark, sf_dir):
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .coalesce(4)  # compaction-sized commits: 4 files, not 32
     )
-    import os as _os
-
-    path = _scratch_dir("vsnap", _os.path.basename(sf_dir.rstrip("/"))) + "/t"
+    path = _scratch_dir("vsnap", _sf_key(sf_dir)) + "/t"
     init_versioned(spark, path)
     commit_append(spark, path, base)
     upd = base.filter(F.col("c_custkey") % 8 == 0).withColumn(
@@ -1180,8 +1207,6 @@ def q_index_maintenance(spark, sf_dir):
     and snapshot isolation are all hash-checked against a pure-SQL
     term-frequency replay. Uses the wiped per-(sf) scratch dir like
     versioned_snapshot."""
-    import os as _os
-
     from gedixr_spark.operators.text import (
         init_tf_index_table, update_tf_index,
     )
@@ -1189,7 +1214,7 @@ def q_index_maintenance(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     path = (
-        _scratch_dir("tfidx", _os.path.basename(sf_dir.rstrip("/"))) + "/t"
+        _scratch_dir("tfidx", _sf_key(sf_dir)) + "/t"
     )
     init_tf_index_table(spark, path, docs.filter(F.col("doc_id") % 2 == 0))
     update_tf_index(spark, path, docs.filter(F.col("doc_id") % 2 == 1))

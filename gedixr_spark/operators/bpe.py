@@ -303,9 +303,27 @@ def export_tokenizer_json(
     ≤ alphabet+n_merges rows."""
     import json as _json
 
-    vocab_map = {
-        r["token"]: int(r["token_id"]) for r in vocab.collect()
-    }
+    rows = vocab.collect()
+    vocab_map = {r["token"]: int(r["token_id"]) for r in rows}
+    # guard the artifact's two implicit encodings (r7 ADVICE): dict
+    # construction would silently collapse duplicate tokens to one id,
+    # and a merge token containing a space cannot round-trip through
+    # the "a b" merge-line encoding in load_tokenizer_json
+    if len(vocab_map) != len(rows):
+        from collections import Counter
+
+        dupes = [t for t, n in Counter(r["token"] for r in rows).items() if n > 1]
+        raise ValueError(
+            f"export_tokenizer_json: duplicate vocab tokens {dupes[:5]!r} "
+            "would silently collapse to one id in the JSON artifact"
+        )
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(
+                f"export_tokenizer_json: merge ({a!r}, {b!r}) contains a "
+                "space and cannot round-trip through the 'a b' merge-line "
+                "encoding"
+            )
     doc = {
         "version": "1.0",
         "model": {

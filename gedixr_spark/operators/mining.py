@@ -103,12 +103,38 @@ def mine_contrastive_triplets(
             F.col(id_col).alias("cand_id"),
             quantize(vec_col, scale).alias("__cv"),
         )
+        # LEFT join + in-plan guard, not an inner join: an anchor
+        # present in the pair table but absent from the corpus (or
+        # with a NULL vector) must fail loudly, not silently drop its
+        # (anchor, positive) rows and make hard/random modes disagree
+        # on coverage (r7 ADVICE). Lazy — no job fires at composition.
         anchors = p.select("anchor_id").distinct().join(
-            corpus.select(
+            corpus.filter(F.col(vec_col).isNotNull()).select(
                 F.col(id_col).alias("anchor_id"),
                 quantize(vec_col, scale).alias("__av"),
             ),
             "anchor_id",
+            "left",
+        ).withColumn(
+            "__av",
+            F.when(F.col("__av").isNotNull(), F.col("__av")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mine_contrastive_triplets(mode='hard'): "
+                            "anchor "
+                        ),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(
+                            f" has no {vec_col!r} embedding in the "
+                            "corpus; hard-negative mining needs every "
+                            "anchor's vector. Filter the pair table to "
+                            "corpus-covered anchors or use "
+                            "mode='random'."
+                        ),
+                    )
+                )
+            ),
         )
         cand = anchors.crossJoin(F.broadcast(pool)).select(
             "anchor_id",

@@ -10,7 +10,7 @@ pruning layout every downstream query relies on (SCALE.md §1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -284,9 +284,12 @@ def standing_sample_batch(
     k-row versioned table with ONE tiny overwrite commit. The corpus
     is touched once per batch; the standing sample never re-reads
     history. Exactly-once via the commit-log ledger; a replayed batch
-    id no-ops — and would be harmless anyway (bottom-k is idempotent
-    under re-merging the same rows, but the ledger keeps the version
-    history clean)."""
+    id no-ops. Re-sent ids ACROSS batches are handled too: the merge
+    drops duplicate ids before re-ranking (same priority hash ⇒ a
+    duplicate would otherwise occupy two of the k slots — r7 ADVICE);
+    a re-sent id is assumed to carry the same payload (the
+    update_tf_index unseen-ids convention), and the first-seen row
+    wins deterministically."""
     from gedixr_spark.operators.sampling import bottomk_sample
     from gedixr_spark.sinks.versioned import (
         commit_overwrite, read_versioned, seen_stream_batch_ids,
@@ -300,7 +303,20 @@ def standing_sample_batch(
     fresh = bottomk_sample(batch_df, k, id_col=id_col)
     try:
         current = read_versioned(spark, table_path)
-        merged = current.unionByName(fresh)
+        # first-seen wins on duplicate ids: standing rows rank ahead
+        # of the fresh batch, so a re-sent id never takes a second
+        # slot AND the kept payload is deterministic (k is tiny — the
+        # window is over ≤ 2k rows)
+        merged = (
+            current.withColumn("__gen", F.lit(0))
+            .unionByName(fresh.withColumn("__gen", F.lit(1)))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("__gen"))
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__gen", "__rn")
+        )
     except ValueError:
         merged = fresh  # first batch: no schema recorded yet
     new_sample = bottomk_sample(merged, k, id_col=id_col)

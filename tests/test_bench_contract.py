@@ -50,3 +50,32 @@ def test_bench_final_line_is_compact_parseable_metric():
     # the preceding diagnostics line exists and carries the spread map
     diag = json.loads(lines[-2])
     assert "spread" in diag and "runs_per_query" in diag
+
+
+def test_scratch_root_is_private_and_process_scoped(spark):
+    """The scratch root is an unpredictable mkdtemp dir (0700, unique
+    per process) reused across calls — two concurrent driver processes
+    can never wipe each other's live scratch files and no other user
+    can pre-own the path (r7 ADVICE, medium). Same-basename data dirs
+    must not collide on cached index metadata either: _sf_key hashes
+    the FULL path."""
+    import os
+    import stat
+
+    from gedixr_spark.contract_ext import _scratch_dir, _scratch_root, _sf_key
+
+    root = _scratch_root()
+    assert _scratch_root() == root  # cached per process
+    assert os.path.basename(root).startswith("gedixr_scratch_")
+    assert len(os.path.basename(root)) > len("gedixr_scratch_")  # random suffix
+    mode = stat.S_IMODE(os.stat(root).st_mode)
+    assert mode == 0o700, oct(mode)
+
+    d1 = _scratch_dir("x", "k")
+    assert d1.startswith(root)
+    open(os.path.join(d1, "f"), "w").write("1")
+    d2 = _scratch_dir("x", "k")  # same key → wiped
+    assert d2 == d1 and not os.listdir(d2)
+
+    assert _sf_key("/a/data/sf0.1") != _sf_key("/b/data/sf0.1")
+    assert _sf_key("/a/data/sf0.1") == _sf_key("/a/data/sf0.1/")

@@ -246,3 +246,26 @@ def test_tokenizer_json_round_trip(spark, tmp_path):
     assert sorted((r["doc_id"], tuple(r["token_ids"])) for r in a) == sorted(
         (r["doc_id"], tuple(r["token_ids"])) for r in b
     )
+
+
+def test_tokenizer_json_export_guards(spark, tmp_path):
+    """The JSON artifact's two implicit encodings are guarded (r7
+    ADVICE): duplicate vocab tokens would silently collapse to one id
+    in the dict, and a merge token containing a space cannot round-trip
+    through the 'a b' merge-line encoding — both must raise, not write
+    a corrupt artifact."""
+    from gedixr_spark.operators.bpe import export_tokenizer_json
+
+    dup_vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("a", 2)], "token string, token_id int"
+    )
+    with pytest.raises(ValueError, match="duplicate vocab tokens"):
+        export_tokenizer_json([], dup_vocab, str(tmp_path / "t1.json"))
+
+    ok_vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "token string, token_id int"
+    )
+    with pytest.raises(ValueError, match="contains a space"):
+        export_tokenizer_json(
+            [("a b", "c")], ok_vocab, str(tmp_path / "t2.json")
+        )

@@ -94,3 +94,33 @@ def test_validation(spark, fixture):
         mine_contrastive_triplets(pairs, corpus, n_negatives=0)
     with pytest.raises(ValueError, match="exceeds pool_size"):
         mine_contrastive_triplets(pairs, corpus, n_negatives=50, pool_size=10)
+
+
+def test_hard_mode_missing_anchor_fails_loudly(spark, fixture):
+    """An anchor in the pair table with no corpus embedding must raise
+    at action time, not silently vanish from the output (r7 ADVICE —
+    random mode keeps such anchors, so silent dropping made the two
+    modes disagree on coverage). The guard is in-plan: composing the
+    DataFrame fires no job."""
+    corpus, _ = fixture
+    pairs = spark.createDataFrame(
+        [(0, 1), (999, 2)], "id_a long, id_b long"  # 999 not in corpus
+    )
+    out = mine_contrastive_triplets(
+        pairs, corpus, n_negatives=2, mode="hard", pool_size=16
+    )  # lazy: no error yet
+    with pytest.raises(Exception, match="anchor 999 has no"):
+        out.collect()
+
+    # NULL embedding counts as missing too
+    corpus_null = corpus.withColumn(
+        "embedding",
+        F.when(F.col("doc_id") == 20, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    pairs2 = spark.createDataFrame([(20, 21)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="anchor 20 has no"):
+        mine_contrastive_triplets(
+            pairs2, corpus_null, n_negatives=2, mode="hard", pool_size=16
+        ).collect()

@@ -290,3 +290,40 @@ def test_standing_sample_equals_bottomk_over_everything(spark, tmp_path):
     df0 = spark.createDataFrame(waves[0], "doc_id long, text string")
     assert standing_sample_batch(df0, table, bids[0], k=10) is None
     assert len(table_history(spark, table)) == n
+
+
+def test_standing_sample_resent_ids_take_one_slot(spark, tmp_path):
+    """A document re-sent in a later batch (same id, possibly different
+    payload) must occupy ONE slot of the k-row sample, not two (r7
+    ADVICE): the merge dedups ids with first-seen-wins before the
+    final bottom-k, so the table stays a valid uniform sample of the
+    DISTINCT ids ever seen."""
+    from gedixr_spark.operators.sampling import bottomk_sample
+    from gedixr_spark.sinks.versioned import init_versioned, read_versioned
+    from gedixr_spark.streaming.bronze import standing_sample_batch
+
+    table = str(tmp_path / "sample")
+    init_versioned(spark, table)
+
+    first = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    standing_sample_batch(first, table, 0, k=8)
+    kept = {r["doc_id"]: r["text"] for r in read_versioned(spark, table).collect()}
+
+    # second batch re-sends every id of the first (mutated payload) —
+    # plus nothing new, so the sample membership must not change
+    resent = spark.createDataFrame(
+        [(i, f"doc {i} v2") for i in range(30)], "doc_id long, text string"
+    )
+    standing_sample_batch(resent, table, 1, k=8)
+    rows = read_versioned(spark, table).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 8, ids
+    # membership identical to bottom-k over the distinct id set
+    want = sorted(
+        r["doc_id"] for r in bottomk_sample(first, 8).collect()
+    )
+    assert sorted(ids) == want
+    # first-seen payload wins deterministically
+    assert {r["doc_id"]: r["text"] for r in rows} == kept
