@@ -715,7 +715,6 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every hash-checked query stays inside the driver's 50-row
     CORRECTNESS window."""
     from gedixr_spark.contract_ext import (
-        q_asof_bucketed,
         q_bpe_tokens,
         q_compression_gate,
         q_pagerank,
@@ -740,7 +739,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # differential tests
         "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
-        "asof_bucketed": q_asof_bucketed,
+        # asof_bucketed promoted to the recorded window in r8
         "bpe_tokens": q_bpe_tokens,
         # HLL binaries are engine-specific
         "distinct_rollup": q_distinct_rollup,

@@ -557,12 +557,54 @@ def q_mixture_sample(spark, sf_dir):
     return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_ann_suite(spark, sf_dir):
+    """r8 consolidation: the three same-schema ANN top-k queries —
+    brute-force cosine (the exactness baseline), multi-table LSH, and
+    IVF with round-tripped centroids — as ONE labeled union (each leg
+    is the former standalone recorded query, SQL bodies reused
+    verbatim). Frees two recorded slots for the asof_bucketed /
+    corpus_budget promotions."""
+    legs = [
+        ("brute", q_cosine_topk),
+        ("lsh", q_ann_topk),
+        ("ivf", q_ivf_ann_topk),
+    ]
+    out = None
+    for label, fn in legs:
+        leg = fn(spark, sf_dir).select(F.lit(label).alias("method"), "*")
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def q_corpus_budget(spark, sf_dir):
+    """Budget-constrained corpus selection (sampling.budget_select):
+    keep the highest-stopword-ratio documents, best first, while the
+    running token total stays ≤ 8000 — 'the best N-token subset', the
+    final step of every training-data recipe. The prefix sum runs
+    DISTRIBUTED (quantile-bucketed two-phase scan, window partitioned
+    by bucket — plan-asserted no SinglePartition exchange in
+    test_budget_select), yet is hash-identical to the oracle's
+    single-statement global window."""
+    from gedixr_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(docs).select(
+        "doc_id", "n_tokens", F.col("stopword_ratio").alias("quality")
+    )
+    out = budget_select(
+        feats, 8000, cost_col="n_tokens", score_col="quality",
+        keep_running=True,
+    )
+    return out.select("doc_id", "n_tokens", "quality", "running_n_tokens")
+
+
 def q_asof_bucketed(spark, sf_dir):
     """Hot-key as-of variant (events.asof_join_bucketed, 1-day
     buckets) on the same query as `asof_join` — equivalence to the
-    windowed plan is pytest-pinned; this entry tracks the carry-
-    forward plan's cost at bench scale. Multi-step carry logic ⇒
-    rows-only."""
+    windowed plan is pytest-pinned. Promoted to the recorded window in
+    r8: the carry-forward plan's RESULT is exactly the as-of join, so
+    DuckDB's ASOF LEFT JOIN (the temporal_joins leg's oracle, reused
+    verbatim) hash-checks the bucketed execution end to end."""
     e = _t(spark, sf_dir, "events")
     purch = (
         e.filter(F.col("event_type") == "purchase")
@@ -2509,12 +2551,15 @@ def build_oracles() -> dict[str, str]:
                array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
         FROM c, unnest(range(n_chunks)) AS t(i)
     """
+    # the as-of SQL backs both the temporal_joins leg and (r8) the
+    # promoted asof_bucketed row — same query, two execution plans
+    asof_sql = oracles.pop("asof_join")
     oracles["temporal_joins"] = f"""
         SELECT 'asof' AS leg, event_id, user_id, ts, last_purchase_ts,
                last_purchase_value, CAST(NULL AS BIGINT) AS incident_id,
                CAST(NULL AS BIGINT) AS n_events,
                CAST(NULL AS DOUBLE) AS sum_value
-        FROM ({oracles.pop('asof_join')})
+        FROM ({asof_sql})
         UNION ALL
         SELECT 'interval', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
@@ -2575,6 +2620,43 @@ def build_oracles() -> dict[str, str]:
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.t, b.t) <= 1
     """
+
+    # --- r8 window consolidation + promotions -----------------------------
+    # The three same-schema ANN top-k oracles merge into one labeled
+    # union (bodies reused verbatim); the two freed slots record the
+    # bucketed as-of plan and the new distributed budget-select.
+    oracles["ann_suite"] = f"""
+        SELECT 'brute' AS method, * FROM ({oracles.pop('cosine_topk')})
+        UNION ALL
+        SELECT 'lsh' AS method, * FROM ({oracles.pop('ann_topk')})
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM ({oracles.pop('ivf_ann_topk')})
+    """
+    oracles["asof_bucketed"] = asof_sql
+    oracles["corpus_budget"] = """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      t -> t <> '')) AS INTEGER) AS n_tokens,
+                 CAST(len(list_filter(list_filter(string_split(text, ' '),
+                        t -> t <> ''),
+                      t -> list_contains(
+                        ['the','a','and','of','to','in','is','it'],
+                        lower(t)))) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '),
+                         t -> t <> '')) AS quality
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, n_tokens, quality,
+                 sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS rt
+          FROM f
+        )
+        SELECT doc_id, n_tokens, quality,
+               CAST(rt AS BIGINT) AS running_n_tokens
+        FROM r WHERE rt <= 8000
+    """
     return oracles
 
 
@@ -2602,11 +2684,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gates": q_doc_gates,
         "term_rankings": q_term_rankings,
         "text_features": q_text_features,
-        "cosine_topk": q_cosine_topk,
+        # r8 consolidation: cosine_topk + ann_topk + ivf_ann_topk (all
+        # same schema) merged into one labeled union, freeing two
+        # recorded slots for the promotions at the end of this dict
+        "ann_suite": q_ann_suite,
         "embedding_neardup": q_embedding_neardup,
-        "ann_topk": q_ann_topk,
         "ann_partitions": q_ann_partitions,
-        "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
         "windowed_rollups": q_windowed_rollups,
         "doc_chunks": q_doc_chunks,
@@ -2628,6 +2711,12 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "term_search": q_term_search,
         "edit_distance": q_edit_distance,
+        # r8 promotions into the slots freed by the ann_suite
+        # consolidation: the bucketed as-of plan (exact as-of result,
+        # DuckDB ASOF JOIN oracle) and the new distributed
+        # budget-select operator
+        "asof_bucketed": q_asof_bucketed,
+        "corpus_budget": q_corpus_budget,
     }
 
 

@@ -362,3 +362,150 @@ def leakage_audit(
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _quantile_boundaries(
+    df: DataFrame, col: str, n_buckets: int, rel_err: float = 0.001
+) -> list[float]:
+    """Approximate quantile cut points of ``col`` used ONLY for load
+    balancing: any monotone bucketing of the sort key yields the same
+    final result (offsets are computed from the buckets' actual sums),
+    so sketch error never affects correctness — a bad boundary just
+    imbalances one bucket. Heavy ties collapse duplicate cut points."""
+    if n_buckets <= 1:
+        return []  # one bucket: no cut points needed
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = df.stat.approxQuantile(col, probs, rel_err)
+    return sorted({float(q) for q in qs})
+
+
+def running_total(
+    df: DataFrame,
+    value_col: str,
+    score_col: str,
+    descending: bool = True,
+    tiebreak: str = "doc_id",
+    n_buckets: int = 64,
+    boundaries: list[float] | None = None,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Exact DISTRIBUTED prefix sum of ``value_col`` in
+    (``score_col`` desc|asc, ``tiebreak`` asc) order — the primitive
+    behind budget-constrained corpus selection, cumulative-coverage
+    curves, and "top docs until N tokens" quotas.
+
+    A naive ``sum() OVER (ORDER BY ...)`` with no PARTITION BY is a
+    single-task window — one executor sorts the full corpus, which is
+    exactly the operator you cannot run at 100 TB. This runs the
+    classic two-phase scan instead, all DataFrame-native:
+
+    1. bucket every row by a MONOTONE function of the sort key
+       (quantile cut points of ``score_col``; equal scores always share
+       a bucket, so the bucket id is a pure row function — no frozen
+       partitioning to keep consistent between passes, unlike
+       ``repartitionByRange`` + ``spark_partition_id``, whose sampled
+       boundaries would have to be pinned across two jobs);
+    2. ONE tiny aggregate (≤ n_buckets rows) gives each bucket's total;
+       the driver folds them into per-bucket offsets, shipped back as a
+       single ``element_at(map(...), bucket)`` literal — O(n_buckets)
+       plan constant, one expr string (never per-element lit);
+    3. the cumulative sum runs as a window PARTITIONED BY bucket —
+       n_buckets parallel sorted windows instead of one global one —
+       and each row's exact global prefix = bucket offset + local sum.
+
+    Exactly one shuffle of the data (the window's hash exchange by
+    bucket) plus two cheap stats jobs. Ordering must be total for a
+    well-defined prefix: ``tiebreak`` must be unique per row. NULL
+    scores/values are the caller's problem (document or filter first);
+    sum skips NULL values, NULL scores all land in bucket 0.
+    """
+    from pyspark.sql.window import Window
+
+    if tiebreak not in df.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} not in DataFrame")
+    if boundaries is None:
+        boundaries = _quantile_boundaries(df, score_col, n_buckets)
+    if boundaries:
+        arr = (
+            "array("
+            + ",".join(repr(float(b)) + "D" for b in boundaries)
+            + ")"
+        )
+        bucket = F.expr(
+            f"size(filter({arr}, x -> `{score_col}` > x))"
+        ).cast("int")
+    else:
+        bucket = F.lit(0)  # constant score: one bucket, still correct
+    work = df.withColumn("__bucket", bucket)
+
+    totals = {
+        r["__bucket"]: r["t"]
+        for r in work.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    order = sorted(totals, reverse=descending)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in order:
+        offsets[b] = acc
+        acc += totals[b] or 0
+    if offsets:
+        pairs = ",".join(f"{b},{int(v)}L" for b, v in offsets.items())
+        offset_col = F.expr(f"element_at(map({pairs}), __bucket)")
+    else:
+        offset_col = F.lit(0).cast("long")
+
+    s = F.col(score_col)
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(s.desc() if descending else s.asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        work.withColumn(
+            out_col, (offset_col + F.sum(value_col).over(w)).cast("long")
+        )
+        .drop("__bucket")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    cost_col: str,
+    score_col: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    keep_running: bool = False,
+) -> DataFrame:
+    """Budget-constrained corpus selection: walk documents from best to
+    worst ``score_col`` (ties → lowest ``id_col``) and keep each doc
+    while the running ``cost_col`` total — INCLUDING the doc — stays
+    ≤ ``budget``. The 'take the best N-token subset' step every
+    training-data recipe ends with, made exact and deterministic: the
+    kept set is a pure function of (data, budget), independent of
+    partitioning, cluster size, or row order.
+
+    Built on :func:`running_total`, so the global ordering never
+    funnels through one task; the filter itself is a map-side predicate
+    on the exact prefix sum. Note the greedy prefix rule deliberately
+    STOPS at the first doc that would overflow — it does not knapsack
+    around it; a later cheaper doc with a worse score is also excluded
+    (prefix semantics, not bin packing — reproducibility beats the last
+    <1-doc sliver of budget)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    out = running_total(
+        df,
+        value_col=cost_col,
+        score_col=score_col,
+        descending=descending,
+        tiebreak=id_col,
+        n_buckets=n_buckets,
+        out_col="__running",
+    ).filter(F.col("__running") <= budget)
+    if keep_running:
+        return out.withColumnRenamed("__running", "running_" + cost_col)
+    return out.drop("__running")

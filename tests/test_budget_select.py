@@ -1,0 +1,115 @@
+"""Distributed prefix sum (sampling.running_total) and
+budget-constrained corpus selection (sampling.budget_select):
+equivalence to the single-task global window, tie handling, boundary
+degeneracy, and the no-single-partition-exchange plan guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gedixr_spark.operators.sampling import budget_select, running_total
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(1, 50), rng.choice([0.1, 0.25, 0.25, 0.5, 0.9]))
+        for i in range(500)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens int, score double"
+    ).repartition(8).localCheckpoint()
+
+
+def _global_running(df, descending=True):
+    s = F.col("score")
+    w = (
+        Window.orderBy(s.desc() if descending else s.asc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("want", F.sum("n_tokens").over(w))
+
+
+@pytest.mark.parametrize("descending", [True, False])
+@pytest.mark.parametrize("n_buckets", [1, 4, 64])
+def test_running_total_equals_global_window(spark, docs, descending, n_buckets):
+    got = running_total(
+        docs, "n_tokens", "score",
+        descending=descending, n_buckets=n_buckets,
+    )
+    want = _global_running(docs, descending)
+    joined = got.join(want.select("doc_id", "want"), "doc_id")
+    bad = joined.filter(F.col("running_total") != F.col("want")).count()
+    assert bad == 0
+
+
+def test_running_total_constant_score_degenerates_safely(spark):
+    df = spark.createDataFrame(
+        [(i, 10, 1.0) for i in range(100)],
+        "doc_id long, n_tokens int, score double",
+    )
+    got = {
+        r["doc_id"]: r["running_total"]
+        for r in running_total(df, "n_tokens", "score").collect()
+    }
+    assert got == {i: (i + 1) * 10 for i in range(100)}
+
+
+@pytest.mark.parametrize("budget", [0, 37, 1000, 10**9])
+def test_budget_select_is_exact_prefix(spark, docs, budget):
+    got = sorted(
+        r["doc_id"] for r in budget_select(
+            docs, budget, cost_col="n_tokens", score_col="score"
+        ).collect()
+    )
+    want_rows = _global_running(docs).collect()
+    want = sorted(r["doc_id"] for r in want_rows if r["want"] <= budget)
+    assert got == want
+    if budget == 10**9:
+        assert len(got) == docs.count()  # budget >= total keeps all
+
+
+def test_budget_select_deterministic_under_partitioning(spark, docs):
+    a = budget_select(docs, 500, "n_tokens", "score")
+    b = budget_select(
+        docs.repartition(17, "n_tokens"), 500, "n_tokens", "score"
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_no_single_partition_exchange_in_plan(spark, docs):
+    """The whole point: the prefix sum must never funnel the corpus
+    through one task. The physical plan must contain no
+    SinglePartition exchange (which is exactly what a global ORDER BY
+    window would introduce)."""
+    out = running_total(docs, "n_tokens", "score", n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
+
+
+def test_budget_select_validates(spark, docs):
+    with pytest.raises(ValueError, match="budget must be"):
+        budget_select(docs, -1, "n_tokens", "score")
+    with pytest.raises(ValueError, match="tiebreak column"):
+        running_total(docs, "n_tokens", "score", tiebreak="nope")
+
+
+def test_keep_running_column(spark, docs):
+    out = budget_select(
+        docs, 400, "n_tokens", "score", keep_running=True
+    )
+    rows = out.orderBy(F.desc("score"), "doc_id").collect()
+    assert all(r["running_n_tokens"] <= 400 for r in rows)
+    # running column really is the inclusive prefix sum
+    acc = 0
+    for r in rows:
+        acc += r["n_tokens"]
+        assert r["running_n_tokens"] == acc

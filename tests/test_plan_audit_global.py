@@ -29,7 +29,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # upstream): brute-force cosine ground truth + the tf-idf corpus-total
 # broadcast; ngram_jaccard_pairs is the guarded verification twin
 NESTED_LOOP_ALLOWED = {
-    "cosine_topk",  # similarity.py:79 broadcast(q) crossJoin baseline
+    "ann_suite",  # brute leg = similarity.py:79 broadcast(q) crossJoin
+    # baseline (r8: cosine_topk folded into the labeled union)
     "term_rankings",  # text.py:140 1-row corpus total broadcast
     "pq_ann_topk",  # similarity.py pq_ann_topk: broadcast(queries) ADC
     # scan over the (64×-smaller) code table with a != self predicate —

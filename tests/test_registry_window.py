@@ -58,7 +58,6 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "kmeans_clusters",
         "semantic_dedup",
         "mixture_sample",
-        "asof_bucketed",
         "bpe_tokens",
         "distinct_rollup",
         "profile_docs",
@@ -72,6 +71,8 @@ def test_rows_only_tail_is_exactly_the_known_set():
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
+        # r8: asof_bucketed promoted (DuckDB ASOF JOIN oracle) + new
+        # corpus_budget recorded; ann_suite consolidation funded both
     }
     assert set(tail) == known_rows_only or tail == [], (
         f"rows-only set changed: {tail}. If deliberate (a genuinely "
