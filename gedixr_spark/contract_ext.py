@@ -577,25 +577,42 @@ def q_ann_suite(spark, sf_dir):
 
 
 def q_corpus_budget(spark, sf_dir):
-    """Budget-constrained corpus selection (sampling.budget_select):
-    keep the highest-stopword-ratio documents, best first, while the
-    running token total stays ≤ 8000 — 'the best N-token subset', the
-    final step of every training-data recipe. The prefix sum runs
-    DISTRIBUTED (quantile-bucketed two-phase scan, window partitioned
-    by bucket — plan-asserted no SinglePartition exchange in
-    test_budget_select), yet is hash-identical to the oracle's
-    single-statement global window."""
+    """Budget-constrained corpus selection (sampling.budget_select) as
+    a labeled union of both quota shapes a data recipe needs:
+
+    - ``global``: the best documents by stopword ratio while the
+      running token total stays ≤ 8000 — 'the best N-token subset';
+    - ``per_lang``: the same selection with an independent 2000-token
+      cap PER LANGUAGE (``group_cols``) — per-source quotas, with the
+      hot group split across score buckets so no single-task window.
+
+    Both legs run the DISTRIBUTED prefix sum (quantile-bucketed
+    two-phase scan — plan-asserted no SinglePartition exchange in
+    test_budget_select), yet hash-match the oracle's single-statement
+    global / PARTITION BY windows."""
     from gedixr_spark.operators.sampling import budget_select
 
     docs = _t(spark, sf_dir, "documents")
     feats = text.quality_features(docs).select(
-        "doc_id", "n_tokens", F.col("stopword_ratio").alias("quality")
+        "doc_id", "lang", "n_tokens",
+        F.col("stopword_ratio").alias("quality"),
     )
-    out = budget_select(
-        feats, 8000, cost_col="n_tokens", score_col="quality",
+    glob = budget_select(
+        feats.drop("lang"), 8000, cost_col="n_tokens", score_col="quality",
         keep_running=True,
+    ).select(
+        F.lit("global").alias("leg"),
+        F.lit(None).cast("string").alias("lang"),
+        "doc_id", "n_tokens", "quality", "running_n_tokens",
     )
-    return out.select("doc_id", "n_tokens", "quality", "running_n_tokens")
+    per_lang = budget_select(
+        feats, 2000, cost_col="n_tokens", score_col="quality",
+        keep_running=True, group_cols=["lang"],
+    ).select(
+        F.lit("per_lang").alias("leg"),
+        "lang", "doc_id", "n_tokens", "quality", "running_n_tokens",
+    )
+    return glob.unionByName(per_lang)
 
 
 def q_asof_bucketed(spark, sf_dir):
@@ -2635,7 +2652,7 @@ def build_oracles() -> dict[str, str]:
     oracles["asof_bucketed"] = asof_sql
     oracles["corpus_budget"] = """
         WITH f AS (
-          SELECT doc_id,
+          SELECT doc_id, lang,
                  CAST(len(list_filter(string_split(text, ' '),
                       t -> t <> '')) AS INTEGER) AS n_tokens,
                  CAST(len(list_filter(list_filter(string_split(text, ' '),
@@ -2647,15 +2664,27 @@ def build_oracles() -> dict[str, str]:
                          t -> t <> '')) AS quality
           FROM documents
         ),
-        r AS (
+        g AS (
           SELECT doc_id, n_tokens, quality,
                  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
                                      ROWS UNBOUNDED PRECEDING) AS rt
           FROM f
+        ),
+        pl AS (
+          SELECT doc_id, lang, n_tokens, quality,
+                 sum(n_tokens) OVER (PARTITION BY lang
+                                     ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS rt
+          FROM f
         )
-        SELECT doc_id, n_tokens, quality,
+        SELECT 'global' AS leg, CAST(NULL AS VARCHAR) AS lang,
+               doc_id, n_tokens, quality,
                CAST(rt AS BIGINT) AS running_n_tokens
-        FROM r WHERE rt <= 8000
+        FROM g WHERE rt <= 8000
+        UNION ALL
+        SELECT 'per_lang', lang, doc_id, n_tokens, quality,
+               CAST(rt AS BIGINT)
+        FROM pl WHERE rt <= 2000
     """
     return oracles
 

@@ -388,6 +388,7 @@ def running_total(
     n_buckets: int = 64,
     boundaries: list[float] | None = None,
     out_col: str = "running_total",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact DISTRIBUTED prefix sum of ``value_col`` in
     (``score_col`` desc|asc, ``tiebreak`` asc) order — the primitive
@@ -418,11 +419,21 @@ def running_total(
     well-defined prefix: ``tiebreak`` must be unique per row. NULL
     scores/values are the caller's problem (document or filter first);
     sum skips NULL values, NULL scores all land in bucket 0.
+
+    ``group_cols`` restarts the prefix per group (per-language /
+    per-source quotas — the "data recipe" shape): buckets still come
+    from the GLOBAL score quantiles (good enough for balance), the
+    window partitions by (group, bucket), and per-(group, bucket)
+    offsets ride a broadcast join of the tiny totals table instead of
+    the map literal. A hot group splits across its score buckets, so
+    even 'one group holds 90% of the corpus' never funnels into one
+    task — the failure mode of the naive PARTITION BY group window.
     """
     from pyspark.sql.window import Window
 
     if tiebreak not in df.columns:
         raise ValueError(f"tiebreak column {tiebreak!r} not in DataFrame")
+    groups = list(group_cols or [])
     if boundaries is None:
         boundaries = _quantile_boundaries(df, score_col, n_buckets)
     if boundaries:
@@ -438,27 +449,48 @@ def running_total(
         bucket = F.lit(0)  # constant score: one bucket, still correct
     work = df.withColumn("__bucket", bucket)
 
-    totals = {
-        r["__bucket"]: r["t"]
-        for r in work.groupBy("__bucket")
-        .agg(F.sum(value_col).alias("t"))
+    totals_df = (
+        work.groupBy(*groups, "__bucket")
+        .agg(F.sum(value_col).alias("__t"))
         .collect()
-    }
-    order = sorted(totals, reverse=descending)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in order:
-        offsets[b] = acc
-        acc += totals[b] or 0
-    if offsets:
-        pairs = ",".join(f"{b},{int(v)}L" for b, v in offsets.items())
-        offset_col = F.expr(f"element_at(map({pairs}), __bucket)")
+    )
+    if groups:
+        # per-group offsets: fold each group's bucket totals separately,
+        # ship them back as a broadcast-joined tiny table
+        by_group: dict[tuple, dict[int, int]] = {}
+        for r in totals_df:
+            key = tuple(r[g] for g in groups)
+            by_group.setdefault(key, {})[r["__bucket"]] = r["__t"]
+        rows = []
+        for key, totals in by_group.items():
+            acc = 0
+            for b in sorted(totals, reverse=descending):
+                rows.append((*key, b, acc))
+                acc += totals[b] or 0
+        spark = df.sparkSession
+        off_schema = work.select(
+            *groups, F.col("__bucket"), F.lit(0).cast("long").alias("__off")
+        ).schema
+        off_df = spark.createDataFrame(rows, off_schema)
+        work = work.join(F.broadcast(off_df), [*groups, "__bucket"])
+        offset_col = F.col("__off")
     else:
-        offset_col = F.lit(0).cast("long")
+        totals = {r["__bucket"]: r["__t"] for r in totals_df}
+        order = sorted(totals, reverse=descending)
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in order:
+            offsets[b] = acc
+            acc += totals[b] or 0
+        if offsets:
+            pairs = ",".join(f"{b},{int(v)}L" for b, v in offsets.items())
+            offset_col = F.expr(f"element_at(map({pairs}), __bucket)")
+        else:
+            offset_col = F.lit(0).cast("long")
 
     s = F.col(score_col)
     w = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*groups, "__bucket")
         .orderBy(s.desc() if descending else s.asc(), F.col(tiebreak).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -466,7 +498,7 @@ def running_total(
         work.withColumn(
             out_col, (offset_col + F.sum(value_col).over(w)).cast("long")
         )
-        .drop("__bucket")
+        .drop("__bucket", "__off")
     )
 
 
@@ -479,6 +511,7 @@ def budget_select(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     keep_running: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Budget-constrained corpus selection: walk documents from best to
     worst ``score_col`` (ties → lowest ``id_col``) and keep each doc
@@ -494,7 +527,10 @@ def budget_select(
     STOPS at the first doc that would overflow — it does not knapsack
     around it; a later cheaper doc with a worse score is also excluded
     (prefix semantics, not bin packing — reproducibility beats the last
-    <1-doc sliver of budget)."""
+    <1-doc sliver of budget).
+
+    ``group_cols`` applies the SAME budget independently per group —
+    per-language / per-source caps, the quota half of a data recipe."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     out = running_total(
@@ -505,6 +541,7 @@ def budget_select(
         tiebreak=id_col,
         n_buckets=n_buckets,
         out_col="__running",
+        group_cols=group_cols,
     ).filter(F.col("__running") <= budget)
     if keep_running:
         return out.withColumnRenamed("__running", "running_" + cost_col)

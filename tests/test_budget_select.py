@@ -113,3 +113,65 @@ def test_keep_running_column(spark, docs):
     for r in rows:
         acc += r["n_tokens"]
         assert r["running_n_tokens"] == acc
+
+
+@pytest.fixture(scope="module")
+def grouped_docs(spark):
+    import random
+
+    rng = random.Random(11)
+    # one hot group holding ~80% of rows — the skew case the grouped
+    # prefix must survive without a single-task window
+    rows = []
+    for i in range(600):
+        g = "en" if rng.random() < 0.8 else rng.choice(["de", "fr"])
+        rows.append((i, g, rng.randint(1, 40), rng.random()))
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens int, score double"
+    ).repartition(8).localCheckpoint()
+
+
+def test_grouped_running_total_equals_per_group_window(spark, grouped_docs):
+    got = running_total(
+        grouped_docs, "n_tokens", "score", group_cols=["lang"], n_buckets=16
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = grouped_docs.withColumn("want", F.sum("n_tokens").over(w))
+    bad = (
+        got.join(want.select("doc_id", "want"), "doc_id")
+        .filter(F.col("running_total") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_grouped_budget_select_caps_every_group(spark, grouped_docs):
+    out = budget_select(
+        grouped_docs, 300, "n_tokens", "score",
+        group_cols=["lang"], keep_running=True,
+    ).collect()
+    per_group_max = {}
+    for r in out:
+        per_group_max[r["lang"]] = max(
+            per_group_max.get(r["lang"], 0), r["running_n_tokens"]
+        )
+    assert per_group_max and all(v <= 300 for v in per_group_max.values())
+    # every group got an independent quota (hot group not starved,
+    # small groups not over-served)
+    assert set(per_group_max) == {"en", "de", "fr"}
+
+
+def test_grouped_plan_splits_hot_group_across_buckets(spark, grouped_docs):
+    """The window must partition by (group, bucket), not group alone:
+    with n_buckets=16 the hot 'en' group spreads over many window
+    partitions. Assert via the plan's window partition spec."""
+    out = running_total(
+        grouped_docs, "n_tokens", "score", group_cols=["lang"], n_buckets=16
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "__bucket" in plan  # bucket really is part of the partition key
