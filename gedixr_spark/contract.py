@@ -728,6 +728,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_ivf_sq8_topk,
         q_contrastive_triplets,
         q_hybrid_search,
+        q_weighted_sample,
     )
 
     return {
@@ -762,6 +763,8 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: RRF float fusion scores — exact python differential in
         # tests/test_hybrid_search.py
         "hybrid_search": q_hybrid_search,
+        # r8: float -ln(u)/w scoring — engine-specific; pytest-pinned
+        "weighted_sample": q_weighted_sample,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

@@ -832,6 +832,26 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(idx, doc_lengths(docs), ["the", "data", "model"], k=20)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted deterministic sample (sampling.weighted_bottomk_sample,
+    Efraimidis–Spirakis exponential clocks): 500 documents without
+    replacement, inclusion probability ∝ token count — the importance-
+    sampling half of data mixing. -ln(u)/w float scoring ⇒ rows-only
+    (like bm25_search); the k=1 inclusion law, mergeability, and the
+    reference formula are pinned in tests/test_weighted_sample.py.
+    Bench-tracks the TakeOrderedAndProject top-k path under a computed
+    weight."""
+    from gedixr_spark.operators.sampling import weighted_bottomk_sample
+    from gedixr_spark.operators.text import quality_features
+
+    docs = quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return weighted_bottomk_sample(
+        docs, 500, weight_col="n_tokens", keep_priority=True
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 + brute-cosine dense
     top-20, fused per query with reciprocal-rank fusion

@@ -546,3 +546,66 @@ def budget_select(
     if keep_running:
         return out.withColumnRenamed("__running", "running_" + cost_col)
     return out.drop("__running")
+
+
+def weighted_priority(
+    weight_col: Column | str, id_col: Column | str, seed: int = 0
+) -> Column:
+    """Efraimidis–Spirakis priority as a pure column function:
+    ``-ln(u) / w`` with ``u`` a deterministic uniform in (0, 1] derived
+    from ``xxhash64(seed, id)`` — the exponential-clock form of
+    weighted sampling. Selecting the k SMALLEST priorities samples k
+    rows without replacement with inclusion probability proportional
+    to weight (for k=1 exactly w_i/Σw). Like bottomk_sample's hash
+    priority, it is a pure function of (seed, id, weight): stable
+    under any partitioning and MERGEABLE — wbk(A ∪ B) ==
+    wbk(wbk(A) ∪ wbk(B)) as long as a given id always carries the
+    same weight. Non-positive or NULL weights raise in-plan (a zero
+    weight would divide to +inf and silently never sample; better
+    loud)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    # h uniform in [0, 2^53); u = (h+1)/2^53 in (0, 1] — never 0, so
+    # ln(u) is finite; 2^53 keeps the double mantissa exact
+    h = F.pmod(F.xxhash64(F.lit(seed), i), F.lit(1 << 53))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 53))
+    wd = w.cast("double")
+    guarded = F.when(wd > 0, wd).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_priority: non-positive or NULL weight for id "),
+                i.cast("string"),
+                F.lit(" — weights must be > 0"),
+            )
+        )
+    )
+    return -F.log(u) / guarded
+
+
+def weighted_bottomk_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    keep_priority: bool = False,
+) -> DataFrame:
+    """Deterministic weighted k-row sample WITHOUT replacement
+    (importance sampling for data mixing: weight by quality score,
+    token count, dedup-cluster size...). Same execution shape as
+    bottomk_sample — orderBy(priority).limit(k) compiles to
+    TakeOrderedAndProject: per-partition top-k heaps + a driver merge
+    of p·k rows, never a full sort shuffle — and the same mergeable-
+    sketch property, so per-shard weighted samples fold into the
+    corpus sample without re-reading raw data."""
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    pri = weighted_priority(weight_col, id_col, seed)
+    out = (
+        df.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    if keep_priority:
+        return out.withColumnRenamed("__pri", "priority")
+    return out.drop("__pri")
