@@ -350,3 +350,75 @@ def load_tokenizer_json(spark, path: str) -> tuple[list[tuple[str, str]], DataFr
         "token string, token_id int",
     )
     return merges, vocab
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group tokenizer quality report — the numbers that decide
+    whether a trained tokenizer is fit for a corpus before you spend
+    the cluster encoding 100 TB with it:
+
+    - ``fertility``: BPE tokens per whitespace word (≈1 is ideal;
+      ≫1 means the vocab fragments this group — the classic symptom of
+      a tokenizer trained on the wrong language mix);
+    - ``chars_per_token``: compression rate (higher = cheaper);
+    - ``oov_rate``: share of produced tokens missing from ``vocab``
+      (frozen-vocab drift on a new corpus batch).
+
+    One Arrow encode pass (the same ``bpe_encode`` the id path uses),
+    one explode + broadcast vocab anti-join for OOV, one aggregate.
+    All ratios are single divisions of exact int64 sums, so the report
+    is bit-stable across partitionings and engines."""
+    enc = bpe_encode(df, merges, text_col, "__toks")
+    per_doc = enc.select(
+        id_col,
+        group_col,
+        F.size("__toks").alias("__n_bpe"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__n_words"),
+        F.length(text_col).alias("__n_chars"),
+        F.col("__toks"),
+    )
+    tok = per_doc.select(group_col, F.explode("__toks").alias("token"))
+    oov = (
+        tok.join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n_oov"))
+    )
+    agg = (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("__n_words").cast("long").alias("n_words"),
+            F.sum("__n_chars").cast("long").alias("n_chars"),
+        )
+        .join(oov, group_col, "left")
+        .withColumn("__n_oov", F.coalesce("__n_oov", F.lit(0)))
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_bpe_tokens",
+        "n_words",
+        "n_chars",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+        (F.col("__n_oov").cast("double") / F.col("n_bpe_tokens")).alias(
+            "oov_rate"
+        ),
+    )

@@ -1642,3 +1642,107 @@ def semantic_contamination(
             (F.coalesce("n_bench_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) of a per-query shortlist: greedily pick
+
+        argmax_c  lam·sim(q, c) − (1−lam)·max_{s∈picked} sim(c, s)
+
+    — the standard rerank between ANN retrieval and serving that stops
+    a result page being five near-duplicates of the same document.
+
+    Scale shape: the EXPENSIVE part (corpus → shortlist) already
+    happened upstream (ann/bm25/hybrid top-n); MMR itself is inherently
+    sequential per query but over ≤ shortlist-size rows, so each query
+    group reranks in ONE Arrow batch (applyInPandas, numpy O(n²·dim)
+    on tens of rows) with queries parallel across the cluster. The
+    corpus is touched only to fetch the shortlist's vectors via two
+    id equi-joins.
+
+    Determinism: similarities are exact int64 dot products of
+    quantized vectors, normalized per pair by the exact norms — each
+    MMR score is single-IEEE arithmetic on exact ints; ties break on
+    lowest candidate id. ``k`` bounds the output per query; shorter
+    shortlists return fully."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    emb = corpus.select(
+        F.col(id_col), quantize(vec_col, scale).alias("__v")
+    )
+    pairs = (
+        candidates.select(query_col, cand_col)
+        .join(
+            emb.select(
+                F.col(id_col).alias(query_col), F.col("__v").alias("__qv")
+            ),
+            query_col,
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias(cand_col), F.col("__v").alias("__cv")
+            ),
+            cand_col,
+        )
+    )
+    out_schema = (
+        f"{pairs.schema[query_col].dataType.simpleString()}"
+    )
+    schema = (
+        f"{query_col} {out_schema}, "
+        f"{cand_col} {pairs.schema[cand_col].dataType.simpleString()}, "
+        "mmr_rank int, mmr_score double"
+    )
+    lam_f = float(lam)
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.asarray(pdf["__qv"].iloc[0], dtype=np.int64)
+        ids = pdf[cand_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["__cv"].iloc[order]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        qn = np.sqrt(float((q * q).sum()))
+        rel = (mat @ q).astype(np.float64) / (norms * qn)
+        # pairwise candidate cosines (n ≤ shortlist size)
+        cc = (mat @ mat.T).astype(np.float64) / np.outer(norms, norms)
+        n = len(ids)
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        while avail.any() and len(picked) < min(k, n):
+            if picked:
+                div = cc[:, picked].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = lam_f * rel - (1.0 - lam_f) * div
+            mmr[~avail] = -np.inf
+            best = int(np.argmax(mmr))  # argmax takes FIRST max → min id
+            picked.append(best)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                cand_col: ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+
+    return pairs.groupBy(query_col).applyInPandas(_rerank, schema)

@@ -1109,6 +1109,13 @@ def update_tf_index(
             F.sort_array(F.collect_list("p")).alias("postings"),
         )
     )
+    # commit_upsert drives FOUR actions over `updates` (key-cardinality
+    # gate, touched-file discovery, keep-side anti-join, final write);
+    # without this the full tokenize+merge plan — a corpus-batch scan —
+    # re-executes for each. Lazy localCheckpoint materializes it once
+    # on the first action and the rest reuse the blocks (the pagerank/
+    # kmeans discipline; measured 4.6 → ~2 s at sf0.1).
+    merged = merged.localCheckpoint(eager=False)
     return commit_upsert(spark, path, merged, keys=["term"], meta=meta)
 
 
