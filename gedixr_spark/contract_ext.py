@@ -590,16 +590,23 @@ def q_corpus_budget(spark, sf_dir):
     two-phase scan — plan-asserted no SinglePartition exchange in
     test_budget_select), yet hash-match the oracle's single-statement
     global / PARTITION BY windows."""
-    from gedixr_spark.operators.sampling import budget_select
+    from gedixr_spark.operators.sampling import (
+        _quantile_boundaries, budget_select,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    # each budget_select leg drives 3 actions (quantile sketch, bucket
+    # totals, the selection itself) — 6 total; checkpoint the tokenize
+    # pass once so they share it instead of re-scanning text 6×, and
+    # compute the (load-balancing-only) score boundaries once for both
     feats = text.quality_features(docs).select(
         "doc_id", "lang", "n_tokens",
         F.col("stopword_ratio").alias("quality"),
-    )
+    ).localCheckpoint(eager=False)
+    bnds = _quantile_boundaries(feats, "quality", 64)
     glob = budget_select(
         feats.drop("lang"), 8000, cost_col="n_tokens", score_col="quality",
-        keep_running=True,
+        keep_running=True, boundaries=bnds,
     ).select(
         F.lit("global").alias("leg"),
         F.lit(None).cast("string").alias("lang"),
@@ -607,7 +614,7 @@ def q_corpus_budget(spark, sf_dir):
     )
     per_lang = budget_select(
         feats, 2000, cost_col="n_tokens", score_col="quality",
-        keep_running=True, group_cols=["lang"],
+        keep_running=True, group_cols=["lang"], boundaries=bnds,
     ).select(
         F.lit("per_lang").alias("leg"),
         "lang", "doc_id", "n_tokens", "quality", "running_n_tokens",

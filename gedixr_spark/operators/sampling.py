@@ -512,6 +512,7 @@ def budget_select(
     n_buckets: int = 64,
     keep_running: bool = False,
     group_cols: list[str] | None = None,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Budget-constrained corpus selection: walk documents from best to
     worst ``score_col`` (ties → lowest ``id_col``) and keep each doc
@@ -542,6 +543,7 @@ def budget_select(
         n_buckets=n_buckets,
         out_col="__running",
         group_cols=group_cols,
+        boundaries=boundaries,
     ).filter(F.col("__running") <= budget)
     if keep_running:
         return out.withColumnRenamed("__running", "running_" + cost_col)
