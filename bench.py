@@ -34,8 +34,10 @@ def main() -> None:
     # otherwise the first Arrow query in the run pays worker spin-up
     # (~2-3 s) and its number measures the host, not the plan
     next(iter(qs.values()))(spark, sf_dir).count()
-    if "spatial_join_holed" in qs:
-        qs["spatial_join_holed"](spark, sf_dir).count()
+    for warm_q in ("spatial_joins", "spatial_join_holed"):
+        if warm_q in qs:
+            qs[warm_q](spark, sf_dir).count()
+            break
     # warm the WHOLE Arrow worker pool, not just one worker: a trivial
     # pandas_udf over one partition per core spins up every Python
     # worker the pool will reuse, so the first pandas_udf query in the

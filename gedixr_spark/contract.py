@@ -298,6 +298,17 @@ def q_spatial_join_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("aoi_name", "shot", "longitude", "latitude")
 
 
+def q_spatial_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 consolidation of the two spatial-join recorded rows (same
+    schema; the aoi_name values are disjoint so the union stays
+    self-labeling): the adaptive-pick leg over the rect+triangle AOI
+    set and the pinned grid-indexed leg over holed/multi-part AOIs.
+    SQL bodies reused verbatim. Freed slot funds triangle_count."""
+    return q_spatial_join_aoi(spark, sf_dir).unionByName(
+        q_spatial_join_holed(spark, sf_dir)
+    )
+
+
 def q_merge_l2a_l2b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 product merge on (shot, acq_time) with pandas-style suffixes
     on colliding non-key columns (xr.py:56-112), BOTH join modes in one
@@ -681,6 +692,15 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# r8 consolidation: one recorded row for both spatial-join legs — the
+# two oracle bodies union verbatim (aoi_name values are disjoint, so
+# rows stay attributable); the freed slot records triangle_count.
+ORACLES["spatial_joins"] = (
+    "SELECT * FROM (" + ORACLES.pop("spatial_join_aoi") + ")\n"
+    "UNION ALL\n"
+    "SELECT * FROM (" + ORACLES.pop("spatial_join_holed") + ")"
+)
+
 
 def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed reference-surface queries, highest-value first.
@@ -696,8 +716,10 @@ def reference_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beam_filter_power": q_beam_filter_power,
         "scalar_surface": q_scalar_surface,
         "bbox_subset": q_bbox_subset,
-        "spatial_join_aoi": q_spatial_join_aoi,
-        "spatial_join_holed": q_spatial_join_holed,
+        # r8: the two same-schema spatial-join rows merged (legs
+        # unchanged, oracle bodies reused verbatim); the freed slot
+        # records triangle_count in contract_ext
+        "spatial_joins": q_spatial_joins,
         "merge_l2a_l2b": q_merge_l2a_l2b,
         "merge_keyed": q_merge_keyed,
         "filter_stats": q_filter_stats,

@@ -839,6 +839,27 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(idx, doc_lengths(docs), ["the", "data", "model"], k=20)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact per-node triangle counts (graph.triangle_count, degree-
+    oriented compact-forward) over a deterministic lineitem-derived
+    graph: nodes are key residues mod 2999, edges the distinct
+    (l_orderkey, l_partkey) residue pairs on a 1/6 order slice —
+    unipartite with real triangle structure at every sf. Recorded in
+    r8: pure integer joins/aggregates, so the DuckDB replay of the
+    same orientation + wedge-close algebra hash-matches exactly."""
+    from gedixr_spark.operators.graph import triangle_count
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 6 == 0)
+        .select(
+            (F.col("l_orderkey") % 2999).alias("src"),
+            (F.col("l_partkey") % 2999).alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted deterministic sample (sampling.weighted_bottomk_sample,
     Efraimidis–Spirakis exponential clocks): 500 documents without
@@ -2677,6 +2698,48 @@ def build_oracles() -> dict[str, str]:
         SELECT 'ivf' AS method, * FROM ({oracles.pop('ivf_ann_topk')})
     """
     oracles["asof_bucketed"] = asof_sql
+    oracles["triangle_count"] = """
+        WITH e0 AS (
+          SELECT DISTINCT
+                 least(l_orderkey % 2999, l_partkey % 2999) AS u,
+                 greatest(l_orderkey % 2999, l_partkey % 2999) AS v
+          FROM lineitem
+          WHERE l_orderkey % 6 = 0
+            AND (l_orderkey % 2999) <> (l_partkey % 2999)
+        ),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+          ) GROUP BY 1
+        ),
+        o AS (
+          SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                      THEN u ELSE v END AS s,
+                 CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                      THEN v ELSE u END AS t,
+                 CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                      THEN dv.d ELSE du.d END AS td
+          FROM e0
+          JOIN deg du ON du.n = e0.u
+          JOIN deg dv ON dv.n = e0.v
+        ),
+        w AS (
+          SELECT e1.s, e1.t AS b, e2.t AS c
+          FROM o e1 JOIN o e2 ON e1.s = e2.s
+          WHERE (e1.td < e2.td) OR (e1.td = e2.td AND e1.t < e2.t)
+        ),
+        tri AS (
+          SELECT w.s AS n1, w.b AS n2, w.c AS n3
+          FROM w JOIN o ON o.s = w.b AND o.t = w.c
+        )
+        SELECT node, count(*) AS n_triangles
+        FROM (
+          SELECT n1 AS node FROM tri
+          UNION ALL SELECT n2 FROM tri
+          UNION ALL SELECT n3 FROM tri
+        )
+        GROUP BY 1
+    """
     oracles["corpus_budget"] = """
         WITH f AS (
           SELECT doc_id, lang,
@@ -2773,6 +2836,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget-select operator
         "asof_bucketed": q_asof_bucketed,
         "corpus_budget": q_corpus_budget,
+        # r8 second consolidation (spatial_joins) funded this slot
+        "triangle_count": q_triangle_count,
     }
 
 

@@ -157,3 +157,91 @@ def pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_node: bool = True,
+) -> DataFrame:
+    """Exact triangle counting by DEGREE ORIENTATION (the
+    compact-forward / Ortmann-Brandes shape every distributed triangle
+    counter uses): orient each undirected edge from its (degree, id)-
+    smaller endpoint to the larger, enumerate wedges only from each
+    node's outgoing edges, and close them against the oriented edge
+    set. Dedup-cluster density / clustering-coefficient QA for the
+    near-dup pair graph, community cohesion for link graphs.
+
+    Why orientation matters at 100 TB: the naive wedge join explodes
+    on hubs (Σ deg² — a celebrity node with 1e6 neighbors makes 1e12
+    wedges). Orienting by (deg, id) bounds every node's OUT-degree by
+    O(√m), so wedge work is Σ outdeg² = O(m^1.5) — the classical
+    bound — and the heaviest hub contributes only its out-wedges.
+    Execution is three hash joins + one aggregate, all spark-planned
+    (AQE handles residual skew); degrees ride the edges as columns so
+    no global rank/relabeling (which would need a single-task window)
+    is ever computed.
+
+    Input: undirected edge list (self-loops dropped, duplicates and
+    both orientations collapse to one edge). Output: per-node triangle
+    counts (each triangle credits all 3 corners) — or, with
+    ``per_node=False``, one global ``n_triangles`` row."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # orient from (deg, id)-smaller to larger — a total order, so each
+    # triangle a<b<c (in that order) appears exactly once as the wedge
+    # (a→b, a→c) closed by (b→c)
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    o = with_deg.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd | tie, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+    # the oriented edge set feeds THREE consumers (both wedge sides +
+    # the closing join); without pinning, the distinct + degree-join
+    # lineage replays per consumer. One lazy materialization, three
+    # block reads (m rows — edges, not wedges).
+    o = o.localCheckpoint(eager=False)
+    e1 = o.select(
+        F.col("s"), F.col("t").alias("b"), F.col("td").alias("bd")
+    )
+    e2 = o.select(
+        F.col("s"), F.col("t").alias("c"), F.col("td").alias("cd")
+    )
+    wedges = e1.join(e2, "s").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select(
+        F.col("s").alias("n1"), F.col("b").alias("n2"), F.col("c").alias("n3")
+    )
+    if not per_node:
+        return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        tris.select(F.col("n1").alias("node"))
+        .unionAll(tris.select(F.col("n2").alias("node")))
+        .unionAll(tris.select(F.col("n3").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

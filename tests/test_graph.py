@@ -116,3 +116,72 @@ def test_tol_mode_adds_no_extra_jobs_per_round(spark):
         spark, "pr-tol", lambda: pagerank(df, n_iter=4, tol=1e-300).collect()
     )
     assert tolled == fixed, (fixed, tolled)
+
+
+def _brute_triangles(edge_list):
+    """Reference: count triangles per node by set intersection."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    per = defaultdict(int)
+    seen = set()
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    tri = (a, b, c)
+                    if tri not in seen:
+                        seen.add(tri)
+                        for n in tri:
+                            per[n] += 1
+    return dict(per)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    from gedixr_spark.operators.graph import triangle_count
+
+    rng = random.Random(3)
+    edge_list = list(
+        {
+            (rng.randrange(40), rng.randrange(40))
+            for _ in range(260)
+        }
+    )
+    # feed BOTH orientations + duplicates + self-loops: the operator
+    # must normalize
+    noisy = edge_list + [(b, a) for a, b in edge_list[:80]] + [(7, 7)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    want = _brute_triangles(edge_list)
+    assert got == want
+    total = triangle_count(edges, per_node=False).collect()[0]["n_triangles"]
+    assert total == sum(want.values()) // 3
+
+
+def test_triangle_count_star_graph_has_none_and_clique_is_complete(spark):
+    from gedixr_spark.operators.graph import triangle_count
+
+    # star: hub 0 with 20 leaves — zero triangles no matter the hub
+    # degree (the case naive wedge counting pays Σdeg² for)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], "src long, dst long"
+    )
+    assert triangle_count(star, per_node=False).collect()[0]["n_triangles"] == 0
+    # K5: C(5,3)=10 triangles, each node in C(4,2)=6
+    k5 = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(k5).collect()}
+    assert got == {i: 6 for i in range(5)}
