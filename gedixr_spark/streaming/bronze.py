@@ -276,6 +276,7 @@ def standing_sample_batch(
     batch_id: int,
     k: int = 1000,
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> dict | None:
     """Maintain a standing uniform k-row QA sample as data streams in —
     the mergeable-bottom-k discipline live: bottomk(old ∪ batch) ==
@@ -289,8 +290,16 @@ def standing_sample_batch(
     duplicate would otherwise occupy two of the k slots — r7 ADVICE);
     a re-sent id is assumed to carry the same payload (the
     update_tf_index unseen-ids convention), and the first-seen row
-    wins deterministically."""
-    from gedixr_spark.operators.sampling import bottomk_sample
+    wins deterministically.
+
+    ``weight_col`` switches the priority to the Efraimidis–Spirakis
+    weighted form (sampling.weighted_priority): the standing table is
+    then a weighted-without-replacement sample of everything seen —
+    same mergeable-sketch algebra, the weight must ride the table (be
+    a column of the stream) and stay fixed per id."""
+    from gedixr_spark.operators.sampling import (
+        bottomk_sample, weighted_bottomk_sample,
+    )
     from gedixr_spark.sinks.versioned import (
         commit_overwrite, read_versioned, seen_stream_batch_ids,
     )
@@ -300,7 +309,12 @@ def standing_sample_batch(
         return None
     if batch_df.isEmpty():
         return None
-    fresh = bottomk_sample(batch_df, k, id_col=id_col)
+    def _sample(df):
+        if weight_col is None:
+            return bottomk_sample(df, k, id_col=id_col)
+        return weighted_bottomk_sample(df, k, weight_col, id_col=id_col)
+
+    fresh = _sample(batch_df)
     try:
         current = read_versioned(spark, table_path)
         # first-seen wins on duplicate ids: standing rows rank ahead
@@ -319,7 +333,7 @@ def standing_sample_batch(
         )
     except ValueError:
         merged = fresh  # first batch: no schema recorded yet
-    new_sample = bottomk_sample(merged, k, id_col=id_col)
+    new_sample = _sample(merged)
     return commit_overwrite(
         spark, table_path, new_sample,
         meta={"stream_batch_id": batch_id},
@@ -333,14 +347,18 @@ def standing_sample_query(
     k: int = 1000,
     id_col: str = "doc_id",
     available_now: bool = False,
+    weight_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming front door for `standing_sample_batch`: the table at
-    any version IS a valid uniform sample of everything ingested up to
-    that commit — time travel gives you 'the QA sample as of last
-    Tuesday' for free."""
+    any version IS a valid uniform (or, with ``weight_col``, weighted)
+    sample of everything ingested up to that commit — time travel
+    gives you 'the QA sample as of last Tuesday' for free."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        standing_sample_batch(batch_df, table_path, batch_id, k=k, id_col=id_col)
+        standing_sample_batch(
+            batch_df, table_path, batch_id, k=k, id_col=id_col,
+            weight_col=weight_col,
+        )
 
     writer = docs.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

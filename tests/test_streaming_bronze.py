@@ -327,3 +327,38 @@ def test_standing_sample_resent_ids_take_one_slot(spark, tmp_path):
     assert sorted(ids) == want
     # first-seen payload wins deterministically
     assert {r["doc_id"]: r["text"] for r in rows} == kept
+
+
+def test_standing_weighted_sample_equals_weighted_bottomk(spark, tmp_path):
+    """weight_col switches the standing sample to the E-S weighted
+    form; after three streamed waves the table equals
+    weighted_bottomk over the union of everything seen (the same
+    mergeable-sketch identity as the uniform case)."""
+    from gedixr_spark.operators.sampling import weighted_bottomk_sample
+    from gedixr_spark.sinks.versioned import init_versioned, read_versioned
+    from gedixr_spark.streaming.bronze import standing_sample_batch
+
+    table = str(tmp_path / "wsample")
+    init_versioned(spark, table)
+    waves = [
+        [(i, f"doc {i}", float(1 + i % 9)) for i in rng]
+        for rng in (range(0, 30), range(30, 55), range(55, 80))
+    ]
+    schema = "doc_id long, text string, w double"
+    seen = []
+    for bid, wv in enumerate(waves):
+        seen.extend(wv)
+        standing_sample_batch(
+            spark.createDataFrame(wv, schema), table, bid, k=12,
+            weight_col="w",
+        )
+        got = sorted(
+            r["doc_id"] for r in read_versioned(spark, table).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in weighted_bottomk_sample(
+                spark.createDataFrame(seen, schema), 12, "w"
+            ).collect()
+        )
+        assert got == want, (bid, got, want)
