@@ -32,6 +32,9 @@ def prepare_corpus(
     bands: int = 2,
     split_fractions: dict[str, float] | None = None,
     count_stages: bool = False,
+    token_budget: int | None = None,
+    budget_score_col: str | None = None,
+    budget_group_cols: list[str] | None = None,
 ) -> dict:
     """Run the standard preparation pipeline; returns::
 
@@ -45,6 +48,15 @@ def prepare_corpus(
     (``near_dedup=False`` skips); (5) leakage-safe train/val/test
     assignment at cluster granularity, so surviving near-dup
     neighborhoods never straddle a boundary.
+
+    ``token_budget`` adds the recipe's final quota stage between dedup
+    and splitting: keep the best-scored survivors (default score =
+    stopword ratio; override with ``budget_score_col``, a column that
+    must already exist) while the running whitespace-token total stays
+    ≤ the budget — per ``budget_group_cols`` group if given
+    (per-language / per-source caps). Runs on SURVIVORS so the budget
+    is never spent on rows dedup would have discarded, and before
+    splitting so the caps bind the whole corpus, not each split.
     """
     stats: dict[str, int] = {}
 
@@ -97,6 +109,35 @@ def prepare_corpus(
         clusters = dedup.dedup_clusters_star(pairs)
         survivors = dedup.apply_dedup(survivors, clusters, id_col=id_col)
         note("after_near_dedup", survivors)
+
+    if token_budget is not None:
+        from gedixr_spark.operators.sampling import budget_select
+
+        scored = survivors
+        score_col = budget_score_col
+        drop_after = ["__n_tok"]
+        if score_col is None:
+            scored = text.quality_features(scored, text_col=text_col)
+            score_col = "stopword_ratio"
+            drop_after += [
+                "n_tokens", "n_chars_measured", "mean_token_len",
+                "stopword_ratio", "upper_ratio",
+            ]
+            scored = scored.withColumn("__n_tok", F.col("n_tokens"))
+        else:
+            scored = scored.withColumn(
+                "__n_tok",
+                F.size(
+                    F.filter(
+                        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+                    )
+                ),
+            )
+        survivors = budget_select(
+            scored, token_budget, cost_col="__n_tok", score_col=score_col,
+            id_col=id_col, group_cols=budget_group_cols,
+        ).drop(*drop_after)
+        note("after_token_budget", survivors)
 
     splits = leakage_safe_split(
         survivors, clusters, id_col=id_col, fractions=split_fractions

@@ -68,3 +68,27 @@ def test_prepare_corpus_is_lazy_without_counts(spark):
     res = prepare_corpus(_corpus(spark))
     assert res["stats"] == {}
     assert res["splits"].count() > 0  # still evaluable
+
+
+def test_prepare_corpus_token_budget_stage(spark):
+    """token_budget keeps the best-scored dedup survivors within the
+    running-token cap, BEFORE splitting (caps bind the corpus), and
+    per-group caps bind each group independently."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark)
+    base = prepare_corpus(docs, near_dedup=True)["splits"]
+    capped = prepare_corpus(docs, near_dedup=True, token_budget=60)
+    kept = capped["splits"]
+    # kept set is a subset of the uncapped survivors
+    base_ids = {r["doc_id"] for r in base.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids and kept_ids < base_ids
+    # the cap really binds: total whitespace tokens of kept docs <= 60
+    tok = kept.select(
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n")
+    ).agg(F.sum("n").alias("t")).collect()[0]["t"]
+    assert tok <= 60
+    # budget columns don't leak into the output surface
+    assert "__n_tok" not in kept.columns
+    assert "stopword_ratio" not in kept.columns
