@@ -531,9 +531,31 @@ def budget_select(
     <1-doc sliver of budget).
 
     ``group_cols`` applies the SAME budget independently per group —
-    per-language / per-source caps, the quota half of a data recipe."""
+    per-language / per-source caps, the quota half of a data recipe.
+
+    Costs must be NON-NEGATIVE (a negative cost makes the running
+    total non-monotone, so 'running ≤ budget' is no longer a prefix);
+    the guard is in-plan and rides the scan for free."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    df = df.withColumn(
+        cost_col,
+        F.when(F.col(cost_col) >= 0, F.col(cost_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"budget_select: negative or NULL {cost_col!r} for "
+                        f"{id_col!r}="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        " — costs must be non-NULL and >= 0 (negative costs break "
+                        "the prefix property of the budget filter)"
+                    ),
+                )
+            )
+        ),
+    )
     out = running_total(
         df,
         value_col=cost_col,
@@ -572,7 +594,10 @@ def weighted_priority(
     h = F.pmod(F.xxhash64(F.lit(seed), i), F.lit(1 << 53))
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 53))
     wd = w.cast("double")
-    guarded = F.when(wd > 0, wd).otherwise(
+    # NaN must be caught explicitly: Spark orders NaN ABOVE every
+    # double, so `NaN > 0` passes and the row would get a NaN priority
+    # that sorts last — silently never sampled instead of loudly wrong
+    guarded = F.when((wd > 0) & ~F.isnan(wd), wd).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("weighted_priority: non-positive or NULL weight for id "),

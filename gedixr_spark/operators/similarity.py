@@ -1680,9 +1680,29 @@ def mmr_rerank(
         raise ValueError(f"k must be > 0, got {k}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    emb = corpus.select(
+    emb = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), quantize(vec_col, scale).alias("__v")
     )
+
+    # LEFT joins + in-plan guards, not inner joins: a shortlist id (or
+    # query id) missing from the corpus — or carrying a NULL vector —
+    # must fail loudly at action time, not silently shrink the result
+    # page (the silent-drop failure mode r7 ADVICE flagged in
+    # mine_contrastive_triplets). Lazy: composing fires no job.
+    def _guarded(col_name: str, out: str):
+        return F.when(F.col(out).isNotNull(), F.col(out)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"mmr_rerank: {col_name}="),
+                    F.col(col_name).cast("string"),
+                    F.lit(
+                        f" has no {vec_col!r} embedding in the corpus — "
+                        "every shortlist/query id must carry a vector"
+                    ),
+                )
+            )
+        )
+
     pairs = (
         candidates.select(query_col, cand_col)
         .join(
@@ -1690,13 +1710,17 @@ def mmr_rerank(
                 F.col(id_col).alias(query_col), F.col("__v").alias("__qv")
             ),
             query_col,
+            "left",
         )
         .join(
             emb.select(
                 F.col(id_col).alias(cand_col), F.col("__v").alias("__cv")
             ),
             cand_col,
+            "left",
         )
+        .withColumn("__qv", _guarded(query_col, "__qv"))
+        .withColumn("__cv", _guarded(cand_col, "__cv"))
     )
     out_schema = (
         f"{pairs.schema[query_col].dataType.simpleString()}"

@@ -175,3 +175,19 @@ def test_grouped_plan_splits_hot_group_across_buckets(spark, grouped_docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "__bucket" in plan  # bucket really is part of the partition key
+
+
+def test_negative_or_null_cost_raises_in_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 5, 1.0), (1, -2, 0.5)], "doc_id long, n_tokens int, score double"
+    )
+    # running_total's stats jobs run at composition, so the in-plan
+    # guard fires as soon as budget_select touches the data
+    with pytest.raises(Exception, match="negative or NULL"):
+        budget_select(df, 100, "n_tokens", "score").collect()
+    df2 = spark.createDataFrame(
+        [(0, 5, 1.0), (1, None, 0.5)],
+        "doc_id long, n_tokens int, score double",
+    )
+    with pytest.raises(Exception, match="negative or NULL"):
+        budget_select(df2, 100, "n_tokens", "score").collect()

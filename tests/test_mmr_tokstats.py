@@ -139,3 +139,14 @@ def test_tokenizer_stats_exact_counts_and_oov(spark, tok_corpus):
     # exact accounting: ratios are the single divisions of the sums
     assert en["fertility"] == en["n_bpe_tokens"] / en["n_words"]
     assert en["chars_per_token"] == en["n_chars"] / en["n_bpe_tokens"]
+
+
+def test_mmr_missing_vector_fails_loudly(spark, emb):
+    """A shortlist id absent from the corpus (or with a NULL vector)
+    raises at action time instead of silently shrinking the page."""
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 999)], "query_id long, cand_id long"
+    )
+    out = sim.mmr_rerank(cands, emb, k=2)  # lazy
+    with pytest.raises(Exception, match="cand_id=999 has no"):
+        out.collect()

@@ -104,3 +104,11 @@ def test_keep_priority_column(spark, items):
     ).collect()
     ps = [r["priority"] for r in rows]
     assert ps == sorted(ps) and len(rows) == 5
+
+
+def test_nan_weight_raises_in_plan(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan"))], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="non-positive or NULL weight"):
+        weighted_bottomk_sample(df, 1, "w").collect()
