@@ -751,6 +751,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_contrastive_triplets,
         q_hybrid_search,
         q_weighted_sample,
+        q_vector_index,
     )
 
     return {
@@ -787,6 +788,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         # r8: float -ln(u)/w scoring — engine-specific; pytest-pinned
         "weighted_sample": q_weighted_sample,
+        # r8: multi-commit vector-index lifecycle (init/upsert/delete/
+        # pruned search); flat-equivalence pinned in test_vectorstore
+        "vector_index": q_vector_index,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

@@ -860,6 +860,33 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_vector_index(spark, sf_dir):
+    """Versioned IVF vector-index lifecycle on the driver-checked path
+    (operators/vectorstore.py): init from even vec_ids (cell-clustered
+    files + log cell stats + persisted centroids), fold the odd half
+    in by upsert, delete a slice, then cell-pruned search for 5 query
+    vectors at nprobe=2 — the vector-store write path a 100 TB
+    embedding corpus runs. Multi-commit lifecycle ⇒ rows-only;
+    tests/test_vectorstore.py pins search == flat ivf_ann_topk at
+    every stage."""
+    from gedixr_spark.operators.vectorstore import (
+        delete_vectors, init_vector_index, search_vector_index,
+        update_vector_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("vidx", _sf_key(sf_dir)) + "/t"
+    init_vector_index(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 0), n_cells=8,
+        n_files=8,
+    )
+    update_vector_index(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    delete_vectors(spark, path, list(range(0, 200, 10)))
+    return search_vector_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=3, nprobe=2
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted deterministic sample (sampling.weighted_bottomk_sample,
     Efraimidis–Spirakis exponential clocks): 500 documents without

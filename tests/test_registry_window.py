@@ -69,6 +69,7 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "contrastive_triplets",
         "hybrid_search",
         "weighted_sample",
+        "vector_index",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
