@@ -154,8 +154,22 @@ def q_doc_signatures(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs at 0.5."""
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.5)
+    """Exact 3-gram Jaccard near-dup pairs, BOTH engines as one
+    labeled union (r8 consolidation — one recorded row hash-checks two
+    implementations against the same SQL body): leg 'brute' is the
+    quadratic verification twin at 0.5; leg 'prefix' is
+    `prefix_jaccard_pairs` (AllPairs prefix filtering — the
+    corpus-scale EXACT path) at 0.3, a strictly larger pair set so the
+    legs do distinct work. Both produce integer-intersection /
+    integer-union jaccards, bit-identical to the DuckDB replay."""
+    docs = _t(spark, sf_dir, "documents")
+    brute = dedup.ngram_jaccard_pairs(docs, 0.5).select(
+        F.lit("brute").alias("leg"), "id_a", "id_b", "jaccard"
+    )
+    pref = dedup.prefix_jaccard_pairs(docs, 0.3).select(
+        F.lit("prefix").alias("leg"), "id_a", "id_b", "jaccard"
+    )
+    return brute.unionByName(pref)
 
 
 def q_minhash_lsh_neardup(spark, sf_dir):
@@ -1701,13 +1715,17 @@ def build_oracles() -> dict[str, str]:
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT id_a, id_b,
+                     CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
             )
-            SELECT id_a, id_b,
-                   CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            SELECT 'brute' AS leg, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+            UNION ALL
+            SELECT 'prefix' AS leg, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.3
         """,
         "minhash_lsh_neardup": f"""
             WITH sh AS (

@@ -853,3 +853,109 @@ def edit_distance_dedup(
     ).select(F.col("id_a"), F.col("id_b"))
     clusters = dedup_clusters(pairs)
     return apply_dedup(df, clusters, id_col=id_col)
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold)
+    via prefix filtering (AllPairs, Bayardo et al. WWW'07; the PPJoin
+    family) — the corpus-scale path to *exact* similarity join, where
+    `ngram_jaccard_pairs` is quadratic and MinHash-LSH is approximate.
+
+    How it prunes: order every document's shingle set by GLOBAL
+    rarity (corpus document frequency asc, hash asc — any total order
+    works; rarity makes prefixes selective). A pair with jaccard >= t
+    must share at least one token in the first
+    ``p = m - ceil(t*m) + 1`` tokens of each side's ordering
+    (pigeonhole on the overlap bound ``inter >= t * max(m_a, m_b)``),
+    so candidate generation is an equi-join on PREFIX tokens only —
+    rare tokens, tiny groups — instead of an all-pairs or full-token
+    join. A size filter (``min_m >= t * max_m``, necessary for
+    jaccard >= t) prunes before the distinct. Verification then joins
+    the two full hashed-shingle arrays and computes the EXACT jaccard
+    with JVM ``array_intersect`` — integer intersection / integer
+    union, the same single IEEE division as the brute-force twin, so
+    results are bit-identical to `ngram_jaccard_pairs` on any input.
+
+    Float-safety: both ceil() sites nudge DOWN by 1e-9 before
+    rounding, so representation error can only LENGTHEN a prefix /
+    LOOSEN the size filter (extra candidates, later rejected by exact
+    verification) — never create a false negative.
+
+    Plan shape at 100 TB: one explode + token-frequency aggregation
+    (shuffle keyed on 64-bit shingle hash), one join back to attach
+    counts, one per-doc sort_array fold to build prefixes (no window
+    functions — a single groupBy), one prefix-token equi-join whose
+    group sizes are bounded by token rarity, and one ids->arrays
+    verification join bounded by candidate count. Skew note: a token
+    appearing in k docs contributes O(k^2) candidate pairs, but
+    frequency ordering puts frequent tokens LAST, so they never enter
+    prefixes — the hot-token quadratic that kills naive token joins is
+    pruned by construction."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sha = word_shingles(text_col, n)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(sha, lambda s: F.xxhash64(s))).alias("hs"),
+    ).withColumn("m", F.size("hs")).filter(F.col("m") > 0)
+
+    ex = docs.select("id", "m", F.explode("hs").alias("sh"))
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix length p = m - ceil(t*m) + 1, ceil nudged down (see above)
+    p = F.col("m") - F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int") + 1
+    prefixes = (
+        ex.join(freq, "sh")
+        .groupBy("id")
+        .agg(
+            F.first("m").alias("m"),
+            F.sort_array(F.collect_list(F.struct("cnt", "sh"))).alias("ordered"),
+        )
+        .select(
+            "id",
+            "m",
+            F.transform(F.slice("ordered", 1, p), lambda x: x["sh"]).alias("pref"),
+        )
+        .select("id", "m", F.explode("pref").alias("sh"))
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    size_ok = F.least(F.col("a.m"), F.col("b.m")) >= F.ceil(
+        F.lit(threshold) * F.greatest(F.col("a.m"), F.col("b.m")) - F.lit(1e-9)
+    )
+    cand = (
+        a.join(b, on="sh")
+        .filter((F.col("a.id") < F.col("b.id")) & size_ok)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    arrs = docs.select("id", "m", "hs")
+    out = (
+        cand.join(arrs.select(F.col("id").alias("id_a"),
+                              F.col("m").alias("n_a"),
+                              F.col("hs").alias("hs_a")), "id_a")
+        .join(arrs.select(F.col("id").alias("id_b"),
+                          F.col("m").alias("n_b"),
+                          F.col("hs").alias("hs_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
