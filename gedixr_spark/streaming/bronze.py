@@ -366,3 +366,60 @@ def standing_sample_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vector_stream_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict | None:
+    """Idempotent per-micro-batch fold of new/changed vectors into a
+    versioned IVF vector index (`vectorstore.update_vector_index`) —
+    cells come from the table's persisted centroids (never a refit, so
+    streamed rows agree with the initial build), the upsert rewrites
+    only files holding re-ingested ids, and the commit-log ledger
+    gives the same exactly-once guarantee as every other versioned
+    streaming sink: replayed batch ids no-op, a crash between commit
+    and checkpoint cannot double-ingest a vector."""
+    from gedixr_spark.operators.vectorstore import update_vector_index
+    from gedixr_spark.sinks.versioned import seen_stream_batch_ids
+
+    spark = batch_df.sparkSession
+    if batch_id in seen_stream_batch_ids(spark, index_path):
+        return None
+    if batch_df.isEmpty():
+        return None
+    return update_vector_index(
+        spark, index_path, batch_df, vec_col=vec_col, id_col=id_col,
+        meta={"stream_batch_id": batch_id},
+    )
+
+
+def vector_index_query(
+    emb: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ANN-index maintenance: each micro-batch of embeddings
+    lands cell-assigned and cell-clustered in the versioned vector
+    index, so `search_vector_index` serves pruned top-k over a corpus
+    that is still streaming in — query yesterday's index via time
+    travel while today's vectors arrive. The streaming front door for
+    `vectorstore.init_vector_index`/`update_vector_index`."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        vector_stream_batch(
+            batch_df, index_path, batch_id, vec_col=vec_col, id_col=id_col
+        )
+
+    writer = emb.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

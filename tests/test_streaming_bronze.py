@@ -362,3 +362,90 @@ def test_standing_weighted_sample_equals_weighted_bottomk(spark, tmp_path):
             ).collect()
         )
         assert got == want, (bid, got, want)
+
+
+def test_streaming_vector_index_exactly_once(spark, tmp_path):
+    """Embeddings streamed in two waves fold into the versioned IVF
+    index; pruned search over the maintained table equals flat
+    ivf_ann_topk over everything seen, a replayed batch id no-ops, and
+    time travel searches the index as of the first wave."""
+    import numpy as np
+
+    from gedixr_spark.operators import similarity as sim
+    from gedixr_spark.operators.vectorstore import (
+        init_vector_index, search_vector_index,
+    )
+    from gedixr_spark.sinks.versioned import table_history
+    from gedixr_spark.streaming.bronze import (
+        vector_stream_batch, vector_index_query,
+    )
+
+    def emb(ids, seed):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(8)])
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    landing = tmp_path / "emb"
+    index = str(tmp_path / "vidx")
+    ckpt = str(tmp_path / "ckpt")
+    base, w1, w2 = emb(range(30), 1), emb(range(30, 60), 2), emb(range(60, 90), 3)
+    init_vector_index(spark, index, base, dim=8, n_cells=4, n_files=2)
+
+    schema = "vec_id long, embedding array<double>"
+    w1.write.mode("append").parquet(str(landing))
+    q = vector_index_query(
+        spark.readStream.schema(schema).parquet(str(landing)),
+        index, ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    w2.write.mode("append").parquet(str(landing))
+    q2 = vector_index_query(
+        spark.readStream.schema(schema).parquet(str(landing)),
+        index, ckpt, available_now=True,
+    )
+    q2.awaitTermination()
+
+    cents = sim.load_centroids(spark, index + "/centroids.parquet")
+    queries = emb(range(3), 9)
+
+    def flat_topk(flat):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["cosine"])
+            for r in sim.ivf_ann_topk(
+                queries, flat, k=3, dim=8, centroids=cents, nprobe=2
+            ).collect()
+        )
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["cosine"])
+        for r in search_vector_index(
+            spark, index, queries, k=3, nprobe=2
+        ).collect()
+    )
+    assert got == flat_topk(base.unionByName(w1).unionByName(w2))
+
+    # replayed batch id: no-op (ledger exactly-once)
+    hist = table_history(spark, index)
+    bids = [
+        e["meta"].get("stream_batch_id")
+        for e in hist
+        if e["op"] == "upsert" and e["meta"].get("stream_batch_id") is not None
+    ]
+    n_before = len(hist)
+    assert vector_stream_batch(w1, index, bids[0]) is None
+    assert len(table_history(spark, index)) == n_before
+
+    # time travel: first upsert version == base + wave1 only
+    first_v = next(e["version"] for e in hist if e["op"] == "upsert")
+    got_v1 = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["cosine"])
+        for r in search_vector_index(
+            spark, index, queries, k=3, nprobe=2, version=first_v
+        ).collect()
+    )
+    assert got_v1 == flat_topk(base.unionByName(w1))
