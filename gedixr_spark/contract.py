@@ -752,6 +752,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_hybrid_search,
         q_weighted_sample,
         q_vector_index,
+        q_catalog_snapshot,
     )
 
     return {
@@ -791,6 +792,8 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: multi-commit vector-index lifecycle (init/upsert/delete/
         # pruned search); flat-equivalence pinned in test_vectorstore
         "vector_index": q_vector_index,
+        # r8: multi-table atomic publish lifecycle (multi-commit => rows-only)
+        "catalog_snapshot": q_catalog_snapshot,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

@@ -901,6 +901,74 @@ def q_vector_index(spark, sf_dir):
     )
 
 
+def q_catalog_snapshot(spark, sf_dir):
+    """Multi-table atomic publish on the bench path (sinks/catalog.py):
+    a customer table and a per-nation count table DERIVED from it
+    advance through a deliberately torn intermediate state (docs at v2,
+    derived still v1, no publish) — the catalog pins only consistent
+    pairs, so readers of catalog v1 and latest each see a (docs,
+    derived) pair where the counts actually equal a recount of the
+    pinned docs. Returned as one labeled union across {catalog
+    version} × {table}. Multi-commit lifecycle ⇒ rows-only;
+    tests/test_catalog.py pins torn-pair prevention, CAS, and the
+    one-winner race."""
+    from gedixr_spark.sinks.catalog import (
+        init_catalog, publish_latest, read_table,
+    )
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_overwrite, init_versioned,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey")
+        .coalesce(4)
+    )
+    root = _scratch_dir("catsnap", _sf_key(sf_dir))
+    docs, drv, cat = root + "/docs", root + "/drv", root + "/cat"
+    half1 = base.filter(F.col("c_custkey") % 8 == 0)
+
+    def counts(df):
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_cust")
+        ).coalesce(1)
+
+    init_versioned(spark, docs)
+    init_versioned(spark, drv)
+    init_catalog(spark, cat)
+    commit_append(spark, docs, half1)
+    commit_append(spark, drv, counts(half1))
+    publish_latest(spark, cat, {"docs": docs, "derived": drv})  # cat v1
+
+    # torn state: docs advances, derived is stale, nothing published
+    commit_append(spark, docs, base.filter(F.col("c_custkey") % 8 != 0))
+    # refresh completes: rebuild derived from FULL docs, publish both
+    commit_overwrite(spark, drv, counts(base))
+    publish_latest(spark, cat, {"docs": docs, "derived": drv})  # cat v2
+
+    def leg(cv, name):
+        df = read_table(spark, cat, name, catalog_version=cv)
+        if name == "docs":
+            return df.select(
+                F.lit(f"cat{cv}_docs").alias("leg"),
+                "c_custkey",
+                "c_nationkey",
+                F.lit(None).cast("long").alias("n_cust"),
+            )
+        return df.select(
+            F.lit(f"cat{cv}_derived").alias("leg"),
+            F.lit(None).cast("long").alias("c_custkey"),
+            "c_nationkey",
+            "n_cust",
+        )
+
+    out = leg(1, "docs")
+    for cv, name in ((1, "derived"), (2, "docs"), (2, "derived")):
+        out = out.unionByName(leg(cv, name))
+    return out
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted deterministic sample (sampling.weighted_bottomk_sample,
     Efraimidis–Spirakis exponential clocks): 500 documents without
