@@ -108,6 +108,22 @@ def _semantic_dedup_scaled(scale_k: int):
     return q
 
 
+def _prefix_jaccard_q():
+    """prefix_jaccard_pairs over the FULL documents table at 0.3 —
+    the corpus-scale exact-similarity path. Note the replicated sf1
+    corpus is ADVERSARIAL here: every doc gains 9 byte-identical
+    copies, so the true pair count itself grows ~45× (each 10-clone
+    group alone contributes 45 pairs), not 10× — output-bound, not
+    algorithm-bound, growth."""
+    from gedixr_spark.operators.dedup import prefix_jaccard_pairs
+
+    def q(spark, sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return prefix_jaccard_pairs(docs.select("doc_id", "text"), 0.3)
+
+    return q
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
@@ -130,6 +146,8 @@ def main() -> None:
     for name in names:
         if name == "semantic_dedup_k32":
             fns = {SRC: _semantic_dedup_scaled(32), DST: _semantic_dedup_scaled(320)}
+        elif name == "prefix_jaccard":
+            fns = {SRC: _prefix_jaccard_q(), DST: _prefix_jaccard_q()}
         else:
             fns = {SRC: qs[name], DST: qs[name]}
         times = {}
