@@ -544,7 +544,7 @@ def commit_append(
     entry_meta = {"n_files": len(names), **(meta or {})}
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
-        if stats_cols
+        if stats_cols is not None
         else None
     )
     blooms = (
@@ -570,6 +570,7 @@ def commit_overwrite(
     df: DataFrame,
     base_version: int | None = None,
     meta: dict | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> dict:
     """Replace the table contents (previous versions stay readable
     until vacuum). ``base_version`` pins the snapshot this writer read
@@ -580,9 +581,14 @@ def commit_overwrite(
     base = versions[-1] if base_version is None else base_version
     old = live_files(spark, path, base)
     names = _write_data_files(spark, path, df, base + 1)
+    stats = (
+        _file_column_stats(spark, path, names, list(stats_cols))
+        if stats_cols is not None
+        else None
+    )
     return _commit(
         spark, path, "overwrite", names, old, df.schema.json(),
-        {"n_files": len(names), **(meta or {})}, base + 1,
+        {"n_files": len(names), **(meta or {})}, base + 1, stats=stats,
     )
 
 
@@ -628,7 +634,7 @@ def commit_upsert(
     def _indexes(names):
         st = (
             _file_column_stats(spark, path, names, list(stats_cols))
-            if stats_cols else None
+            if stats_cols is not None else None
         )
         bl = (
             _file_bloom_filters(spark, path, names, list(bloom_cols))
@@ -824,7 +830,7 @@ def commit_compact(
     names = _write_data_files(spark, path, df, base + 1)
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
-        if stats_cols
+        if stats_cols is not None
         else None
     )
     return _commit(
@@ -839,6 +845,7 @@ def commit_delete(
     path: str,
     predicate: Column,
     base_version: int | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> dict:
     """Delete rows matching ``predicate`` as one atomic commit,
     rewriting ONLY the files that contain a matching row (same
@@ -874,10 +881,15 @@ def commit_delete(
         ~F.coalesce(predicate, F.lit(False))
     )
     names = _write_data_files(spark, path, kept, base + 1)
+    stats = (
+        _file_column_stats(spark, path, names, list(stats_cols))
+        if stats_cols is not None
+        else None
+    )
     return _commit(
         spark, path, "delete", names, touched, target.schema.json(),
         {"n_files_rewritten": len(touched), "n_files_live": len(files)},
-        base + 1,
+        base + 1, stats=stats,
     )
 
 
@@ -928,12 +940,16 @@ def _file_column_stats(
 ) -> dict:
     """Per-file min/max of ``cols`` for freshly-committed files — ONE
     Spark job over just those files (input_file_name groupBy), JSON-
-    serializable values only (numeric/string/bool)."""
+    serializable values only (numeric/string/bool). The same job also
+    records each file's ROW COUNT under the reserved ``__nrows`` key
+    (column names can't collide: the pruner and every reader do keyed
+    lookups only) — the per-file counts that make `snapshot_row_count`
+    a pure metadata read. ``cols`` may be empty (counts-only stats)."""
     if not names:
         return {}
     data = _data_dir(path)
     df = spark.read.parquet(*[data + "/" + n for n in names])
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     rows = (
@@ -944,10 +960,12 @@ def _file_column_stats(
     )
     # every committed file gets an entry; files the groupBy never saw
     # (zero rows) keep [None, None] — "no non-null values", which the
-    # pruner may skip for any range predicate
-    out: dict = {n: {c: [None, None] for c in cols} for n in names}
+    # pruner may skip for any range predicate — and __nrows 0
+    out: dict = {
+        n: {"__nrows": 0, **{c: [None, None] for c in cols}} for n in names
+    }
     for r in rows:
-        ent = {}
+        ent: dict = {"__nrows": int(r["__n"])}
         for c in cols:
             mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
             for v in (mn, mx):
@@ -1407,6 +1425,68 @@ def table_file_stats(
         "p50_bytes": sizes[len(sizes) // 2] if sizes else 0,
         "max_bytes": sizes[-1] if sizes else 0,
     }
+
+
+def snapshot_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int | None:
+    """COUNT(*) of a snapshot as a PURE METADATA read — no parquet file
+    is opened. Commits that computed stats (``stats_cols`` given, even
+    as ``[]`` for counts-only) record each file's row count under the
+    reserved ``__nrows`` stats key; when EVERY live file at ``version``
+    has one, the snapshot count is their sum, replayed from the log in
+    file-count time. Returns None when any live file lacks a count
+    (committed without stats) — the caller falls back to a scan;
+    a partial metadata count would be silently wrong, never do that.
+
+    The Delta/Iceberg snapshot-statistics shape: at 100 TB, COUNT(*)
+    on a monitored table is a dashboard query that should cost
+    O(#files) JSON, not a cluster scan."""
+    live = live_files(spark, path, version)
+    stats = file_range_stats(spark, path, version)
+    total = 0
+    for f in live:
+        n = stats.get(f, {}).get("__nrows")
+        if n is None:
+            return None
+        total += int(n)
+    return total
+
+
+def export_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> str:
+    """Export a snapshot's live-file list as a plain-text manifest
+    (one absolute parquet path per line) under
+    ``_manifests/manifest-<version>.txt`` — the symlink-manifest
+    pattern Delta uses for engines that speak parquet-but-not-our-log
+    (Presto/Trino/Athena there; DuckDB et al. here). The manifest is a
+    STATIC snapshot: later commits don't move it (re-export to
+    advance), and vacuum of pre-manifest versions can invalidate it —
+    the same caveats as Delta's. Returns the manifest file path;
+    interop is round-trip-tested by reading the manifest with DuckDB
+    and comparing against `read_versioned`."""
+    versions = _list_log_versions(spark, path)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} does not exist at {path}")
+    files = live_files(spark, path, v)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    mdir = path.rstrip("/") + "/_manifests"
+    fs.mkdirs(jpath(mdir))
+    target = f"{mdir}/manifest-{v:08d}.txt"
+    payload = "".join(
+        os.path.abspath(_strip_scheme(_resolve_file(path, f))) + "\n"
+        for f in files
+    ).encode("utf-8")
+    # overwrite-safe: manifests are derived metadata, not commits
+    out = fs.create(jpath(target), True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    return target
 
 
 def shallow_clone(

@@ -1020,3 +1020,88 @@ def test_schema_gate_ignores_nullability(spark, table):
             spark, table,
             spark.createDataFrame([(2, "x")], "k long, tags string"),
         )
+
+
+def test_snapshot_row_count_is_metadata_only(spark, table, tmp_path):
+    """Commits with stats (even counts-only stats_cols=[]) make
+    COUNT(*) a log replay; a stats-less commit anywhere in the live
+    set returns None (a partial metadata count would be silently
+    wrong), and delete/upsert/time-travel counts stay exact."""
+    from gedixr_spark.sinks.versioned import (
+        commit_delete, commit_upsert, snapshot_row_count,
+    )
+
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]), stats_cols=[])
+    commit_append(
+        spark, table, _mk(spark, [(3, "c"), (4, "d"), (5, "e")]),
+        stats_cols=["k"],
+    )
+    assert snapshot_row_count(spark, table) == 5
+    assert snapshot_row_count(spark, table, version=1) == 2
+
+    # upsert rewrites touched files with stats -> still metadata
+    commit_upsert(
+        spark, table, _mk(spark, [(2, "B"), (6, "f")]), keys=["k"],
+        stats_cols=[],
+    )
+    assert snapshot_row_count(spark, table) == 6
+    assert snapshot_row_count(spark, table) == read_versioned(
+        spark, table
+    ).count()
+
+    # delete with stats keeps the metadata count exact
+    commit_delete(spark, table, F.col("k") <= 2, stats_cols=[])
+    assert snapshot_row_count(spark, table) == read_versioned(
+        spark, table
+    ).count()
+
+    # a stats-less commit poisons the metadata count -> None, not wrong
+    commit_append(spark, table, _mk(spark, [(9, "z")]))
+    assert snapshot_row_count(spark, table) is None
+
+
+def test_export_manifest_duckdb_interop(spark, table):
+    """The symlink-manifest pattern: an engine that speaks parquet but
+    not our log (DuckDB here, standing in for Trino/Athena) reads the
+    manifest's file list and sees EXACTLY the pinned snapshot — even
+    after later commits move the table on."""
+    import duckdb
+
+    from gedixr_spark.sinks.versioned import commit_upsert, export_manifest
+
+    commit_append(spark, table, _mk(spark, [(1, "a"), (2, "b")]))
+    m1 = export_manifest(spark, table)
+    commit_upsert(spark, table, _mk(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    m2 = export_manifest(spark, table)
+
+    def via_duckdb(manifest):
+        files = [l for l in open(manifest).read().splitlines() if l]
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT k, v FROM read_parquet(?) ORDER BY k", [files]
+        ).fetchall()
+        con.close()
+        return rows
+
+    assert via_duckdb(m1) == [(1, "a"), (2, "b")]
+    assert via_duckdb(m2) == [(1, "a"), (2, "B"), (3, "c")]
+    # manifests are static snapshots: m1 still reads the old state
+    assert via_duckdb(m1) == [(1, "a"), (2, "b")]
+
+
+def test_stats_nrows_does_not_break_pruning(spark, table):
+    """The reserved __nrows stats key must be invisible to the range
+    pruner and to multi-column conjunctive pruning."""
+    from gedixr_spark.sinks.versioned import files_for_range, read_where
+
+    commit_append(
+        spark, table,
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).repartitionByRange(4, "k"),
+        stats_cols=["k"],
+    )
+    kept, total = files_for_range(spark, table, "k", 0, 10)
+    assert len(kept) < total
+    got = sorted(r["k"] for r in read_where(spark, table, "k", 0, 10).collect())
+    assert got == list(range(0, 11))
