@@ -894,7 +894,9 @@ def q_vector_index(spark, sf_dir):
         spark, path, emb.filter(F.col("vec_id") % 2 == 0), n_cells=8,
         n_files=8,
     )
-    update_vector_index(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    update_vector_index(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 1), n_files=8
+    )
     delete_vectors(spark, path, list(range(0, 200, 10)))
     return search_vector_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=3, nprobe=2
