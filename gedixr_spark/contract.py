@@ -746,6 +746,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_profile_docs,
         q_semantic_dedup,
         q_bm25_search,
+        q_bq_ann_topk,
         q_sq8_ann_topk,
         q_ivf_sq8_topk,
         q_contrastive_triplets,
@@ -781,6 +782,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reconstruction bounds pinned in tests/test_sq8.py
         "sq8_ann_topk": q_sq8_ann_topk,
         "ivf_sq8_topk": q_ivf_sq8_topk,
+        # r8: 1-bit binary quantization — Hamming shortlist membership
+        # is engine-specific; packing/Hamming/recall pinned in test_bq
+        "bq_ann_topk": q_bq_ann_topk,
         # r7: multi-step mining pipeline (pairs -> pool -> ranked
         # negatives); differential-pinned in tests/test_mining.py
         "contrastive_triplets": q_contrastive_triplets,

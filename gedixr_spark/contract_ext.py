@@ -811,6 +811,35 @@ def q_sq8_ann_topk(spark, sf_dir):
     )
 
 
+def q_bq_ann_topk(spark, sf_dir):
+    """Binary-quantized ANN top-3 (similarity.bq_train/encode/
+    ann_topk): 1-bit-per-dim sign codes (32× smaller than float32 —
+    the representation that keeps a 100 TB embedding corpus
+    IO-resident), XOR+popcount Hamming shortlist over the packed
+    words, exact int-quantized cosine rerank of shortlist·k survivors
+    only. Bit-packing/Hamming are integer-exact but the shortlist
+    membership is engine-specific ⇒ rows-only; packing, Hamming, and
+    recall≥0.95 differentials pinned in tests/test_bq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _bq_params(spark, sf_dir)
+    return similarity.bq_ann_topk(
+        emb.filter(F.col("vec_id") < 5), emb, params, k=3, shortlist=4
+    )
+
+
+_BQ_PARAMS: dict[str, dict] = {}
+
+
+def _bq_params(spark, sf_dir):
+    """Per-dim mean thresholds once per (process, sf) — dim floats of
+    write-once index metadata, same lifecycle as _sq8_params."""
+    if sf_dir not in _BQ_PARAMS:
+        _BQ_PARAMS[sf_dir] = similarity.bq_train(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _BQ_PARAMS[sf_dir]
+
+
 _SQ8_PARAMS: dict[str, dict] = {}
 
 

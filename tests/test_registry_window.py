@@ -66,6 +66,8 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "bm25_search",
         "sq8_ann_topk",
         "ivf_sq8_topk",
+        # r8: 1-bit binary quantization ANN (Hamming shortlist)
+        "bq_ann_topk",
         "contrastive_triplets",
         "hybrid_search",
         "weighted_sample",
