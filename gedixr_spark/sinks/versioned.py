@@ -777,6 +777,7 @@ def commit_compact(
     sort_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
+    zorder_mode: str = "width",
     n_files: int | None = None,
 ) -> dict:
     """Small-file compaction as a COMMIT: coalesce every live file
@@ -810,17 +811,25 @@ def commit_compact(
         # multi-column clustering: range-partition + sort on the Morton
         # key so each output file covers a compact hyper-rectangle of
         # ALL zorder_by columns — the layout that makes per-file
-        # min/max stats prunable on every one of them (layout.py's
-        # write_zordered, transactionalized)
-        from gedixr_spark.operators.layout import zorder_index_columns
+        # min/max stats prunable on every one of them. "width" =
+        # equal-width grid (layout.py's write_zordered,
+        # transactionalized); "quantile" = equal-mass grid
+        # (operators/zorder.py) for skewed columns, where equal-width
+        # cells collapse and pruning degrades
+        if zorder_mode == "quantile":
+            from gedixr_spark.operators.zorder import cluster_by_zorder, fit_zorder
 
-        zkey, _ = zorder_index_columns(df, list(zorder_by))
-        df = (
-            df.withColumn("__z", zkey)
-            .repartitionByRange(n_out, F.col("__z"))
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+            df = cluster_by_zorder(df, fit_zorder(df, list(zorder_by)), n_out)
+        else:
+            from gedixr_spark.operators.layout import zorder_index_columns
+
+            zkey, _ = zorder_index_columns(df, list(zorder_by))
+            df = (
+                df.withColumn("__z", zkey)
+                .repartitionByRange(n_out, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
     elif sort_by:
         # clustering compaction: disjoint per-file key ranges, which is
         # what makes read_where's log-level pruning actually skip files
