@@ -270,6 +270,52 @@ def streaming_asof_enrich(
     )
 
 
+def streaming_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — Spark's native
+    symmetric-hash streaming join, the canonical two-live-streams
+    operator (impressions ⋈ clicks): each left row pairs with same-key
+    right rows whose timestamp falls in [left.ts, left.ts + within].
+
+    Scale shape: BOTH sides carry a watermark and the join condition
+    carries the time-range bound — together they let the engine compute
+    exactly how long a buffered row can still find a partner and evict
+    state past it (without the range bound, stream-stream join state
+    grows forever). The only shuffle is the key hash both sides need
+    anyway; per-key state is bounded by rows inside the watermark
+    horizon. Batch twin: the identical join predicate on static frames
+    (tests pin equality with a horizon-covering watermark; with a tight
+    watermark the streaming result is a subset — late rows are dropped,
+    never wrong).
+
+    Output: ``key_col``, ``l_ts``/``r_ts``, and every non-key payload
+    column prefixed ``l_``/``r_``."""
+    l_pay = [c for c in left.columns if c not in (key_col, ts_col)]
+    r_pay = [c for c in right.columns if c not in (key_col, ts_col)]
+    l = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in l_pay],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("__r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in r_pay],
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key_col) == F.col("__r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop("__r_key")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> list:
     """Drain a file stream with Trigger.AvailableNow into a memory sink
     and return the rows — the test/verification harness for streaming

@@ -342,3 +342,73 @@ def test_stream_static_dim_enrichment(spark, event_dir):
     assert by_event[1] == "alice" and by_event[2] == "alice"
     assert by_event[3] == "bob" and by_event[99] == "sentinel"
     assert len(rows) == 4
+
+
+def test_streaming_window_join_matches_batch(spark, tmp_path):
+    """Native stream-stream window join across micro-batch boundaries
+    (maxFilesPerTrigger=1): with a horizon-covering watermark the
+    drained result equals the identical join predicate on static
+    frames — including a pair whose two halves arrive in DIFFERENT
+    micro-batches (the buffered-state path)."""
+    ts0 = datetime.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return ts0 + datetime.timedelta(minutes=minutes)
+
+    lp, rp = str(tmp_path / "swj_left"), str(tmp_path / "swj_right")
+    lschema = "event_id long, ts timestamp, user_id long"
+    rschema = "click_id long, ts timestamp, user_id long"
+    # batch 1: left rows for u1/u2; one right for u1 inside the bound
+    spark.createDataFrame(
+        [(1, m(0), 1), (2, m(5), 2)], lschema
+    ).coalesce(1).write.mode("append").parquet(lp)
+    spark.createDataFrame([(100, m(10), 1)], rschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rp)
+    import time
+
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    # batch 2: u2's click arrives ONE BATCH LATER than its impression
+    # (cross-batch buffered match); u1 gets a too-late click (> within)
+    spark.createDataFrame([(3, m(40), 1)], lschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(lp)
+    spark.createDataFrame(
+        [(101, m(20), 2), (102, m(90), 1)], rschema
+    ).coalesce(1).write.mode("append").parquet(rp)
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    lstream = st.read_event_stream(
+        spark, lp, _parse_datatype_string(lschema), max_files_per_trigger=1
+    )
+    rstream = st.read_event_stream(
+        spark, rp, _parse_datatype_string(rschema), max_files_per_trigger=1
+    )
+    joined = st.streaming_window_join(
+        lstream, rstream, within="30 minutes", watermark="10 hours"
+    )
+    rows = st.run_available_now(joined, "t_swjoin", output_mode="append")
+    got = sorted((r["l_event_id"], r["r_click_id"]) for r in rows)
+    # u1: (1 @0) x (100 @10) in-bound; (3 @40) x (102 @90) too late?
+    # 90-40=50 > 30 -> no. (1,102): 90 > 30 -> no. u2: (2 @5) x (101 @20).
+    assert got == [(1, 100), (2, 101)]
+
+    # batch twin: identical predicate on the static frames
+    lb = spark.read.schema(lschema).parquet(lp)
+    rb = spark.read.schema(rschema).parquet(rp)
+    import pyspark.sql.functions as SF
+
+    want = sorted(
+        (r["event_id"], r["click_id"])
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (SF.col("l.user_id") == SF.col("r.user_id"))
+            & (SF.col("r.ts") >= SF.col("l.ts"))
+            & (SF.col("r.ts") <= SF.col("l.ts") + SF.expr("INTERVAL 30 minutes")),
+        )
+        .select(SF.col("l.event_id"), SF.col("r.click_id"))
+        .collect()
+    )
+    assert got == want
