@@ -1902,9 +1902,28 @@ def bq_ann_topk(
             hamming(F.col("ccode"), F.col("qcode")).alias("hamming"),
         )
     )
+    # two-phase shortlist selection: a single per-query window would
+    # sort the WHOLE scored corpus in one task per query (the 100 TB
+    # non-starter this operator exists to avoid). Phase A ranks within
+    # (physical input partition × query) — every core sorts its own
+    # slice — and keeps shortlist·k per group; the global top
+    # shortlist·k is a subset of the survivors for ANY partition-of-
+    # the-rows grouping, so phase B's per-query window runs over
+    # ≤ n_partitions·shortlist·k rows, not the corpus. Deterministic
+    # ties on cand_id make the final shortlist independent of the
+    # grouping (and of task retries changing spark_partition_id).
+    n_short = shortlist * k
+    wa = Window.partitionBy("__part", "query_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    partial = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__prank", F.row_number().over(wa))
+        .filter(F.col("__prank") <= n_short)
+    )
     wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
-    short = scored.withColumn("__hrank", F.row_number().over(wh)).filter(
-        F.col("__hrank") <= shortlist * k
+    short = partial.withColumn("__hrank", F.row_number().over(wh)).filter(
+        F.col("__hrank") <= n_short
     )
     # exact rerank on the shortlist only: quantize the survivors' raw
     # vectors here so the int cosine is computed for shortlist·k rows
