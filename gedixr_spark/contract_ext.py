@@ -159,14 +159,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     implementations against the same SQL body): leg 'brute' is the
     quadratic verification twin at 0.5; leg 'prefix' is
     `prefix_jaccard_pairs` (AllPairs prefix filtering — the
-    corpus-scale EXACT path) at 0.3, a strictly larger pair set so the
-    legs do distinct work. Both produce integer-intersection /
-    integer-union jaccards, bit-identical to the DuckDB replay."""
+    corpus-scale EXACT path) at 0.7, the regime prefix filtering is
+    FOR (p ≈ 0.3·m): at low thresholds the prefix covers most of each
+    doc and the candidate join degenerates toward a full token join —
+    the first-cut 0.3 leg cost 2.3× the whole r7 row by itself. Both
+    produce integer-intersection / integer-union jaccards,
+    bit-identical to the DuckDB replay."""
     docs = _t(spark, sf_dir, "documents")
     brute = dedup.ngram_jaccard_pairs(docs, 0.5).select(
         F.lit("brute").alias("leg"), "id_a", "id_b", "jaccard"
     )
-    pref = dedup.prefix_jaccard_pairs(docs, 0.3).select(
+    pref = dedup.prefix_jaccard_pairs(docs, 0.7, order="hash").select(
         F.lit("prefix").alias("leg"), "id_a", "id_b", "jaccard"
     )
     return brute.unionByName(pref)
@@ -1824,7 +1827,7 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT 'brute' AS leg, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
             UNION ALL
-            SELECT 'prefix' AS leg, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.3
+            SELECT 'prefix' AS leg, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7
         """,
         "minhash_lsh_neardup": f"""
             WITH sh AS (

@@ -209,7 +209,9 @@ def save_merges(spark, merges: list[tuple[str, str]], path: str) -> str:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    # localCheckpoint: see similarity.save_centroids — py-RDD-backed
+    # write tasks re-launch Python workers per parent partition
+    df.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -148,9 +148,12 @@ def save_kmeans_centroids(spark, centroids: np.ndarray, path: str) -> str:
     so load-then-assign is bit-identical to fit-then-assign."""
     cen = np.asarray(centroids, dtype=np.float64)
     rows = [(i, [float(x) for x in row]) for i, row in enumerate(cen)]
+    # localCheckpoint: write tasks over a Python-parallelized RDD
+    # re-launch a Python worker per parent partition (~5 s for a
+    # metadata-sized frame; see similarity.save_centroids)
     spark.createDataFrame(
         rows, "cluster int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -95,6 +95,10 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(F.transform(sha, lambda s: F.xxhash64(s))).alias("sh")
     )
+    # pin the exploded shingle frame: the self-join below would
+    # otherwise run the regex-shingle + xxhash pass over the corpus
+    # twice (once per side)
+    sh = sh.localCheckpoint(eager=False)
     sizes = df.select(F.col(id_col), F.size(sha).alias("n_sh")).filter(F.col("n_sh") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -861,6 +865,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: str = "rarity",
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold)
     via prefix filtering (AllPairs, Bayardo et al. WWW'07; the PPJoin
@@ -869,7 +874,9 @@ def prefix_jaccard_pairs(
 
     How it prunes: order every document's shingle set by GLOBAL
     rarity (corpus document frequency asc, hash asc — any total order
-    works; rarity makes prefixes selective). A pair with jaccard >= t
+    works; rarity makes prefixes selective, ``order='hash'`` skips the
+    frequency stage entirely and orders by shingle hash, two shuffles
+    cheaper but without the hot-token bound). A pair with jaccard >= t
     must share at least one token in the first
     ``p = m - ceil(t*m) + 1`` tokens of each side's ordering
     (pigeonhole on the overlap bound ``inter >= t * max(m_a, m_b)``),
@@ -899,30 +906,58 @@ def prefix_jaccard_pairs(
     pruned by construction."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if order not in ("rarity", "hash"):
+        raise ValueError(f"order must be 'rarity' or 'hash', got {order!r}")
     sha = word_shingles(text_col, n)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(sha, lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("m", F.size("hs")).filter(F.col("m") > 0)
+    # sorted hashed-shingle arrays, pinned ONCE: the frame feeds the
+    # prefix build AND both verification joins — unpinned, the
+    # regex-shingle + xxhash pass over the full corpus ran three times
+    # (measured 2× the whole operator at sf0.1)
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(F.transform(sha, lambda s: F.xxhash64(s)))
+            ).alias("hs"),
+        )
+        .withColumn("m", F.size("hs"))
+        .filter(F.col("m") > 0)
+        .localCheckpoint(eager=False)
+    )
 
-    ex = docs.select("id", "m", F.explode("hs").alias("sh"))
-    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
     # prefix length p = m - ceil(t*m) + 1, ceil nudged down (see above)
     p = F.col("m") - F.ceil(F.lit(threshold) * F.col("m") - F.lit(1e-9)).cast("int") + 1
-    prefixes = (
-        ex.join(freq, "sh")
-        .groupBy("id")
-        .agg(
-            F.first("m").alias("m"),
-            F.sort_array(F.collect_list(F.struct("cnt", "sh"))).alias("ordered"),
+    if order == "hash":
+        # hash order: the sorted array IS the ordering — prefixes are a
+        # map-side slice, no frequency aggregation and no per-doc
+        # re-sort (two shuffles cheaper). Trade-off: frequent tokens
+        # can enter prefixes, so a token in k docs can contribute up to
+        # O(k²) candidates — fine at high thresholds / bench scale;
+        # prefer 'rarity' when the corpus has heavy-tail token skew.
+        prefixes = docs.select(
+            "id", "m", F.explode(F.slice("hs", 1, p)).alias("sh")
         )
-        .select(
-            "id",
-            "m",
-            F.transform(F.slice("ordered", 1, p), lambda x: x["sh"]).alias("pref"),
+    else:
+        ex = docs.select("id", "m", F.explode("hs").alias("sh"))
+        freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
+        prefixes = (
+            ex.join(freq, "sh")
+            .groupBy("id")
+            .agg(
+                F.first("m").alias("m"),
+                F.sort_array(F.collect_list(F.struct("cnt", "sh"))).alias("ordered"),
+            )
+            .select(
+                "id",
+                "m",
+                F.transform(F.slice("ordered", 1, p), lambda x: x["sh"]).alias("pref"),
+            )
+            .select("id", "m", F.explode("pref").alias("sh"))
         )
-        .select("id", "m", F.explode("pref").alias("sh"))
-    )
+    # the self-join below references the prefix pipeline TWICE — pin it
+    # so the prefix build materializes once (lazy: the join's first
+    # action triggers it)
+    prefixes = prefixes.localCheckpoint(eager=False)
     a, b = prefixes.alias("a"), prefixes.alias("b")
     size_ok = F.least(F.col("a.m"), F.col("b.m")) >= F.ceil(
         F.lit(threshold) * F.greatest(F.col("a.m"), F.col("b.m")) - F.lit(1e-9)
@@ -933,6 +968,11 @@ def prefix_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # ids-only candidates are tiny in BYTES, so AQE coalesces them to
+    # ONE partition — which then serializes the verification stage's
+    # per-row array_intersect over full shingle arrays (measured 2.5×
+    # on the whole operator). Re-spread before the heavy-per-row work.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     arrs = docs.select("id", "m", "hs")
     out = (
         cand.join(arrs.select(F.col("id").alias("id_a"),

@@ -15,15 +15,20 @@ def _pairs_map(df):
 
 
 @pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8, 1.0])
-def test_matches_bruteforce_on_real_docs(spark, sf_dir, threshold):
+@pytest.mark.parametrize("order", ["rarity", "hash"])
+def test_matches_bruteforce_on_real_docs(spark, sf_dir, threshold, order):
     """Bit-identical to ngram_jaccard_pairs on the driver's documents
-    table at every threshold (same integer intersection / union, same
-    single IEEE division)."""
+    table at every threshold and under BOTH prefix orderings (same
+    integer intersection / union, same single IEEE division — the
+    ordering only changes which candidates are generated, never which
+    survive exact verification)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     brute = _pairs_map(dedup.ngram_jaccard_pairs(docs, threshold=threshold))
-    fast = _pairs_map(dedup.prefix_jaccard_pairs(docs, threshold=threshold))
+    fast = _pairs_map(
+        dedup.prefix_jaccard_pairs(docs, threshold=threshold, order=order)
+    )
     assert fast == brute
 
 
@@ -69,6 +74,8 @@ def test_short_docs_dropped_and_threshold_validated(spark):
         dedup.prefix_jaccard_pairs(docs, threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         dedup.prefix_jaccard_pairs(docs, threshold=1.5)
+    with pytest.raises(ValueError, match="order"):
+        dedup.prefix_jaccard_pairs(docs, threshold=0.5, order="tfidf")
 
 
 def test_prefix_join_is_smaller_than_full_token_join(spark, sf_dir):
