@@ -237,6 +237,11 @@ def minhash_lsh_neardup(
     O(pairs-sharing-a-shingle). Identical output to ngram_jaccard_pairs
     minus pairs LSH missed (tunable recall via k/bands)."""
     cand = minhash_lsh_pairs(df, k=k, bands=bands, n=n, text_col=text_col, id_col=id_col)
+    # ids-only candidates are tiny in bytes → AQE coalesces them to one
+    # partition, and when the sets side broadcasts the array_intersect
+    # verify inherits that single partition. Re-spread first (same
+    # finding as prefix_jaccard_pairs).
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # shingle-hash SETS per doc, materialized through the join shuffle
     # so the giant shingle expression never rides into the join stage
     sets_df = df.select(
@@ -354,6 +359,10 @@ def incremental_dedup(
         .select(F.col(id_col), "hist_id")
         .distinct()
     )
+    # re-spread the tiny candidate set before the per-row
+    # array_intersect verify (AQE 1-partition trap — see
+    # prefix_jaccard_pairs)
+    cand = cand.repartition(new_df.sparkSession.sparkContext.defaultParallelism)
     j = (
         cand.join(rem.select(F.col(id_col), F.col("shs").alias("shs_a")), id_col)
         .join(
@@ -828,6 +837,9 @@ def edit_distance_pairs(
         )
         .distinct()
     )
+    # re-spread the tiny candidate set before the per-row levenshtein
+    # verify (AQE 1-partition trap — see prefix_jaccard_pairs)
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
     return (

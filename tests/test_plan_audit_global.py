@@ -39,6 +39,10 @@ NESTED_LOOP_ALLOWED = {
     "sq8_ann_topk",  # similarity.py sq8_topk: broadcast(queries) over
     # the 8×-compressed code scan — the SQ8 flat-ADC baseline; bucket/
     # cell-restricted search composes via ivf/lsh on the same codes
+    "bq_ann_topk",  # similarity.py bq_ann_topk: broadcast(queries)
+    # Hamming scan over the 32×-compressed packed codes — the binary
+    # flat baseline (linear in the corpus, one scan); the exact rerank
+    # touches shortlist·k rows only
     "hybrid_search",  # contract_ext.q_hybrid_search dense leg:
     # cosine_topk with a 3-row broadcast query side over one corpus
     # scan — linear in the corpus, not quadratic; the lexical leg and
