@@ -57,6 +57,40 @@ def cosine_q(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    order_cols: list,
+    k: int,
+    out_cols: list,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed per-query top-k, bit-identical to a single
+    per-query window but never sorting corpus-scale data in one task:
+    a lone `Window.partitionBy(query_id)` funnels every scored row of
+    a query into ONE task — the 100 TB non-starter for flat/ADC scans
+    where the scored set is the corpus. Phase A ranks within
+    (physical input partition × query) so every core sorts only its
+    own slice and keeps ≤ k per group (the global top-k is a subset of
+    the survivors for ANY one-of grouping — per-group ranks can only
+    under-count); phase B's per-query window runs over
+    ≤ n_partitions·k survivor rows. Deterministic ties (callers always
+    end ``order_cols`` with cand_id) make the result independent of
+    the grouping and of task retries changing spark_partition_id."""
+    wa = Window.partitionBy("__part", "query_id").orderBy(*order_cols)
+    wb = Window.partitionBy("query_id").orderBy(*order_cols)
+    partial = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(wa))
+        .filter(F.col("__pr") <= k)
+        .drop("__part", "__pr")
+    )
+    return (
+        partial.withColumn(rank_col, F.row_number().over(wb))
+        .filter(F.col(rank_col) <= k)
+        .select(*out_cols)
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -80,11 +114,11 @@ def cosine_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -202,11 +236,11 @@ def lsh_ann_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -369,11 +403,11 @@ def ivf_ann_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -531,11 +565,11 @@ def lsh_ann_topk_multitable(
         .dropDuplicates(["query_id", "cand_id"])
         .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -589,11 +623,11 @@ def lsh_ann_topk_multiprobe(
         .select("query_id", "cand_id", cosine_q(F.col("qv"), F.col("cv")).alias("cosine"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -831,11 +865,11 @@ def pq_ann_topk(
             _adc(F.col("query_id"), F.col("qv"), F.col("codes")).alias("approx_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "approx_dist", "rank")
+    return _topk_per_query(
+        scored,
+        [F.asc("approx_dist"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "approx_dist", "rank"],
     )
 
 
@@ -1049,11 +1083,11 @@ def ivf_pq_ann_topk(
             _adc(F.col("qres"), F.col("codes")).alias("approx_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "approx_dist", "rank")
+    return _topk_per_query(
+        scored,
+        [F.asc("approx_dist"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "approx_dist", "rank"],
     )
 
 
@@ -1455,11 +1489,11 @@ def sq8_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -1541,11 +1575,11 @@ def ivf_sq8_ann_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+    return _topk_per_query(
+        scored,
+        [F.desc("cosine"), F.asc("cand_id")],
+        k,
+        ["query_id", "cand_id", "cosine", "rank"],
     )
 
 
@@ -1911,28 +1945,14 @@ def bq_ann_topk(
             hamming(F.col("ccode"), F.col("qcode")).alias("hamming"),
         )
     )
-    # two-phase shortlist selection: a single per-query window would
-    # sort the WHOLE scored corpus in one task per query (the 100 TB
-    # non-starter this operator exists to avoid). Phase A ranks within
-    # (physical input partition × query) — every core sorts its own
-    # slice — and keeps shortlist·k per group; the global top
-    # shortlist·k is a subset of the survivors for ANY partition-of-
-    # the-rows grouping, so phase B's per-query window runs over
-    # ≤ n_partitions·shortlist·k rows, not the corpus. Deterministic
-    # ties on cand_id make the final shortlist independent of the
-    # grouping (and of task retries changing spark_partition_id).
-    n_short = shortlist * k
-    wa = Window.partitionBy("__part", "query_id").orderBy(
-        F.asc("hamming"), F.asc("cand_id")
-    )
-    partial = (
-        scored.withColumn("__part", F.spark_partition_id())
-        .withColumn("__prank", F.row_number().over(wa))
-        .filter(F.col("__prank") <= n_short)
-    )
-    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
-    short = partial.withColumn("__hrank", F.row_number().over(wh)).filter(
-        F.col("__hrank") <= n_short
+    # distributed shortlist selection (see _topk_per_query: a single
+    # per-query window would sort the whole scored corpus in one task)
+    short = _topk_per_query(
+        scored,
+        [F.asc("hamming"), F.asc("cand_id")],
+        shortlist * k,
+        ["query_id", "cand_id", "qv", "__cv_raw"],
+        rank_col="__hrank",
     )
     # exact rerank on the shortlist only: quantize the survivors' raw
     # vectors here so the int cosine is computed for shortlist·k rows
