@@ -689,6 +689,191 @@ def commit_upsert(
     )
 
 
+def commit_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    when_matched_update: dict | str | None = None,
+    update_condition: str | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    base_version: int | None = None,
+    stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    meta: dict | None = None,
+) -> dict:
+    """Delta-style MERGE INTO as one atomic commit: join the source
+    batch to the target on ``keys`` and apply, per target row,
+
+    - WHEN MATCHED AND ``when_matched_delete`` → drop the row;
+    - WHEN MATCHED [AND ``update_condition``] → set the columns in
+      ``when_matched_update`` ({col: SQL expr over aliases ``t``
+      (target) and ``s`` (source)}; the string ``"all"`` = full-row
+      replace from the source); other matched rows pass through;
+    - WHEN NOT MATCHED → insert the source row
+      (``when_not_matched_insert``).
+
+    File-granularity like `commit_upsert`: only live files containing
+    a source key are rewritten (discovery = one broadcast semi-join
+    with input_file_name(); file-count rows collected, never data).
+    A source key can only match rows inside those files, so the
+    insert anti-join needs the touched slice, not the table. The
+    target schema is invariant under merge — update/insert values are
+    cast to the recorded column types. Source must be one row per key
+    (NULL keys rejected), same contract as upsert.
+
+    Unlike `commit_upsert` (unconditional full-row replace + append),
+    merge expresses CDC feeds directly: op-coded batches
+    (``when_matched_delete="s.op = 'D'"``), partial-column updates
+    (``{"balance": "t.balance + s.delta"}``), and insert-if-absent.
+    """
+    if not keys:
+        raise ValueError("commit_merge needs at least one key column")
+    if (
+        when_matched_update is None
+        and when_matched_delete is None
+        and not when_not_matched_insert
+    ):
+        raise ValueError("merge with no clauses is a no-op — nothing to do")
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    schema_json = _latest_schema(spark, path, base)
+    if schema_json is None:
+        raise ValueError(f"{path} has no recorded schema to merge into")
+    target_schema = StructType.fromJson(json.loads(schema_json))
+    target_cols = [f.name for f in target_schema.fields]
+    missing_keys = [k for k in keys if k not in target_cols]
+    if missing_keys:
+        raise ValueError(f"keys {missing_keys} not in target schema")
+    if when_matched_update == "all":
+        when_matched_update = {c: f"s.{c}" for c in target_cols if c not in keys}
+    if when_matched_update:
+        bad = [c for c in when_matched_update if c not in target_cols]
+        if bad:
+            raise ValueError(f"update targets {bad} not in target schema")
+        if any(c in keys for c in when_matched_update):
+            raise ValueError("merge cannot update key columns")
+    # one job: row count + distinct-key count (NULL-keyed rows never
+    # count as a key — same one-row-per-key contract as upsert)
+    row = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in keys]).alias("nk"),
+    ).collect()[0]
+    if row["nk"] != row["n"]:
+        raise ValueError(
+            f"source batch has {row['n']} rows but {row['nk']} distinct "
+            "non-NULL keys — compact to one row per key before merging"
+        )
+
+    def _cast_to_target(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
+        )
+
+    def _indexes(names):
+        st = (
+            _file_column_stats(spark, path, names, list(stats_cols))
+            if stats_cols is not None else None
+        )
+        bl = (
+            _file_bloom_filters(spark, path, names, list(bloom_cols))
+            if bloom_cols else None
+        )
+        return st, bl
+
+    files = live_files(spark, path, base)
+    touched: list[str] = []
+    if files:
+        target = read_versioned(spark, path, base)
+        tagged = target.withColumn("__file", F.input_file_name())
+        hit = (
+            tagged.join(
+                F.broadcast(source.select(*keys).distinct()), on=list(keys)
+            )
+            .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+            .distinct()
+            .collect()
+        )
+        touched = _touched_entries(files, (r["name"] for r in hit))
+    if touched:
+        t = spark.read.parquet(*_file_paths(path, touched)).alias("t")
+    else:
+        t = spark.createDataFrame([], target_schema).alias("t")
+    s = source.alias("s")
+    joined = t.join(
+        s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], how="left_outer"
+    ).localCheckpoint(eager=False)
+    # NULL-keyed source rows were rejected above, so a non-NULL source
+    # key column marks a match
+    matched = F.col(f"s.{keys[0]}").isNotNull()
+    del_cond = (
+        (matched & F.expr(when_matched_delete))
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd_cond = (
+        F.expr(update_condition) if update_condition is not None else F.lit(True)
+    )
+    out_cols = []
+    for c in target_cols:
+        if when_matched_update and c in when_matched_update:
+            out_cols.append(
+                F.when(matched & upd_cond, F.expr(when_matched_update[c]))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    transformed = joined.filter(~del_cond).select(*out_cols)
+    # counts for the log entry — one aggregate over the pinned join
+    crow = joined.agg(
+        F.sum(F.when(del_cond, 1).otherwise(0)).alias("n_del"),
+        F.sum(
+            F.when(matched & upd_cond & ~del_cond, 1).otherwise(0)
+        ).alias("n_upd"),
+    ).collect()[0]
+    n_deleted = int(crow["n_del"] or 0)
+    n_updated = int(crow["n_upd"] or 0) if when_matched_update else 0
+    n_inserted = 0
+    out_df = _cast_to_target(transformed)
+    if when_not_matched_insert:
+        missing = [c for c in target_cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"when_not_matched_insert needs source to carry the full "
+                f"target schema; missing {missing} (disable inserts or add "
+                "the columns)"
+            )
+        # a source key matching ANY live row lives in a touched file,
+        # so the touched slice is the complete match set
+        ins = source.join(
+            t.select(*keys).distinct(), on=list(keys), how="left_anti"
+        ).select(*target_cols)
+        n_inserted = ins.count()
+        out_df = out_df.unionByName(_cast_to_target(ins))
+    if not touched and n_inserted == 0:
+        # no file contains a source key and nothing inserts: the merge
+        # is a provable no-op — don't burn a version on an empty swap
+        return {
+            "op": "noop", "version": base, "n_files_rewritten": 0,
+            "n_updated": 0, "n_deleted": 0, "n_inserted": 0,
+        }
+    names = _write_data_files(spark, path, out_df, base + 1)
+    st, bl = _indexes(names)
+    return _commit(
+        spark, path, "merge", names, touched, schema_json,
+        {
+            "n_files_rewritten": len(touched),
+            "n_updated": n_updated,
+            "n_deleted": n_deleted,
+            "n_inserted": n_inserted,
+            **(meta or {}),
+        },
+        base + 1, stats=st, blooms=bl,
+    )
+
+
 def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     """Metadata-only commit restoring the live set of ``to_version``.
     No data moves — the restored files still exist in ``data/`` (only
