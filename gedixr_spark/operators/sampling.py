@@ -449,33 +449,37 @@ def running_total(
         bucket = F.lit(0)  # constant score: one bucket, still correct
     work = df.withColumn("__bucket", bucket)
 
-    totals_df = (
-        work.groupBy(*groups, "__bucket")
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
+    totals_frame = work.groupBy(*groups, "__bucket").agg(
+        F.sum(value_col).alias("__t")
     )
     if groups:
-        # per-group offsets: fold each group's bucket totals separately,
-        # ship them back as a broadcast-joined tiny table
-        by_group: dict[tuple, dict[int, int]] = {}
-        for r in totals_df:
-            key = tuple(r[g] for g in groups)
-            by_group.setdefault(key, {})[r["__bucket"]] = r["__t"]
-        rows = []
-        for key, totals in by_group.items():
-            acc = 0
-            for b in sorted(totals, reverse=descending):
-                rows.append((*key, b, acc))
-                acc += totals[b] or 0
-        spark = df.sparkSession
-        off_schema = work.select(
-            *groups, F.col("__bucket"), F.lit(0).cast("long").alias("__off")
-        ).schema
-        off_df = spark.createDataFrame(rows, off_schema)
+        # per-group offsets stay DISTRIBUTED (r8 VERDICT #3): the totals
+        # frame is |groups|·n_buckets rows, so the exclusive cumulative
+        # sum is a window over it partitioned by group — the driver
+        # never materializes it, and an unbounded group column (per-
+        # domain over millions of domains) costs one small shuffle, not
+        # a driver collect + Python fold. Each group's window partition
+        # is at most n_buckets rows, so no task ever sorts more than
+        # that.
+        bucket_order = (
+            F.col("__bucket").desc() if descending else F.col("__bucket").asc()
+        )
+        woff = (
+            Window.partitionBy(*groups)
+            .orderBy(bucket_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_df = totals_frame.select(
+            *groups,
+            "__bucket",
+            F.coalesce(F.sum("__t").over(woff), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
         work = work.join(F.broadcast(off_df), [*groups, "__bucket"])
         offset_col = F.col("__off")
     else:
-        totals = {r["__bucket"]: r["__t"] for r in totals_df}
+        totals = {r["__bucket"]: r["__t"] for r in totals_frame.collect()}
         order = sorted(totals, reverse=descending)
         offsets: dict[int, int] = {}
         acc = 0

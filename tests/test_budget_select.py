@@ -191,3 +191,43 @@ def test_negative_or_null_cost_raises_in_plan(spark):
     )
     with pytest.raises(Exception, match="negative or NULL"):
         budget_select(df2, 100, "n_tokens", "score").collect()
+
+
+def test_high_cardinality_groups_stay_distributed(spark):
+    """r8 VERDICT #3: grouped offsets used to collect O(|groups| *
+    n_buckets) rows to the driver and fold them in Python — a caller
+    passing an unbounded group column (per-domain quotas over millions
+    of domains) silently materialized them all. The offsets are now an
+    exclusive-cumsum window over the (still-distributed) totals frame.
+    Pin correctness at 3000 distinct groups and assert the plan shape:
+    no Scan ExistingRDD (the signature a driver-built rows list leaves
+    in the plan) anywhere in the offsets side."""
+    df = (
+        spark.range(9000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("domain_"), F.col("id") % 3000).alias("dom"),
+            (F.pmod(F.hash("id"), F.lit(20)) + 1).cast("int").alias("n_tokens"),
+            (F.pmod(F.hash("id", F.lit(1)), F.lit(10_000)) / 10_000.0).alias(
+                "score"
+            ),
+        )
+        .repartition(8)
+    )
+    got = running_total(
+        df, "n_tokens", "score", group_cols=["dom"], n_buckets=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "LocalTableScan" not in plan
+    w = (
+        Window.partitionBy("dom")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("want", F.sum("n_tokens").over(w))
+    bad = (
+        got.join(want.select("doc_id", "want"), "doc_id")
+        .filter(F.col("running_total") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
