@@ -18,6 +18,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_prev_timings(path: str) -> dict[str, float]:
+    """Per-query min timings from a previous round's bench record.
+
+    Driver records (`BENCH_r*.json`) nest the metric line under
+    "parsed" (top level is {n, rc, cpus, sf, tail, parsed}); a bare
+    metric line saved locally has "queries" at the top level. Accept
+    both — VERDICT r9 #1: reading only the top level made prev always
+    empty and the >1.5x regression-rerun trigger dead code.
+    """
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        prev = (
+            (d.get("parsed") or {}).get("queries")
+            or d.get("queries")
+            or {}
+        )
+        return {
+            k: float(v)
+            for k, v in prev.items()
+            if isinstance(v, (int, float))
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -97,11 +123,7 @@ def main() -> None:
                                "BENCH_r*.json"))
     )
     if recs:
-        try:
-            with open(recs[-1]) as fh:
-                prev = json.load(fh).get("queries", {}) or {}
-        except Exception:
-            prev = {}
+        prev = load_prev_timings(recs[-1])
 
     reruns: dict[str, int] = {}
     for name, fn in qs.items():

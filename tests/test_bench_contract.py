@@ -52,6 +52,45 @@ def test_bench_final_line_is_compact_parseable_metric():
     assert "spread" in diag and "runs_per_query" in diag
 
 
+def test_prev_record_parser_reads_real_driver_record(tmp_path):
+    """The regression-rerun gate reads the PREVIOUS round's per-query
+    timings. Driver records nest them under "parsed" — VERDICT r9 #1:
+    reading only a top-level "queries" key made prev always empty and
+    the >1.5x trigger dead code. Parse the real committed record AND a
+    bare metric-line record so the gate can't silently die again."""
+    import glob
+
+    from bench import load_prev_timings
+
+    recs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert recs, "committed driver records must exist"
+    prev = load_prev_timings(recs[-1])
+    assert len(prev) >= 50, (
+        "a real driver record must yield the full per-query timing map, "
+        f"got {len(prev)}"
+    )
+    assert all(isinstance(v, float) and v > 0 for v in prev.values())
+
+    # bare metric line (local bench run saved directly)
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps({"metric": "m", "queries": {"q1": 0.5}}))
+    assert load_prev_timings(str(bare)) == {"q1": 0.5}
+
+    # corrupt / missing files degrade to empty, never raise
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert load_prev_timings(str(bad)) == {}
+    assert load_prev_timings(str(tmp_path / "nope.json")) == {}
+
+    # the gate condition itself: with a real prev map, a 2.06x
+    # min (the exact crs_transform shape that shipped unchecked in
+    # r9) MUST trigger a rerun
+    name, prev_min = next(iter(prev.items()))
+    m = 2.06 * prev_min + 0.4
+    regressed = name in prev and m > 1.5 * prev[name] and m - prev[name] > 0.3
+    assert regressed
+
+
 def test_scratch_root_is_private_and_process_scoped(spark):
     """The scratch root is an unpredictable mkdtemp dir (0700, unique
     per process) reused across calls — two concurrent driver processes
