@@ -1170,14 +1170,19 @@ def q_versioned_snapshot(spark, sf_dir):
     """The versioned parquet table on the driver-checked path
     (sinks/versioned.py): build a commit history from customer subsets
     — append (v1) → file-granularity upsert (v2) → predicate delete
-    (v3) — in a fresh temp table, then read BOTH the pre-delete
-    snapshot (time travel to v2) and the latest state as one labeled
-    union. The oracle replays the same key-value history in pure SQL,
-    so snapshot isolation, upsert last-write-wins, and NULL-safe
-    delete semantics are all hash-checked."""
+    (v3) → op-coded CDC MERGE INTO (v4: update/delete/insert by op
+    column, r9 VERDICT #2) — in a fresh temp table, then read the
+    pre-delete snapshot (time travel to v2), the pre-merge snapshot
+    (v3), and the latest post-merge state as one labeled union. The
+    oracle replays the same key-value history in pure SQL, so snapshot
+    isolation, upsert last-write-wins, NULL-safe delete, and all three
+    MERGE clauses are hash-checked. The CDC batch only targets keys
+    provably present (U/D) or provably absent (I) so the replay SQL is
+    closed-form."""
     from gedixr_spark.sinks.versioned import (
         commit_append,
         commit_delete,
+        commit_merge,
         commit_upsert,
         init_versioned,
         read_versioned,
@@ -1197,14 +1202,47 @@ def q_versioned_snapshot(spark, sf_dir):
     )
     commit_upsert(spark, path, upd, keys=["c_custkey"])
     commit_delete(spark, path, F.col("c_nationkey") == 3)
+    # v4: one op-coded CDC batch drives all three MERGE clauses.
+    # Keys: U = multiples of 12 (⊂ %4==0) not multiples of 20 and
+    # still live (nationkey≠3); D = live multiples of 20; I = %16==1
+    # (never in the table). Restricting U/D to live keys matters:
+    # an unmatched source row would INSERT under when_not_matched.
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    live = F.col("c_nationkey") != 3
+    u_src = cust.filter(
+        (k % 12 == 0) & (k % 20 != 0) & live
+    ).withColumn("c_mktsegment", F.lit("MERGED")).withColumn(
+        "op", F.lit("U")
+    )
+    d_src = cust.filter((k % 4 == 0) & (k % 20 == 0) & live).withColumn(
+        "op", F.lit("D")
+    )
+    i_src = cust.filter(k % 16 == 1).withColumn(
+        "c_mktsegment", F.lit("INSERTED")
+    ).withColumn("op", F.lit("I"))
+    commit_merge(
+        spark,
+        path,
+        u_src.unionByName(d_src).unionByName(i_src),
+        keys=["c_custkey"],
+        when_matched_update={"c_mktsegment": "s.c_mktsegment"},
+        update_condition="s.op = 'U'",
+        when_matched_delete="s.op = 'D'",
+    )
     cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
     v2 = read_versioned(spark, path, version=2).select(
         F.lit("v2").alias("snap"), *cols
     )
+    v3 = read_versioned(spark, path, version=3).select(
+        F.lit("v3").alias("snap"), *cols
+    )
     latest = read_versioned(spark, path).select(
         F.lit("latest").alias("snap"), *cols
     )
-    return v2.unionByName(latest)
+    return v2.unionByName(v3).unionByName(latest)
 
 
 def q_edit_distance(spark, sf_dir):
@@ -2683,11 +2721,22 @@ def build_oracles() -> dict[str, str]:
                  CASE WHEN c_custkey % 8 = 0 THEN 'UPDATED'
                       ELSE c_mktsegment END AS c_mktsegment
           FROM customer WHERE c_custkey % 4 = 0
+        ), after_v3 AS (
+          SELECT * FROM base WHERE c_nationkey <> 3
         )
         SELECT 'v2' AS snap, c_custkey, c_nationkey, c_mktsegment FROM base
         UNION ALL
-        SELECT 'latest', c_custkey, c_nationkey, c_mktsegment FROM base
-        WHERE c_nationkey <> 3
+        SELECT 'v3', c_custkey, c_nationkey, c_mktsegment FROM after_v3
+        UNION ALL
+        -- v4 CDC replay: D drops live multiples of 20, U rewrites the
+        -- segment of live multiples of 12 (not 20), I adds %16==1 keys
+        SELECT 'latest', c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 12 = 0 THEN 'MERGED'
+                    ELSE c_mktsegment END
+        FROM after_v3 WHERE c_custkey % 20 <> 0
+        UNION ALL
+        SELECT 'latest', c_custkey, c_nationkey, 'INSERTED'
+        FROM customer WHERE c_custkey % 16 = 1
     """
 
     # --- r7 window consolidation ------------------------------------------

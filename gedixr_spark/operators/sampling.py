@@ -424,8 +424,10 @@ def running_total(
     per-source quotas — the "data recipe" shape): buckets still come
     from the GLOBAL score quantiles (good enough for balance), the
     window partitions by (group, bucket), and per-(group, bucket)
-    offsets ride a broadcast join of the tiny totals table instead of
-    the map literal. A hot group splits across its score buckets, so
+    offsets ride an equi-join of the small totals table instead of the
+    map literal (no forced broadcast — AQE picks broadcast when the
+    totals frame really is small, so unbounded group columns never
+    build a giant broadcast relation on the driver). A hot group splits across its score buckets, so
     even 'one group holds 90% of the corpus' never funnels into one
     task — the failure mode of the naive PARTITION BY group window.
     """
@@ -455,12 +457,12 @@ def running_total(
     if groups:
         # per-group offsets stay DISTRIBUTED (r8 VERDICT #3): the totals
         # frame is |groups|·n_buckets rows, so the exclusive cumulative
-        # sum is a window over it partitioned by group — the driver
-        # never materializes it, and an unbounded group column (per-
-        # domain over millions of domains) costs one small shuffle, not
-        # a driver collect + Python fold. Each group's window partition
-        # is at most n_buckets rows, so no task ever sorts more than
-        # that.
+        # sum is a window over it partitioned by group — never a driver
+        # collect + Python fold. An unbounded group column (per-domain
+        # over millions of domains) costs one small shuffle for the
+        # window plus the offsets equi-join below; each group's window
+        # partition is at most n_buckets rows, so no task ever sorts
+        # more than that.
         bucket_order = (
             F.col("__bucket").desc() if descending else F.col("__bucket").asc()
         )
@@ -476,7 +478,13 @@ def running_total(
             .cast("long")
             .alias("__off"),
         )
-        work = work.join(F.broadcast(off_df), [*groups, "__bucket"])
+        # No broadcast hint ON PURPOSE (r9 VERDICT #3): off_df is
+        # |groups|·n_buckets rows — tiny for per-language quotas, but a
+        # forced broadcast of a per-domain group column (millions of
+        # domains × 8 buckets) builds a multi-GB relation on the
+        # driver. AQE broadcasts small frames at runtime by itself;
+        # the unbounded case keeps a plain shuffled equi-join.
+        work = work.join(off_df, [*groups, "__bucket"])
         offset_col = F.col("__off")
     else:
         totals = {r["__bucket"]: r["__t"] for r in totals_frame.collect()}

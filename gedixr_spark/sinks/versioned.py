@@ -720,10 +720,14 @@ def commit_merge(
     A source key can only match rows inside those files, so a single
     FULL OUTER join of the touched slice against the source is the
     complete picture: matched rows update/delete, NULL-source rows
-    pass through, NULL-target rows insert. Exactly two Spark jobs run
-    before the write — file discovery and one combined aggregate over
-    the pinned join carrying the one-row-per-key contract check plus
-    every log count (asserted in tests/test_merge.py). The
+    pass through, NULL-target rows insert. Exactly two driver actions
+    (collects) run before the write — file discovery and one combined
+    aggregate over the pinned join carrying the one-row-per-key
+    contract check plus every log count — asserted in
+    tests/test_merge.py::test_merge_runs_two_pre_write_actions. (Each
+    action may fan out into several Spark jobs under AQE/broadcast;
+    the guarantee is the driver-action count, i.e. how many times the
+    join is evaluated before the write.) The
     target schema is invariant under merge — update/insert values are
     cast to the recorded column types. Source must be one row per key
     (NULL keys rejected), same contract as upsert.

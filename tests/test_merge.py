@@ -166,6 +166,47 @@ def test_merge_time_travel_and_guards(spark, table):
         )
 
 
+def test_merge_runs_two_pre_write_actions(spark, table, monkeypatch):
+    """The docstring's single-pass claim, pinned (r9 VERDICT #3): a
+    merge evaluates the join via exactly TWO driver actions before the
+    data-file write — file discovery and the one combined
+    contract+accounting aggregate. Counted by instrumenting
+    DataFrame.collect and marking the write, so the assertion is
+    independent of how many Spark jobs AQE fans each action into. A
+    third pre-write action (the r8 shape re-scanned the target for
+    inserts) fails this test."""
+    # patch the CONCRETE class: in pyspark>=4 pyspark.sql.DataFrame is
+    # an abstract dispatcher and instances are classic.dataframe ones
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pyspark 3.x
+        from pyspark.sql import DataFrame
+
+    events: list[str] = []
+    real_collect = DataFrame.collect
+    real_write = vt._write_data_files
+
+    def counting_collect(self):
+        events.append("collect")
+        return real_collect(self)
+
+    def marking_write(*a, **kw):
+        events.append("write")
+        return real_write(*a, **kw)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(vt, "_write_data_files", marking_write)
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (9, "i", 90.0)], "id long, name string, balance double"
+    )
+    vt.commit_merge(
+        spark, table, src, keys=["id"], when_matched_update="all"
+    )
+    assert "write" in events, "merge must have written data files"
+    pre_write = events[: events.index("write")]
+    assert pre_write.count("collect") == 2, events
+
+
 def test_merge_matches_duckdb_cdc_replay(spark, tmp_path):
     """Differential: the merged table equals a DuckDB replay of the
     same CDC semantics (update/delete/insert by op code) over the same
