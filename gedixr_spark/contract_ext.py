@@ -910,14 +910,18 @@ def q_vector_index(spark, sf_dir):
     """Versioned IVF vector-index lifecycle on the driver-checked path
     (operators/vectorstore.py): init from even vec_ids (cell-clustered
     files + log cell stats + persisted centroids), fold the odd half
-    in by upsert, delete a slice, then cell-pruned search for 5 query
-    vectors at nprobe=2 — the vector-store write path a 100 TB
-    embedding corpus runs. Multi-commit lifecycle ⇒ rows-only;
+    in by upsert, delete a slice, compact (re-cluster by cell — the
+    OPTIMIZE step that repairs stats pruning after upsert churn, r9
+    VERDICT #5), then cell-pruned search for 5 query vectors at
+    nprobe=2 — the vector-store write path a 100 TB embedding corpus
+    runs. Search results are invariant under compaction by
+    construction, so the rows-only hash doubles as that proof on the
+    driver path. Multi-commit lifecycle ⇒ rows-only;
     tests/test_vectorstore.py pins search == flat ivf_ann_topk at
-    every stage."""
+    every stage and pruning recovery post-compaction."""
     from gedixr_spark.operators.vectorstore import (
-        delete_vectors, init_vector_index, search_vector_index,
-        update_vector_index,
+        compact_vector_index, delete_vectors, init_vector_index,
+        search_vector_index, update_vector_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -930,6 +934,7 @@ def q_vector_index(spark, sf_dir):
         spark, path, emb.filter(F.col("vec_id") % 2 == 1), n_files=8
     )
     delete_vectors(spark, path, list(range(0, 200, 10)))
+    compact_vector_index(spark, path, n_files=8)
     return search_vector_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=3, nprobe=2
     )

@@ -148,6 +148,39 @@ def delete_vectors(
     return commit_delete(spark, path, F.col(id_col).isin(list(ids)))
 
 
+def compact_vector_index(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    n_files: int | None = None,
+) -> dict:
+    """Re-cluster the index's small files by ``cell`` as one atomic
+    compaction commit (r8/r9 VERDICT: upsert churn moves changed
+    vectors across cells, so batch files accumulate WIDE overlapping
+    cell ranges and the log's min/max stats stop pruning — every
+    probe degenerates toward a full-table scan). This is
+    `sinks.versioned.commit_compact` with ``sort_by=["cell"]`` +
+    ``stats_cols=["cell"]``: the rewrite range-partitions on cell, so
+    output files cover disjoint tight cell ranges again and per-file
+    stats land in the new commit.
+
+    Run it on the same cadence as any Delta OPTIMIZE — after N upsert
+    batches or when search's kept-file fraction drifts up. Pre-compact
+    snapshots keep their exact file lists (time travel unaffected);
+    search results are hash-identical before and after by construction
+    (compaction only moves rows between files)."""
+    from gedixr_spark.sinks.versioned import commit_compact
+
+    return commit_compact(
+        spark,
+        path,
+        target_mb=target_mb,
+        sort_by=["cell"],
+        stats_cols=["cell"],
+        n_files=n_files,
+    )
+
+
 def _files_for_cells(
     spark: SparkSession, path: str, cells: list[int], version: int | None
 ) -> tuple[list[str], int]:

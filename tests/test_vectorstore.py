@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gedixr_spark.operators import similarity as sim
 from gedixr_spark.operators.vectorstore import (
+    compact_vector_index,
     delete_vectors,
     init_vector_index,
     search_vector_index,
@@ -123,3 +124,54 @@ def test_update_uses_persisted_centroids_not_a_refit(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_compaction_recovers_pruning_after_upsert_churn(spark, tmp_path):
+    """r9 VERDICT #5: changed vectors move cells on upsert, so batch
+    files accumulate wide overlapping cell ranges and log-stats
+    pruning degrades toward scan-everything. compact_vector_index
+    re-clusters by cell in one commit: the kept-file fraction for a
+    single-cell probe must RECOVER, search results must be identical
+    before/after, and the pre-compaction snapshot must keep its file
+    list (time travel)."""
+    from gedixr_spark.sinks.versioned import live_files
+
+    path = str(tmp_path / "vidx4")
+    base = _emb(spark, range(300), seed=6)
+    init_vector_index(spark, path, base, dim=16, n_cells=8, n_files=6)
+
+    # churn: re-ingest overlapping id slices with NEW embeddings so
+    # vectors change cells; each batch lands as its own small files
+    flat = base
+    for b in range(4):
+        ids = range(b * 60, b * 60 + 120)
+        batch = _emb(spark, ids, seed=100 + b)
+        update_vector_index(spark, path, batch, n_files=3)
+        flat = flat.filter(
+            ~F.col("vec_id").isin([int(i) for i in ids])
+        ).unionByName(batch)
+
+    keep_before, live_before = _files_for_cells(spark, path, [0], None)
+    frag_frac = len(keep_before) / live_before
+
+    res = compact_vector_index(spark, path, target_mb=128, n_files=6)
+    assert res["meta"]["n_files_compacted"] >= 2
+
+    keep_after, live_after = _files_for_cells(spark, path, [0], None)
+    # pruning recovers: strictly fewer kept files AND a smaller kept
+    # fraction than the churned state
+    assert len(keep_after) < len(keep_before)
+    assert len(keep_after) / live_after < frag_frac
+    assert 0 < len(keep_after) < live_after
+
+    # search results identical pre/post compaction (moves rows only)
+    queries = _emb(spark, range(3), seed=9)
+    _flat_equal(spark, path, flat, queries)
+    # pre-compaction snapshot is untouched: its live set still contains
+    # every churned file the single-cell probe kept, and time-travel
+    # search over it still matches flat
+    pre_version = res["version"] - 1
+    pre_live = set(live_files(spark, path, pre_version))
+    assert set(keep_before) <= pre_live
+    assert pre_live != set(live_files(spark, path, None))
+    _flat_equal(spark, path, flat, queries, version=pre_version)
