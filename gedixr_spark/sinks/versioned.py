@@ -718,9 +718,12 @@ def commit_merge(
     a source key are rewritten (discovery = one broadcast semi-join
     with input_file_name(); file-count rows collected, never data).
     A source key can only match rows inside those files, so a single
-    FULL OUTER join of the touched slice against the source is the
-    complete picture: matched rows update/delete, NULL-source rows
-    pass through, NULL-target rows insert. Exactly two driver actions
+    join of the touched slice against the source is the complete
+    picture: FULL OUTER when inserts are enabled (matched rows
+    update/delete, NULL-source rows pass through, NULL-target rows
+    insert); LEFT OUTER for update/delete-only merges, where unmatched
+    source rows are no-ops and the outer shape would only forbid
+    broadcasting the (typically small) source side. Exactly two driver actions
     (collects) run before the write — file discovery and one combined
     aggregate over the pinned join carrying the one-row-per-key
     contract check plus every log count — asserted in
@@ -805,16 +808,26 @@ def commit_merge(
         t = spark.read.parquet(*_file_paths(path, touched))
     else:
         t = spark.createDataFrame([], target_schema)
-    # FULL OUTER join so inserts are the NULL-target side of the SAME
-    # pinned join — no second anti-join over a re-scanned t — and all
-    # accounting (key-uniqueness contract, n_del/n_upd/n_ins) folds
-    # into ONE aggregate over the pin (r8 VERDICT #4: the old shape
-    # ran three separate driver actions before the write). Markers,
-    # not key NULL-ness, tell the sides apart, so NULL-keyed target
-    # rows are never misread as inserts. __merge_sid freezes one id
-    # per source row at the pin, making "distinct source rows" (the
-    # one-row-per-key contract) countable post-join even when a source
-    # key fans out over duplicate target keys.
+    # One join, shaped by the clause set (r9 ADVICE): with inserts
+    # enabled it's a FULL OUTER join so inserts are the NULL-target
+    # side of the SAME pinned join — no second anti-join over a
+    # re-scanned t. Update/delete-only merges use LEFT OUTER instead:
+    # unmatched source rows are no-ops there, and full outer cannot
+    # use a broadcast-hash join in Spark, so the common small-CDC-
+    # batch-vs-large-touched-slice shape would sort-merge-shuffle the
+    # whole slice for nothing; left outer lets AQE broadcast the small
+    # source side. Either way all accounting (key-uniqueness contract,
+    # n_del/n_upd/n_ins) folds into ONE aggregate over the pin (r8
+    # VERDICT #4: the old shape ran three separate driver actions
+    # before the write). Markers, not key NULL-ness, tell the sides
+    # apart, so NULL-keyed target rows are never misread as inserts.
+    # __merge_sid freezes one id per source row at the pin, making
+    # "distinct source rows" (the one-row-per-key contract) countable
+    # post-join even when a source key fans out over duplicate target
+    # keys. In left-outer mode the contract check sees only source
+    # rows that matched a target row — exactly the rows that can fan
+    # out; unmatched duplicates cannot touch the output.
+    how = "full_outer" if when_not_matched_insert else "left_outer"
     t = t.withColumn("__merge_t", F.lit(True)).alias("t")
     s = (
         source.withColumn("__merge_sid", F.monotonically_increasing_id())
@@ -822,7 +835,7 @@ def commit_merge(
         .alias("s")
     )
     joined = t.join(
-        s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], how="full_outer"
+        s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], how=how
     ).localCheckpoint(eager=False)
     t_present = F.col("t.__merge_t").isNotNull()
     src_only = F.col("t.__merge_t").isNull()
@@ -884,6 +897,7 @@ def commit_merge(
             "n_updated": n_updated,
             "n_deleted": n_deleted,
             "n_inserted": n_inserted,
+            "merge_join": how,
             **(meta or {}),
         },
         base + 1, stats=st, blooms=bl,

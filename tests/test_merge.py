@@ -263,3 +263,53 @@ def test_merge_matches_duckdb_cdc_replay(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_update_delete_only_merge_uses_left_outer(spark, table):
+    """r9 ADVICE: full_outer equi-joins can never broadcast-hash in
+    Spark, so an update/delete-only merge (the common small-CDC-batch
+    shape) must take the LEFT OUTER path — semantics identical
+    (unmatched source rows are no-ops), join shape recorded in the
+    commit meta. Unmatched source keys must NOT insert, and duplicate
+    matched keys must still trip the one-row-per-key contract."""
+    src = spark.createDataFrame(
+        [(2, "B2", 0.0, "U"), (3, "", 0.0, "D"), (99, "ghost", 1.0, "U")],
+        "id long, name string, balance double, op string",
+    )
+    res = vt.commit_merge(
+        spark,
+        table,
+        src,
+        keys=["id"],
+        when_matched_update={"name": "s.name"},
+        update_condition="s.op = 'U'",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert=False,
+    )
+    assert res["meta"]["merge_join"] == "left_outer"
+    assert res["meta"]["n_inserted"] == 0
+    got = _rows(spark, table)
+    assert 99 not in got  # unmatched source row did not insert
+    assert 3 not in got  # deleted
+    assert got[2] == ("B2", 20.0)  # partial-column update
+    assert got[1] == ("a", 10.0) and got[4] == ("d", 40.0)
+
+    # insert-bearing merges still take the full-outer single-pass path
+    src2 = spark.createDataFrame(
+        [(50, "new", 5.0)], "id long, name string, balance double"
+    )
+    res2 = vt.commit_merge(spark, table, src2, keys=["id"])
+    assert res2["meta"]["merge_join"] == "full_outer"
+    assert res2["meta"]["n_inserted"] == 1
+
+    # duplicate MATCHED source keys still trip the contract in
+    # left-outer mode (they fan out over the target row)
+    dup = spark.createDataFrame(
+        [(1, "x", 0.0), (1, "y", 0.0)], "id long, name string, balance double"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        vt.commit_merge(
+            spark, table, dup, keys=["id"],
+            when_matched_update={"name": "s.name"},
+            when_not_matched_insert=False,
+        )

@@ -124,6 +124,88 @@ def _prefix_jaccard_q():
     return q
 
 
+def _prefix_jaccard_t05_q():
+    """prefix_jaccard_pairs at t=0.5 — the candidate-explosion regime
+    (r8/r9 VERDICT #6): the prefix is m−⌈0.5·m⌉+1 ≈ half of each doc,
+    so the token index is maximal. On the replicated sf1 corpus every
+    doc has 9 byte-identical twins, so the TRUE pair count grows ~45×
+    (each clone group contributes 45 pairs) — an adversarial upper
+    bound for organic data."""
+    from gedixr_spark.operators.dedup import prefix_jaccard_pairs
+
+    def q(spark, sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return prefix_jaccard_pairs(docs.select("doc_id", "text"), 0.5)
+
+    return q
+
+
+def _mmr_rerank_q():
+    """mmr_rerank with the query count scaling with the corpus (vec_id
+    % 1000 == 0 — OFFSET is a multiple of 1000, so each replica
+    contributes its own query slice): shortlists are 50 id-adjacent
+    candidates semi-joined to existing ids, so the timed work is what
+    the operator owns — two id equi-joins fetching shortlist vectors +
+    one Arrow MMR batch per query. 10× data ⇒ 10× queries × constant
+    per-query work."""
+    from gedixr_spark.operators.similarity import mmr_rerank
+
+    def q(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        queries = emb.filter(F.col("vec_id") % 1000 == 0).select(
+            F.col("vec_id").alias("query_id")
+        )
+        cand = (
+            queries.select(
+                "query_id",
+                F.explode(F.sequence(F.lit(1), F.lit(50))).alias("__j"),
+            )
+            .select(
+                "query_id", (F.col("query_id") + F.col("__j")).alias("cand_id")
+            )
+            .join(
+                emb.select(F.col("vec_id").alias("cand_id")),
+                "cand_id",
+                "left_semi",
+            )
+        )
+        return mmr_rerank(cand, emb, k=10, lam=0.5)
+
+    return q
+
+
+def _triangle_disjoint_q():
+    """triangle_count over PROPERLY DISJOINT replica graphs (r8/r9
+    VERDICT #6): the registry query folds keys mod 2999, so the 10×
+    key-offset replicas DENSIFY one 2999-node graph (degree ×10 ⇒
+    wedges ×100 — the 14× ratio recorded in SCALE.md §9 measures that
+    fixture artifact, not the operator). Here the node id carries the
+    replica index (keys are offset by r·OFFSET, so ⌊key/OFFSET⌋
+    recovers r), producing 10 disjoint copies — the shape a real
+    corpus has, where 10× data means 10× nodes at similar degree."""
+    from gedixr_spark.operators.graph import triangle_count
+
+    def q(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        rep = F.floor(F.col("l_orderkey") / F.lit(OFFSET))
+        edges = li.filter(F.col("l_orderkey") % 6 == 0).select(
+            ((F.col("l_orderkey") % 2999) + rep * 3000).alias("src"),
+            ((F.col("l_partkey") % 2999) + rep * 3000).alias("dst"),
+        )
+        return triangle_count(edges)
+
+    return q
+
+
+CUSTOM = {
+    "semantic_dedup_k32": lambda: None,  # handled inline (k scales)
+    "prefix_jaccard": _prefix_jaccard_q,
+    "prefix_jaccard_t05": _prefix_jaccard_t05_q,
+    "mmr_rerank": _mmr_rerank_q,
+    "triangle_count_disjoint": _triangle_disjoint_q,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
@@ -146,8 +228,9 @@ def main() -> None:
     for name in names:
         if name == "semantic_dedup_k32":
             fns = {SRC: _semantic_dedup_scaled(32), DST: _semantic_dedup_scaled(320)}
-        elif name == "prefix_jaccard":
-            fns = {SRC: _prefix_jaccard_q(), DST: _prefix_jaccard_q()}
+        elif name in CUSTOM and name != "semantic_dedup_k32":
+            fn = CUSTOM[name]()
+            fns = {SRC: fn, DST: fn}
         else:
             fns = {SRC: qs[name], DST: qs[name]}
         times = {}
