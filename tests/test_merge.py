@@ -313,3 +313,81 @@ def test_update_delete_only_merge_uses_left_outer(spark, table):
             when_matched_update={"name": "s.name"},
             when_not_matched_insert=False,
         )
+
+
+@pytest.mark.parametrize("seed,insert_mode", [(11, True), (23, False), (47, True)])
+def test_merge_randomized_duckdb_differential(spark, tmp_path, seed, insert_mode):
+    """Randomized (seeded) CDC differential over both join modes: a
+    random start state and a random op-coded batch — U/D on a random
+    subset of present keys, I on random absent keys — must equal the
+    DuckDB replay. Exercises key overlap patterns a hand-picked batch
+    can't: updates of just-inserted-by-earlier-commit rows, empty
+    clause groups, unmatched U/D rows in left-outer mode."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / f"rand_tab_{seed}")
+    vt.init_versioned(spark, path)
+    n = int(rng.integers(30, 80))
+    base_rows = [
+        (int(k), f"n{k}", float(rng.integers(0, 1000)))
+        for k in rng.choice(500, size=n, replace=False)
+    ]
+    vt.commit_append(
+        spark,
+        path,
+        spark.createDataFrame(base_rows, "id long, name string, balance double"),
+    )
+    present = [r[0] for r in base_rows]
+    touched = rng.choice(present, size=min(20, len(present)), replace=False)
+    ups = [int(k) for k in touched[:10]]
+    dels = [int(k) for k in touched[10:]]
+    absent = [int(k) for k in rng.choice(500, size=30, replace=False)
+              if int(k) not in set(present)][:8]
+    cdc_rows = (
+        [(k, f"u{k}", float(rng.integers(0, 100)), "U") for k in ups]
+        + [(k, "", 0.0, "D") for k in dels]
+        + ([(k, f"i{k}", -1.0, "I") for k in absent] if insert_mode
+           else [(k, f"g{k}", -1.0, "U") for k in absent])  # unmatched no-ops
+    )
+    src = spark.createDataFrame(
+        cdc_rows, "id long, name string, balance double, op string"
+    )
+    res = vt.commit_merge(
+        spark,
+        path,
+        src,
+        keys=["id"],
+        when_matched_update={"name": "s.name", "balance": "s.balance"},
+        update_condition="s.op = 'U'",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert=insert_mode,
+    )
+    assert res["meta"]["merge_join"] == (
+        "full_outer" if insert_mode else "left_outer"
+    )
+    got = sorted(
+        (r["id"], r["name"], r["balance"])
+        for r in vt.read_versioned(spark, path).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, name VARCHAR, balance DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", base_rows)
+    con.execute(
+        "CREATE TABLE s(id BIGINT, name VARCHAR, balance DOUBLE, op VARCHAR)"
+    )
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", cdc_rows)
+    sql = """
+        SELECT COALESCE(s.id, t.id),
+               CASE WHEN s.op = 'U' THEN s.name ELSE t.name END,
+               CASE WHEN s.op = 'U' THEN s.balance ELSE t.balance END
+        FROM t LEFT JOIN s USING (id)
+        WHERE s.op IS NULL OR s.op <> 'D'
+    """
+    if insert_mode:
+        sql += """
+        UNION ALL
+        SELECT s.id, s.name, s.balance FROM s ANTI JOIN t USING (id)
+        """
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
