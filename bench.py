@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_prev_timings(path: str) -> dict[str, float]:
+def load_prev_timings(path: str, sf: str | None = None) -> dict[str, float]:
     """Per-query min timings from a previous round's bench record.
 
     Driver records (`BENCH_r*.json`) nest the metric line under
@@ -30,11 +30,15 @@ def load_prev_timings(path: str) -> dict[str, float]:
     try:
         with open(path) as fh:
             d = json.load(fh)
-        prev = (
-            (d.get("parsed") or {}).get("queries")
-            or d.get("queries")
-            or {}
-        )
+        rec = d.get("parsed") or d
+        if sf is not None:
+            rec_sf = rec.get("sf", d.get("sf"))
+            # cross-SF comparison is meaningless (sf0.001 iteration
+            # runs would "regress" against the sf0.1 record and waste
+            # rerun rounds) — only gate against a same-scale record
+            if rec_sf is not None and str(rec_sf) != str(sf):
+                return {}
+        prev = rec.get("queries") or {}
         return {
             k: float(v)
             for k, v in prev.items()
@@ -123,9 +127,12 @@ def main() -> None:
                                "BENCH_r*.json"))
     )
     if recs:
-        prev = load_prev_timings(recs[-1])
+        prev = load_prev_timings(
+            recs[-1], sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        )
 
     reruns: dict[str, int] = {}
+    rerun_why: dict[str, str] = {}
     for name, fn in qs.items():
         samples = _sample(fn, runs)
         # min-of-N: strips JIT/codegen warmup + transient host
@@ -145,6 +152,15 @@ def main() -> None:
             if not (noisy or regressed):
                 break
             reruns[name] = reruns.get(name, 0) + 1
+            # why the rerun fired, for post-hoc adjudication (the
+            # judge re-measures every apparent regression by hand —
+            # give them the trigger + the numbers it saw)
+            why = []
+            if noisy:
+                why.append(f"spread {max(samples) - m:.2f}s > 50% of min")
+            if regressed:
+                why.append(f"min {m:.2f}s > 1.5x prev {prev[name]:.2f}s")
+            rerun_why[name] = "; ".join(why)
             samples += _sample(fn, runs)
         timings[name] = round(min(samples), 4)
         spreads[name] = round(max(samples) - min(samples), 4)
@@ -158,6 +174,7 @@ def main() -> None:
     diag = {
         "runs_per_query": runs,
         "reruns": reruns,
+        "rerun_why": rerun_why,
         "spread": {k: round(v, 3) for k, v in spreads.items()},
     }
     # persist the full diagnostics next to the script so spread/rerun

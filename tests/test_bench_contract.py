@@ -71,10 +71,22 @@ def test_prev_record_parser_reads_real_driver_record(tmp_path):
     )
     assert all(isinstance(v, float) and v > 0 for v in prev.values())
 
+    # sf gating: the driver record is sf0.1 — a local sf0.001 run must
+    # NOT gate against it (cross-SF "regressions" would waste rerun
+    # rounds), while the matching sf still loads the full map
+    assert load_prev_timings(recs[-1], "0.1") == prev
+    assert load_prev_timings(recs[-1], "0.001") == {}
+
     # bare metric line (local bench run saved directly)
     bare = tmp_path / "bare.json"
     bare.write_text(json.dumps({"metric": "m", "queries": {"q1": 0.5}}))
     assert load_prev_timings(str(bare)) == {"q1": 0.5}
+    # bare line with sf present: gated the same way
+    bare.write_text(
+        json.dumps({"metric": "m", "sf": "0.1", "queries": {"q1": 0.5}})
+    )
+    assert load_prev_timings(str(bare), "0.1") == {"q1": 0.5}
+    assert load_prev_timings(str(bare), "0.01") == {}
 
     # corrupt / missing files degrade to empty, never raise
     bad = tmp_path / "bad.json"
