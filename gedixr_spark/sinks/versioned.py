@@ -303,6 +303,113 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
     return schema
 
 
+def table_expectations(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The table's registered expectations as of ``version`` (latest
+    by default): {"not_null": [...], "checks": {name: sql_expr}} or {}
+    when none are set. Same replay discipline as the schema: newest
+    checkpoint's snapshot, then every later entry that carries an
+    "expectations" key overrides (last writer wins; {} clears)."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
+    start, exp = -1, {}
+    if cks:
+        ck = _read_checkpoint(spark, path, cks[-1])
+        start = ck["version"]
+        exp = dict(ck.get("expectations") or {})
+    for v in versions:
+        if v <= start:
+            continue
+        if v > cap:
+            break
+        e = _read_entry(spark, path, v).get("expectations")
+        if e is not None:
+            exp = dict(e)
+    return exp
+
+
+def set_table_expectations(
+    spark: SparkSession,
+    path: str,
+    not_null: Sequence[str] = (),
+    checks: dict | None = None,
+    base_version: int | None = None,
+) -> dict:
+    """Register table-level constraints as a metadata-only commit —
+    the Delta ``ALTER TABLE ADD CONSTRAINT`` shape. From this commit
+    on, EVERY writer (append / overwrite / upsert / merge, and the
+    streaming paths built on them) validates its new data against
+    these before any file lands; a violating batch raises and leaves
+    no version bump and no orphan files. This is the difference, at
+    100 TB, between constraints that bind the table and constraints
+    that bind whichever call sites remembered to pass ``expect=``.
+
+    ``not_null``: columns that must be non-NULL in written data.
+    ``checks``: {name: boolean SQL expr} over the row (Delta CHECK
+    constraints); false OR NULL is a violation. Passing neither
+    CLEARS the table's expectations. Uniqueness is deliberately NOT a
+    table-level constraint: upsert/merge writers only see the touched
+    slice, so a table-wide unique check would cost a full scan per
+    commit — use the per-batch ``expect={"unique": ...}`` gate on
+    append for that.
+
+    Both the columns and the expressions are validated against the
+    table's recorded schema at registration time, so a typo fails
+    here, not at the next writer."""
+    checks = dict(checks or {})
+    versions = _list_log_versions(spark, path)
+    base = versions[-1] if base_version is None else base_version
+    schema_json = _latest_schema(spark, path, base)
+    if schema_json is None:
+        raise ValueError(
+            f"{path} has no recorded schema yet — commit data first, "
+            "then register expectations"
+        )
+    schema = StructType.fromJson(json.loads(schema_json))
+    cols = {f.name for f in schema.fields}
+    bad_cols = [c for c in not_null if c not in cols]
+    if bad_cols:
+        raise ValueError(f"not_null columns {bad_cols} not in table schema")
+    for name, expr in checks.items():
+        if not str(name).isidentifier():
+            raise ValueError(
+                f"check name {name!r} must be a plain identifier"
+            )
+        probe = spark.createDataFrame([], schema).filter(
+            F.expr(expr).cast("boolean")
+        )
+        probe.schema  # forces analysis: unresolvable exprs raise HERE
+    exp = (
+        {"not_null": [str(c) for c in not_null], "checks": checks}
+        if (not_null or checks)
+        else {}
+    )
+    return _commit(
+        spark, path, "set_expectations", [], [], None,
+        {"expectations_set": bool(exp)}, base + 1, expectations=exp,
+    )
+
+
+def _enforce_table_expectations(
+    spark: SparkSession, path: str, df: DataFrame, base: int, extra: dict | None = None
+) -> None:
+    """Gate ``df`` (the data a commit is about to write) on the
+    table's registered expectations merged with per-call ``extra``.
+    No-op (zero jobs) when neither is set."""
+    exp = table_expectations(spark, path, base)
+    extra = extra or {}
+    not_null = list(
+        dict.fromkeys([*exp.get("not_null", ()), *extra.get("not_null", ())])
+    )
+    unique = list(extra.get("unique", ()))
+    checks = {**exp.get("checks", {}), **extra.get("checks", {})}
+    if not (not_null or unique or checks):
+        return
+    check_expectations(df, not_null=not_null, unique=unique, checks=checks)
+
+
 def _live_file_schemas(
     spark: SparkSession, path: str, cap: int
 ) -> dict[str, str | None]:
@@ -443,6 +550,7 @@ def _commit(
     expected_version: int,
     stats: dict | None = None,
     blooms: dict | None = None,
+    expectations: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -457,6 +565,10 @@ def _commit(
         entry["stats"] = stats
     if blooms:
         entry["blooms"] = blooms
+    if expectations is not None:
+        # {} is meaningful (clears the table's expectations) — only
+        # None means "this commit says nothing about them"
+        entry["expectations"] = expectations
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -530,14 +642,11 @@ def commit_append(
     just the new files)."""
     versions = _list_log_versions(spark, path)
     next_v = versions[-1] + 1
-    if expect:
-        # constraints gate BEFORE any file is written: a rejected batch
-        # leaves no orphans and no log entry
-        check_expectations(
-            df,
-            not_null=expect.get("not_null", ()),
-            unique=expect.get("unique", ()),
-        )
+    # constraints gate BEFORE any file is written (a rejected batch
+    # leaves no orphans and no log entry): table-level expectations
+    # registered via set_table_expectations merged with this call's
+    # ``expect`` — zero extra jobs when neither is set
+    _enforce_table_expectations(spark, path, df, next_v - 1, expect)
     _check_schema_compat(spark, path, df.schema, cap=next_v - 1)
     names = _write_data_files(spark, path, df, next_v)
     schema_json = df.schema.json()
@@ -580,6 +689,9 @@ def commit_overwrite(
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
     old = live_files(spark, path, base)
+    # table-level constraints bind overwrites too (the replacement IS
+    # the new table) — gate before any file is written
+    _enforce_table_expectations(spark, path, df, base)
     names = _write_data_files(spark, path, df, base + 1)
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
@@ -619,10 +731,17 @@ def commit_upsert(
     # new schema and poison later mergeSchema reads.
     _check_schema_compat(spark, path, updates.schema, cap=base)
     files = live_files(spark, path, base)
-    # one job for both facts (count + distinct keys), not two
+    # ONE job for every batch fact: count + distinct keys + any
+    # table-level expectation sums (set_table_expectations) ride the
+    # same aggregate — constraints cost zero extra actions here
+    texp = table_expectations(spark, path, base)
+    exp_aggs, exp_validate = _expectation_aggs(
+        not_null=texp.get("not_null", ()), checks=texp.get("checks")
+    )
     row = updates.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(c) for c in keys]).alias("nk"),
+        *exp_aggs[1:],  # exp_aggs[0] is a duplicate count
     ).collect()[0]
     n_upserted, n_keys = row["n"], row["nk"]
     if n_keys != n_upserted:
@@ -631,6 +750,8 @@ def commit_upsert(
             "(NULL-keyed rows excluded — they are never a valid upsert) — "
             "compact to one row per key (last-write-wins) before upsert"
         )
+    if texp:
+        exp_validate({**row.asDict(), "__n": row["n"]})
     def _indexes(names):
         st = (
             _file_column_stats(spark, path, names, list(stats_cols))
@@ -730,7 +851,9 @@ def commit_merge(
     tests/test_merge.py::test_merge_runs_two_pre_write_actions. (Each
     action may fan out into several Spark jobs under AQE/broadcast;
     the guarantee is the driver-action count, i.e. how many times the
-    join is evaluated before the write.) The
+    join is evaluated before the write. A table with registered
+    expectations adds ONE more pre-write aggregate validating the
+    merged result — see `set_table_expectations`.) The
     target schema is invariant under merge — update/insert values are
     cast to the recorded column types. Source must be one row per key
     (NULL keys rejected), same contract as upsert.
@@ -862,7 +985,14 @@ def commit_merge(
     if when_not_matched_insert:
         keep = keep | src_only
     out_df = _cast_to_target(joined.filter(keep).select(*out_cols))
-    # the ONLY pre-write action besides file discovery: contract check
+    # table-level expectations bind the MERGED RESULT — the one writer
+    # where bad data can be CREATED by the update expressions rather
+    # than arriving in the batch. Runs over the pinned join (cheap
+    # filter+project on top), and only when constraints are registered:
+    # a constraint-free merge keeps its two-pre-write-action shape.
+    _enforce_table_expectations(spark, path, out_df, base)
+    # the ONLY pre-write action besides file discovery (and the
+    # expectations gate above, when set): contract check
     # + every log count in one aggregate over the pinned join
     crow = joined.agg(
         F.count_distinct(F.col("s.__merge_sid")).alias("n_src"),
@@ -1495,18 +1625,19 @@ def read_point(
     return out.filter(F.col(col) == F.lit(value))
 
 
-def check_expectations(
-    df: DataFrame,
+def _expectation_aggs(
     not_null: Sequence[str] = (),
     unique: Sequence[str] = (),
-) -> dict:
-    """Data-quality expectations, evaluated in ONE aggregate job:
-    per-column null counts for ``not_null`` and a duplicate-key count
-    for ``unique`` (a column LIST forming one composite key). Returns
-    {null_counts, n_rows, n_dup_keys}; raises ValueError naming every
-    violated expectation — the write-time constraint check a curated
-    table needs (catching bad batches at the door is 10^6× cheaper
-    than repairing a 100 TB table after the fact)."""
+    checks: dict | None = None,
+):
+    """Aggregate expressions + validator for a set of expectations, so
+    callers can FOLD the constraint check into an aggregate they
+    already run (upsert's contract row) instead of paying a separate
+    action. ``checks`` are named boolean SQL expressions (Delta CHECK
+    constraints); a row where the expression is false OR NULL counts
+    as a violation — a constraint that cannot be evaluated is not
+    satisfied."""
+    checks = checks or {}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in not_null:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
@@ -1514,20 +1645,59 @@ def check_expectations(
         aggs.append(
             F.count_distinct(*[F.col(c) for c in unique]).alias("__uk")
         )
-    row = df.agg(*aggs).collect()[0]
-    nulls = {c: row[f"__nn_{c}"] for c in not_null}
-    n = row["__n"]
-    n_dup = (n - row["__uk"]) if unique else 0
-    violations = [f"{c} has {v} NULLs" for c, v in nulls.items() if v]
-    if n_dup:
-        # count_distinct ignores NULL keys, so NULL-keyed rows surface
-        # here too — a unique key constraint implies non-null keys
-        violations.append(f"{n_dup} duplicate-or-NULL keys on {list(unique)}")
-    if violations:
-        raise ValueError(
-            "batch violates table expectations: " + "; ".join(violations)
+    for name, expr in checks.items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                    0,
+                ).otherwise(1)
+            ).alias(f"__ck_{name}")
         )
-    return {"null_counts": nulls, "n_rows": n, "n_dup_keys": n_dup}
+
+    def validate(row) -> dict:
+        nulls = {c: row[f"__nn_{c}"] for c in not_null}
+        n = row["__n"]
+        n_dup = (n - row["__uk"]) if unique else 0
+        violations = [f"{c} has {v} NULLs" for c, v in nulls.items() if v]
+        if n_dup:
+            # count_distinct ignores NULL keys, so NULL-keyed rows
+            # surface here too — a unique key implies non-null keys
+            violations.append(
+                f"{n_dup} duplicate-or-NULL keys on {list(unique)}"
+            )
+        for name, expr in checks.items():
+            bad = row[f"__ck_{name}"] or 0
+            if bad:
+                violations.append(
+                    f"CHECK {name} ({expr}) violated by {bad} rows"
+                )
+        if violations:
+            raise ValueError(
+                "batch violates table expectations: "
+                + "; ".join(violations)
+            )
+        return {"null_counts": nulls, "n_rows": n, "n_dup_keys": n_dup}
+
+    return aggs, validate
+
+
+def check_expectations(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    checks: dict | None = None,
+) -> dict:
+    """Data-quality expectations, evaluated in ONE aggregate job:
+    per-column null counts for ``not_null``, a duplicate-key count
+    for ``unique`` (a column LIST forming one composite key), and a
+    violation count per named CHECK expression. Returns {null_counts,
+    n_rows, n_dup_keys}; raises ValueError naming every violated
+    expectation — the write-time constraint check a curated table
+    needs (catching bad batches at the door is 10^6× cheaper than
+    repairing a 100 TB table after the fact)."""
+    aggs, validate = _expectation_aggs(not_null, unique, checks)
+    return validate(df.agg(*aggs).collect()[0])
 
 
 def checkpoint_log(spark: SparkSession, path: str) -> dict:
@@ -1563,6 +1733,11 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         "stream_batch_ids": sorted(
             seen_stream_batch_ids(spark, path), key=str
         ),
+        # expectations ride the checkpoint for the same reason as the
+        # stream ledger: expire_log deletes the set_expectations entry,
+        # and a table whose constraints silently vanish after log
+        # expiry is worse than one that never had them
+        "expectations": table_expectations(spark, path, cap),
     }
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")
