@@ -1922,6 +1922,10 @@ def shallow_clone(
     # and blooms survive even when the source's raw entries were expired
     src_stats = file_range_stats(spark, src, v)
     src_blooms = file_bloom_index(spark, src, v)
+    # a clone of a curated table stays curated: the source's registered
+    # expectations ride the clone commit (the clone can later clear or
+    # replace them independently — it has its own log)
+    src_exp = table_expectations(spark, src, v)
     init_versioned(spark, dst)
     # external references: absolute resolved paths of the source files,
     # carrying over any per-file stats/bloom indexes recorded for them
@@ -1948,6 +1952,7 @@ def shallow_clone(
         1,
         stats=stats or None,
         blooms=blooms or None,
+        expectations=src_exp or None,
     )
 
 

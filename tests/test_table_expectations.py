@@ -187,3 +187,40 @@ def test_expectations_survive_checkpoint_and_log_expiry(spark, table):
                 [(9, "i", -1.0)], "id long, name string, balance double"
             ),
         )
+
+
+def test_clone_carries_expectations_and_rollback_keeps_them(spark, table, tmp_path):
+    """A shallow clone of a curated table stays curated (the source's
+    constraints ride the clone commit, independently clearable); a
+    data rollback does NOT roll back constraints (rollback restores
+    the live set, not the table's contract)."""
+    _set(spark, table)
+    dst = str(tmp_path / "exp_clone")
+    vt.shallow_clone(spark, table, dst)
+    assert vt.table_expectations(spark, dst)["checks"] == {
+        "non_negative_balance": "balance >= 0"
+    }
+    with pytest.raises(ValueError, match="non_negative_balance"):
+        vt.commit_append(
+            spark,
+            dst,
+            spark.createDataFrame(
+                [(99, "z", -1.0)], "id long, name string, balance double"
+            ),
+        )
+    # clone clears independently; source unaffected
+    vt.set_table_expectations(spark, dst)
+    assert vt.table_expectations(spark, dst) == {}
+    assert vt.table_expectations(spark, table) != {}
+
+    # rollback on the source: constraints persist across it
+    v_set = vt.table_history(spark, table)[-1]["version"]
+    vt.commit_append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(50, "ok", 1.0)], "id long, name string, balance double"
+        ),
+    )
+    vt.rollback(spark, table, v_set)
+    assert vt.table_expectations(spark, table)["not_null"] == ["name"]
