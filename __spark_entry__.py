@@ -24,7 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface + §7.4 extension operators (dedup/similarity/text/events/
     multimodal/packing). Ordering is deliberate: the driver records
     CORRECTNESS rows for at most the first 50 entries, and exactly the
-    50 oracle-backed queries fill that window. The 14 rows-only
+    50 oracle-backed queries fill that window. The rows-only
     queries (HLL/zlib/float-scoring engine-specific surfaces and
     genuinely iterative or multi-step algorithms) sit beyond it —
     every EXACT, SQL-expressible operator carries a hash-checked row

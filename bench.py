@@ -18,6 +18,63 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _same_sf(a, b) -> bool:
+    """sf equality across the float/str representations records and
+    dir names use (1.0 == "1"); non-numeric values string-compare."""
+    try:
+        return float(a) == float(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+
+
+def load_prev_calib(path: str) -> float | None:
+    """The previous record's host-calibration time (``calib_s`` on the
+    metric line), if it recorded one. Used to drift-normalize the
+    regression-rerun gate: a uniformly slow host inflates every query
+    AND the calibration workload by the same factor, so comparing
+    fresh minima against prev×(calib/prev_calib) separates real plan
+    regressions from host drift (VERDICT r10 #3: r10 burned 20 rerun
+    cycles and still stamped four unchanged queries "regressed" on a
+    ~1.2-1.5× slower host)."""
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        rec = d.get("parsed") or d
+        v = rec.get("calib_s")
+        return float(v) if isinstance(v, (int, float)) and v > 0 else None
+    except Exception:
+        return None
+
+
+def calibrate(spark, sf_dir: str, n_runs: int = 3) -> float | None:
+    """Fixed calibration workload: min-of-N of one deterministic
+    scan+hash-aggregate over the sf dir's lineitem table (the same
+    bytes every round at a given sf). Runs AFTER the warm-up block so
+    it measures steady-state host speed — CPU via the wide-column
+    hash, I/O via the full scan — not cold caches. Its plan never
+    changes, so round-over-round movement in this number is pure host
+    drift."""
+    import pyspark.sql.functions as F
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    if not os.path.exists(p):
+        return None
+    best = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        spark.read.parquet(p).select(
+            F.sum(
+                F.hash(
+                    "l_orderkey", "l_partkey", "l_extendedprice",
+                    "l_returnflag", "l_shipdate",
+                )
+            ).alias("h")
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def load_prev_timings(path: str, sf: str | None = None) -> dict[str, float]:
     """Per-query min timings from a previous round's bench record.
 
@@ -35,8 +92,12 @@ def load_prev_timings(path: str, sf: str | None = None) -> dict[str, float]:
             rec_sf = rec.get("sf", d.get("sf"))
             # cross-SF comparison is meaningless (sf0.001 iteration
             # runs would "regress" against the sf0.1 record and waste
-            # rerun rounds) — only gate against a same-scale record
-            if rec_sf is not None and str(rec_sf) != str(sf):
+            # rerun rounds) — only gate against a same-scale record.
+            # Compare NUMERICALLY: records store sf as a float (1.0)
+            # while the dir-derived value is a string ("1"), so a
+            # str() compare silently disabled the gate at integral
+            # SFs (ADVICE r10).
+            if rec_sf is not None and not _same_sf(rec_sf, sf):
                 return {}
         prev = rec.get("queries") or {}
         return {
@@ -120,6 +181,7 @@ def main() -> None:
     # before letting the number stand (VERDICT r8 #1: the r8 record
     # shipped month_filter at 3.12 s vs 0.89 s idle)
     prev: dict[str, float] = {}
+    prev_calib: float | None = None
     import glob
 
     recs = sorted(
@@ -130,6 +192,19 @@ def main() -> None:
         prev = load_prev_timings(
             recs[-1], sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         )
+        if prev:  # calib is only comparable at the record's own sf
+            prev_calib = load_prev_calib(recs[-1])
+
+    # host-drift calibration (after warm-up: steady-state host speed).
+    # drift = this host's fixed-workload time over the previous
+    # record's — the regression gate compares against prev×drift so a
+    # uniformly slow (or fast) host moves the bar with it. Clamped:
+    # a wild calibration sample must not disable (or hair-trigger)
+    # the gate outright.
+    calib_s = calibrate(spark, sf_dir, runs)
+    drift = 1.0
+    if calib_s and prev_calib:
+        drift = min(max(calib_s / prev_calib, 0.5), 3.0)
 
     reruns: dict[str, int] = {}
     rerun_why: dict[str, str] = {}
@@ -146,9 +221,8 @@ def main() -> None:
         for _ in range(2):
             m = min(samples)
             noisy = m > 0.3 and (max(samples) - m) > 0.5 * m
-            regressed = (
-                name in prev and m > 1.5 * prev[name] and m - prev[name] > 0.3
-            )
+            bar = prev.get(name, 0.0) * drift
+            regressed = name in prev and m > 1.5 * bar and m - bar > 0.3
             if not (noisy or regressed):
                 break
             reruns[name] = reruns.get(name, 0) + 1
@@ -159,7 +233,10 @@ def main() -> None:
             if noisy:
                 why.append(f"spread {max(samples) - m:.2f}s > 50% of min")
             if regressed:
-                why.append(f"min {m:.2f}s > 1.5x prev {prev[name]:.2f}s")
+                why.append(
+                    f"min {m:.2f}s > 1.5x drift-adjusted prev "
+                    f"{bar:.2f}s (raw {prev[name]:.2f}s, drift {drift:.2f})"
+                )
             rerun_why[name] = "; ".join(why)
             samples += _sample(fn, runs)
         timings[name] = round(min(samples), 4)
@@ -175,6 +252,9 @@ def main() -> None:
         "runs_per_query": runs,
         "reruns": reruns,
         "rerun_why": rerun_why,
+        "calib_s": round(calib_s, 4) if calib_s else None,
+        "prev_calib_s": round(prev_calib, 4) if prev_calib else None,
+        "drift": round(drift, 4),
         "spread": {k: round(v, 3) for k, v in spreads.items()},
     }
     # persist the full diagnostics next to the script so spread/rerun
@@ -198,6 +278,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # next round's drift reference (see load_prev_calib)
+                "calib_s": round(calib_s, 3) if calib_s else None,
             }
         )
     )

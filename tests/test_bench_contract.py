@@ -88,6 +88,16 @@ def test_prev_record_parser_reads_real_driver_record(tmp_path):
     assert load_prev_timings(str(bare), "0.1") == {"q1": 0.5}
     assert load_prev_timings(str(bare), "0.01") == {}
 
+    # sf compare is NUMERIC: a float-recorded sf 1.0 must match the
+    # dir-derived string "1" (ADVICE r10: str() compare silently
+    # disabled the gate at integral SFs)
+    bare.write_text(
+        json.dumps({"metric": "m", "sf": 1.0, "queries": {"q1": 0.5}})
+    )
+    assert load_prev_timings(str(bare), "1") == {"q1": 0.5}
+    assert load_prev_timings(str(bare), "1.0") == {"q1": 0.5}
+    assert load_prev_timings(str(bare), "0.1") == {}
+
     # corrupt / missing files degrade to empty, never raise
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
@@ -101,6 +111,55 @@ def test_prev_record_parser_reads_real_driver_record(tmp_path):
     m = 2.06 * prev_min + 0.4
     regressed = name in prev and m > 1.5 * prev[name] and m - prev[name] > 0.3
     assert regressed
+
+
+def test_calibration_drift_normalizes_regression_gate(tmp_path):
+    """VERDICT r10 #3: the rerun gate must compare fresh minima against
+    prev×(calib/prev_calib) so a uniformly slow host (every query AND
+    the fixed calibration workload ~1.4× slower) fires ZERO reruns,
+    while a genuine single-query regression on a steady host still
+    fires."""
+    import json as _json
+
+    from bench import load_prev_calib, load_prev_timings
+
+    rec = tmp_path / "BENCH_r99.json"
+    rec.write_text(
+        _json.dumps(
+            {
+                "parsed": {
+                    "metric": "m",
+                    "sf": 0.1,
+                    "calib_s": 2.0,
+                    "queries": {"q1": 1.0, "q2": 4.0},
+                }
+            }
+        )
+    )
+    prev = load_prev_timings(str(rec), "0.1")
+    assert prev == {"q1": 1.0, "q2": 4.0}
+    prev_calib = load_prev_calib(str(rec))
+    assert prev_calib == 2.0
+
+    def gate(m, name, calib_s):
+        drift = min(max(calib_s / prev_calib, 0.5), 3.0)
+        bar = prev.get(name, 0.0) * drift
+        return name in prev and m > 1.5 * bar and m - bar > 0.3
+
+    # uniformly 1.6x slower host: q1 at 1.6s would trip the raw gate
+    # (1.6 > 1.5*1.0) — with calib also 1.6x, it must NOT fire
+    assert not gate(1.6, "q1", calib_s=3.2)
+    # real regression on a steady host still fires
+    assert gate(2.2, "q1", calib_s=2.0)
+    # real regression is NOT masked by modest drift: 3x the query on a
+    # 1.2x host still fires
+    assert gate(3.0, "q1", calib_s=2.4)
+    # records without calib degrade to the raw gate (drift stays 1.0
+    # in main() when either side is missing)
+    rec2 = tmp_path / "BENCH_r98.json"
+    rec2.write_text(_json.dumps({"parsed": {"metric": "m"}}))
+    assert load_prev_calib(str(rec2)) is None
+    assert load_prev_calib(str(tmp_path / "nope.json")) is None
 
 
 def test_scratch_root_is_private_and_process_scoped(spark):
