@@ -232,7 +232,7 @@ def search_vector_index(
         ivf_ann_topk, ivf_probe_cells, load_centroids,
     )
     from gedixr_spark.sinks.versioned import (
-        _file_paths, _latest_schema, read_versioned,
+        _scan_files, live_delete_vectors, read_versioned,
     )
 
     centroids = load_centroids(spark, _centroid_path(path))
@@ -250,7 +250,12 @@ def search_vector_index(
     if not keep:
         cand = read_versioned(spark, path, version).limit(0)
     else:
-        cand = spark.read.parquet(*_file_paths(path, keep))
+        # merge-on-read: a DV-mode delete_vectors commit must not
+        # resurrect deleted vectors in the pruned search (no-op scan
+        # when no DV is live)
+        cand = _scan_files(
+            spark, path, keep, live_delete_vectors(spark, path, version)
+        )
     cand = cand.filter(F.col("cell").isin(cells)).select(id_col, vec_col)
     return ivf_ann_topk(
         queries,

@@ -27,7 +27,10 @@ Layout::
 
 A log entry is ``{"version", "op", "add": [names], "remove": [names],
 "schema": <json>, "meta": {...}}``; the live set at version N is the
-replay of add/remove from 0..N. Commit atomicity is an exclusive
+replay of add/remove from 0..N. Entries may also carry ``dv_add``
+(delete vectors: merge-on-read position deletes — see
+`commit_delete(mode="dv")` and `_replay_state`) and ``restore_dv``
+(rollback's wholesale DV-state restore). Commit atomicity is an exclusive
 create of ``_log/<version>.json`` — two writers racing the same
 version: one wins, the loser gets ``ConcurrentCommitError`` (its
 already-written data files are orphans; `vacuum` collects them). On a
@@ -158,12 +161,12 @@ def _read_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
 
 def _replay_base(
     spark: SparkSession, path: str, cap: int
-) -> tuple[int, list[str], str | None, dict, dict]:
-    """(start_version_exclusive, live, schema, stats, blooms) to begin
-    a replay at: the newest checkpoint <= cap, or a cold start."""
+) -> tuple[int, list[str], str | None, dict, dict, dict]:
+    """(start_version_exclusive, live, schema, stats, blooms, dvs) to
+    begin a replay at: the newest checkpoint <= cap, or a cold start."""
     cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
     if not cks:
-        return -1, [], None, {}, {}
+        return -1, [], None, {}, {}, {}
     ck = _read_checkpoint(spark, path, cks[-1])
     return (
         ck["version"],
@@ -171,6 +174,7 @@ def _replay_base(
         ck.get("schema"),
         dict(ck.get("stats", {})),
         dict(ck.get("blooms", {})),
+        dict(ck.get("dvs", {})),
     )
 
 
@@ -267,31 +271,132 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
     return [_read_entry(spark, path, v) for v in _list_log_versions(spark, path)]
 
 
-def live_files(spark: SparkSession, path: str, version: int | None = None) -> list[str]:
-    """Replay the log to the live data-file names at ``version``
-    (default latest). Names are relative to ``data/``."""
+def _replay_state(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[list[str], dict]:
+    """(live data files, live delete vectors) at ``version`` — ONE log
+    walk shared by every reader. The DV state is
+    ``{dv_ref: {data_file_ref: n_deleted_rows}}``: each delete-vector
+    parquet (schema ``file: string, pos: long`` — basename + physical
+    row index) and the data files its rows target. Replay keeps a DV
+    alive only while it still targets a live file: a commit that
+    REMOVES data files (upsert/merge/CoW-delete/compact rewrite) prunes
+    them from every DV's target set, and a DV whose targets are all
+    gone drops out — the rewrite already materialized its deletions,
+    so no explicit DV-removal bookkeeping is needed. A rollback entry
+    carries ``restore_dv`` (the target version's full DV state) and
+    replaces the state wholesale."""
     versions = _list_log_versions(spark, path)
     if version is None:
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in log (have {versions})")
-    start, live, _, _, _ = _replay_base(spark, path, version)
+    start, live, _, _, _, dvs = _replay_base(spark, path, version)
+    dvs = {d: dict(t) for d, t in dvs.items()}
     for v in versions:
         if v <= start:
             continue
         if v > version:
             break
         e = _read_entry(spark, path, v)
+        if "restore_dv" in e:
+            dvs = {d: dict(t) for d, t in e["restore_dv"].items()}
         removed = set(e.get("remove", []))
-        live = [f for f in live if f not in removed]
+        if removed:
+            live = [f for f in live if f not in removed]
+            for d in list(dvs):
+                t = dvs[d]
+                for r in removed.intersection(t):
+                    del t[r]
+                if not t:
+                    del dvs[d]
         live.extend(e.get("add", []))
-    return live
+        for d, t in e.get("dv_add", {}).items():
+            dvs[d] = {f: int(n) for f, n in t.items()}
+    return live, dvs
+
+
+def live_files(spark: SparkSession, path: str, version: int | None = None) -> list[str]:
+    """Replay the log to the live data-file names at ``version``
+    (default latest). Names are relative to ``data/``."""
+    return _replay_state(spark, path, version)[0]
+
+
+def live_delete_vectors(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """Live delete vectors at ``version``:
+    ``{dv_file: {data_file: n_deleted_rows}}`` (see `_replay_state`).
+    Empty for a table that never took a `commit_delete(mode="dv")`, or
+    whose DVs were all purged by rewrites/compaction."""
+    return _replay_state(spark, path, version)[1]
+
+
+def _scan_files(
+    spark: SparkSession,
+    path: str,
+    files: Sequence[str],
+    dvs: dict | None = None,
+    merge_schema: bool = False,
+    file_col: str | None = None,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Scan ``files`` (recorded log refs) with the table's live delete
+    vectors applied — the MERGE-ON-READ half of DV deletes. When no
+    live DV targets any scanned file (the common case) this is a plain
+    parquet scan: no metadata column, no join, zero overhead — the
+    DV-free read plan is byte-identical to the pre-DV one. Otherwise
+    the scan attaches parquet's ``_metadata.file_name``/``row_index``
+    (physical position in an immutable file — stable across reads) and
+    LEFT ANTI-joins the union of the relevant DV files on
+    (file, pos). The DV side is deleted-rows-sized, never table-sized;
+    no broadcast is forced — AQE broadcasts it when small (the typical
+    CDC shape) and falls back to shuffle when a mass delete made it
+    big. Only DVs whose target set intersects ``files`` are read
+    (file-level DV pruning for subset reads like read_where/read_point).
+
+    ``file_col``/``pos_col``: also surface each row's source-file
+    basename / physical row index under these names — what the
+    writers' touched-file discovery and DV-mode delete use instead of
+    ``input_file_name()`` (which resolves per-scan and is not reliable
+    on the post-join side of the DV anti-join)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*_file_paths(path, files))
+    fset = set(files)
+    hit_dvs = sorted(
+        d for d, t in (dvs or {}).items() if fset.intersection(t)
+    )
+    if not hit_dvs and file_col is None and pos_col is None:
+        return df
+    data_cols = df.columns
+    df = df.select(
+        *data_cols,
+        F.col("_metadata.file_name").alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    if hit_dvs:
+        dv = spark.read.parquet(*_file_paths(path, hit_dvs)).select(
+            "file", "pos"
+        )
+        df = df.join(
+            dv,
+            (df["__dv_file"] == dv["file"]) & (df["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+    out = list(data_cols)
+    if file_col is not None:
+        out.append(F.col("__dv_file").alias(file_col))
+    if pos_col is not None:
+        out.append(F.col("__dv_pos").alias(pos_col))
+    return df.select(*out)
 
 
 def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
-    start, _, schema, _, _ = _replay_base(spark, path, cap)
+    start, _, schema, _, _, _ = _replay_base(spark, path, cap)
     for v in versions:
         if v <= start:
             continue
@@ -492,10 +597,14 @@ def read_versioned(
     parquet ``mergeSchema`` exactly when the live entries disagree on
     schema — old files surface NULL for later-added columns, and the
     footer-merge cost is only paid when evolution actually happened.
-    Pass ``merge_schema`` to force either behavior."""
+    Pass ``merge_schema`` to force either behavior.
+
+    Merge-on-read deletes: rows covered by a live delete vector
+    (`commit_delete(mode="dv")`) are anti-joined out — see
+    `_scan_files`. DV-free snapshots read with the plain scan plan."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
-    files = live_files(spark, path, cap)
+    files, dvs = _replay_state(spark, path, cap)
     if not files:
         schema = _latest_schema(spark, path, cap)
         if schema is None:
@@ -512,10 +621,9 @@ def read_versioned(
         # conservatively: footer-merge cost, never a wrong result.
         seen = set(_live_file_schemas(spark, path, cap).values())
         merge_schema = len(seen - {None}) > 1 or None in seen
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*_file_paths(path, files))
+    return _scan_files(
+        spark, path, files, dvs, merge_schema=bool(merge_schema)
+    )
 
 
 def _write_data_files(
@@ -551,6 +659,8 @@ def _commit(
     stats: dict | None = None,
     blooms: dict | None = None,
     expectations: dict | None = None,
+    dv_add: dict | None = None,
+    restore_dv: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -569,6 +679,12 @@ def _commit(
         # {} is meaningful (clears the table's expectations) — only
         # None means "this commit says nothing about them"
         entry["expectations"] = expectations
+    if dv_add:
+        entry["dv_add"] = dv_add
+    if restore_dv is not None:
+        # {} is meaningful for rollback: "the restored version had no
+        # live DVs" must CLEAR the current DV state
+        entry["restore_dv"] = restore_dv
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -730,7 +846,7 @@ def commit_upsert(
     # existing column changed type would land new-key rows under the
     # new schema and poison later mergeSchema reads.
     _check_schema_compat(spark, path, updates.schema, cap=base)
-    files = live_files(spark, path, base)
+    files, dvs = _replay_state(spark, path, base)
     # ONE job for every batch fact: count + distinct keys + any
     # table-level expectation sums (set_table_expectations) ride the
     # same aggregate — constraints cost zero extra actions here
@@ -772,25 +888,33 @@ def commit_upsert(
              **(meta or {})},
             base + 1, stats=st, blooms=bl,
         )
-    target = read_versioned(spark, path, base)
-    missing = [c for c in target.columns if c not in updates.columns]
+    # discovery + rewrite both read THROUGH live delete vectors: a
+    # DV-deleted row must neither pull its file into the touched set
+    # nor resurrect in the rewrite (the rewrite materializes the DV
+    # for the files it removes — replay prunes the DV automatically)
+    seen_sch = set(_live_file_schemas(spark, path, base).values())
+    ms = len(seen_sch - {None}) > 1 or None in seen_sch
+    target = _scan_files(
+        spark, path, files, dvs, merge_schema=ms, file_col="__file"
+    )
+    t_cols = [c for c in target.columns if c != "__file"]
+    missing = [c for c in t_cols if c not in updates.columns]
     if missing:
         raise ValueError(
             f"updates batch is missing target columns {missing} — upsert is "
             "full-row replace, partial-column updates need a pre-join"
         )
-    updates = updates.select(*target.columns)
-    tagged = target.withColumn("__file", F.input_file_name())
+    updates = updates.select(*t_cols)
     hit = (
-        tagged.join(F.broadcast(updates.select(*keys).distinct()), on=list(keys))
-        .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+        target.join(F.broadcast(updates.select(*keys).distinct()), on=list(keys))
+        .select(F.col("__file").alias("name"))
         .distinct()
         .collect()
     )
     touched = _touched_entries(files, (r["name"] for r in hit))
     if touched:
         kept = (
-            spark.read.parquet(*_file_paths(path, touched))
+            _scan_files(spark, path, touched, dvs, merge_schema=ms)
             .join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
         )
         out_df = kept.unionByName(updates)
@@ -905,16 +1029,17 @@ def commit_merge(
         )
         return st, bl
 
-    files = live_files(spark, path, base)
+    files, dvs = _replay_state(spark, path, base)
     touched: list[str] = []
     if files:
-        target = read_versioned(spark, path, base)
-        tagged = target.withColumn("__file", F.input_file_name())
+        # discovery reads THROUGH live delete vectors — a DV-deleted
+        # row must not pull its file into the rewrite set
+        target = _scan_files(spark, path, files, dvs, file_col="__file")
         hit = (
-            tagged.join(
+            target.join(
                 F.broadcast(source.select(*keys).distinct()), on=list(keys)
             )
-            .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+            .select(F.col("__file").alias("name"))
             .distinct()
             .collect()
         )
@@ -928,7 +1053,7 @@ def commit_merge(
                 "the columns)"
             )
     if touched:
-        t = spark.read.parquet(*_file_paths(path, touched))
+        t = _scan_files(spark, path, touched, dvs)
     else:
         t = spark.createDataFrame([], target_schema)
     # One join, shaped by the clause set (r9 ADVICE): with inserts
@@ -1043,11 +1168,11 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     if to_version == base:
         raise ValueError(f"already at version {base}")
     current = live_files(spark, path, base)
-    target = live_files(spark, path, to_version)
+    target, target_dvs = _replay_state(spark, path, to_version)
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     gone = [
-        f for f in target
+        f for f in [*target, *target_dvs]
         if not fs.exists(jpath(_resolve_file(path, f)))
     ]
     if gone:
@@ -1055,12 +1180,17 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
             f"cannot roll back to version {to_version}: {len(gone)} of its "
             f"files were vacuumed (first: {gone[0]})"
         )
+    # restore_dv replaces the DV state wholesale — {} (target had no
+    # DVs) must CLEAR any DVs added since, and a DV that replay since
+    # dropped (its targets were rewritten) must come back with the
+    # restored files
     return _commit(
         spark, path, "rollback",
         [f for f in target if f not in set(current)],
         [f for f in current if f not in set(target)],
         _latest_schema(spark, path, to_version),
         {"restored_version": to_version}, base + 1,
+        restore_dv=target_dvs,
     )
 
 
@@ -1095,7 +1225,11 @@ def vacuum_versioned(
     versions = _list_log_versions(spark, path)
     retained: set[str] = set()
     for v in versions[-keep_last:]:
-        retained.update(live_files(spark, path, v))
+        live, dvs = _replay_state(spark, path, v)
+        retained.update(live)
+        # live delete vectors are part of the snapshot: deleting one
+        # would resurrect its rows
+        retained.update(dvs)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -1121,9 +1255,11 @@ def commit_compact(
     base_version: int | None = None,
     sort_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
     zorder_by: Sequence[str] | None = None,
     zorder_mode: str = "width",
     n_files: int | None = None,
+    purge_dvs: bool = True,
 ) -> dict:
     """Small-file compaction as a COMMIT: coalesce every live file
     smaller than ``target_mb`` into ~target-sized replacements and log
@@ -1132,26 +1268,36 @@ def commit_compact(
     their exact file list, the operation is one atomic log entry, and a
     bad compaction rolls back like any other version. Large files are
     left untouched (no add/remove entry, no rewrite). No-op (version
-    unchanged, returns meta only) when fewer than two small files
-    exist."""
+    unchanged, returns meta only) when there is nothing to do.
+
+    Compaction is also the DV-PURGE step for merge-on-read deletes:
+    with ``purge_dvs`` (default) every live file targeted by a delete
+    vector joins the rewrite set regardless of size, the rewrite reads
+    through the DVs (materializing the deletions), and the replay
+    drops the now-targetless DVs — after a purging compaction the
+    table reads with the plain DV-free scan plan again and the DV
+    files age out via vacuum."""
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
-    files = live_files(spark, path, base)
+    files, dvs = _replay_state(spark, path, base)
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     target_bytes = target_mb * 1024 * 1024
+    dv_targeted = (
+        {f for t in dvs.values() for f in t} if purge_dvs else set()
+    )
     small, small_bytes = [], 0
     for f in files:
         ln = fs.getFileStatus(jpath(_resolve_file(path, f))).getLen()
-        if ln < target_bytes:
+        if ln < target_bytes or f in dv_targeted:
             small.append(f)
             small_bytes += ln
-    if len(small) < 2:
+    if len(small) < 2 and not (dv_targeted and small):
         return {"op": "noop", "n_files_compacted": 0, "version": base}
     if sort_by and zorder_by:
         raise ValueError("pass sort_by OR zorder_by, not both")
     n_out = n_files if n_files else max(1, -(-small_bytes // target_bytes))
-    df = spark.read.parquet(*_file_paths(path, small))
+    df = _scan_files(spark, path, small, dvs)
     if zorder_by:
         # multi-column clustering: range-partition + sort on the Morton
         # key so each output file covers a compact hyper-rectangle of
@@ -1187,10 +1333,24 @@ def commit_compact(
         if stats_cols is not None
         else None
     )
+    # bloom pass-through (ADVICE r10): without it a compaction silently
+    # drops the per-file bloom indexes earlier commits recorded for the
+    # rewritten data, degrading read_point on compacted files
+    blooms = (
+        _file_bloom_filters(spark, path, names, list(bloom_cols))
+        if bloom_cols
+        else None
+    )
     return _commit(
         spark, path, "compact", names, small, df.schema.json(),
-        {"n_files_compacted": len(small), "n_files_out": len(names)},
-        base + 1, stats=stats,
+        {
+            "n_files_compacted": len(small),
+            "n_files_out": len(names),
+            "n_dv_purged": len(
+                [d for d, t in dvs.items() if set(t) <= set(small)]
+            ),
+        },
+        base + 1, stats=stats, blooms=blooms,
     )
 
 
@@ -1200,26 +1360,105 @@ def commit_delete(
     predicate: Column,
     base_version: int | None = None,
     stats_cols: Sequence[str] | None = None,
+    mode: str = "cow",
 ) -> dict:
-    """Delete rows matching ``predicate`` as one atomic commit,
-    rewriting ONLY the files that contain a matching row (same
-    ``input_file_name`` discovery as commit_upsert). The
-    right-to-be-forgotten shape at 100 TB: deleting one user's rows
-    costs the files they appear in, not a table rewrite — and the
-    commit log records exactly which files were purged (the audit
-    trail). NOTE the flip side: pre-delete versions still hold the
-    rows until ``vacuum_versioned`` ages them out — a compliance
-    delete is commit_delete + vacuum, and the test pins that."""
+    """Delete rows matching ``predicate`` as one atomic commit, in one
+    of two physical modes (same logical result, pinned by equivalence
+    tests):
+
+    - ``mode="cow"`` (copy-on-write, the default): rewrite ONLY the
+      files that contain a matching row (same touched-file discovery
+      as commit_upsert). Cost ∝ the FILES hit. The right shape when
+      deletes cluster into few files or precede a read-heavy phase.
+    - ``mode="dv"`` (deletion vector / merge-on-read): write a tiny
+      delete-vector parquet of (file basename, row position) for the
+      matching rows and commit ONLY that — no data file is rewritten
+      or removed. Cost ∝ the ROWS deleted: at 100 TB a 0.1% delete
+      that touches every file costs megabytes of DV, not a table
+      rewrite. Readers anti-join live DVs out (`_scan_files`); any
+      later rewrite of a targeted file (upsert/merge/CoW-delete/
+      compaction) materializes the deletions and the replay drops the
+      DV — `commit_compact(purge_dvs=True)` is the explicit purge
+      step. The Iceberg position-delete / Delta deletion-vector shape.
+
+    Predicate semantics are SQL DELETE's in both modes: rows where the
+    predicate is NULL are KEPT (only provably-TRUE rows die).
+
+    NOTE the flip side (both modes): pre-delete versions still hold
+    the rows until ``vacuum_versioned`` ages them out — a compliance
+    delete is commit_delete + (for dv mode) a purging compaction +
+    vacuum; the tests pin that. DV mode defers the physical purge, so
+    prefer CoW for right-to-be-forgotten deadlines."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
-    files = live_files(spark, path, base)
+    files, dvs = _replay_state(spark, path, base)
     if not files:
         return {"op": "noop", "n_files_rewritten": 0, "version": base}
-    target = read_versioned(spark, path, base)
+    # both modes scan THROUGH existing DVs: an already-DV-deleted row
+    # must not re-match (double-counted positions would corrupt the
+    # metadata row counts and double-anti-join harmlessly but lie in
+    # the audit trail)
+    target = _scan_files(
+        spark, path, files, dvs, file_col="__file", pos_col="__pos"
+    )
+    schema_json = _latest_schema(spark, path, base)
+    if mode == "dv":
+        matches = target.filter(predicate).select(
+            F.col("__file").alias("file"),
+            F.col("__pos").alias("pos"),
+        )
+        # one DV file per delete: the shuffle moves only the MATCHED
+        # (file, pos) rows — deleted-rows-sized, not scan-sized. A
+        # delete big enough for this to matter wants mode="cow" anyway
+        # (the DV anti-join build side would be rewrite-sized).
+        dv_names = _write_data_files(
+            spark, path, matches.repartition(1), base + 1
+        )
+        if not dv_names:
+            return {"op": "noop", "n_deleted": 0, "version": base}
+        # per-(dv file, target file) row counts: one job over the
+        # freshly-written DV files (deleted-rows-sized, two columns)
+        rows = (
+            spark.read.parquet(*_file_paths(path, dv_names))
+            .groupBy(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__dv"),
+                "file",
+            )
+            .count()
+            .collect()
+        )
+        if not rows:
+            # nothing matched: the empty DV files are orphans (vacuum
+            # collects them); don't burn a version on a no-op
+            return {"op": "noop", "n_deleted": 0, "version": base}
+        by_name = {f.rsplit("/", 1)[-1]: f for f in files}
+        dv_add: dict = {}
+        n_deleted = 0
+        for r in rows:
+            tgt = by_name[r["file"]]
+            dv_add.setdefault(r["__dv"], {})[tgt] = int(r["count"])
+            n_deleted += int(r["count"])
+        # drop DV part files that came out empty (0-row partitions)
+        dv_add = {d: t for d, t in dv_add.items() if t}
+        return _commit(
+            spark, path, "delete", [], [], schema_json,
+            {
+                "mode": "dv",
+                "n_deleted": n_deleted,
+                "n_files_targeted": len(
+                    {f for t in dv_add.values() for f in t}
+                ),
+                "n_files_live": len(files),
+            },
+            base + 1, dv_add=dv_add,
+        )
     hit = (
-        target.withColumn("__file", F.input_file_name())
-        .filter(predicate)
-        .select(F.element_at(F.split("__file", "/"), -1).alias("name"))
+        target.filter(predicate)
+        .select(F.col("__file").alias("name"))
         .distinct()
         .collect()
     )
@@ -1230,8 +1469,10 @@ def commit_delete(
     # would also drop NULL-evaluating rows (e.g. col > 5 with col NULL)
     # from rewritten files while identical rows in untouched files
     # survive: silent, file-dependent data loss. SQL/Delta DELETE
-    # keeps NULL-predicate rows; so do we.
-    kept = spark.read.parquet(*_file_paths(path, touched)).filter(
+    # keeps NULL-predicate rows; so do we. The rewrite reads THROUGH
+    # live DVs, so it also materializes prior DV deletions on the
+    # touched files (replay then drops those DV targets).
+    kept = _scan_files(spark, path, touched, dvs).filter(
         ~F.coalesce(predicate, F.lit(False))
     )
     names = _write_data_files(spark, path, kept, base + 1)
@@ -1241,7 +1482,7 @@ def commit_delete(
         else None
     )
     return _commit(
-        spark, path, "delete", names, touched, target.schema.json(),
+        spark, path, "delete", names, touched, schema_json,
         {"n_files_rewritten": len(touched), "n_files_live": len(files)},
         base + 1, stats=stats,
     )
@@ -1342,7 +1583,7 @@ def file_range_stats(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap))
-    start, _, _, base_stats, _ = _replay_base(spark, path, cap)
+    start, _, _, base_stats, _, _ = _replay_base(spark, path, cap)
     out: dict = {n: st for n, st in base_stats.items() if n in live}
     for v in versions:
         if v <= start:
@@ -1445,7 +1686,10 @@ def read_where_all(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        out = spark.read.parquet(*_file_paths(path, keep))
+        # merge-on-read: live delete vectors apply to pruned reads too
+        out = _scan_files(
+            spark, path, keep, live_delete_vectors(spark, path, version)
+        )
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
         if lo is not None:
@@ -1477,7 +1721,10 @@ def read_where(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        out = spark.read.parquet(*_file_paths(path, keep))
+        # merge-on-read: live delete vectors apply to pruned reads too
+        out = _scan_files(
+            spark, path, keep, live_delete_vectors(spark, path, version)
+        )
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(lo))
@@ -1548,7 +1795,7 @@ def file_bloom_index(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap))
-    start, _, _, _, base_blooms = _replay_base(spark, path, cap)
+    start, _, _, _, base_blooms, _ = _replay_base(spark, path, cap)
     out: dict = {n: bl for n, bl in base_blooms.items() if n in live}
     for v in versions:
         if v <= start:
@@ -1621,7 +1868,10 @@ def read_point(
             raise ValueError(f"{path} has no recorded schema")
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
-        out = spark.read.parquet(*_file_paths(path, keep))
+        # merge-on-read: live delete vectors apply to pruned reads too
+        out = _scan_files(
+            spark, path, keep, live_delete_vectors(spark, path, version)
+        )
     return out.filter(F.col(col) == F.lit(value))
 
 
@@ -1719,9 +1969,14 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     fsch = _live_file_schemas(spark, path, cap)
     pool = sorted({s for s in fsch.values() if s is not None})
     pool_idx = {s: i for i, s in enumerate(pool)}
+    live, dvs = _replay_state(spark, path, cap)
     ck = {
         "version": cap,
-        "live": live_files(spark, path, cap),
+        "live": live,
+        # live delete vectors must survive expiry like the live set —
+        # without this field a post-expiry read would resurrect
+        # DV-deleted rows
+        "dvs": dvs,
         "schema": _latest_schema(spark, path, cap),
         "stats": file_range_stats(spark, path, cap),
         "blooms": file_bloom_index(spark, path, cap),
@@ -1840,8 +2095,14 @@ def snapshot_row_count(
 
     The Delta/Iceberg snapshot-statistics shape: at 100 TB, COUNT(*)
     on a monitored table is a dashboard query that should cost
-    O(#files) JSON, not a cluster scan."""
-    live = live_files(spark, path, version)
+    O(#files) JSON, not a cluster scan.
+
+    Live delete vectors subtract their logged per-target row counts —
+    a file's recorded ``__nrows`` is its physical count, DV deletions
+    are logical. (Positions can never be double-counted across DVs:
+    DV-mode deletes scan through existing DVs, so an already-deleted
+    row cannot re-match.)"""
+    live, dvs = _replay_state(spark, path, version)
     stats = file_range_stats(spark, path, version)
     total = 0
     for f in live:
@@ -1849,6 +2110,8 @@ def snapshot_row_count(
         if n is None:
             return None
         total += int(n)
+    for t in dvs.values():
+        total -= sum(int(n) for n in t.values())
     return total
 
 
@@ -1869,7 +2132,17 @@ def export_manifest(
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} does not exist at {path}")
-    files = live_files(spark, path, v)
+    files, dvs = _replay_state(spark, path, v)
+    if dvs:
+        # a plain-parquet manifest cannot express the DV anti-join —
+        # exporting one would hand the foreign engine DELETED rows.
+        # Refuse loudly (Delta requires PURGE before manifest export
+        # for the same reason).
+        raise ValueError(
+            f"{path} has {len(dvs)} live delete vector(s) at version "
+            f"{v} — a plain-file manifest would include deleted rows. "
+            "Run commit_compact(purge_dvs=True) first."
+        )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     mdir = path.rstrip("/") + "/_manifests"
@@ -1916,7 +2189,7 @@ def shallow_clone(
     dependency for exactly that audit."""
     src_versions = _list_log_versions(spark, src)
     v = src_versions[-1] if version is None else version
-    files = live_files(spark, src, v)
+    files, src_dvs = _replay_state(spark, src, v)
     schema = _latest_schema(spark, src, v)
     # checkpoint-aware replay (the same one pruned reads use), so stats
     # and blooms survive even when the source's raw entries were expired
@@ -1936,6 +2209,17 @@ def shallow_clone(
     blooms = {
         _resolve_file(src, n): b for n, b in src_blooms.items() if n in set(files)
     }
+    # live delete vectors ride the clone as external references too —
+    # a clone of a table with merge-on-read deletes must not resurrect
+    # them. Targets are re-keyed to the clone's external file refs so
+    # replay pruning matches the clone's own remove entries when it
+    # later rewrites a referenced file.
+    dv_add = {
+        _resolve_file(src, d): {
+            _resolve_file(src, f): n for f, n in t.items()
+        }
+        for d, t in src_dvs.items()
+    }
     return _commit(
         spark,
         dst,
@@ -1953,6 +2237,7 @@ def shallow_clone(
         stats=stats or None,
         blooms=blooms or None,
         expectations=src_exp or None,
+        dv_add=dv_add or None,
     )
 
 
@@ -1975,8 +2260,11 @@ def find_orphan_files(
     for v in _list_log_versions(spark, path):
         e = _read_entry(spark, path, v)
         referenced.update(e.get("add", []))
+        referenced.update(e.get("dv_add", {}))
     for c in _list_checkpoints(spark, path):
-        referenced.update(_read_checkpoint(spark, path, c).get("live", []))
+        ck = _read_checkpoint(spark, path, c)
+        referenced.update(ck.get("live", []))
+        referenced.update(ck.get("dvs", {}))
     # compare by basename: external (clone) entries never appear in the
     # local data/ listing anyway, and local entries are bare names
     referenced = {f.rsplit("/", 1)[-1] for f in referenced}
