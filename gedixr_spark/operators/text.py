@@ -1119,6 +1119,116 @@ def update_tf_index(
     return commit_upsert(spark, path, merged, keys=["term"], meta=meta)
 
 
+def update_tf_index_from_changes(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    since_version: int,
+    version: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    meta: dict | None = None,
+) -> dict:
+    """Index maintenance driven by the CORPUS table's row-level CDC
+    feed (`sinks.versioned.table_changes`): inserts add postings,
+    deletes retract them, updates do both — so the index tracks a
+    corpus taking upserts/deletes/merges, which `update_tf_index`
+    (append-only, unseen-ids contract) cannot. The feed's
+    update_preimage/delete rows carry the documents' OLD text, which
+    identifies exactly the (term, doc) postings to retract — no
+    old-corpus snapshot read needed.
+
+    One commit on the index table: touched terms' current postings
+    are read back (semi-join on the term key), retracted postings
+    anti-joined out, new postings unioned in, df recomputed — then
+    `commit_merge` applies it atomically: terms whose posting list
+    emptied are DELETED from the index (when_matched_delete), the
+    rest full-row updated, brand-new terms inserted. Work is
+    proportional to the CHANGED docs' term footprint; untouched terms'
+    files are never rewritten (commit_merge's file-granularity).
+
+    Differential-pinned: feed-driven maintenance over any
+    upsert/delete history equals `build_tf_index` over the corpus
+    snapshot, bit-for-bit."""
+    from gedixr_spark.sinks.versioned import (
+        commit_merge, read_versioned, table_changes,
+    )
+
+    ch = table_changes(spark, corpus_path, since_version, version)
+    added = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    removed = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    )
+    add_tf = (
+        added.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rem_docs = (
+        removed.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .select("term", id_col)
+        .distinct()
+    )
+    touched_terms = (
+        add_tf.select("term").union(rem_docs.select("term")).distinct()
+    )
+    cur = read_versioned(spark, index_path)
+    cur_post = (
+        cur.join(touched_terms, "term", "semi")
+        .select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias(id_col),
+            F.col("p.tf").alias("tf"),
+        )
+    )
+    merged = (
+        cur_post.join(rem_docs, ["term", id_col], "left_anti")
+        .unionByName(add_tf)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+            ).alias("postings"),
+        )
+    )
+    # terms whose postings all retracted produce no merged row — they
+    # must be DELETED from the index, not left stale
+    postings_t = dict(cur.dtypes)["postings"]
+    emptied = (
+        touched_terms.join(merged.select("term"), "term", "left_anti")
+        .select(
+            "term",
+            F.lit(None).cast("long").alias("df"),
+            F.lit(None).cast(postings_t).alias("postings"),
+            F.lit("D").alias("__op"),
+        )
+    )
+    source = merged.withColumn("__op", F.lit("U")).unionByName(emptied)
+    # merge drives several actions (discovery, contract aggregate,
+    # write) — materialize the corpus-slice + index-join plan once
+    source = source.localCheckpoint(eager=False)
+    return commit_merge(
+        spark,
+        index_path,
+        source,
+        keys=["term"],
+        when_matched_delete="s.__op = 'D'",
+        when_matched_update="all",
+        when_not_matched_insert=True,
+        meta=meta,
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -52,7 +52,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from gedixr_spark.operators.layout import _hadoop_fs
 
@@ -298,21 +298,27 @@ def _replay_state(
             continue
         if v > version:
             break
-        e = _read_entry(spark, path, v)
-        if "restore_dv" in e:
-            dvs = {d: dict(t) for d, t in e["restore_dv"].items()}
-        removed = set(e.get("remove", []))
-        if removed:
-            live = [f for f in live if f not in removed]
-            for d in list(dvs):
-                t = dvs[d]
-                for r in removed.intersection(t):
-                    del t[r]
-                if not t:
-                    del dvs[d]
-        live.extend(e.get("add", []))
-        for d, t in e.get("dv_add", {}).items():
-            dvs[d] = {f: int(n) for f, n in t.items()}
+        live, dvs = _apply_entry(live, dvs, _read_entry(spark, path, v))
+    return live, dvs
+
+
+def _apply_entry(live: list[str], dvs: dict, e: dict) -> tuple[list[str], dict]:
+    """One replay step: fold log entry ``e`` into (live, dvs).
+    Mutates and returns the passed state (callers own the copies)."""
+    if "restore_dv" in e:
+        dvs = {d: dict(t) for d, t in e["restore_dv"].items()}
+    removed = set(e.get("remove", []))
+    if removed:
+        live = [f for f in live if f not in removed]
+        for d in list(dvs):
+            t = dvs[d]
+            for r in removed.intersection(t):
+                del t[r]
+            if not t:
+                del dvs[d]
+    live.extend(e.get("add", []))
+    for d, t in e.get("dv_add", {}).items():
+        dvs[d] = {f: int(n) for f, n in t.items()}
     return live, dvs
 
 
@@ -695,6 +701,28 @@ def _commit(
     return entry
 
 
+def _nullable_type(dt):
+    """``dt`` with every NOT NULL flag stripped, recursively — the
+    castable twin of a recorded type (casts cannot target non-null
+    struct fields / array elements)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
 def _check_schema_compat(
     spark: SparkSession, path: str, new_schema: StructType, cap: int
 ) -> None:
@@ -885,7 +913,7 @@ def commit_upsert(
         return _commit(
             spark, path, "upsert", names, [], updates.schema.json(),
             {"n_files_rewritten": 0, "n_upserted": n_upserted,
-             **(meta or {})},
+             "keys": list(keys), **(meta or {})},
             base + 1, stats=st, blooms=bl,
         )
     # discovery + rewrite both read THROUGH live delete vectors: a
@@ -928,6 +956,9 @@ def commit_upsert(
             "n_files_rewritten": len(touched),
             "n_files_live": len(files),
             "n_upserted": n_upserted,
+            # recorded so table_changes can derive row-level
+            # update/insert/delete changes with a keyed diff
+            "keys": list(keys),
             **(meta or {}),
         },
         base + 1, stats=st, blooms=bl,
@@ -1014,8 +1045,17 @@ def commit_merge(
         if any(c in keys for c in when_matched_update):
             raise ValueError("merge cannot update key columns")
     def _cast_to_target(df: DataFrame) -> DataFrame:
+        # nullability-STRIPPED target types: Spark refuses to cast to a
+        # type with NOT NULL nested fields (e.g. a recorded
+        # array<struct<..., tf: bigint NOT NULL>> from an aggregate-
+        # built table), and the schema gate is nullability-insensitive
+        # anyway (see _check_schema_compat) — only real TYPE flips
+        # matter
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields]
+            *[
+                F.col(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+                for f in target_schema.fields
+            ]
         )
 
     def _indexes(names):
@@ -1153,6 +1193,7 @@ def commit_merge(
             "n_deleted": n_deleted,
             "n_inserted": n_inserted,
             "merge_join": how,
+            "keys": list(keys),
             **(meta or {}),
         },
         base + 1, stats=st, blooms=bl,
@@ -1528,6 +1569,185 @@ def read_appended(
             raise ValueError(f"{path} has no recorded schema")
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     return spark.read.parquet(*_file_paths(path, added))
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Row-level CDC read: every change committed AFTER
+    ``since_version`` up to ``version`` (default latest), as rows of
+    the table schema plus ``_change_type`` ('insert' / 'delete' /
+    'update_preimage' / 'update_postimage') and ``_commit_version`` —
+    the Delta Change Data Feed shape, derived entirely from the commit
+    log's per-version add/remove/DV file lists, so a consumer pays for
+    each commit's churned SLICE, never the table. `read_appended`
+    (file-granularity) stays the cheap path for append-only feeds;
+    this is the exact path for tables taking upserts/deletes/merges.
+
+    Per-commit derivation (all scans read THROUGH delete vectors on
+    the correct side — pre-commit DV state for removed files,
+    post-commit for added — so DV transitions never masquerade as
+    changes):
+
+    - append / clone: added files' rows as inserts (one scan, no diff);
+    - DV-mode delete: the committed delete vector semi-joined back to
+      its target files — exactly the deleted rows, deleted-rows-sized;
+    - upsert / merge (their entries record ``keys``): value-level
+      EXCEPT ALL both ways over the removed-vs-added slices, then
+      classified by key — a key on both sides becomes an
+      update_preimage/update_postimage pair, one-sided keys become
+      delete/insert. Rewritten-but-identical pass-through rows cancel
+      in the EXCEPT ALL and emit NOTHING (value-level feed; Delta CDF
+      would emit a no-op update there — documented deviation).
+      NULL-keyed changed rows surface as delete+insert, not an update
+      pair (equality joins can't match them);
+    - CoW delete / overwrite (no keys): EXCEPT ALL both ways →
+      deletes + inserts;
+    - rollback: besides its add/remove diff, any file live on BOTH
+      sides whose DV coverage changed (restore_dv resurrecting or
+      re-applying deletions) joins the diff, so un-deleted rows
+      surface as inserts;
+    - compact / set_expectations / create: no logical changes.
+
+    Set-op caveat: EXCEPT ALL requires orderable column types —
+    map-typed columns are not supported in the diffed ops (arrays and
+    structs are fine)."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    if since_version not in versions or cap not in versions:
+        raise ValueError(
+            f"versions must exist in the log: since={since_version}, to={cap}"
+        )
+    schema_json = _latest_schema(spark, path, cap)
+    if schema_json is None:
+        raise ValueError(f"{path} has no recorded schema")
+    cap_schema = StructType.fromJson(json.loads(schema_json))
+    names = [f.name for f in cap_schema.fields]
+
+    def _align(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in cap_schema.fields
+            ]
+        )
+
+    def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        return df.select(
+            *names,
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    def _dv_by_file(dvs: dict) -> dict:
+        m: dict = {}
+        for d, t in dvs.items():
+            for f in t:
+                m.setdefault(f, set()).add(d)
+        return m
+
+    live, dvs = _replay_state(spark, path, since_version)
+    empty = spark.createDataFrame([], cap_schema)
+    legs: list[DataFrame] = []
+    for v in versions:
+        if v <= since_version or v > cap:
+            continue
+        e = _read_entry(spark, path, v)
+        prev_live, prev_dvs = live, dvs
+        live, dvs = _apply_entry(
+            list(live), {d: dict(t) for d, t in dvs.items()}, e
+        )
+        op = e["op"]
+        if op in ("create", "set_expectations", "compact"):
+            continue
+        add = e.get("add", [])
+        rem = e.get("remove", [])
+        if op in ("append", "clone"):
+            if add:
+                legs.append(
+                    _tag(_align(_scan_files(spark, path, add, dvs)), "insert", v)
+                )
+            continue
+        if op == "delete" and e.get("dv_add"):
+            dv_names = sorted(e["dv_add"])
+            targets = sorted({f for t in e["dv_add"].values() for f in t})
+            dv_new = spark.read.parquet(*_file_paths(path, dv_names)).select(
+                "file", "pos"
+            )
+            tgt = _scan_files(
+                spark, path, targets, prev_dvs, file_col="__f", pos_col="__p"
+            )
+            deleted = tgt.join(
+                dv_new,
+                (tgt["__f"] == dv_new["file"]) & (tgt["__p"] == dv_new["pos"]),
+                "left_semi",
+            ).drop("__f", "__p")
+            legs.append(_tag(_align(deleted), "delete", v))
+            continue
+        # generic old-vs-new slice diff; rollback may also flip DV
+        # coverage on files live on both sides — diff those too
+        prev_map, new_map = _dv_by_file(prev_dvs), _dv_by_file(dvs)
+        flipped = sorted(
+            f
+            for f in set(prev_live).intersection(live)
+            if prev_map.get(f, set()) != new_map.get(f, set())
+        )
+        old_files = sorted({*rem, *flipped})
+        new_files = sorted({*add, *flipped})
+        if not old_files and not new_files:
+            continue
+        old = _align(
+            _scan_files(spark, path, old_files, prev_dvs) if old_files else empty
+        )
+        new = _align(
+            _scan_files(spark, path, new_files, dvs) if new_files else empty
+        )
+        o_only = old.exceptAll(new)
+        n_only = new.exceptAll(old)
+        keys = e.get("meta", {}).get("keys")
+        if keys:
+            ukeys = o_only.select(*keys).intersect(n_only.select(*keys))
+            legs.append(
+                _tag(o_only.join(ukeys, list(keys), "left_anti"), "delete", v)
+            )
+            legs.append(
+                _tag(
+                    o_only.join(ukeys, list(keys), "left_semi"),
+                    "update_preimage", v,
+                )
+            )
+            legs.append(
+                _tag(n_only.join(ukeys, list(keys), "left_anti"), "insert", v)
+            )
+            legs.append(
+                _tag(
+                    n_only.join(ukeys, list(keys), "left_semi"),
+                    "update_postimage", v,
+                )
+            )
+        else:
+            legs.append(_tag(o_only, "delete", v))
+            legs.append(_tag(n_only, "insert", v))
+    if not legs:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    *cap_schema.fields,
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            ),
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _file_column_stats(
