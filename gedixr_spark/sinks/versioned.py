@@ -447,6 +447,8 @@ def set_table_expectations(
     not_null: Sequence[str] = (),
     checks: dict | None = None,
     base_version: int | None = None,
+    on_violation: str = "fail",
+    validate_existing: bool = True,
 ) -> dict:
     """Register table-level constraints as a metadata-only commit —
     the Delta ``ALTER TABLE ADD CONSTRAINT`` shape. From this commit
@@ -466,9 +468,32 @@ def set_table_expectations(
     commit — use the per-batch ``expect={"unique": ...}`` gate on
     append for that.
 
+    ``on_violation`` sets what every writer does with violating ROWS
+    (the DLT expectation-policy shape):
+
+    - ``"fail"`` (default): the whole batch is rejected — no version
+      bump, no orphan files (Delta CHECK semantics);
+    - ``"drop"``: violating rows are silently excluded from the write;
+      per-constraint counts land in the commit's meta (``table_history``
+      is the audit trail);
+    - ``"quarantine"``: violating rows are routed to the table's
+      ``quarantine/`` sidecar, referenced from the SAME log entry —
+      one atomic commit covers both destinations; read them back with
+      `read_quarantine`.
+
     Both the columns and the expressions are validated against the
     table's recorded schema at registration time, so a typo fails
-    here, not at the next writer."""
+    here, not at the next writer. ``validate_existing`` (default on)
+    also validates the CURRENT live data in one aggregate — Delta's
+    ADD CONSTRAINT does the same scan — because merges enforce on the
+    full merged result (pass-through rows included): a table with
+    pre-existing violations would accept appends but fail the next
+    merge touching those files (ADVICE r10). Pass False to skip the
+    scan and accept that asymmetry knowingly."""
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(
+            f"on_violation must be fail|drop|quarantine, got {on_violation!r}"
+        )
     checks = dict(checks or {})
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
@@ -497,6 +522,23 @@ def set_table_expectations(
         if (not_null or checks)
         else {}
     )
+    if exp and on_violation != "fail":
+        exp["on_violation"] = on_violation
+    if exp and validate_existing and live_files(spark, path, base):
+        try:
+            check_expectations(
+                read_versioned(spark, path, base),
+                not_null=exp.get("not_null", ()),
+                checks=exp.get("checks"),
+            )
+        except ValueError as err:
+            raise ValueError(
+                f"existing data at {path} (version {base}) violates the "
+                f"constraints being registered — {err}. Clean the table "
+                "first, or pass validate_existing=False to register "
+                "anyway (future merges touching violating files will "
+                "fail/drop/quarantine them per on_violation)."
+            ) from err
     return _commit(
         spark, path, "set_expectations", [], [], None,
         {"expectations_set": bool(exp)}, base + 1, expectations=exp,
@@ -519,6 +561,84 @@ def _enforce_table_expectations(
     if not (not_null or unique or checks):
         return
     check_expectations(df, not_null=not_null, unique=unique, checks=checks)
+
+
+def _violation_predicate(not_null: Sequence[str], checks: dict | None) -> Column:
+    """Row-level violation test: any not_null column NULL, or any CHECK
+    false-or-NULL (a constraint that cannot be evaluated is not
+    satisfied — same rule as the aggregate path)."""
+    pred = F.lit(False)
+    for c in not_null:
+        pred = pred | F.col(c).isNull()
+    for e in (checks or {}).values():
+        pred = pred | ~F.coalesce(F.expr(e).cast("boolean"), F.lit(False))
+    return pred
+
+
+def _split_on_expectations(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    base: int,
+    extra: dict | None = None,
+) -> tuple[DataFrame, DataFrame | None, dict | None]:
+    """Gate ``df`` (data a commit is about to write) under the table's
+    registered on-violation policy, merged with per-call ``extra``.
+    Returns (rows to write, rows to quarantine or None, violation
+    counts for the commit meta or None):
+
+    - ``fail`` (default): any violation raises — nothing lands (the
+      r10 behavior, one aggregate job, unchanged);
+    - ``drop``: violating rows are removed from the write; the
+      per-constraint counts are returned for the log (the DLT "expect
+      or drop" shape);
+    - ``quarantine``: violating rows are returned for the caller to
+      route into the table's ``quarantine/`` sidecar UNDER THE SAME
+      log entry — one atomic commit covers both destinations (a crash
+      before the entry leaves only unreferenced files for vacuum).
+
+    Zero jobs when nothing is registered; one aggregate job otherwise
+    (same cost in every mode). Per-call ``unique`` (a batch contract,
+    not a row property) always fails — there is no sensible
+    single-row drop for one half of a duplicate pair."""
+    exp = table_expectations(spark, path, base)
+    extra = extra or {}
+    policy = exp.get("on_violation", "fail")
+    not_null = list(
+        dict.fromkeys([*exp.get("not_null", ()), *extra.get("not_null", ())])
+    )
+    unique = list(extra.get("unique", ()))
+    checks = {**exp.get("checks", {}), **extra.get("checks", {})}
+    if not (not_null or unique or checks):
+        return df, None, None
+    if policy == "fail":
+        check_expectations(df, not_null=not_null, unique=unique, checks=checks)
+        return df, None, None
+    aggs, _ = _expectation_aggs(not_null, unique, checks)
+    pred = _violation_predicate(not_null, checks)
+    row = df.agg(*aggs, F.sum(pred.cast("long")).alias("__viol")).collect()[0]
+    if unique:
+        n_dup = row["__n"] - row["__uk"]
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} duplicate-or-NULL keys on {unique} — 'unique' "
+                "is a batch contract and fails regardless of the "
+                "table's on_violation policy"
+            )
+    n_viol = int(row["__viol"] or 0)
+    counts = {
+        "policy": policy,
+        "n_violations": n_viol,
+        "by_constraint": {
+            **{f"not_null:{c}": int(row[f"__nn_{c}"] or 0) for c in not_null},
+            **{f"check:{k}": int(row[f"__ck_{k}"] or 0) for k in checks},
+        },
+    }
+    if n_viol == 0:
+        return df, None, counts
+    clean = df.filter(~pred)
+    bad = df.filter(pred) if policy == "quarantine" else None
+    return clean, bad, counts
 
 
 def _live_file_schemas(
@@ -633,21 +753,31 @@ def read_versioned(
 
 
 def _write_data_files(
-    spark: SparkSession, path: str, df: DataFrame, version_hint: int
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    version_hint: int,
+    dest: str = "data",
 ) -> list[str]:
-    """Write ``df`` into ``data/`` as immutable uniquely-named files
-    (staging write + per-file rename). Returns the new names."""
+    """Write ``df`` into ``<path>/<dest>/`` as immutable uniquely-named
+    files (staging write + per-file rename). Returns the new names.
+    ``dest="quarantine"`` is the expectations sidecar — its files are
+    referenced by log entries' ``quarantine_add``, never by the live
+    set."""
     token = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f"/.__commit-{token}"
     df.write.mode("overwrite").parquet(staging)
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dest_dir = path.rstrip("/") + "/" + dest
+    if dest != "data":
+        fs.mkdirs(jpath(dest_dir))
     names = []
     for st in fs.globStatus(jpath(staging + "/part-*")):
         base = st.getPath().getName()
         new = f"v{version_hint:08d}-{token}-{base}"
-        if not fs.rename(st.getPath(), jpath(_data_dir(path) + "/" + new)):
-            raise IOError(f"rename {base} into {path}/data failed")
+        if not fs.rename(st.getPath(), jpath(dest_dir + "/" + new)):
+            raise IOError(f"rename {base} into {dest_dir} failed")
         names.append(new)
     fs.delete(jpath(staging), True)
     return sorted(names)
@@ -667,6 +797,7 @@ def _commit(
     expectations: dict | None = None,
     dv_add: dict | None = None,
     restore_dv: dict | None = None,
+    quarantine_add: list[str] | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -691,6 +822,8 @@ def _commit(
         # {} is meaningful for rollback: "the restored version had no
         # live DVs" must CLEAR the current DV state
         entry["restore_dv"] = restore_dv
+    if quarantine_add:
+        entry["quarantine_add"] = sorted(quarantine_add)
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -789,12 +922,23 @@ def commit_append(
     # constraints gate BEFORE any file is written (a rejected batch
     # leaves no orphans and no log entry): table-level expectations
     # registered via set_table_expectations merged with this call's
-    # ``expect`` — zero extra jobs when neither is set
-    _enforce_table_expectations(spark, path, df, next_v - 1, expect)
+    # ``expect`` — zero extra jobs when neither is set. Under
+    # on_violation=drop/quarantine the violating rows are split out
+    # instead of failing the batch (see _split_on_expectations).
+    df, quarantined, exp_meta = _split_on_expectations(
+        spark, path, df, next_v - 1, expect
+    )
     _check_schema_compat(spark, path, df.schema, cap=next_v - 1)
     names = _write_data_files(spark, path, df, next_v)
+    qnames = (
+        _write_data_files(spark, path, quarantined, next_v, dest="quarantine")
+        if quarantined is not None
+        else []
+    )
     schema_json = df.schema.json()
     entry_meta = {"n_files": len(names), **(meta or {})}
+    if exp_meta is not None:
+        entry_meta["expectations"] = exp_meta
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
         if stats_cols is not None
@@ -810,6 +954,7 @@ def commit_append(
             return _commit(
                 spark, path, "append", names, [], schema_json,
                 entry_meta, next_v + attempt, stats=stats, blooms=blooms,
+                quarantine_add=qnames,
             )
         except ConcurrentCommitError:
             if attempt == max_retries:
@@ -835,16 +980,24 @@ def commit_overwrite(
     old = live_files(spark, path, base)
     # table-level constraints bind overwrites too (the replacement IS
     # the new table) — gate before any file is written
-    _enforce_table_expectations(spark, path, df, base)
+    df, quarantined, exp_meta = _split_on_expectations(spark, path, df, base)
     names = _write_data_files(spark, path, df, base + 1)
+    qnames = (
+        _write_data_files(spark, path, quarantined, base + 1, dest="quarantine")
+        if quarantined is not None
+        else []
+    )
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
         if stats_cols is not None
         else None
     )
+    entry_meta = {"n_files": len(names), **(meta or {})}
+    if exp_meta is not None:
+        entry_meta["expectations"] = exp_meta
     return _commit(
         spark, path, "overwrite", names, old, df.schema.json(),
-        {"n_files": len(names), **(meta or {})}, base + 1, stats=stats,
+        entry_meta, base + 1, stats=stats, quarantine_add=qnames,
     )
 
 
@@ -877,8 +1030,18 @@ def commit_upsert(
     files, dvs = _replay_state(spark, path, base)
     # ONE job for every batch fact: count + distinct keys + any
     # table-level expectation sums (set_table_expectations) ride the
-    # same aggregate — constraints cost zero extra actions here
+    # same aggregate — constraints cost zero extra actions here in
+    # fail mode. drop/quarantine policies split the batch FIRST (one
+    # extra aggregate — the policy needs the violating rows, not just
+    # their counts) and the fold then sees an already-clean frame.
     texp = table_expectations(spark, path, base)
+    quarantined = None
+    exp_meta = None
+    if texp and texp.get("on_violation", "fail") != "fail":
+        updates, quarantined, exp_meta = _split_on_expectations(
+            spark, path, updates, base
+        )
+        texp = {}
     exp_aggs, exp_validate = _expectation_aggs(
         not_null=texp.get("not_null", ()), checks=texp.get("checks")
     )
@@ -907,14 +1070,20 @@ def commit_upsert(
         )
         return st, bl
 
+    qnames = (
+        _write_data_files(spark, path, quarantined, base + 1, dest="quarantine")
+        if quarantined is not None
+        else []
+    )
+    exp_extra = {"expectations": exp_meta} if exp_meta is not None else {}
     if not files:
         names = _write_data_files(spark, path, updates, base + 1)
         st, bl = _indexes(names)
         return _commit(
             spark, path, "upsert", names, [], updates.schema.json(),
             {"n_files_rewritten": 0, "n_upserted": n_upserted,
-             "keys": list(keys), **(meta or {})},
-            base + 1, stats=st, blooms=bl,
+             "keys": list(keys), **exp_extra, **(meta or {})},
+            base + 1, stats=st, blooms=bl, quarantine_add=qnames,
         )
     # discovery + rewrite both read THROUGH live delete vectors: a
     # DV-deleted row must neither pull its file into the touched set
@@ -959,9 +1128,10 @@ def commit_upsert(
             # recorded so table_changes can derive row-level
             # update/insert/delete changes with a keyed diff
             "keys": list(keys),
+            **exp_extra,
             **(meta or {}),
         },
-        base + 1, stats=st, blooms=bl,
+        base + 1, stats=st, blooms=bl, quarantine_add=qnames,
     )
 
 
@@ -978,6 +1148,7 @@ def commit_merge(
     stats_cols: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Delta-style MERGE INTO as one atomic commit: join the source
     batch to the target on ``keys`` and apply, per target row,
@@ -1010,8 +1181,11 @@ def commit_merge(
     expectations adds ONE more pre-write aggregate validating the
     merged result — see `set_table_expectations`.) The
     target schema is invariant under merge — update/insert values are
-    cast to the recorded column types. Source must be one row per key
-    (NULL keys rejected), same contract as upsert.
+    cast to the recorded column types — unless ``merge_schema=True``,
+    which APPENDS new source columns (additive evolution only, same
+    type-invariance rule as append: a flipped existing type still
+    rejects); old files NULL-backfill them on read. Source must be one
+    row per key (NULL keys rejected), same contract as upsert.
 
     Unlike `commit_upsert` (unconditional full-row replace + append),
     merge expresses CDC feeds directly: op-coded batches
@@ -1032,6 +1206,31 @@ def commit_merge(
     if schema_json is None:
         raise ValueError(f"{path} has no recorded schema to merge into")
     target_schema = StructType.fromJson(json.loads(schema_json))
+    new_fields: list[StructField] = []
+    if merge_schema:
+        # Delta-style mergeSchema on MERGE: NEW source columns are
+        # APPENDED to the table schema (existing columns stay
+        # type-invariant — same additive-evolution rule as append's
+        # _check_schema_compat; a type flip still rejects below).
+        # Untouched old files NULL-backfill through the mergeSchema
+        # read path; the touched slice is rewritten under the extended
+        # schema by this commit.
+        # evolution mode holds the source to append's additive gate:
+        # an EXISTING column whose source type flipped rejects HERE
+        # (without merge_schema the source is cast to the recorded
+        # types instead — the invariant-schema contract)
+        _check_schema_compat(spark, path, source.schema, cap=base)
+        have = {f.name for f in target_schema.fields}
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in have
+        ]
+        if new_fields:
+            target_schema = StructType(
+                [*target_schema.fields, *new_fields]
+            )
+            schema_json = target_schema.json()
     target_cols = [f.name for f in target_schema.fields]
     missing_keys = [k for k in keys if k not in target_cols]
     if missing_keys:
@@ -1094,6 +1293,18 @@ def commit_merge(
             )
     if touched:
         t = _scan_files(spark, path, touched, dvs)
+        if new_fields:
+            # the touched slice predates the extension: surface the new
+            # columns as typed NULLs so the merge expressions and the
+            # pass-through projection resolve
+            t = t.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in new_fields
+                    if f.name not in set(t.columns)
+                ],
+            )
     else:
         t = spark.createDataFrame([], target_schema)
     # One join, shaped by the clause set (r9 ADVICE): with inserts
@@ -1116,6 +1327,30 @@ def commit_merge(
     # rows that matched a target row — exactly the rows that can fan
     # out; unmatched duplicates cannot touch the output.
     how = "full_outer" if when_not_matched_insert else "left_outer"
+    if how == "left_outer":
+        # NULL-keyed source rows would be silently DROPPED by the join
+        # here, while full_outer mode rejects them via the nk != n_src
+        # contract check (they survive the join as unmatched source
+        # rows there). Keep the contract mode-independent with an
+        # in-plan guard: zero extra actions, fires wherever the source
+        # is first evaluated (ADVICE r10).
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        source = source.withColumn(
+            keys[0],
+            F.when(
+                ~null_key, F.col(keys[0])
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "merge source batch has NULL-keyed rows — NULL "
+                        "keys are never a valid merge key (same contract "
+                        "as upsert); filter or key-fill the batch first"
+                    )
+                )
+            ),
+        )
     t = t.withColumn("__merge_t", F.lit(True)).alias("t")
     s = (
         source.withColumn("__merge_sid", F.monotonically_increasing_id())
@@ -1155,7 +1390,10 @@ def commit_merge(
     # than arriving in the batch. Runs over the pinned join (cheap
     # filter+project on top), and only when constraints are registered:
     # a constraint-free merge keeps its two-pre-write-action shape.
-    _enforce_table_expectations(spark, path, out_df, base)
+    # drop/quarantine policies split the merged result the same way.
+    out_df, quarantined, exp_meta = _split_on_expectations(
+        spark, path, out_df, base
+    )
     # the ONLY pre-write action besides file discovery (and the
     # expectations gate above, when set): contract check
     # + every log count in one aggregate over the pinned join
@@ -1184,19 +1422,26 @@ def commit_merge(
             "n_updated": 0, "n_deleted": 0, "n_inserted": 0,
         }
     names = _write_data_files(spark, path, out_df, base + 1)
+    qnames = (
+        _write_data_files(spark, path, quarantined, base + 1, dest="quarantine")
+        if quarantined is not None
+        else []
+    )
     st, bl = _indexes(names)
+    entry_meta = {
+        "n_files_rewritten": len(touched),
+        "n_updated": n_updated,
+        "n_deleted": n_deleted,
+        "n_inserted": n_inserted,
+        "merge_join": how,
+        "keys": list(keys),
+        **(meta or {}),
+    }
+    if exp_meta is not None:
+        entry_meta["expectations"] = exp_meta
     return _commit(
         spark, path, "merge", names, touched, schema_json,
-        {
-            "n_files_rewritten": len(touched),
-            "n_updated": n_updated,
-            "n_deleted": n_deleted,
-            "n_inserted": n_inserted,
-            "merge_join": how,
-            "keys": list(keys),
-            **(meta or {}),
-        },
-        base + 1, stats=st, blooms=bl,
+        entry_meta, base + 1, stats=st, blooms=bl, quarantine_add=qnames,
     )
 
 
@@ -1286,6 +1531,19 @@ def vacuum_versioned(
             if not dry_run:
                 fs.delete(st.getPath(), True)
             deleted.append(st.getPath().getName())
+    # quarantine sidecar: files referenced by any entry/checkpoint are
+    # audit data and never age out; unreferenced ones are leftovers of
+    # a commit that crashed before its log entry — collect them under
+    # the same retention guard
+    qdir = jpath(path.rstrip("/") + "/quarantine")
+    if fs.exists(qdir):
+        q_referenced = set(quarantine_files(spark, path))
+        for st in fs.listStatus(qdir):
+            name = st.getPath().getName()
+            if name not in q_referenced and st.getModificationTime() <= cutoff_ms:
+                if not dry_run:
+                    fs.delete(st.getPath(), False)
+                deleted.append(name)
     return sorted(deleted)
 
 
@@ -1748,6 +2006,51 @@ def table_changes(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def quarantine_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str]:
+    """All quarantine-sidecar file names recorded up to ``version``
+    (cumulative — quarantine is an audit trail, not part of the
+    snapshot: rollback doesn't un-quarantine). Survives log expiry via
+    the checkpoint's ``quarantine`` field."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
+    out: list[str] = []
+    start = -1
+    if cks:
+        ck = _read_checkpoint(spark, path, cks[-1])
+        out = list(ck.get("quarantine", []))
+        start = ck["version"]
+    for v in versions:
+        if v <= start:
+            continue
+        if v > cap:
+            break
+        out.extend(_read_entry(spark, path, v).get("quarantine_add", []))
+    return out
+
+
+def read_quarantine(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Rows routed to the quarantine sidecar by writers under
+    ``on_violation="quarantine"`` (see `set_table_expectations`), up to
+    ``version``. mergeSchema on: quarantined batches may span schema
+    evolution. Empty frame (table schema) when nothing was ever
+    quarantined."""
+    files = quarantine_files(spark, path, version)
+    if not files:
+        schema = _latest_schema(spark, path, version)
+        if schema is None:
+            raise ValueError(f"{path} has no recorded schema")
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+    qdir = path.rstrip("/") + "/quarantine"
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[qdir + "/" + f for f in files]
+    )
 
 
 def _file_column_stats(
@@ -2213,6 +2516,9 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         # and a table whose constraints silently vanish after log
         # expiry is worse than one that never had them
         "expectations": table_expectations(spark, path, cap),
+        # quarantine references likewise — the audit trail must not
+        # evaporate with the entries that recorded it
+        "quarantine": quarantine_files(spark, path, cap),
     }
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")

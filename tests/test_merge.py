@@ -315,6 +315,26 @@ def test_update_delete_only_merge_uses_left_outer(spark, table):
         )
 
 
+def test_left_outer_merge_rejects_null_keys(spark, table):
+    """ADVICE r10: in left-outer mode NULL-keyed source rows were
+    silently dropped by the join (full_outer rejects them via the
+    nk != n_src check) — the contract must be mode-independent. The
+    in-plan guard rejects the batch and nothing commits."""
+    src = spark.createDataFrame(
+        [(2, "B2", 0.0), (None, "ghost", 1.0)],
+        "id long, name string, balance double",
+    )
+    v_before = vt.table_history(spark, table)[-1]["version"]
+    with pytest.raises(Exception, match="NULL-keyed"):
+        vt.commit_merge(
+            spark, table, src, keys=["id"],
+            when_matched_update={"name": "s.name"},
+            when_not_matched_insert=False,
+        )
+    assert vt.table_history(spark, table)[-1]["version"] == v_before
+    assert _rows(spark, table)[2] == ("b", 20.0)  # untouched
+
+
 @pytest.mark.parametrize("seed,insert_mode", [(11, True), (23, False), (47, True)])
 def test_merge_randomized_duckdb_differential(spark, tmp_path, seed, insert_mode):
     """Randomized (seeded) CDC differential over both join modes: a
@@ -391,3 +411,123 @@ def test_merge_randomized_duckdb_differential(spark, tmp_path, seed, insert_mode
         """
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_merge_schema_evolution_basic(spark, table):
+    """r10 VERDICT #6: merge_schema=True appends NEW source columns;
+    untouched old files NULL-backfill on read; every older version
+    still reads under its own schema; plain merges stay invariant."""
+    src = spark.createDataFrame(
+        [(1, "a1", 10.0, "gold"), (50, "new", 5.0, "silver")],
+        "id long, name string, balance double, tier string",
+    )
+    # without merge_schema the extra column is ignored (invariant)
+    vt.commit_merge(spark, table, src, keys=["id"], when_matched_update="all")
+    assert "tier" not in vt.read_versioned(spark, table).columns
+    # with merge_schema it lands
+    src2 = spark.createDataFrame(
+        [(2, "b2", 20.0, "bronze"), (60, "n60", 6.0, "gold")],
+        "id long, name string, balance double, tier string",
+    )
+    res = vt.commit_merge(
+        spark, table, src2, keys=["id"], when_matched_update="all",
+        merge_schema=True,
+    )
+    cur = vt.read_versioned(spark, table)
+    assert cur.columns == ["id", "name", "balance", "tier"]
+    got = {r["id"]: r["tier"] for r in cur.collect()}
+    assert got[2] == "bronze" and got[60] == "gold"
+    # untouched rows (other files) NULL-backfill
+    assert got[3] is None and got[4] is None
+    # pre-evolution versions keep their own schema
+    pre = vt.read_versioned(spark, table, version=res["version"] - 1)
+    assert "tier" not in pre.columns
+    # a later type flip on the new column still rejects
+    bad = spark.createDataFrame(
+        [(2, "x", 1.0, 7)], "id long, name string, balance double, tier long"
+    )
+    with pytest.raises(ValueError, match="tier"):
+        vt.commit_merge(
+            spark, table, bad, keys=["id"], when_matched_update="all",
+            merge_schema=True,
+        )
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_merge_schema_evolution_randomized_differential(spark, tmp_path, seed):
+    """Randomized differential extended to schema evolution (r10
+    VERDICT #6): an evolving merge (new column, update-all + insert)
+    followed by an op-coded delete-only merge must equal the DuckDB
+    replay of ALTER TABLE ADD COLUMN + the same logical operations,
+    and the pre-evolution snapshot must still read under the old
+    schema."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / f"evo_{seed}")
+    vt.init_versioned(spark, path)
+    n = int(rng.integers(20, 50))
+    base_rows = [
+        (int(k), f"n{k}", float(rng.integers(0, 1000)))
+        for k in rng.choice(300, size=n, replace=False)
+    ]
+    vt.commit_append(
+        spark, path,
+        spark.createDataFrame(
+            base_rows, "id long, name string, balance double"
+        ).repartition(3),
+    )
+    present = [r[0] for r in base_rows]
+    ups = [int(k) for k in rng.choice(present, size=8, replace=False)]
+    rest = [p for p in present if p not in set(ups)]
+    dels = [int(k) for k in rng.choice(rest, size=4, replace=False)]
+    absent = [
+        int(k) for k in rng.choice(300, size=30, replace=False)
+        if int(k) not in set(present)
+    ][:5]
+    evo_rows = (
+        [(k, f"u{k}", float(rng.integers(0, 100)), f"t{k % 3}") for k in ups]
+        + [(k, f"i{k}", -1.0, f"t{k % 3}") for k in absent]
+    )
+    vt.commit_merge(
+        spark, path,
+        spark.createDataFrame(
+            evo_rows, "id long, name string, balance double, tier string"
+        ),
+        keys=["id"], when_matched_update="all", merge_schema=True,
+    )
+    vt.commit_merge(
+        spark, path,
+        spark.createDataFrame([(k, "D") for k in dels], "id long, op string"),
+        keys=["id"],
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert=False,
+    )
+    got = sorted(
+        (r["id"], r["name"], r["balance"], r["tier"])
+        for r in vt.read_versioned(spark, path).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, name VARCHAR, balance DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", base_rows)
+    con.execute("ALTER TABLE t ADD COLUMN tier VARCHAR")
+    con.execute("CREATE TABLE s(id BIGINT, name VARCHAR, balance DOUBLE, tier VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", evo_rows)
+    con.execute(
+        "UPDATE t SET name=s.name, balance=s.balance, tier=s.tier "
+        "FROM s WHERE t.id = s.id"
+    )
+    con.execute(
+        "INSERT INTO t SELECT s.* FROM s ANTI JOIN t USING (id)"
+    )
+    con.execute(
+        f"DELETE FROM t WHERE id IN ({','.join(str(k) for k in dels)})"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        "SELECT id, name, balance, tier FROM t"
+    ).fetchall())
+    assert got == want
+    # pre-evolution snapshot reads under the OLD schema
+    assert vt.read_versioned(spark, path, version=1).columns == [
+        "id", "name", "balance",
+    ]

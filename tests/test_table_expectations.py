@@ -224,3 +224,171 @@ def test_clone_carries_expectations_and_rollback_keeps_them(spark, table, tmp_pa
     )
     vt.rollback(spark, table, v_set)
     assert vt.table_expectations(spark, table)["not_null"] == ["name"]
+
+
+# --- on_violation policies (r10 VERDICT #5) -----------------------------
+
+
+def _mixed(spark):
+    """2 clean rows, 1 NULL-name row, 1 negative-balance row."""
+    return spark.createDataFrame(
+        [(10, "p", 1.0), (11, "q", 2.0), (12, None, 3.0), (13, "r", -4.0)],
+        "id long, name string, balance double",
+    )
+
+
+def _set_policy(spark, table, policy):
+    return vt.set_table_expectations(
+        spark,
+        table,
+        not_null=["name"],
+        checks={"non_negative_balance": "balance >= 0"},
+        on_violation=policy,
+    )
+
+
+def test_on_violation_rejects_unknown_policy(spark, table):
+    with pytest.raises(ValueError, match="fail.drop.quarantine"):
+        _set_policy(spark, table, "ignore")
+
+
+def test_drop_policy_writes_passing_rows_and_records_counts(spark, table):
+    _set_policy(spark, table, "drop")
+    vt.commit_append(spark, table, _mixed(spark))
+    ids = sorted(r["id"] for r in vt.read_versioned(spark, table).collect())
+    assert ids == [1, 2, 3, 10, 11]  # violating 12/13 dropped
+    e = vt.table_history(spark, table)[-1]
+    exp = e["meta"]["expectations"]
+    assert exp["policy"] == "drop" and exp["n_violations"] == 2
+    assert exp["by_constraint"] == {
+        "not_null:name": 1, "check:non_negative_balance": 1,
+    }
+    # a fully-clean batch still records the audit row (0 violations)
+    vt.commit_append(
+        spark, table,
+        spark.createDataFrame(
+            [(20, "s", 9.0)], "id long, name string, balance double"
+        ),
+    )
+    e = vt.table_history(spark, table)[-1]
+    assert e["meta"]["expectations"]["n_violations"] == 0
+
+
+def test_quarantine_policy_routes_rows_atomically(spark, table):
+    _set_policy(spark, table, "quarantine")
+    vt.commit_append(spark, table, _mixed(spark))
+    ids = sorted(r["id"] for r in vt.read_versioned(spark, table).collect())
+    assert ids == [1, 2, 3, 10, 11]
+    q = vt.read_quarantine(spark, table)
+    assert sorted(r["id"] for r in q.collect()) == [12, 13]
+    # one atomic commit carries both destinations
+    e = vt.table_history(spark, table)[-1]
+    assert e["op"] == "append" and e.get("quarantine_add")
+    assert e["meta"]["expectations"]["n_violations"] == 2
+
+
+def test_quarantine_across_upsert_and_merge(spark, table):
+    _set_policy(spark, table, "quarantine")
+    # upsert: a violating update row is quarantined, clean ones apply
+    vt.commit_upsert(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 100.0), (2, None, 5.0)],
+            "id long, name string, balance double",
+        ),
+        keys=["id"],
+    )
+    got = {r["id"]: r["balance"] for r in vt.read_versioned(spark, table).collect()}
+    assert got[1] == 100.0 and got[2] == 20.0  # id=2 untouched
+    assert sorted(r["id"] for r in vt.read_quarantine(spark, table).collect()) == [2]
+    # merge: rows the update EXPRESSION drives negative are quarantined
+    # out of the merged result (pass-through rows stay)
+    vt.commit_merge(
+        spark, table,
+        spark.createDataFrame([(3, 99.0)], "id long, amount double"),
+        keys=["id"],
+        when_matched_update={"balance": "t.balance - s.amount"},
+        when_not_matched_insert=False,
+    )
+    got = sorted(r["id"] for r in vt.read_versioned(spark, table).collect())
+    assert got == [1, 2]  # id=3's merged row went to quarantine
+    assert sorted(
+        r["id"] for r in vt.read_quarantine(spark, table).collect()
+    ) == [2, 3]
+
+
+def test_unique_contract_fails_even_under_drop(spark, table):
+    _set_policy(spark, table, "drop")
+    dup = spark.createDataFrame(
+        [(30, "u", 1.0), (30, "u", 1.0)],
+        "id long, name string, balance double",
+    )
+    with pytest.raises(ValueError, match="batch contract"):
+        vt.commit_append(spark, table, dup, expect={"unique": ["id"]})
+
+
+def test_quarantine_crash_atomicity_and_vacuum(spark, table):
+    """A commit that writes its quarantine + data files but LOSES the
+    log race leaves NO visible rows on either side; vacuum collects
+    both orphan sets."""
+    _set_policy(spark, table, "quarantine")
+
+    class AlwaysLose(vt.CommitGuard):
+        def try_create(self, spark, full_path, payload):
+            return False
+
+    prev = vt.set_commit_guard(AlwaysLose())
+    try:
+        with pytest.raises(vt.ConcurrentCommitError):
+            vt.commit_append(spark, table, _mixed(spark), max_retries=0)
+    finally:
+        vt.set_commit_guard(prev)
+    # nothing visible: no version bump, quarantine empty
+    assert vt.read_versioned(spark, table).count() == 3
+    assert vt.read_quarantine(spark, table).count() == 0
+    # the crashed commit's data AND quarantine files are collected
+    gone = vt.vacuum_versioned(spark, table, keep_last=1, retention_hours=0)
+    assert gone
+    assert vt.read_versioned(spark, table).count() == 3
+    assert vt.read_quarantine(spark, table).count() == 0
+
+
+def test_quarantine_survives_checkpoint_expiry_and_rollback(spark, table):
+    _set_policy(spark, table, "quarantine")
+    vt.commit_append(spark, table, _mixed(spark))
+    v_after = vt.table_history(spark, table)[-1]["version"]
+    vt.checkpoint_log(spark, table)
+    vt.expire_log(spark, table)
+    assert sorted(
+        r["id"] for r in vt.read_quarantine(spark, table).collect()
+    ) == [12, 13]
+    # rollback restores DATA, not the audit trail: quarantine persists
+    vt.commit_append(
+        spark, table,
+        spark.createDataFrame(
+            [(40, "w", 1.0)], "id long, name string, balance double"
+        ),
+    )
+    vt.rollback(spark, table, v_after)
+    assert sorted(
+        r["id"] for r in vt.read_quarantine(spark, table).collect()
+    ) == [12, 13]
+
+
+def test_validate_existing_data_at_registration(spark, table):
+    """ADVICE r10: registration scans the live table (one aggregate,
+    Delta ADD CONSTRAINT semantics) so a table with pre-existing
+    violations can't silently accept appends but fail later merges."""
+    vt.commit_append(
+        spark, table,
+        spark.createDataFrame(
+            [(60, None, 1.0)], "id long, name string, balance double"
+        ),
+    )
+    with pytest.raises(ValueError, match="existing data"):
+        _set(spark, table)
+    # explicit opt-out registers anyway
+    vt.set_table_expectations(
+        spark, table, not_null=["name"], validate_existing=False
+    )
+    assert vt.table_expectations(spark, table)["not_null"] == ["name"]
