@@ -1176,16 +1176,18 @@ def q_versioned_snapshot(spark, sf_dir):
     (sinks/versioned.py): build a commit history from customer subsets
     — append (v1) → file-granularity upsert (v2) → predicate delete
     (v3) → op-coded CDC MERGE INTO (v4: update/delete/insert by op
-    column, r9 VERDICT #2) — in a fresh temp table, then read the
-    pre-delete snapshot (time travel to v2), the pre-merge snapshot
-    (v3), and the latest post-merge state as one labeled union. The
+    column, r9 VERDICT #2) → merge-on-read DELETION-VECTOR delete (v5,
+    r10 VERDICT #1) → purging compaction (v6) — in a fresh temp table,
+    then read time-travel snapshots (v2, v3), the DV-anti-join
+    snapshot (v5), and the post-purge latest as one labeled union. The
     oracle replays the same key-value history in pure SQL, so snapshot
-    isolation, upsert last-write-wins, NULL-safe delete, and all three
-    MERGE clauses are hash-checked. The CDC batch only targets keys
-    provably present (U/D) or provably absent (I) so the replay SQL is
-    closed-form."""
+    isolation, upsert last-write-wins, NULL-safe delete, all three
+    MERGE clauses, the merge-on-read anti-join, and DV purge are
+    hash-checked. The CDC batch only targets keys provably present
+    (U/D) or provably absent (I) so the replay SQL is closed-form."""
     from gedixr_spark.sinks.versioned import (
         commit_append,
+        commit_compact,
         commit_delete,
         commit_merge,
         commit_upsert,
@@ -1237,6 +1239,17 @@ def q_versioned_snapshot(spark, sf_dir):
         update_condition="s.op = 'U'",
         when_matched_delete="s.op = 'D'",
     )
+    # v5: merge-on-read DELETE — a deletion-vector commit (no data
+    # file rewritten; readers anti-join the DV). v6: purging
+    # compaction materializes the DV. The 'dv' leg reads AT v5
+    # (through the anti-join), the 'latest' leg post-purge (plain
+    # scan) — same logical content, so the oracle's two legs share
+    # one SELECT body: the driver hash-checks that merge-on-read and
+    # its purge agree with the closed-form replay.
+    dv_entry = commit_delete(
+        spark, path, F.col("c_custkey") % 24 == 0, mode="dv"
+    )
+    commit_compact(spark, path, purge_dvs=True)
     cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
     v2 = read_versioned(spark, path, version=2).select(
         F.lit("v2").alias("snap"), *cols
@@ -1244,10 +1257,13 @@ def q_versioned_snapshot(spark, sf_dir):
     v3 = read_versioned(spark, path, version=3).select(
         F.lit("v3").alias("snap"), *cols
     )
+    dv = read_versioned(spark, path, version=dv_entry["version"]).select(
+        F.lit("dv").alias("snap"), *cols
+    )
     latest = read_versioned(spark, path).select(
         F.lit("latest").alias("snap"), *cols
     )
-    return v2.unionByName(v3).unionByName(latest)
+    return v2.unionByName(v3).unionByName(dv).unionByName(latest)
 
 
 def q_edit_distance(spark, sf_dir):
@@ -2728,20 +2744,31 @@ def build_oracles() -> dict[str, str]:
           FROM customer WHERE c_custkey % 4 = 0
         ), after_v3 AS (
           SELECT * FROM base WHERE c_nationkey <> 3
+        ),
+        -- v4 CDC replay: D drops live multiples of 20, U rewrites the
+        -- segment of live multiples of 12 (not 20), I adds %16==1 keys
+        after_v4 AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 12 = 0 THEN 'MERGED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM after_v3 WHERE c_custkey % 20 <> 0
+          UNION ALL
+          SELECT c_custkey, c_nationkey, 'INSERTED'
+          FROM customer WHERE c_custkey % 16 = 1
+        ),
+        -- v5 deletion-vector delete: multiples of 24 die logically;
+        -- v6 purge-compaction materializes it — SAME logical state,
+        -- so the 'dv' and 'latest' legs share this body
+        after_v5 AS (
+          SELECT * FROM after_v4 WHERE c_custkey % 24 <> 0
         )
         SELECT 'v2' AS snap, c_custkey, c_nationkey, c_mktsegment FROM base
         UNION ALL
         SELECT 'v3', c_custkey, c_nationkey, c_mktsegment FROM after_v3
         UNION ALL
-        -- v4 CDC replay: D drops live multiples of 20, U rewrites the
-        -- segment of live multiples of 12 (not 20), I adds %16==1 keys
-        SELECT 'latest', c_custkey, c_nationkey,
-               CASE WHEN c_custkey % 12 = 0 THEN 'MERGED'
-                    ELSE c_mktsegment END
-        FROM after_v3 WHERE c_custkey % 20 <> 0
+        SELECT 'dv', c_custkey, c_nationkey, c_mktsegment FROM after_v5
         UNION ALL
-        SELECT 'latest', c_custkey, c_nationkey, 'INSERTED'
-        FROM customer WHERE c_custkey % 16 = 1
+        SELECT 'latest', c_custkey, c_nationkey, c_mktsegment FROM after_v5
     """
 
     # --- r7 window consolidation ------------------------------------------

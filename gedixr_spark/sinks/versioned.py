@@ -545,24 +545,6 @@ def set_table_expectations(
     )
 
 
-def _enforce_table_expectations(
-    spark: SparkSession, path: str, df: DataFrame, base: int, extra: dict | None = None
-) -> None:
-    """Gate ``df`` (the data a commit is about to write) on the
-    table's registered expectations merged with per-call ``extra``.
-    No-op (zero jobs) when neither is set."""
-    exp = table_expectations(spark, path, base)
-    extra = extra or {}
-    not_null = list(
-        dict.fromkeys([*exp.get("not_null", ()), *extra.get("not_null", ())])
-    )
-    unique = list(extra.get("unique", ()))
-    checks = {**exp.get("checks", {}), **extra.get("checks", {})}
-    if not (not_null or unique or checks):
-        return
-    check_expectations(df, not_null=not_null, unique=unique, checks=checks)
-
-
 def _violation_predicate(not_null: Sequence[str], checks: dict | None) -> Column:
     """Row-level violation test: any not_null column NULL, or any CHECK
     false-or-NULL (a constraint that cannot be evaluated is not
@@ -1796,7 +1778,7 @@ def read_appended(
     tables (e.g. `versioned_landing_query` streams); for tables taking
     upserts/deletes it raises, because rewritten files carry old rows
     and a file-granularity feed would double-count — use
-    `diff.table_diff` between two snapshot reads there."""
+    `table_changes` (row-level CDC with _change_type) there."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     if since_version not in versions or cap not in versions:
