@@ -838,6 +838,99 @@ def _nullable_type(dt):
     return dt
 
 
+def _commit_with_rebase(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    add: list[str],
+    remove: list[str],
+    schema_json: str | None,
+    meta: dict,
+    base: int,
+    probe=None,
+    max_rebases: int = 2,
+    dv_add: dict | None = None,
+    **kw,
+) -> dict:
+    """Optimistic-concurrency commit with Delta-style LOGICAL conflict
+    detection. A writer that loses the version race does NOT have to
+    re-read and redo its (possibly table-slice-sized) rewrite when the
+    interleaved commits provably don't conflict with it — the common
+    multi-writer shape at 100 TB: concurrent CDC writers on disjoint
+    key ranges, appenders landing next to an upserter, compactions of
+    files nobody is touching.
+
+    An interleaved commit CONFLICTS when any of:
+    - it removed a file this commit rewrites (our kept-rows copy is
+      stale) or DV-targets one (their merge-on-read delete would be
+      silently lost by our rewrite);
+    - for a DV-mode delete: it removed or DV-targeted one of our
+      delete vector's target files (positions would dangle or
+      double-count);
+    - it is a rollback (``restore_dv``) or expectations change —
+      metadata this commit's decisions were based on;
+    - ``probe(new_files)`` says a concurrently-ADDED file contains
+      rows this operation should have read (a key we merge on, a row
+      our delete predicate matches) — one scan over just the
+      interleaved adds, the Delta ConcurrentAppend check.
+
+    Otherwise the commit REBASES: same add/remove/DV payload, next
+    version; ``meta.n_rebases``/``meta.read_version`` record the audit
+    trail. Raises ConcurrentCommitError (re-read and retry) when a
+    real conflict exists, when ``probe`` is not given, or after
+    ``max_rebases`` lost races."""
+    attempt_base = base
+    for i in range(max_rebases + 1):
+        try:
+            m = dict(meta)
+            if i:
+                m["n_rebases"] = i
+                m["read_version"] = base
+            return _commit(
+                spark, path, op, add, remove, schema_json, m,
+                attempt_base + 1, dv_add=dv_add, **kw,
+            )
+        except ConcurrentCommitError:
+            if probe is None or i == max_rebases:
+                raise
+            newest = _list_log_versions(spark, path)[-1]
+            entries = [
+                _read_entry(spark, path, v)
+                for v in range(attempt_base + 1, newest + 1)
+            ]
+            ours = set(remove) | {
+                f for t in (dv_add or {}).values() for f in t
+            }
+            new_adds: list[str] = []
+            for e in entries:
+                if "restore_dv" in e or e.get("expectations") is not None:
+                    raise ConcurrentCommitError(
+                        f"cannot rebase at {path}: version {e['version']} "
+                        f"is a {e['op']} (rollback/constraint change) — "
+                        "re-read the snapshot and retry"
+                    )
+                theirs = set(e.get("remove", [])) | {
+                    f for t in e.get("dv_add", {}).values() for f in t
+                }
+                hit = theirs & ours
+                if hit:
+                    raise ConcurrentCommitError(
+                        f"cannot rebase at {path}: version {e['version']} "
+                        f"({e['op']}) touched {len(hit)} file(s) this "
+                        "commit rewrites or delete-targets — re-read the "
+                        "snapshot and retry"
+                    )
+                new_adds.extend(e.get("add", []))
+            if new_adds and probe(new_adds):
+                raise ConcurrentCommitError(
+                    f"cannot rebase at {path}: a concurrently-added file "
+                    "contains rows this operation should have read — "
+                    "re-read the snapshot and retry"
+                )
+            attempt_base = newest
+    raise AssertionError("unreachable")
+
+
 def _check_schema_compat(
     spark: SparkSession, path: str, new_schema: StructType, cap: int
 ) -> None:
@@ -1058,14 +1151,29 @@ def commit_upsert(
         else []
     )
     exp_extra = {"expectations": exp_meta} if exp_meta is not None else {}
+
+    def _probe(new_files):
+        # rebase conflict probe: does any concurrently-added file
+        # contain one of this batch's keys?
+        return (
+            _scan_files(spark, path, new_files)
+            .join(
+                F.broadcast(updates.select(*keys).distinct()),
+                on=list(keys), how="left_semi",
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
     if not files:
         names = _write_data_files(spark, path, updates, base + 1)
         st, bl = _indexes(names)
-        return _commit(
+        return _commit_with_rebase(
             spark, path, "upsert", names, [], updates.schema.json(),
             {"n_files_rewritten": 0, "n_upserted": n_upserted,
              "keys": list(keys), **exp_extra, **(meta or {})},
-            base + 1, stats=st, blooms=bl, quarantine_add=qnames,
+            base, probe=_probe, stats=st, blooms=bl, quarantine_add=qnames,
         )
     # discovery + rewrite both read THROUGH live delete vectors: a
     # DV-deleted row must neither pull its file into the touched set
@@ -1101,7 +1209,7 @@ def commit_upsert(
         out_df = updates
     names = _write_data_files(spark, path, out_df, base + 1)
     st, bl = _indexes(names)
-    return _commit(
+    return _commit_with_rebase(
         spark, path, "upsert", names, touched, updates.schema.json(),
         {
             "n_files_rewritten": len(touched),
@@ -1113,7 +1221,7 @@ def commit_upsert(
             **exp_extra,
             **(meta or {}),
         },
-        base + 1, stats=st, blooms=bl, quarantine_add=qnames,
+        base, probe=_probe, stats=st, blooms=bl, quarantine_add=qnames,
     )
 
 
@@ -1421,9 +1529,25 @@ def commit_merge(
     }
     if exp_meta is not None:
         entry_meta["expectations"] = exp_meta
-    return _commit(
+
+    def _probe(new_files):
+        # rebase conflict probe: a concurrently-added file carrying a
+        # source key invalidates this merge's match/insert decisions
+        return (
+            _scan_files(spark, path, new_files)
+            .join(
+                F.broadcast(source.select(*keys).distinct()),
+                on=list(keys), how="left_semi",
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    return _commit_with_rebase(
         spark, path, "merge", names, touched, schema_json,
-        entry_meta, base + 1, stats=st, blooms=bl, quarantine_add=qnames,
+        entry_meta, base, probe=_probe, stats=st, blooms=bl,
+        quarantine_add=qnames,
     )
 
 
@@ -1685,6 +1809,18 @@ def commit_delete(
         spark, path, files, dvs, file_col="__file", pos_col="__pos"
     )
     schema_json = _latest_schema(spark, path, base)
+
+    def _delete_probe(new_files):
+        # rebase conflict probe: does any concurrently-added file
+        # contain a row this predicate would have deleted?
+        return (
+            _scan_files(spark, path, new_files)
+            .filter(F.coalesce(predicate, F.lit(False)))
+            .limit(1)
+            .count()
+            > 0
+        )
+
     if mode == "dv":
         matches = target.filter(predicate).select(
             F.col("__file").alias("file"),
@@ -1725,7 +1861,7 @@ def commit_delete(
             n_deleted += int(r["count"])
         # drop DV part files that came out empty (0-row partitions)
         dv_add = {d: t for d, t in dv_add.items() if t}
-        return _commit(
+        return _commit_with_rebase(
             spark, path, "delete", [], [], schema_json,
             {
                 "mode": "dv",
@@ -1735,7 +1871,7 @@ def commit_delete(
                 ),
                 "n_files_live": len(files),
             },
-            base + 1, dv_add=dv_add,
+            base, probe=_delete_probe, dv_add=dv_add,
         )
     hit = (
         target.filter(predicate)
@@ -1762,10 +1898,10 @@ def commit_delete(
         if stats_cols is not None
         else None
     )
-    return _commit(
+    return _commit_with_rebase(
         spark, path, "delete", names, touched, schema_json,
         {"n_files_rewritten": len(touched), "n_files_live": len(files)},
-        base + 1, stats=stats,
+        base, probe=_delete_probe, stats=stats,
     )
 
 
