@@ -754,6 +754,7 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_weighted_sample,
         q_vector_index,
         q_catalog_snapshot,
+        q_table_changes_feed,
     )
 
     return {
@@ -798,6 +799,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_index": q_vector_index,
         # r8: multi-table atomic publish lifecycle (multi-commit => rows-only)
         "catalog_snapshot": q_catalog_snapshot,
+        # r11: row-level CDC feed lifecycle (multi-commit => rows-only;
+        # per-op classification DuckDB-pinned in test_table_changes)
+        "table_changes_feed": q_table_changes_feed,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

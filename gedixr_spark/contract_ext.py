@@ -940,6 +940,38 @@ def q_vector_index(spark, sf_dir):
     )
 
 
+def q_table_changes_feed(spark, sf_dir):
+    """Row-level CDC read on the bench path (sinks/versioned.py::
+    table_changes — the Delta Change Data Feed shape): a customer-
+    subset versioned table advances through append (v1) →
+    file-granularity upsert (v2) → merge-on-read DV delete (v3), then
+    the whole feed since v0 is returned with its _change_type /
+    _commit_version classification. Multi-commit lifecycle ⇒ rows-only
+    (and the recorded window is full); exact per-op classification and
+    the snapshot-reconstruction law are DuckDB-differential-pinned in
+    tests/test_table_changes.py."""
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_delete, commit_upsert, init_versioned,
+        table_changes,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .coalesce(4)
+    )
+    path = _scratch_dir("cdcfeed", _sf_key(sf_dir)) + "/t"
+    init_versioned(spark, path)
+    commit_append(spark, path, base)
+    upd = base.filter(F.col("c_custkey") % 8 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    commit_upsert(spark, path, upd, keys=["c_custkey"])
+    commit_delete(spark, path, F.col("c_nationkey") == 3, mode="dv")
+    return table_changes(spark, path, 0)
+
+
 def q_catalog_snapshot(spark, sf_dir):
     """Multi-table atomic publish on the bench path (sinks/catalog.py):
     a customer table and a per-nation count table DERIVED from it

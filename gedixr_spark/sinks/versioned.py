@@ -1971,16 +1971,18 @@ def table_changes(
     - append / clone: added files' rows as inserts (one scan, no diff);
     - DV-mode delete: the committed delete vector semi-joined back to
       its target files — exactly the deleted rows, deleted-rows-sized;
-    - upsert / merge (their entries record ``keys``): value-level
-      EXCEPT ALL both ways over the removed-vs-added slices, then
-      classified by key — a key on both sides becomes an
+    - upsert / merge (their entries record ``keys``): ONE counting
+      pass over the removed-vs-added slices (union, +1/−1 side tags,
+      groupBy all columns) yields the exact multiset difference —
+      rewritten-but-identical pass-through rows cancel and emit
+      NOTHING (value-level feed; Delta CDF would emit a no-op update
+      there — documented deviation) — then one key-partitioned window
+      classifies: a key with rows on both sides becomes an
       update_preimage/update_postimage pair, one-sided keys become
-      delete/insert. Rewritten-but-identical pass-through rows cancel
-      in the EXCEPT ALL and emit NOTHING (value-level feed; Delta CDF
-      would emit a no-op update there — documented deviation).
-      NULL-keyed changed rows surface as delete+insert, not an update
-      pair (equality joins can't match them);
-    - CoW delete / overwrite (no keys): EXCEPT ALL both ways →
+      delete/insert (NULL keys group together, SQL GROUP BY
+      semantics). Two shuffles of the DIFFERING rows per commit; the
+      slice is scanned once;
+    - CoW delete / overwrite (no keys): the same counting diff →
       deletes + inserts;
     - rollback: besides its add/remove diff, any file live on BOTH
       sides whose DV coverage changed (restore_dv resurrecting or
@@ -1988,7 +1990,7 @@ def table_changes(
       surface as inserts;
     - compact / set_expectations / create: no logical changes.
 
-    Set-op caveat: EXCEPT ALL requires orderable column types —
+    Type caveat: the counting diff groups by every column —
     map-typed columns are not supported in the diffed ops (arrays and
     structs are fine)."""
     versions = _list_log_versions(spark, path)
@@ -2083,32 +2085,47 @@ def table_changes(
         new = _align(
             _scan_files(spark, path, new_files, dvs) if new_files else empty
         )
-        o_only = old.exceptAll(new)
-        n_only = new.exceptAll(old)
+        # exact multiset difference in ONE pass: +1 per old copy, -1
+        # per new copy, grouped by the full row — identical
+        # pass-through rows cancel to 0 and vanish. __d > 0 means the
+        # row net-DISAPPEARED (|__d| copies), __d < 0 net-APPEARED.
+        diff = (
+            old.select("*", F.lit(1).alias("__side"))
+            .unionAll(new.select("*", F.lit(-1).alias("__side")))
+            .groupBy(*names)
+            .agg(F.sum("__side").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("__d")))
+                ).alias("__copy"),
+            )
+        )
+        minus = F.col("__d") > 0
         keys = e.get("meta", {}).get("keys")
         if keys:
-            ukeys = o_only.select(*keys).intersect(n_only.select(*keys))
-            legs.append(
-                _tag(o_only.join(ukeys, list(keys), "left_anti"), "delete", v)
-            )
-            legs.append(
-                _tag(
-                    o_only.join(ukeys, list(keys), "left_semi"),
-                    "update_preimage", v,
-                )
-            )
-            legs.append(
-                _tag(n_only.join(ukeys, list(keys), "left_anti"), "insert", v)
-            )
-            legs.append(
-                _tag(
-                    n_only.join(ukeys, list(keys), "left_semi"),
-                    "update_postimage", v,
-                )
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*[F.col(k) for k in keys])
+            has_minus = F.max(F.when(minus, 1).otherwise(0)).over(w) == 1
+            has_plus = F.max(F.when(~minus, 1).otherwise(0)).over(w) == 1
+            both = has_minus & has_plus
+            ctype = (
+                F.when(minus & both, F.lit("update_preimage"))
+                .when(minus, F.lit("delete"))
+                .when(both, F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
             )
         else:
-            legs.append(_tag(o_only, "delete", v))
-            legs.append(_tag(n_only, "insert", v))
+            ctype = F.when(minus, F.lit("delete")).otherwise(F.lit("insert"))
+        legs.append(
+            diff.select(
+                *names,
+                ctype.alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+        )
     if not legs:
         return spark.createDataFrame(
             [],

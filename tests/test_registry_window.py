@@ -74,6 +74,8 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "vector_index",
         # r8: multi-table atomic publish lifecycle (multi-commit)
         "catalog_snapshot",
+        # r11: row-level CDC feed lifecycle (multi-commit)
+        "table_changes_feed",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
