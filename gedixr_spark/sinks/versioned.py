@@ -1766,6 +1766,7 @@ def commit_delete(
     base_version: int | None = None,
     stats_cols: Sequence[str] | None = None,
     mode: str = "cow",
+    meta: dict | None = None,
 ) -> dict:
     """Delete rows matching ``predicate`` as one atomic commit, in one
     of two physical modes (same logical result, pinned by equivalence
@@ -1794,6 +1795,73 @@ def commit_delete(
     delete is commit_delete + (for dv mode) a purging compaction +
     vacuum; the tests pin that. DV mode defers the physical purge, so
     prefer CoW for right-to-be-forgotten deadlines."""
+
+    def match(df: DataFrame) -> DataFrame:
+        return df.filter(predicate)
+
+    def keep(df: DataFrame) -> DataFrame:
+        # keep rows where the predicate is NOT TRUE — `~predicate`
+        # alone would also drop NULL-evaluating rows (col > 5 with col
+        # NULL) from rewritten files while identical rows in untouched
+        # files survive: silent, file-dependent data loss. SQL/Delta
+        # DELETE keeps NULL-predicate rows; so do we.
+        return df.filter(~F.coalesce(predicate, F.lit(False)))
+
+    return _commit_delete_impl(
+        spark, path, match, keep, base_version, stats_cols, mode, meta
+    )
+
+
+def commit_delete_keys(
+    spark: SparkSession,
+    path: str,
+    tombstones: DataFrame,
+    keys: Sequence[str],
+    base_version: int | None = None,
+    stats_cols: Sequence[str] | None = None,
+    mode: str = "dv",
+    meta: dict | None = None,
+) -> dict:
+    """Keyed delete: remove every row whose key appears in
+    ``tombstones`` — the CDC tombstone-stream shape, fully distributed
+    (semi/anti joins on the key columns; nothing is collected to the
+    driver, so the tombstone batch may be arbitrarily large). Same two
+    physical modes as `commit_delete`; defaults to ``"dv"`` because a
+    tombstone batch is typically tiny relative to the files it
+    touches. NULL-keyed tombstones never match anything (equality-join
+    semantics — same contract as upsert keys)."""
+    if not keys:
+        raise ValueError("commit_delete_keys needs at least one key column")
+    ks = tombstones.select(*keys).distinct()
+
+    def match(df: DataFrame) -> DataFrame:
+        # no broadcast hint on purpose: a typical tombstone batch is
+        # tiny and AQE broadcasts it; a bulk purge feed stays correct
+        # as a shuffled semi-join instead of OOMing the driver
+        return df.join(ks, on=list(keys), how="left_semi")
+
+    def keep(df: DataFrame) -> DataFrame:
+        return df.join(ks, on=list(keys), how="left_anti")
+
+    return _commit_delete_impl(
+        spark, path, match, keep, base_version, stats_cols, mode, meta
+    )
+
+
+def _commit_delete_impl(
+    spark: SparkSession,
+    path: str,
+    match,
+    keep,
+    base_version: int | None,
+    stats_cols: Sequence[str] | None,
+    mode: str,
+    meta: dict | None,
+) -> dict:
+    """Shared delete machinery: ``match(df)`` filters the rows to
+    delete, ``keep(df)`` the rows to retain (the split is NOT always
+    complementary — predicate deletes keep NULL-evaluating rows on
+    both sides)."""
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     versions = _list_log_versions(spark, path)
@@ -1812,17 +1880,13 @@ def commit_delete(
 
     def _delete_probe(new_files):
         # rebase conflict probe: does any concurrently-added file
-        # contain a row this predicate would have deleted?
+        # contain a row this delete would have removed?
         return (
-            _scan_files(spark, path, new_files)
-            .filter(F.coalesce(predicate, F.lit(False)))
-            .limit(1)
-            .count()
-            > 0
+            match(_scan_files(spark, path, new_files)).limit(1).count() > 0
         )
 
     if mode == "dv":
-        matches = target.filter(predicate).select(
+        matches = match(target).select(
             F.col("__file").alias("file"),
             F.col("__pos").alias("pos"),
         )
@@ -1870,11 +1934,12 @@ def commit_delete(
                     {f for t in dv_add.values() for f in t}
                 ),
                 "n_files_live": len(files),
+                **(meta or {}),
             },
             base, probe=_delete_probe, dv_add=dv_add,
         )
     hit = (
-        target.filter(predicate)
+        match(target)
         .select(F.col("__file").alias("name"))
         .distinct()
         .collect()
@@ -1882,16 +1947,10 @@ def commit_delete(
     touched = _touched_entries(files, (r["name"] for r in hit))
     if not touched:
         return {"op": "noop", "n_files_rewritten": 0, "version": base}
-    # keep rows where the predicate is NOT TRUE — `~predicate` alone
-    # would also drop NULL-evaluating rows (e.g. col > 5 with col NULL)
-    # from rewritten files while identical rows in untouched files
-    # survive: silent, file-dependent data loss. SQL/Delta DELETE
-    # keeps NULL-predicate rows; so do we. The rewrite reads THROUGH
-    # live DVs, so it also materializes prior DV deletions on the
-    # touched files (replay then drops those DV targets).
-    kept = _scan_files(spark, path, touched, dvs).filter(
-        ~F.coalesce(predicate, F.lit(False))
-    )
+    # the rewrite reads THROUGH live DVs, so it also materializes
+    # prior DV deletions on the touched files (replay then drops
+    # those DV targets)
+    kept = keep(_scan_files(spark, path, touched, dvs))
     names = _write_data_files(spark, path, kept, base + 1)
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
@@ -1900,7 +1959,11 @@ def commit_delete(
     )
     return _commit_with_rebase(
         spark, path, "delete", names, touched, schema_json,
-        {"n_files_rewritten": len(touched), "n_files_live": len(files)},
+        {
+            "n_files_rewritten": len(touched),
+            "n_files_live": len(files),
+            **(meta or {}),
+        },
         base, probe=_delete_probe, stats=stats,
     )
 

@@ -190,6 +190,60 @@ def upsert_stream_batch(
     )
 
 
+def delete_stream_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    batch_id: int,
+    keys: list[str],
+    mode: str = "dv",
+) -> dict | None:
+    """Idempotent per-micro-batch TOMBSTONE DELETE — the
+    `upsert_stream_batch` twin for the delete half of a CDC feed. The
+    batch carries the KEYS of rows to remove; they apply with the
+    fully-distributed `commit_delete_keys` (defaults to the
+    deletion-vector mode: a streaming tombstone trickle must not
+    rewrite data files every micro-batch — the periodic
+    ``commit_compact(purge_dvs=True)`` maintenance pass materializes
+    the accumulated DVs instead). Replayed batch ids no-op via the
+    commit-log ledger."""
+    from gedixr_spark.sinks.versioned import (
+        commit_delete_keys, seen_stream_batch_ids,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_id in seen_stream_batch_ids(spark, table_path):
+        return None
+    return commit_delete_keys(
+        spark, table_path, batch_df, keys=keys, mode=mode,
+        meta={"stream_batch_id": batch_id},
+    )
+
+
+def versioned_delete_query(
+    tombstones: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    mode: str = "dv",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming CDC delete-apply: each micro-batch of tombstone keys
+    removes its rows from the versioned table as one atomic commit
+    (exactly-once via checkpoint + the log ledger). Pairs with
+    `versioned_upsert_query` to cover a full CDC feed's
+    upsert/delete halves."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delete_stream_batch(batch_df, table_path, batch_id, keys, mode)
+
+    writer = tombstones.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def versioned_upsert_query(
     changes: DataFrame,
     table_path: str,

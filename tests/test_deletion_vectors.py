@@ -200,6 +200,24 @@ def test_dv_free_read_plan_has_no_join_or_metadata(spark, table):
     assert "Join" not in plan and "_metadata" not in plan
 
 
+def test_small_dv_anti_join_broadcasts_under_aqe(spark, table):
+    """The 100 TB read shape: the DV side is deleted-rows-sized, no
+    broadcast is forced in the plan (r10's unforced-hint discipline),
+    and AQE must pick BroadcastHashJoin for a small DV — the data scan
+    never shuffles for the anti-join."""
+    commit_append(
+        spark, table,
+        spark.range(200_000)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4),
+    )
+    commit_delete(spark, table, F.col("k") % 50_000 == 7, mode="dv")
+    df = read_versioned(spark, table)
+    assert df.count() == 199_996
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_pruned_reads_apply_dvs(spark, table):
     commit_append(
         spark, table,

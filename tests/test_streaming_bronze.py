@@ -449,3 +449,94 @@ def test_streaming_vector_index_exactly_once(spark, tmp_path):
         ).collect()
     )
     assert got_v1 == flat_topk(base.unionByName(w1))
+
+
+def test_versioned_delete_stream_tombstones(spark, tmp_path):
+    """The delete half of a CDC feed: streamed tombstone keys remove
+    their rows exactly-once (DV mode — no data file rewritten per
+    micro-batch), a replayed batch id no-ops, and the periodic purge
+    compaction materializes the accumulated deletions."""
+    import datetime
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_compact, init_versioned,
+        live_delete_vectors, live_files, read_versioned, table_history,
+    )
+    from gedixr_spark.streaming.bronze import (
+        delete_stream_batch, versioned_delete_query,
+    )
+    from gedixr_spark.streaming.events import read_event_stream
+
+    landing = tmp_path / "tombs"
+    table = str(tmp_path / "dtable")
+    ckpt = str(tmp_path / "dckpt")
+    init_versioned(spark, table)
+    t0 = datetime.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(i, t0, i, "e", float(i)) for i in range(10)],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    commit_append(spark, table, base.coalesce(1))
+    files_before = sorted(live_files(spark, table))
+
+    tomb_schema = spark.createDataFrame([(1,)], ["user_id"]).schema
+    spark.createDataFrame([(2,), (5,)], ["user_id"]).write.mode(
+        "append"
+    ).parquet(str(landing))
+    q = versioned_delete_query(
+        read_event_stream(spark, str(landing), tomb_schema), table, ckpt,
+        keys=["user_id"], available_now=True,
+    )
+    q.awaitTermination()
+    spark.createDataFrame([(7,)], ["user_id"]).write.mode("append").parquet(
+        str(landing)
+    )
+    q2 = versioned_delete_query(
+        read_event_stream(spark, str(landing), tomb_schema), table, ckpt,
+        keys=["user_id"], available_now=True,
+    )
+    q2.awaitTermination()
+    got = sorted(r["user_id"] for r in read_versioned(spark, table).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+    # DV mode: the data files were never rewritten by the stream
+    assert sorted(live_files(spark, table)) == files_before
+    assert live_delete_vectors(spark, table)
+
+    # replayed batch id → no-op
+    n = len(table_history(spark, table))
+    replay = spark.createDataFrame([(2,), (5,)], ["user_id"])
+    assert delete_stream_batch(replay, table, 0, ["user_id"]) is None
+    assert len(table_history(spark, table)) == n
+
+    # maintenance purge materializes the accumulated tombstones
+    commit_compact(spark, table, purge_dvs=True)
+    assert live_delete_vectors(spark, table) == {}
+    assert sorted(
+        r["user_id"] for r in read_versioned(spark, table).collect()
+    ) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_commit_delete_keys_both_modes_and_null_tombstones(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_delete_keys, init_versioned, read_versioned,
+    )
+
+    for mode in ("dv", "cow"):
+        path = str(tmp_path / f"k_{mode}")
+        init_versioned(spark, path)
+        commit_append(
+            spark, path,
+            spark.createDataFrame(
+                [Row(k=i, v=f"v{i}") for i in range(8)]
+            ).repartition(2),
+        )
+        tombs = spark.createDataFrame(
+            [Row(k=1), Row(k=5), Row(k=None), Row(k=99)]
+        )
+        res = commit_delete_keys(spark, path, tombs, keys=["k"], mode=mode)
+        assert res["op"] == "delete", mode
+        got = sorted(r["k"] for r in read_versioned(spark, path).collect())
+        # NULL tombstone matches nothing; absent key 99 is a no-op row
+        assert got == [0, 2, 3, 4, 6, 7], mode
