@@ -1154,12 +1154,55 @@ def update_tf_index_from_changes(
         commit_merge, read_versioned, table_changes,
     )
 
+    from pyspark.sql.window import Window
+
     ch = table_changes(spark, corpus_path, since_version, version)
-    added = ch.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
+    # NET the feed per doc FIRST. A doc changed several times in the
+    # consumed range emits a pre/post pair PER COMMIT; summing every
+    # postimage would double-count its tf and retracting only against
+    # the pre-refresh index would leave intermediate versions' postings
+    # stale (r11 review finding, empirically confirmed). What the index
+    # needs is exactly two rows per doc: its INITIAL text (to retract —
+    # only if the doc existed at since_version, i.e. its earliest
+    # change is a preimage/delete no later than any insert) and its
+    # FINAL text (to add — only if the doc still exists at the end,
+    # i.e. its latest change is an insert/postimage no earlier than any
+    # delete).
+    is_plus = F.col("_change_type").isin("insert", "update_postimage")
+    v = F.col("_commit_version")
+    bounds = ch.groupBy(id_col).agg(
+        F.max(F.when(is_plus, v)).alias("__maxp"),
+        F.min(F.when(is_plus, v)).alias("__minp"),
+        F.max(F.when(~is_plus, v)).alias("__maxm"),
+        F.min(F.when(~is_plus, v)).alias("__minm"),
     )
-    removed = ch.filter(
-        F.col("_change_type").isin("delete", "update_preimage")
+    w_desc = Window.partitionBy(id_col).orderBy(v.desc())
+    w_asc = Window.partitionBy(id_col).orderBy(v.asc())
+    added = (
+        ch.filter(is_plus)
+        .withColumn("__rn", F.row_number().over(w_desc))
+        .filter(F.col("__rn") == 1)
+        .join(
+            bounds.filter(
+                F.col("__maxp").isNotNull()
+                & (F.col("__maxm").isNull() | (F.col("__maxp") >= F.col("__maxm")))
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    removed = (
+        ch.filter(~is_plus)
+        .withColumn("__rn", F.row_number().over(w_asc))
+        .filter(F.col("__rn") == 1)
+        .join(
+            bounds.filter(
+                F.col("__minm").isNotNull()
+                & (F.col("__minp").isNull() | (F.col("__minm") <= F.col("__minp")))
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
     )
     add_tf = (
         added.select(

@@ -153,6 +153,7 @@ def compact_vector_index(
     path: str,
     target_mb: int = 128,
     n_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Re-cluster the index's small files by ``cell`` as one atomic
     compaction commit (r8/r9 VERDICT: upsert churn moves changed
@@ -168,7 +169,12 @@ def compact_vector_index(
     batches or when search's kept-file fraction drifts up. Pre-compact
     snapshots keep their exact file lists (time travel unaffected);
     search results are hash-identical before and after by construction
-    (compaction only moves rows between files)."""
+    (compaction only moves rows between files).
+
+    ``bloom_cols``: re-record per-file Bloom indexes for the rewritten
+    files (pass ``[id_col]`` if earlier commits bloomed the id and
+    point lookups rely on it — without it compaction would silently
+    drop those indexes; ADVICE r10)."""
     from gedixr_spark.sinks.versioned import commit_compact
 
     return commit_compact(
@@ -177,20 +183,28 @@ def compact_vector_index(
         target_mb=target_mb,
         sort_by=["cell"],
         stats_cols=["cell"],
+        bloom_cols=bloom_cols,
         n_files=n_files,
     )
 
 
+def _replay_once(spark: SparkSession, path: str, version: int | None):
+    """One log walk serving both the cell pruning and the DV scan."""
+    from gedixr_spark.sinks.versioned import _replay_state
+
+    return _replay_state(spark, path, version)
+
+
 def _files_for_cells(
     spark: SparkSession, path: str, cells: list[int], version: int | None
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, dict]:
     """Union of the log-stats keep-sets for each probed cell (a cell
     SET is not one range — probing cells {0, 7} must not scan files
     covering only cells 3-4, which [0, 7] as a range would keep)."""
-    from gedixr_spark.sinks.versioned import file_range_stats, live_files
+    from gedixr_spark.sinks.versioned import file_range_stats
 
-    files = live_files(spark, path, version)
-    stats = file_range_stats(spark, path, version)
+    files, dvs = _replay_once(spark, path, version)
+    stats = file_range_stats(spark, path, version, live=files)
     keep = []
     for f in files:
         rng = stats.get(f, {}).get("cell")
@@ -205,7 +219,7 @@ def _files_for_cells(
             for c in cells
         ):
             keep.append(f)
-    return keep, len(files)
+    return keep, len(files), dvs
 
 
 def search_vector_index(
@@ -231,9 +245,7 @@ def search_vector_index(
     from gedixr_spark.operators.similarity import (
         ivf_ann_topk, ivf_probe_cells, load_centroids,
     )
-    from gedixr_spark.sinks.versioned import (
-        _scan_files, live_delete_vectors, read_versioned,
-    )
+    from gedixr_spark.sinks.versioned import _scan_files, read_versioned
 
     centroids = load_centroids(spark, _centroid_path(path))
     probe = (
@@ -246,16 +258,15 @@ def search_vector_index(
         .collect()
     )
     cells = sorted(r["cell"] for r in probe)
-    keep, n_live = _files_for_cells(spark, path, cells, version)
+    keep, n_live, dvs = _files_for_cells(spark, path, cells, version)
     if not keep:
         cand = read_versioned(spark, path, version).limit(0)
     else:
         # merge-on-read: a DV-mode delete_vectors commit must not
         # resurrect deleted vectors in the pruned search (no-op scan
-        # when no DV is live)
-        cand = _scan_files(
-            spark, path, keep, live_delete_vectors(spark, path, version)
-        )
+        # when no DV is live; DV state rode the same replay as the
+        # cell pruning — no second log walk)
+        cand = _scan_files(spark, path, keep, dvs)
     cand = cand.filter(F.col("cell").isin(cells)).select(id_col, vec_col)
     return ivf_ann_topk(
         queries,

@@ -598,6 +598,11 @@ def _split_on_expectations(
         return df, None, None
     aggs, _ = _expectation_aggs(not_null, unique, checks)
     pred = _violation_predicate(not_null, checks)
+    # the split evaluates df up to three times (count aggregate, clean
+    # write, quarantine write) — pin the plan so a non-deterministic
+    # source (rand()-derived batches, re-read upstreams) cannot put a
+    # row in both destinations or neither, or desync the logged counts
+    df = df.localCheckpoint(eager=False)
     row = df.agg(*aggs, F.sum(pred.cast("long")).alias("__viol")).collect()[0]
     if unique:
         n_dup = row["__n"] - row["__uk"]
@@ -984,10 +989,13 @@ def commit_append(
     bloom_cols: Sequence[str] | None = None,
     expect: dict | None = None,
 ) -> dict:
-    """Append-only commit. Appends are conflict-free by construction
-    (they remove nothing), so a version collision is safely retried
-    against the bumped version — the only multi-writer op that needs
-    no re-read. ``meta`` entries are recorded in the log entry (e.g.
+    """Append-only commit. Appends are conflict-free against other
+    DATA commits (they remove nothing), so a version collision is
+    safely retried against the bumped version without a re-read — with
+    one exception: an interleaved ``set_table_expectations`` or
+    ``rollback`` invalidates the constraint/schema validation this
+    call already performed, so that race raises for a re-read like
+    every other writer (via `_commit_with_rebase`). ``meta`` entries are recorded in the log entry (e.g.
     a stream batch id for idempotent replay detection). ``stats_cols``
     records per-file min/max for those columns in the log — the
     data-skipping index `read_where` prunes with (one extra job over
@@ -1024,17 +1032,20 @@ def commit_append(
         if bloom_cols
         else None
     )
-    for attempt in range(max_retries + 1):
-        try:
-            return _commit(
-                spark, path, "append", names, [], schema_json,
-                entry_meta, next_v + attempt, stats=stats, blooms=blooms,
-                quarantine_add=qnames,
-            )
-        except ConcurrentCommitError:
-            if attempt == max_retries:
-                raise
-    raise AssertionError("unreachable")
+    # version collisions retry through the same conflict-checked path
+    # as every other writer: an interleaved APPEND (or any data commit)
+    # can never conflict with this one (probe always False — we remove
+    # nothing and our rows were validated independently), but an
+    # interleaved set_expectations or rollback invalidates the
+    # validation/schema decisions made above, and the old blind retry
+    # would have landed pre-screened rows past a just-registered
+    # constraint (r11 review finding).
+    return _commit_with_rebase(
+        spark, path, "append", names, [], schema_json, entry_meta,
+        next_v - 1, probe=lambda new_files: False,
+        max_rebases=max_retries, stats=stats, blooms=blooms,
+        quarantine_add=qnames,
+    )
 
 
 def commit_overwrite(
@@ -2111,7 +2122,14 @@ def table_changes(
         if op in ("append", "clone"):
             if add:
                 legs.append(
-                    _tag(_align(_scan_files(spark, path, add, dvs)), "insert", v)
+                    _tag(
+                        _align(
+                            _scan_files(
+                                spark, path, add, dvs, merge_schema=True
+                            )
+                        ),
+                        "insert", v,
+                    )
                 )
             continue
         if op == "delete" and e.get("dv_add"):
@@ -2121,7 +2139,8 @@ def table_changes(
                 "file", "pos"
             )
             tgt = _scan_files(
-                spark, path, targets, prev_dvs, file_col="__f", pos_col="__p"
+                spark, path, targets, prev_dvs, merge_schema=True,
+                file_col="__f", pos_col="__p",
             )
             deleted = tgt.join(
                 dv_new,
@@ -2142,11 +2161,17 @@ def table_changes(
         new_files = sorted({*add, *flipped})
         if not old_files and not new_files:
             continue
+        # mergeSchema ON for every slice scan: a commit's removed set can
+        # straddle additive schema evolution, and sampling one footer
+        # would NULL-out later columns on the old side — unchanged rows
+        # would then stop cancelling and surface as bogus update pairs
         old = _align(
-            _scan_files(spark, path, old_files, prev_dvs) if old_files else empty
+            _scan_files(spark, path, old_files, prev_dvs, merge_schema=True)
+            if old_files else empty
         )
         new = _align(
-            _scan_files(spark, path, new_files, dvs) if new_files else empty
+            _scan_files(spark, path, new_files, dvs, merge_schema=True)
+            if new_files else empty
         )
         # exact multiset difference in ONE pass: +1 per old copy, -1
         # per new copy, grouped by the full row — identical
@@ -2296,14 +2321,16 @@ def _file_column_stats(
 
 
 def file_range_stats(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    live: Sequence[str] | None = None,
 ) -> dict:
     """{live file name: {col: [min, max]}} from the log — files whose
     commit recorded no stats are absent (a pruned read must include
-    them)."""
+    them). Pass ``live`` (an already-replayed live set) to skip the
+    redundant replay on hot pruned-read paths."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
-    live = set(live_files(spark, path, cap))
+    live = set(live_files(spark, path, cap) if live is None else live)
     start, _, _, base_stats, _, _ = _replay_base(spark, path, cap)
     out: dict = {n: st for n, st in base_stats.items() if n in live}
     for v in versions:
@@ -2324,13 +2351,19 @@ def files_for_range(
     lo=None,
     hi=None,
     version: int | None = None,
+    files: list[str] | None = None,
+    stats: dict | None = None,
 ) -> tuple[list[str], int]:
     """(files a [lo, hi] range query on ``col`` must read, total live
     count). A file is skipped only when its recorded [min, max] proves
     no overlap; files without stats are conservatively read — pruning
-    never changes results, it only removes provably-irrelevant I/O."""
-    files = live_files(spark, path, version)
-    stats = file_range_stats(spark, path, version)
+    never changes results, it only removes provably-irrelevant I/O.
+    ``files``/``stats`` accept already-replayed state (one log walk
+    serves the whole read — see read_where)."""
+    if files is None:
+        files = live_files(spark, path, version)
+    if stats is None:
+        stats = file_range_stats(spark, path, version, live=files)
     keep = []
     for f in files:
         rng = stats.get(f, {}).get(col)
@@ -2354,13 +2387,18 @@ def files_for_ranges(
     path: str,
     ranges: dict,
     version: int | None = None,
+    files: list[str] | None = None,
+    stats: dict | None = None,
 ) -> tuple[list[str], int]:
     """Conjunctive multi-column pruning: ``ranges`` maps col ->
     (lo, hi) (either bound None = unbounded); a file survives only if
     NO column's recorded [min, max] rules it out — the keep set is the
-    intersection of the per-column keeps. Stats are read once."""
-    files = live_files(spark, path, version)
-    stats = file_range_stats(spark, path, version)
+    intersection of the per-column keeps. Stats are read once.
+    ``files``/``stats``: see `files_for_range`."""
+    if files is None:
+        files = live_files(spark, path, version)
+    if stats is None:
+        stats = file_range_stats(spark, path, version, live=files)
     keep = []
     for f in files:
         ok = True
@@ -2400,7 +2438,8 @@ def read_where_all(
     multiplicatively — each clustered dimension cuts the survivor set
     again), scan only the intersection, then apply the exact
     filters."""
-    keep, _ = files_for_ranges(spark, path, ranges, version)
+    live, dvs = _replay_state(spark, path, version)
+    keep, _ = files_for_ranges(spark, path, ranges, version, files=live)
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -2408,9 +2447,7 @@ def read_where_all(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(
-            spark, path, keep, live_delete_vectors(spark, path, version)
-        )
+        out = _scan_files(spark, path, keep, dvs)
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
         if lo is not None:
@@ -2435,7 +2472,8 @@ def read_where(
     parquet footer is opened. Clustering the data (`commit_compact`
     with a sorted write, or Z-ordered appends) is what makes per-file
     ranges disjoint enough to skip most of the table."""
-    keep, _ = files_for_range(spark, path, col, lo, hi, version)
+    live, dvs = _replay_state(spark, path, version)
+    keep, _ = files_for_range(spark, path, col, lo, hi, version, files=live)
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -2443,9 +2481,7 @@ def read_where(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(
-            spark, path, keep, live_delete_vectors(spark, path, version)
-        )
+        out = _scan_files(spark, path, keep, dvs)
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(lo))
@@ -2509,13 +2545,15 @@ def _file_bloom_filters(
 
 
 def file_bloom_index(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    live: Sequence[str] | None = None,
 ) -> dict:
     """{live file: {col: bitset}} from the log (files committed without
-    ``bloom_cols`` are absent — point lookups must read them)."""
+    ``bloom_cols`` are absent — point lookups must read them).
+    ``live``: see `file_range_stats`."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
-    live = set(live_files(spark, path, cap))
+    live = set(live_files(spark, path, cap) if live is None else live)
     start, _, _, _, base_blooms, _ = _replay_base(spark, path, cap)
     out: dict = {n: bl for n, bl in base_blooms.items() if n in live}
     for v in versions:
@@ -2535,16 +2573,21 @@ def files_for_point(
     col: str,
     value,
     version: int | None = None,
+    files: list[str] | None = None,
+    index: dict | None = None,
 ) -> tuple[list[str], int]:
     """(files a ``col == value`` lookup must read, total live). A file
     is skipped when its logged Bloom bitset proves absence (no false
     negatives — pruning never changes results). The probe positions
     come from ONE 1-row local Spark job so the hash is bit-identical
-    to the JVM build — build and probe can never disagree."""
+    to the JVM build — build and probe can never disagree.
+    ``files``/``index``: already-replayed state (see read_point)."""
     from gedixr_spark.operators.sketches import _positions
 
-    files = live_files(spark, path, version)
-    index = file_bloom_index(spark, path, version)
+    if files is None:
+        files = live_files(spark, path, version)
+    if index is None:
+        index = file_bloom_index(spark, path, version, live=files)
     # cast the probe literal to the COLUMN's type before the canonical
     # string cast: probing int 1 against a double column must hash
     # "1.0" (what the build side saw), not "1" — a mismatch would
@@ -2582,7 +2625,8 @@ def read_point(
     log can't rule out, then apply the exact equality filter. With
     key-clustered files (commit_compact sort_by) a needle lookup on a
     100 TB table opens a handful of files instead of every footer."""
-    keep, _ = files_for_point(spark, path, col, value, version)
+    live, dvs = _replay_state(spark, path, version)
+    keep, _ = files_for_point(spark, path, col, value, version, files=live)
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -2590,9 +2634,7 @@ def read_point(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(
-            spark, path, keep, live_delete_vectors(spark, path, version)
-        )
+        out = _scan_files(spark, path, keep, dvs)
     return out.filter(F.col(col) == F.lit(value))
 
 

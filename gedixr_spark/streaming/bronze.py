@@ -205,17 +205,40 @@ def delete_stream_batch(
     rewrite data files every micro-batch — the periodic
     ``commit_compact(purge_dvs=True)`` maintenance pass materializes
     the accumulated DVs instead). Replayed batch ids no-op via the
-    commit-log ledger."""
+    commit-log ledger. A batch that matches NOTHING still burns a
+    tiny metadata-only commit to record its id: without it a
+    crash-replay could re-apply the tombstones AFTER the paired
+    upsert stream inserted the key — deleting a row whose insert
+    logically followed the tombstone in the feed, the exact
+    double-apply the ledger exists to prevent (r11 review finding)."""
     from gedixr_spark.sinks.versioned import (
+        ConcurrentCommitError, _commit, _list_log_versions,
         commit_delete_keys, seen_stream_batch_ids,
     )
 
     spark = batch_df.sparkSession
     if batch_id in seen_stream_batch_ids(spark, table_path):
         return None
-    return commit_delete_keys(
+    res = commit_delete_keys(
         spark, table_path, batch_df, keys=keys, mode=mode,
         meta={"stream_batch_id": batch_id},
+    )
+    if res.get("op") != "noop":
+        return res
+    # metadata-only ledger marker (add/remove empty — conflict-free,
+    # so a version collision retries safely like an append)
+    meta = {"stream_batch_id": batch_id, "noop": True, "n_deleted": 0}
+    for _ in range(5):
+        base = _list_log_versions(spark, table_path)[-1]
+        try:
+            return _commit(
+                spark, table_path, "delete", [], [], None, meta, base + 1
+            )
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"could not record the no-op ledger marker for stream batch "
+        f"{batch_id} at {table_path} after 5 attempts"
     )
 
 

@@ -540,3 +540,33 @@ def test_commit_delete_keys_both_modes_and_null_tombstones(spark, tmp_path):
         got = sorted(r["k"] for r in read_versioned(spark, path).collect())
         # NULL tombstone matches nothing; absent key 99 is a no-op row
         assert got == [0, 2, 3, 4, 6, 7], mode
+
+
+def test_tombstone_noop_batch_still_records_ledger(spark, tmp_path):
+    """r11 review finding: a tombstone batch matching NOTHING must
+    still record its stream_batch_id (metadata-only commit) — else a
+    crash-replay after the paired upsert stream inserts the key would
+    delete a row whose insert logically followed the tombstone."""
+    from pyspark.sql import Row
+
+    from gedixr_spark.sinks.versioned import (
+        commit_append, init_versioned, read_versioned,
+        seen_stream_batch_ids,
+    )
+    from gedixr_spark.streaming.bronze import delete_stream_batch
+
+    table = str(tmp_path / "nooptomb")
+    init_versioned(spark, table)
+    commit_append(
+        spark, table, spark.createDataFrame([Row(k=i) for i in range(5)])
+    )
+    tomb = spark.createDataFrame([Row(k=99)])
+    res = delete_stream_batch(tomb, table, 3, ["k"])
+    # nothing matched, but the ledger carries the id via the marker
+    assert res["meta"]["noop"] is True
+    assert 3 in seen_stream_batch_ids(spark, table)
+    # key 99 arrives AFTER the tombstone (paired upsert stream)
+    commit_append(spark, table, spark.createDataFrame([Row(k=99)]))
+    # crash-replay of batch 3: must no-op, NOT delete the newer row
+    assert delete_stream_batch(tomb, table, 3, ["k"]) is None
+    assert 99 in {r["k"] for r in read_versioned(spark, table).collect()}

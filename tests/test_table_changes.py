@@ -292,6 +292,23 @@ def test_feed_driven_index_maintenance_equals_rebuild(spark, tmp_path):
         keys=["doc_id"],
     )  # v2
     commit_delete(spark, corpus, F.col("doc_id") == 3, mode="dv")  # v3
+    # multi-churn in ONE consumed range (r11 review finding — the
+    # naive per-commit fold double-counted and left stale postings):
+    # doc 2 changes AGAIN (its v2 'beta alpha' text must leave no
+    # trace), doc 5 is inserted then deleted (must never appear),
+    # doc 1 is deleted then re-inserted with new text
+    commit_upsert(
+        spark, corpus,
+        spark.createDataFrame(
+            [Row(doc_id=2, text="zeta only"), Row(doc_id=5, text="ghost words")]
+        ),
+        keys=["doc_id"],
+    )  # v4
+    commit_delete(spark, corpus, F.col("doc_id").isin(1, 5), mode="cow")  # v5
+    commit_append(
+        spark, corpus,
+        spark.createDataFrame([Row(doc_id=1, text="reborn alpha")]),
+    )  # v6
     update_tf_index_from_changes(spark, index, corpus, since_version=1)
     got = read_versioned(spark, index)
     want = build_tf_index(read_versioned(spark, corpus))
@@ -299,3 +316,5 @@ def test_feed_driven_index_maintenance_equals_rebuild(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
     # emptied terms really are gone (not present with stale postings)
     assert got.filter(F.col("term") == "unique_term").count() == 0
+    # intermediate-version terms left no trace
+    assert got.filter(F.col("term").isin("beta", "ghost")).count() == 0

@@ -392,3 +392,70 @@ def test_validate_existing_data_at_registration(spark, table):
         spark, table, not_null=["name"], validate_existing=False
     )
     assert vt.table_expectations(spark, table)["not_null"] == ["name"]
+
+
+def test_append_collision_with_constraint_change_raises(spark, table):
+    """r11 review finding: append's version-collision retry must NOT
+    blindly re-commit past an interleaved set_table_expectations — the
+    batch was validated against the OLD constraints. The race now
+    raises for a re-read like every other writer."""
+    bad = spark.createDataFrame(
+        [(9, None, 1.0)], "id long, name string, balance double"
+    )
+
+    class InterleaveOnce(vt.CommitGuard):
+        """Fail the victim's first commit attempt, landing a
+        constraint change at that version instead."""
+
+        def __init__(self, inner):
+            self.inner, self.done = inner, False
+
+        def try_create(self, spark_, full_path, payload):
+            if not self.done:
+                self.done = True
+                vt.set_table_expectations(
+                    spark, table, not_null=["name"]
+                )
+                return False
+            return self.inner.try_create(spark_, full_path, payload)
+
+    prev = vt.set_commit_guard(InterleaveOnce(vt.FsCommitGuard()))
+    try:
+        with pytest.raises(
+            vt.ConcurrentCommitError, match="constraint change"
+        ):
+            vt.commit_append(spark, table, bad)
+    finally:
+        vt.set_commit_guard(prev)
+    # the constraint landed; the pre-screened NULL-name rows did NOT
+    assert vt.table_expectations(spark, table)["not_null"] == ["name"]
+    assert vt.read_versioned(spark, table).count() == 3
+    # and a plain version collision (data commit interleaved) still
+    # retries transparently — appends stay effectively conflict-free
+    ok = spark.createDataFrame(
+        [(9, "x", 1.0)], "id long, name string, balance double"
+    )
+
+    class LoseOnceToAppend(vt.CommitGuard):
+        def __init__(self, inner):
+            self.inner, self.done = inner, False
+
+        def try_create(self, spark_, full_path, payload):
+            if not self.done:
+                self.done = True
+                vt.commit_append(
+                    spark, table,
+                    spark.createDataFrame(
+                        [(50, "y", 2.0)], "id long, name string, balance double"
+                    ),
+                )
+                return False
+            return self.inner.try_create(spark_, full_path, payload)
+
+    prev = vt.set_commit_guard(LoseOnceToAppend(vt.FsCommitGuard()))
+    try:
+        res = vt.commit_append(spark, table, ok)
+    finally:
+        vt.set_commit_guard(prev)
+    assert res["meta"]["n_rebases"] == 1
+    assert vt.read_versioned(spark, table).count() == 5

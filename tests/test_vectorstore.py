@@ -86,13 +86,13 @@ def test_file_pruning_skips_cells(spark, tmp_path):
     base = _emb(spark, range(400), seed=3)
     init_vector_index(spark, path, base, dim=16, n_cells=8, n_files=8)
 
-    keep_one, n_live = _files_for_cells(spark, path, [0], None)
+    keep_one, n_live, _ = _files_for_cells(spark, path, [0], None)
     # range partitioner may merge sparse partitions — just need enough
     # files for pruning to be observable
     assert n_live >= 4
     assert 0 < len(keep_one) < n_live
 
-    keep_set, _ = _files_for_cells(spark, path, [0, 7], None)
+    keep_set, _, _ = _files_for_cells(spark, path, [0, 7], None)
     keep_range_union = set(keep_one) | set(
         _files_for_cells(spark, path, [7], None)[0]
     )
@@ -151,13 +151,13 @@ def test_compaction_recovers_pruning_after_upsert_churn(spark, tmp_path):
             ~F.col("vec_id").isin([int(i) for i in ids])
         ).unionByName(batch)
 
-    keep_before, live_before = _files_for_cells(spark, path, [0], None)
+    keep_before, live_before, _ = _files_for_cells(spark, path, [0], None)
     frag_frac = len(keep_before) / live_before
 
     res = compact_vector_index(spark, path, target_mb=128, n_files=6)
     assert res["meta"]["n_files_compacted"] >= 2
 
-    keep_after, live_after = _files_for_cells(spark, path, [0], None)
+    keep_after, live_after, _ = _files_for_cells(spark, path, [0], None)
     # pruning recovers: strictly fewer kept files AND a smaller kept
     # fraction than the churned state
     assert len(keep_after) < len(keep_before)
