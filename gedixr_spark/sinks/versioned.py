@@ -1676,6 +1676,7 @@ def commit_compact(
     zorder_mode: str = "width",
     n_files: int | None = None,
     purge_dvs: bool = True,
+    where_range: tuple | None = None,
 ) -> dict:
     """Small-file compaction as a COMMIT: coalesce every live file
     smaller than ``target_mb`` into ~target-sized replacements and log
@@ -1692,10 +1693,24 @@ def commit_compact(
     through the DVs (materializing the deletions), and the replay
     drops the now-targetless DVs — after a purging compaction the
     table reads with the plain DV-free scan plan again and the DV
-    files age out via vacuum."""
+    files age out via vacuum.
+
+    ``where_range``: ``(col, lo, hi)`` scopes the whole operation to
+    files whose recorded [min, max] stats overlap the range (the
+    Delta ``OPTIMIZE ... WHERE`` shape) — on a 100 TB table only the
+    hot slice is rewritten; files without stats for ``col`` are
+    conservatively IN scope, out-of-scope files (and their DVs) are
+    untouched."""
     versions = _list_log_versions(spark, path)
     base = versions[-1] if base_version is None else base_version
     files, dvs = _replay_state(spark, path, base)
+    scope: set[str] | None = None
+    if where_range is not None:
+        col, lo, hi = where_range
+        in_scope, _ = files_for_range(
+            spark, path, col, lo, hi, version=base, files=files
+        )
+        scope = set(in_scope)
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     target_bytes = target_mb * 1024 * 1024
@@ -1704,6 +1719,8 @@ def commit_compact(
     )
     small, small_bytes = [], 0
     for f in files:
+        if scope is not None and f not in scope:
+            continue
         ln = fs.getFileStatus(jpath(_resolve_file(path, f))).getLen()
         if ln < target_bytes or f in dv_targeted:
             small.append(f)

@@ -1105,3 +1105,32 @@ def test_stats_nrows_does_not_break_pruning(spark, table):
     assert len(kept) < total
     got = sorted(r["k"] for r in read_where(spark, table, "k", 0, 10).collect())
     assert got == list(range(0, 11))
+
+
+def test_scoped_compaction_where_range(spark, table):
+    """OPTIMIZE ... WHERE: compaction scoped by a stats range rewrites
+    only overlapping files — out-of-scope files keep their identity and
+    content, rows are preserved, and stats-based pruning works on the
+    compacted output."""
+    for lo in (0, 100, 200, 300):
+        commit_append(
+            spark, table,
+            _mk(spark, [(lo + i, "x") for i in range(50)]).coalesce(1),
+            stats_cols=["k"],
+        )
+    before = set(live_files(spark, table))
+    assert len(before) == 4
+    from gedixr_spark.sinks.versioned import commit_compact
+
+    res = commit_compact(
+        spark, table, where_range=("k", 0, 199), n_files=1,
+        stats_cols=["k"],
+    )
+    assert res["op"] == "compact" and res["meta"]["n_files_compacted"] == 2
+    after = set(live_files(spark, table))
+    # the two out-of-scope files survived untouched
+    assert len(before & after) == 2
+    assert read_versioned(spark, table).count() == 200
+    # scoped no-op: nothing overlaps
+    res2 = commit_compact(spark, table, where_range=("k", 9000, 9999))
+    assert res2["op"] == "noop"
