@@ -1225,6 +1225,7 @@ def q_versioned_snapshot(spark, sf_dir):
         commit_upsert,
         init_versioned,
         read_versioned,
+        table_history,
     )
 
     base = (
@@ -1281,6 +1282,11 @@ def q_versioned_snapshot(spark, sf_dir):
     dv_entry = commit_delete(
         spark, path, F.col("c_custkey") % 24 == 0, mode="dv"
     )
+    # at tiny SFs the predicate can match nothing → noop dict without
+    # a "version" key; the dv leg then just reads the pre-compact tip
+    dv_version = dv_entry.get("version")
+    if dv_version is None:
+        dv_version = table_history(spark, path)[-1]["version"]
     commit_compact(spark, path, purge_dvs=True)
     cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
     v2 = read_versioned(spark, path, version=2).select(
@@ -1289,7 +1295,7 @@ def q_versioned_snapshot(spark, sf_dir):
     v3 = read_versioned(spark, path, version=3).select(
         F.lit("v3").alias("snap"), *cols
     )
-    dv = read_versioned(spark, path, version=dv_entry["version"]).select(
+    dv = read_versioned(spark, path, version=dv_version).select(
         F.lit("dv").alias("snap"), *cols
     )
     latest = read_versioned(spark, path).select(

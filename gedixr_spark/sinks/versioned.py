@@ -1371,10 +1371,17 @@ def commit_merge(
 
     files, dvs = _replay_state(spark, path, base)
     touched: list[str] = []
+    # live files may straddle an additive schema evolution; footer
+    # sampling could infer the pre-evolution schema and leave the
+    # merge expressions unresolved — detect and union like upsert does
+    seen_sch = set(_live_file_schemas(spark, path, base).values())
+    ms = len(seen_sch - {None}) > 1 or None in seen_sch
     if files:
         # discovery reads THROUGH live delete vectors — a DV-deleted
         # row must not pull its file into the rewrite set
-        target = _scan_files(spark, path, files, dvs, file_col="__file")
+        target = _scan_files(
+            spark, path, files, dvs, merge_schema=ms, file_col="__file"
+        )
         hit = (
             target.join(
                 F.broadcast(source.select(*keys).distinct()), on=list(keys)
@@ -1393,7 +1400,7 @@ def commit_merge(
                 "the columns)"
             )
     if touched:
-        t = _scan_files(spark, path, touched, dvs)
+        t = _scan_files(spark, path, touched, dvs, merge_schema=ms)
         if new_fields:
             # the touched slice predates the extension: surface the new
             # columns as typed NULLs so the merge expressions and the
@@ -1725,7 +1732,9 @@ def commit_compact(
         if ln < target_bytes or f in dv_targeted:
             small.append(f)
             small_bytes += ln
-    if len(small) < 2 and not (dv_targeted and small):
+    # a lone small file only forces a commit when IT is DV-targeted —
+    # DVs on out-of-scope files must not trigger a 1-into-1 rewrite
+    if len(small) < 2 and not (dv_targeted & set(small)):
         return {"op": "noop", "n_files_compacted": 0, "version": base}
     if sort_by and zorder_by:
         raise ValueError("pass sort_by OR zorder_by, not both")
@@ -2024,6 +2033,11 @@ def read_appended(
             # which keep working until vacuum ages the files out)
             continue
         if e["op"] not in ("append", "create"):
+            if not e.get("add") and not e.get("remove") and not e.get("dv_add"):
+                # metadata-only marker (e.g. a tombstone stream's no-op
+                # ledger entry): no files changed, nothing to feed —
+                # it must not poison the table for append consumers
+                continue
             raise ValueError(
                 f"version {v} is op={e['op']!r} — the file-granularity "
                 "change feed is only exact for append-only history; use "
@@ -2886,7 +2900,7 @@ def snapshot_row_count(
     DV-mode deletes scan through existing DVs, so an already-deleted
     row cannot re-match.)"""
     live, dvs = _replay_state(spark, path, version)
-    stats = file_range_stats(spark, path, version)
+    stats = file_range_stats(spark, path, version, live=live)
     total = 0
     for f in live:
         n = stats.get(f, {}).get("__nrows")

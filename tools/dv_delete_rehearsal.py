@@ -78,11 +78,14 @@ def main() -> None:
                 rt = time.perf_counter() - t1
                 best_del = dt if best_del is None else min(best_del, dt)
                 best_read = rt if best_read is None else min(best_read, rt)
+                # a zero-match predicate returns a noop dict with no
+                # "meta" — guard rather than KeyError mid-rehearsal
+                meta = res.get("meta", {})
                 if mode == "dv":
-                    n_deleted = res["meta"]["n_deleted"]
+                    n_deleted = meta.get("n_deleted", 0)
                     files_touched = 0
                 else:
-                    files_touched = res["meta"]["n_files_rewritten"]
+                    files_touched = meta.get("n_files_rewritten", 0)
                     n_deleted = None
                 assert n_after > 0
             rows.append(
