@@ -1156,7 +1156,12 @@ def update_tf_index_from_changes(
 
     from pyspark.sql.window import Window
 
-    ch = table_changes(spark, corpus_path, since_version, version)
+    # the feed fans out THREE ways below (bounds, added, removed) — pin
+    # it once so the per-commit diff machinery doesn't re-execute per
+    # branch (r11 VERDICT #3; job count asserted in the tests)
+    ch = table_changes(
+        spark, corpus_path, since_version, version
+    ).localCheckpoint(eager=False)
     # NET the feed per doc FIRST. A doc changed several times in the
     # consumed range emits a pre/post pair PER COMMIT; summing every
     # postimage would double-count its tf and retracting only against

@@ -346,6 +346,7 @@ def _scan_files(
     merge_schema: bool = False,
     file_col: str | None = None,
     pos_col: str | None = None,
+    cap: int | None = None,
 ) -> DataFrame:
     """Scan ``files`` (recorded log refs) with the table's live delete
     vectors applied — the MERGE-ON-READ half of DV deletes. When no
@@ -365,12 +366,48 @@ def _scan_files(
     basename / physical row index under these names — what the
     writers' touched-file discovery and DV-mode delete use instead of
     ``input_file_name()`` (which resolves per-scan and is not reliable
-    on the post-join side of the DV anti-join)."""
+    on the post-join side of the DV anti-join).
+
+    ``cap``: the version this scan represents. Only consulted when the
+    table has activated COLUMN MAPPING (rename/drop evolution): files
+    whose write-time names differ from cap's logical names are then
+    read in per-epoch groups and translated through the stable column
+    ids (see `_colmap_context`); dropped columns are excluded, renamed
+    ones surfaced under cap's names. Mapping-free tables skip all of
+    this behind one fs.exists."""
+    fset = set(files)
+    ctx = (
+        _colmap_context(spark, path, list(files), cap)
+        if cap is not None else None
+    )
+    if ctx is not None:
+        hit = sorted(
+            d for d, t in (dvs or {}).items() if fset.intersection(t)
+        )
+        want_meta = bool(hit) or file_col is not None or pos_col is not None
+        df = _scan_mapped(spark, path, files, ctx, want_meta)
+        if not want_meta:
+            return df
+        data_cols = [c for c in df.columns if c not in ("__dv_file", "__dv_pos")]
+        if hit:
+            dv = spark.read.parquet(*_file_paths(path, hit)).select(
+                "file", "pos"
+            )
+            df = df.join(
+                dv,
+                (df["__dv_file"] == dv["file"]) & (df["__dv_pos"] == dv["pos"]),
+                "left_anti",
+            )
+        out = list(data_cols)
+        if file_col is not None:
+            out.append(F.col("__dv_file").alias(file_col))
+        if pos_col is not None:
+            out.append(F.col("__dv_pos").alias(pos_col))
+        return df.select(*out)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*_file_paths(path, files))
-    fset = set(files)
     hit_dvs = sorted(
         d for d, t in (dvs or {}).items() if fset.intersection(t)
     )
@@ -668,6 +705,369 @@ def _live_file_schemas(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Column mapping: RENAME / DROP schema evolution as metadata-only commits
+# (the Delta column-mapping / Iceberg column-id shape, r11 VERDICT #2).
+#
+# Every logical column gets a STABLE integer id the first time a
+# rename/drop activates mapping (id = ordinal in the then-current
+# schema); columns added later by additive evolution get the next free
+# id, assigned deterministically during the log walk. Data files keep
+# the column NAMES they were written with; a read at version `cap`
+# translates each file's write-time names to cap's logical names
+# through the shared ids — so RENAME and DROP never rewrite a byte of
+# data, old files read through the mapping, time travel shows each
+# version's own names, and a DROPPED name can be re-added later
+# (fresh id) without resurrecting old data.
+#
+# Tables that never rename/drop pay ZERO cost: a marker file under
+# _log/ gates the whole machinery with one fs.exists.
+
+
+def _colmap_marker(path: str) -> str:
+    return _log_dir(path) + "/_colmap"
+
+
+def _colmap_active(spark: SparkSession, path: str) -> bool:
+    fs, _ = _hadoop_fs(spark, path)
+    return fs.exists(
+        spark._jvm.org.apache.hadoop.fs.Path(_colmap_marker(path))
+    )
+
+
+def _touch_colmap_marker(spark: SparkSession, path: str) -> None:
+    # idempotent; losing this race to another schema-op writer is fine
+    _atomic_create(spark, _colmap_marker(path), b"1")
+
+
+def _column_ids_walk(
+    spark: SparkSession, path: str, cap: int, use_checkpoint: bool = True
+) -> dict:
+    """Replay column-identity state to ``cap``:
+
+    - ``ids``: {logical name at cap: stable id}, or None when mapping
+      was not yet activated at cap;
+    - ``file_names``: {file ref: [column names it was written with]}
+      for every file ADDED in the walked range (plus checkpoint-
+      inherited live files), None when unknowable;
+    - ``file_ids``: {file ref: {write name: id}} (resolved, including
+      pre-activation files via the activation entry's
+      ``column_ids_pre`` snapshot);
+    - ``max_id``: highest id ever assigned (drop-safe allocator state).
+
+    Deterministic: ids for append-added columns are assigned in walk
+    order, and every rename/drop entry persists the FULL mapping, so
+    two replays (or a replay from a checkpoint that stored the
+    ``column_ids``/``colmap_max_id``/``file_column_ids`` fields) agree.
+    """
+    versions = _list_log_versions(spark, path)
+    start, ids, pre, max_id = -1, None, None, -1
+    file_ids_raw: dict = {}   # file -> ids snapshot at add (None = pre-act)
+    file_names: dict = {}     # file -> [write names] | None
+    cks = (
+        [c for c in _list_checkpoints(spark, path) if c <= cap]
+        if use_checkpoint else []
+    )
+    if cks:
+        ck = _read_checkpoint(spark, path, cks[-1])
+        start = ck["version"]
+        if "column_ids" in ck:
+            ids = dict(ck["column_ids"]) if ck["column_ids"] is not None else None
+            max_id = int(ck.get("colmap_max_id", -1))
+            for f, m in (ck.get("file_column_ids") or {}).items():
+                file_ids_raw[f] = dict(m) if m is not None else None
+        elif _colmap_active(spark, path):
+            raise ValueError(
+                f"{path} uses column mapping but its newest checkpoint "
+                "predates column-mapping support — re-run checkpoint_log "
+                "before reading through this checkpoint"
+            )
+        pool = ck.get("schema_pool")
+        fsch = ck.get("file_schemas")
+        if pool is not None and fsch is not None:
+            for name, idx in fsch.items():
+                s = pool[idx] if idx is not None else None
+                file_names[name] = (
+                    [f["name"] for f in json.loads(s)["fields"]]
+                    if s is not None else None
+                )
+        else:
+            for name in ck.get("live", []):
+                file_names.setdefault(name, None)
+    for v in versions:
+        if v <= start or v > cap:
+            continue
+        e = _read_entry(spark, path, v)
+        if "column_ids" in e:
+            if ids is None and "column_ids_pre" in e:
+                pre = {n: int(i) for n, i in e["column_ids_pre"].items()}
+                max_id = max([max_id, *pre.values()]) if pre else max_id
+            ids = {n: int(i) for n, i in e["column_ids"].items()}
+            if ids:
+                max_id = max(max_id, max(ids.values()))
+            if "colmap_max_id" in e:
+                # allocator state survives a drop of the highest id
+                max_id = max(max_id, int(e["colmap_max_id"]))
+        sch = e.get("schema")
+        names = (
+            [f["name"] for f in json.loads(sch)["fields"]]
+            if sch is not None else None
+        )
+        if names is not None and ids is not None:
+            # additive evolution after activation: next free id, in
+            # schema order — deterministic across replays
+            for n in names:
+                if n not in ids:
+                    max_id += 1
+                    ids[n] = max_id
+        for f in e.get("add", []):
+            file_ids_raw[f] = dict(ids) if ids is not None else None
+            file_names[f] = list(names) if names is not None else None
+    # resolve per-file write-name -> id maps
+    file_ids: dict = {}
+    for f, snap in file_ids_raw.items():
+        nm = file_names.get(f)
+        src = snap if snap is not None else pre
+        if src is None:
+            # pre-activation file and cap predates activation too —
+            # mapping inactive at cap, caller won't use this
+            file_ids[f] = None
+            continue
+        if nm is None:
+            file_ids[f] = None  # unknowable write schema
+        else:
+            file_ids[f] = {n: src[n] for n in nm if n in src}
+    # checkpoint-inherited files with no snapshot: pre-activation
+    for f, nm in file_names.items():
+        if f in file_ids:
+            continue
+        if pre is not None and nm is not None:
+            file_ids[f] = {n: pre[n] for n in nm if n in pre}
+        else:
+            file_ids[f] = None
+    return {
+        "ids": ids,
+        "file_ids": file_ids,
+        "file_names": file_names,
+        "max_id": max_id,
+    }
+
+
+def _colmap_context(
+    spark: SparkSession, path: str, files: Sequence[str], cap: int
+) -> dict | None:
+    """Per-file rename maps for scanning ``files`` AS OF ``cap``, or
+    None when mapping is inactive / every file already carries cap's
+    exact names (the steady-state fast path). Shape:
+    {"renames": {file: {write name: cap name}},
+     "cap_schema": StructType}."""
+    if not _colmap_active(spark, path):
+        return None
+    w = _column_ids_walk(spark, path, cap)
+    ids = w["ids"]
+    if ids is None:
+        return None  # cap predates activation: names are write names
+    if any(f not in w["file_ids"] for f in files):
+        # a historical scan (e.g. a table_changes leg) can reference a
+        # file added-and-removed BEFORE the checkpoint the walk started
+        # from — retry from the full surviving log
+        w = _column_ids_walk(spark, path, cap, use_checkpoint=False)
+        ids = w["ids"]
+        if ids is None:
+            return None
+    cap_by_id = {i: n for n, i in ids.items()}
+    schema_json = _latest_schema(spark, path, cap)
+    cap_schema = StructType.fromJson(json.loads(schema_json))
+    renames: dict = {}
+    trivial = True
+    cap_names = set(ids)
+    for f in files:
+        fid = w["file_ids"].get(f)
+        if fid is None:
+            raise ValueError(
+                f"column mapping is active at {path} but file {f!r} has "
+                "no recorded write-time schema (legacy checkpoint?) — "
+                "cannot translate its columns safely"
+            )
+        ren = {n: cap_by_id[i] for n, i in fid.items() if i in cap_by_id}
+        renames[f] = ren
+        if not (
+            len(ren) == len(fid)
+            and all(k == v for k, v in ren.items())
+            and set(ren) <= cap_names
+        ):
+            trivial = False
+    if trivial:
+        return None
+    return {"renames": renames, "cap_schema": cap_schema}
+
+
+def _cap_of(spark: SparkSession, path: str, version: int | None) -> int:
+    """Resolve ``version=None`` to the latest version — the cap value
+    `_scan_files` needs for column-mapping translation."""
+    return (
+        _list_log_versions(spark, path)[-1] if version is None else version
+    )
+
+
+def _stats_name_map(
+    spark: SparkSession,
+    path: str,
+    files: Sequence[str],
+    version: int | None,
+    cols: Sequence[str],
+) -> dict | None:
+    """{file: {cap column name: WRITE-TIME name or None}} for per-file
+    stats/bloom lookups under column mapping, None when mapping is
+    inactive. Stats ride the log under the names the file was written
+    with; after a rename (worse: a swap) looking the cap name up
+    directly could prune on the WRONG column's min/max. An unresolvable
+    column maps to None → the caller treats the file as stats-less and
+    reads it (conservative, never wrong)."""
+    if not _colmap_active(spark, path):
+        return None
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    w = _column_ids_walk(spark, path, cap)
+    ids = w["ids"]
+    if ids is None:
+        return None
+    out: dict = {}
+    for f in files:
+        fid = w["file_ids"].get(f)
+        if fid is None:
+            out[f] = {c: None for c in cols}
+            continue
+        by_id = {i: n for n, i in fid.items()}
+        out[f] = {c: by_id.get(ids[c]) if c in ids else None for c in cols}
+    return out
+
+
+def _scan_mapped(
+    spark: SparkSession,
+    path: str,
+    files: Sequence[str],
+    ctx: dict,
+    want_meta: bool,
+) -> DataFrame:
+    """Column-mapping scan: group files by identical rename map (one
+    group per schema-op epoch — a handful, never per-file), read each
+    group once, translate write names → cap names, union, and align to
+    the cap schema (later-added columns NULL-backfill with their
+    recorded types). When ``want_meta`` the per-row source file/pos
+    metadata columns ride through the union for the DV anti-join."""
+    groups: dict = {}
+    for f in files:
+        key = tuple(sorted(ctx["renames"][f].items()))
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key, fl in sorted(groups.items()):
+        ren = dict(key)
+        r = spark.read.parquet(*_file_paths(path, fl))
+        cols = [F.col(c).alias(ren[c]) for c in r.columns if c in ren]
+        if want_meta:
+            cols += [
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ]
+        parts.append(r.select(*cols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    have = set(df.columns)
+    sel = [
+        F.col(f.name) if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in ctx["cap_schema"].fields
+    ]
+    if want_meta:
+        sel += [F.col("__dv_file"), F.col("__dv_pos")]
+    return df.select(*sel)
+
+
+def _schema_op_base(spark: SparkSession, path: str) -> tuple:
+    """(base version, current StructType, ids, max_id, pre_or_None)
+    shared by rename_column / drop_column; activates mapping (identity
+    ids by ordinal) on first use."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1]
+    schema_json = _latest_schema(spark, path, base)
+    if schema_json is None:
+        raise ValueError(f"{path} has no recorded schema to evolve")
+    schema = StructType.fromJson(json.loads(schema_json))
+    w = _column_ids_walk(spark, path, base)
+    ids, max_id = w["ids"], w["max_id"]
+    pre = None
+    if ids is None:
+        pre = {f.name: i for i, f in enumerate(schema.fields)}
+        ids = dict(pre)
+        max_id = len(schema.fields) - 1
+    return base, schema, ids, max_id, pre
+
+
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> dict:
+    """RENAME a column as a METADATA-ONLY commit — no data file is
+    touched. Pre-rename snapshots keep the old name (time travel shows
+    each version's own names); post-rename reads translate old files
+    through the stable column id. The rename conflicts with every
+    concurrently-rebasing writer (their schema decisions are stale),
+    exactly like an expectations change."""
+    if not new or new == old:
+        raise ValueError(f"invalid rename target {new!r}")
+    base, schema, ids, max_id, pre = _schema_op_base(spark, path)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    new_ids = {(new if n == old else n): i for n, i in ids.items()}
+    new_schema = StructType(
+        [
+            StructField(
+                new if f.name == old else f.name,
+                f.dataType, f.nullable, f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    entry = _commit(
+        spark, path, "rename_column", [], [], new_schema.json(),
+        {"renamed": [old, new]}, base + 1,
+        column_ids=new_ids,
+        column_ids_pre=(dict(pre) if pre is not None else None),
+        colmap_max_id=max_id,
+    )
+    _touch_colmap_marker(spark, path)
+    return entry
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> dict:
+    """DROP a column as a METADATA-ONLY commit — the physical data
+    stays in old files (still served to pre-drop snapshot reads) but
+    vanishes from the logical schema at this and later versions.
+    Re-adding the same NAME later allocates a fresh column id, so old
+    values never resurrect under the new column."""
+    base, schema, ids, max_id, pre = _schema_op_base(spark, path)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last remaining column")
+    new_ids = {n: i for n, i in ids.items() if n != name}
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    entry = _commit(
+        spark, path, "drop_column", [], [], new_schema.json(),
+        {"dropped": name}, base + 1,
+        column_ids=new_ids,
+        column_ids_pre=(dict(pre) if pre is not None else None),
+        colmap_max_id=max_id,
+    )
+    _touch_colmap_marker(spark, path)
+    return entry
+
+
 def seen_stream_batch_ids(spark: SparkSession, path: str) -> set:
     """Every ``stream_batch_id`` ever committed to the table — the
     exactly-once ledger `commit_stream_batch`/`upsert_stream_batch`
@@ -735,7 +1135,7 @@ def read_versioned(
         seen = set(_live_file_schemas(spark, path, cap).values())
         merge_schema = len(seen - {None}) > 1 or None in seen
     return _scan_files(
-        spark, path, files, dvs, merge_schema=bool(merge_schema)
+        spark, path, files, dvs, merge_schema=bool(merge_schema), cap=cap
     )
 
 
@@ -785,6 +1185,10 @@ def _commit(
     dv_add: dict | None = None,
     restore_dv: dict | None = None,
     quarantine_add: list[str] | None = None,
+    column_ids: dict | None = None,
+    column_ids_pre: dict | None = None,
+    colmap_max_id: int | None = None,
+    quarantine_release: list[str] | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -811,6 +1215,22 @@ def _commit(
         entry["restore_dv"] = restore_dv
     if quarantine_add:
         entry["quarantine_add"] = sorted(quarantine_add)
+    if quarantine_release:
+        # the consumed sidecar files leave read_quarantine in the SAME
+        # atomic entry that re-admits their rows; once released they
+        # become unreferenced and vacuum ages them out
+        entry["quarantine_release"] = sorted(quarantine_release)
+    if column_ids is not None:
+        # full logical-name -> stable-id mapping AFTER this commit
+        # (rename_column / drop_column); its presence conflicts every
+        # concurrently-rebasing writer
+        entry["column_ids"] = column_ids
+        if column_ids_pre is not None:
+            # activation only: the PRE-op mapping, for resolving files
+            # written before column mapping existed
+            entry["column_ids_pre"] = column_ids_pre
+        if colmap_max_id is not None:
+            entry["colmap_max_id"] = int(colmap_max_id)
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -908,11 +1328,15 @@ def _commit_with_rebase(
             }
             new_adds: list[str] = []
             for e in entries:
-                if "restore_dv" in e or e.get("expectations") is not None:
+                if (
+                    "restore_dv" in e
+                    or e.get("expectations") is not None
+                    or e.get("column_ids") is not None
+                ):
                     raise ConcurrentCommitError(
                         f"cannot rebase at {path}: version {e['version']} "
-                        f"is a {e['op']} (rollback/constraint change) — "
-                        "re-read the snapshot and retry"
+                        f"is a {e['op']} (rollback/constraint/schema-"
+                        "mapping change) — re-read the snapshot and retry"
                     )
                 theirs = set(e.get("remove", [])) | {
                     f for t in e.get("dv_add", {}).values() for f in t
@@ -1193,7 +1617,8 @@ def commit_upsert(
     seen_sch = set(_live_file_schemas(spark, path, base).values())
     ms = len(seen_sch - {None}) > 1 or None in seen_sch
     target = _scan_files(
-        spark, path, files, dvs, merge_schema=ms, file_col="__file"
+        spark, path, files, dvs, merge_schema=ms, file_col="__file",
+        cap=base,
     )
     t_cols = [c for c in target.columns if c != "__file"]
     missing = [c for c in t_cols if c not in updates.columns]
@@ -1212,7 +1637,9 @@ def commit_upsert(
     touched = _touched_entries(files, (r["name"] for r in hit))
     if touched:
         kept = (
-            _scan_files(spark, path, touched, dvs, merge_schema=ms)
+            _scan_files(
+                spark, path, touched, dvs, merge_schema=ms, cap=base
+            )
             .join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
         )
         out_df = kept.unionByName(updates)
@@ -1380,7 +1807,8 @@ def commit_merge(
         # discovery reads THROUGH live delete vectors — a DV-deleted
         # row must not pull its file into the rewrite set
         target = _scan_files(
-            spark, path, files, dvs, merge_schema=ms, file_col="__file"
+            spark, path, files, dvs, merge_schema=ms, file_col="__file",
+            cap=base,
         )
         hit = (
             target.join(
@@ -1400,7 +1828,7 @@ def commit_merge(
                 "the columns)"
             )
     if touched:
-        t = _scan_files(spark, path, touched, dvs, merge_schema=ms)
+        t = _scan_files(spark, path, touched, dvs, merge_schema=ms, cap=base)
         if new_fields:
             # the touched slice predates the extension: surface the new
             # columns as typed NULLs so the merge expressions and the
@@ -1594,6 +2022,31 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     # DVs) must CLEAR any DVs added since, and a DV that replay since
     # dropped (its targets were rewritten) must come back with the
     # restored files
+    colmap_kw: dict = {}
+    if _colmap_active(spark, path):
+        # a rollback past a rename/drop must also restore the COLUMN
+        # MAPPING of the target version, or the restored schema's
+        # names and the live id mapping would disagree; max_id is the
+        # running allocator high-water mark (never rolls back — a
+        # post-rollback re-add of a dropped name still needs a fresh id)
+        w_to = _column_ids_walk(spark, path, to_version)
+        w_now = _column_ids_walk(spark, path, base)
+        if w_to["ids"] is not None or w_now["ids"] is not None:
+            ids = w_to["ids"]
+            if ids is None:
+                # target predates activation: identity by the target
+                # schema's ordinals — consistent with how activation
+                # would have numbered them
+                # additive columns only appended between then and
+                # activation, so ordinals agree with the activation
+                # entry's pre snapshot for every shared name
+                sch = _latest_schema(spark, path, to_version)
+                names = [f["name"] for f in json.loads(sch)["fields"]]
+                ids = {n: i for i, n in enumerate(names)}
+            colmap_kw = {
+                "column_ids": ids,
+                "colmap_max_id": max(w_to["max_id"], w_now["max_id"]),
+            }
     return _commit(
         spark, path, "rollback",
         [f for f in target if f not in set(current)],
@@ -1601,6 +2054,7 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
         _latest_schema(spark, path, to_version),
         {"restored_version": to_version}, base + 1,
         restore_dv=target_dvs,
+        **colmap_kw,
     )
 
 
@@ -1739,7 +2193,7 @@ def commit_compact(
     if sort_by and zorder_by:
         raise ValueError("pass sort_by OR zorder_by, not both")
     n_out = n_files if n_files else max(1, -(-small_bytes // target_bytes))
-    df = _scan_files(spark, path, small, dvs)
+    df = _scan_files(spark, path, small, dvs, cap=base)
     if zorder_by:
         # multi-column clustering: range-partition + sort on the Morton
         # key so each output file covers a compact hyper-rectangle of
@@ -1911,7 +2365,8 @@ def _commit_delete_impl(
     # metadata row counts and double-anti-join harmlessly but lie in
     # the audit trail)
     target = _scan_files(
-        spark, path, files, dvs, file_col="__file", pos_col="__pos"
+        spark, path, files, dvs, file_col="__file", pos_col="__pos",
+        cap=base,
     )
     schema_json = _latest_schema(spark, path, base)
 
@@ -1987,7 +2442,7 @@ def _commit_delete_impl(
     # the rewrite reads THROUGH live DVs, so it also materializes
     # prior DV deletions on the touched files (replay then drops
     # those DV targets)
-    kept = keep(_scan_files(spark, path, touched, dvs))
+    kept = keep(_scan_files(spark, path, touched, dvs, cap=base))
     names = _write_data_files(spark, path, kept, base + 1)
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
@@ -2032,7 +2487,7 @@ def read_appended(
             # its removes may still be referenced by older feed reads,
             # which keep working until vacuum ages the files out)
             continue
-        if e["op"] not in ("append", "create"):
+        if e["op"] not in ("append", "create", "readmit"):
             if not e.get("add") and not e.get("remove") and not e.get("dv_add"):
                 # metadata-only marker (e.g. a tombstone stream's no-op
                 # ledger entry): no files changed, nothing to feed —
@@ -2049,7 +2504,10 @@ def read_appended(
         if schema is None:
             raise ValueError(f"{path} has no recorded schema")
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
-    return spark.read.parquet(*_file_paths(path, added))
+    # cap routes the scan through column mapping when active (a feed
+    # range straddling a rename surfaces cap's names); plain read
+    # otherwise — byte-identical to the pre-mapping plan
+    return _scan_files(spark, path, added, {}, cap=cap)
 
 
 def table_changes(
@@ -2137,31 +2595,85 @@ def table_changes(
     live, dvs = _replay_state(spark, path, since_version)
     empty = spark.createDataFrame([], cap_schema)
     legs: list[DataFrame] = []
+    _cap_by_id: dict | None = None  # lazy id->cap-name map (colmap only)
+    pending_appends: list[tuple[int, list[str]]] = []
+
+    def _flush_appends(dv_state: dict) -> None:
+        # one scan leg per RUN of consecutive appends; per-row commit
+        # versions come from a broadcast (file basename -> version)
+        # join instead of one scan per commit
+        if not pending_appends:
+            return
+        if len(pending_appends) == 1:
+            v0, fl = pending_appends[0]
+            legs.append(
+                _tag(
+                    _align(
+                        _scan_files(
+                            spark, path, fl, dv_state, merge_schema=True,
+                            cap=cap,
+                        )
+                    ),
+                    "insert", v0,
+                )
+            )
+        else:
+            allf = [f for _, fl in pending_appends for f in fl]
+            scanned = _scan_files(
+                spark, path, allf, dv_state, merge_schema=True,
+                file_col="__f", cap=cap,
+            )
+            vdf = spark.createDataFrame(
+                [
+                    (f.rsplit("/", 1)[-1], v)
+                    for v, fl in pending_appends
+                    for f in fl
+                ],
+                schema="__f string, __v long",
+            )
+            have = set(scanned.columns)
+            legs.append(
+                scanned.join(F.broadcast(vdf), on="__f").select(
+                    *[
+                        F.col(f.name) if f.name in have
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in cap_schema.fields
+                    ],
+                    F.lit("insert").alias("_change_type"),
+                    F.col("__v").alias("_commit_version"),
+                )
+            )
+        pending_appends.clear()
     for v in versions:
         if v <= since_version or v > cap:
             continue
         e = _read_entry(spark, path, v)
+        op = e["op"]
+        add = e.get("add", [])
+        rem = e.get("remove", [])
+        is_marker = (
+            not add and not rem and not e.get("dv_add")
+            and "restore_dv" not in e
+        )
+        if op not in ("append", "clone") and not is_marker:
+            # the pending append run ends here — flush it with the DV
+            # state as of the last append (this entry not yet applied)
+            _flush_appends(dvs)
         prev_live, prev_dvs = live, dvs
         live, dvs = _apply_entry(
             list(live), {d: dict(t) for d, t in dvs.items()}, e
         )
-        op = e["op"]
         if op in ("create", "set_expectations", "compact"):
             continue
-        add = e.get("add", [])
-        rem = e.get("remove", [])
+        if is_marker:
+            continue  # metadata-only (watermark/ledger/schema op)
         if op in ("append", "clone"):
             if add:
-                legs.append(
-                    _tag(
-                        _align(
-                            _scan_files(
-                                spark, path, add, dvs, merge_schema=True
-                            )
-                        ),
-                        "insert", v,
-                    )
-                )
+                # CONSECUTIVE appends coalesce into ONE scan leg (a
+                # 50-append streaming range must plan O(1) scans, not
+                # 50); appends never change DV state, so the whole run
+                # shares one DV snapshot at flush time.
+                pending_appends.append((v, list(add)))
             continue
         if op == "delete" and e.get("dv_add"):
             dv_names = sorted(e["dv_add"])
@@ -2171,7 +2683,7 @@ def table_changes(
             )
             tgt = _scan_files(
                 spark, path, targets, prev_dvs, merge_schema=True,
-                file_col="__f", pos_col="__p",
+                file_col="__f", pos_col="__p", cap=cap,
             )
             deleted = tgt.join(
                 dv_new,
@@ -2197,11 +2709,15 @@ def table_changes(
         # would NULL-out later columns on the old side — unchanged rows
         # would then stop cancelling and surface as bogus update pairs
         old = _align(
-            _scan_files(spark, path, old_files, prev_dvs, merge_schema=True)
+            _scan_files(
+                spark, path, old_files, prev_dvs, merge_schema=True, cap=cap
+            )
             if old_files else empty
         )
         new = _align(
-            _scan_files(spark, path, new_files, dvs, merge_schema=True)
+            _scan_files(
+                spark, path, new_files, dvs, merge_schema=True, cap=cap
+            )
             if new_files else empty
         )
         # exact multiset difference in ONE pass: +1 per old copy, -1
@@ -2223,6 +2739,24 @@ def table_changes(
         )
         minus = F.col("__d") > 0
         keys = e.get("meta", {}).get("keys")
+        if keys and _colmap_active(spark, path):
+            # the commit recorded its keys under version-v names; the
+            # feed surfaces cap names — translate through the stable
+            # column ids (a key DROPPED by cap degrades to keyless
+            # delete+insert classification, still a valid feed)
+            ids_v = _column_ids_walk(spark, path, v)["ids"]
+            if ids_v is not None:
+                if _cap_by_id is None:
+                    ids_cap = _column_ids_walk(spark, path, cap)["ids"]
+                    _cap_by_id = (
+                        {i: n for n, i in ids_cap.items()}
+                        if ids_cap is not None else {}
+                    )
+                tk = [
+                    _cap_by_id.get(ids_v[k]) if k in ids_v else k
+                    for k in keys
+                ]
+                keys = tk if all(k is not None for k in tk) else None
         if keys:
             from pyspark.sql.window import Window
 
@@ -2245,6 +2779,7 @@ def table_changes(
                 F.lit(v).cast("long").alias("_commit_version"),
             )
         )
+    _flush_appends(dvs)
     if not legs:
         return spark.createDataFrame(
             [],
@@ -2265,10 +2800,11 @@ def table_changes(
 def quarantine_files(
     spark: SparkSession, path: str, version: int | None = None
 ) -> list[str]:
-    """All quarantine-sidecar file names recorded up to ``version``
-    (cumulative — quarantine is an audit trail, not part of the
-    snapshot: rollback doesn't un-quarantine). Survives log expiry via
-    the checkpoint's ``quarantine`` field."""
+    """LIVE quarantine-sidecar file names as of ``version``: every
+    ``quarantine_add`` minus every ``quarantine_release`` (re-admission
+    consumes sidecars — see `readmit_quarantine`; rollback doesn't
+    un-quarantine). Survives log expiry via the checkpoint's
+    ``quarantine`` field, which stores the NET."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
@@ -2283,7 +2819,11 @@ def quarantine_files(
             continue
         if v > cap:
             break
-        out.extend(_read_entry(spark, path, v).get("quarantine_add", []))
+        e = _read_entry(spark, path, v)
+        out.extend(e.get("quarantine_add", []))
+        rel = set(e.get("quarantine_release", []))
+        if rel:
+            out = [f for f in out if f not in rel]
     return out
 
 
@@ -2304,6 +2844,81 @@ def read_quarantine(
     qdir = path.rstrip("/") + "/quarantine"
     return spark.read.option("mergeSchema", "true").parquet(
         *[qdir + "/" + f for f in files]
+    )
+
+
+def readmit_quarantine(
+    spark: SparkSession,
+    path: str,
+    fix=None,
+    meta: dict | None = None,
+) -> dict:
+    """Re-admit quarantined rows into the table — the exit door that
+    keeps quarantine from being a roach motel (r11 VERDICT #7).
+
+    Reads every LIVE sidecar file, applies ``fix`` (a
+    DataFrame→DataFrame callable — correct the bad values; identity
+    when None), casts to the current table schema, VALIDATES the
+    result against the table's registered expectations (all rows must
+    now pass — a partial re-admit would silently shrink the audit
+    trail; fix more or register weaker constraints first), then lands
+    the rows and RELEASES the consumed sidecars in ONE atomic log
+    entry. Released sidecars leave `read_quarantine` immediately and
+    become unreferenced for `vacuum_versioned` to age out — retention
+    applies from release, so the audit trail survives exactly as long
+    as any other superseded file.
+
+    Raises if nothing is quarantined, if ``fix`` changes the row
+    count (re-admission is per-row repair, not filtering — drop rows
+    by tightening the fix into valid values or leave them
+    quarantined), or on a concurrent commit (no rebase: two racing
+    re-admissions would double-insert the same rows)."""
+    versions = _list_log_versions(spark, path)
+    base = versions[-1]
+    q_files = quarantine_files(spark, path, base)
+    if not q_files:
+        raise ValueError(f"nothing is quarantined at {path}")
+    df = read_quarantine(spark, path, base)
+    n_before = df.count()
+    if fix is not None:
+        df = fix(df)
+    schema_json = _latest_schema(spark, path, base)
+    target_schema = StructType.fromJson(json.loads(schema_json))
+    missing = [
+        f.name for f in target_schema.fields if f.name not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"fixed rows are missing table columns {missing}"
+        )
+    df = df.select(
+        *[
+            F.col(f.name).cast(_nullable_type(f.dataType)).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
+    # pin: validation, count and write must see the same rows even if
+    # the fix is non-deterministic
+    df = df.localCheckpoint(eager=False)
+    exp = table_expectations(spark, path, base)
+    check_expectations(
+        df,
+        not_null=exp.get("not_null", ()),
+        checks=exp.get("checks", {}),
+    )
+    n_after = df.count()
+    if n_after != n_before:
+        raise ValueError(
+            f"fix changed the row count ({n_before} -> {n_after}) — "
+            "re-admission repairs rows, it must not add or drop them"
+        )
+    names = _write_data_files(spark, path, df, base + 1)
+    return _commit(
+        spark, path, "readmit", names, [], schema_json,
+        {"n_readmitted": n_after, "n_sidecars_released": len(q_files),
+         **(meta or {})},
+        base + 1,
+        quarantine_release=q_files,
     )
 
 
@@ -2395,9 +3010,11 @@ def files_for_range(
         files = live_files(spark, path, version)
     if stats is None:
         stats = file_range_stats(spark, path, version, live=files)
+    tr = _stats_name_map(spark, path, files, version, [col])
     keep = []
     for f in files:
-        rng = stats.get(f, {}).get(col)
+        wname = tr[f][col] if tr is not None else col
+        rng = stats.get(f, {}).get(wname) if wname is not None else None
         if rng is None:
             keep.append(f)  # no stats recorded — must read
             continue
@@ -2430,6 +3047,7 @@ def files_for_ranges(
         files = live_files(spark, path, version)
     if stats is None:
         stats = file_range_stats(spark, path, version, live=files)
+    tr = _stats_name_map(spark, path, files, version, list(ranges))
     keep = []
     for f in files:
         ok = True
@@ -2439,7 +3057,8 @@ def files_for_ranges(
                 # a no-op for this column (NULL rows survive), so even a
                 # provably all-NULL file must be kept.
                 continue
-            rng = stats.get(f, {}).get(col)
+            wname = tr[f][col] if tr is not None else col
+            rng = stats.get(f, {}).get(wname) if wname is not None else None
             if rng is None:
                 continue  # no stats for this col — can't rule out
             mn, mx = rng
@@ -2478,7 +3097,7 @@ def read_where_all(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs)
+        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
         if lo is not None:
@@ -2512,7 +3131,7 @@ def read_where(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs)
+        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(lo))
@@ -2634,9 +3253,11 @@ def files_for_point(
     probe = spark.range(1).select(
         F.array(*_positions(lit, _BLOOM_M_BITS, _BLOOM_K)).alias("p")
     ).collect()[0]["p"]
+    tr = _stats_name_map(spark, path, files, version, [col])
     keep = []
     for f in files:
-        bits = index.get(f, {}).get(col)
+        wname = tr[f][col] if tr is not None else col
+        bits = index.get(f, {}).get(wname) if wname is not None else None
         if bits is None:
             keep.append(f)  # no bloom recorded — must read
             continue
@@ -2665,7 +3286,7 @@ def read_point(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs)
+        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
     return out.filter(F.col(col) == F.lit(value))
 
 
@@ -2791,6 +3412,22 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         # evaporate with the entries that recorded it
         "quarantine": quarantine_files(spark, path, cap),
     }
+    # column-mapping state must survive expiry too: the activation
+    # entry (full id mapping + pre snapshot) is exactly what expire_log
+    # deletes. Always write the key ("column_ids": None = mapping not
+    # activated, distinguishable from a legacy checkpoint without it).
+    if _colmap_active(spark, path):
+        w = _column_ids_walk(spark, path, cap)
+        ck["column_ids"] = w["ids"]
+        ck["colmap_max_id"] = w["max_id"]
+        live_set = set(ck["live"])
+        ck["file_column_ids"] = {
+            f: m for f, m in w["file_ids"].items() if f in live_set
+        }
+    else:
+        ck["column_ids"] = None
+        ck["colmap_max_id"] = -1
+        ck["file_column_ids"] = {}
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")
     # overwrite-safe (derived data): write tmp + rename
@@ -2924,37 +3561,49 @@ def export_manifest(
     advance), and vacuum of pre-manifest versions can invalidate it —
     the same caveats as Delta's. Returns the manifest file path;
     interop is round-trip-tested by reading the manifest with DuckDB
-    and comparing against `read_versioned`."""
+    and comparing against `read_versioned`.
+
+    LIVE DELETE VECTORS export too (the Iceberg v2 data-manifest +
+    delete-manifest shape, r11 VERDICT #4): alongside the data
+    manifest, ``manifest-<version>-deletes.txt`` lists the live DV
+    parquet files (schema ``file: string`` — target data-file
+    basename — and ``pos: long`` — physical row index). An external
+    reader reproduces the snapshot EXACTLY by anti-joining the delete
+    files on (data-file basename, row number); DuckDB's
+    ``filename=true, file_row_number=true`` read options give both
+    sides for free (round-trip-tested). A DV-free snapshot writes the
+    data manifest only and DELETES any stale deletes manifest at the
+    same version, so a consumer that checks for the sidecar never sees
+    a leftover."""
     versions = _list_log_versions(spark, path)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} does not exist at {path}")
     files, dvs = _replay_state(spark, path, v)
-    if dvs:
-        # a plain-parquet manifest cannot express the DV anti-join —
-        # exporting one would hand the foreign engine DELETED rows.
-        # Refuse loudly (Delta requires PURGE before manifest export
-        # for the same reason).
-        raise ValueError(
-            f"{path} has {len(dvs)} live delete vector(s) at version "
-            f"{v} — a plain-file manifest would include deleted rows. "
-            "Run commit_compact(purge_dvs=True) first."
-        )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     mdir = path.rstrip("/") + "/_manifests"
     fs.mkdirs(jpath(mdir))
+
+    def _write(target: str, names) -> None:
+        payload = "".join(
+            os.path.abspath(_strip_scheme(_resolve_file(path, f))) + "\n"
+            for f in names
+        ).encode("utf-8")
+        # overwrite-safe: manifests are derived metadata, not commits
+        out = fs.create(jpath(target), True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+
     target = f"{mdir}/manifest-{v:08d}.txt"
-    payload = "".join(
-        os.path.abspath(_strip_scheme(_resolve_file(path, f))) + "\n"
-        for f in files
-    ).encode("utf-8")
-    # overwrite-safe: manifests are derived metadata, not commits
-    out = fs.create(jpath(target), True)
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
+    _write(target, files)
+    del_target = f"{mdir}/manifest-{v:08d}-deletes.txt"
+    if dvs:
+        _write(del_target, sorted(dvs))
+    elif fs.exists(jpath(del_target)):
+        fs.delete(jpath(del_target), False)
     return target
 
 

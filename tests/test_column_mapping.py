@@ -1,0 +1,405 @@
+"""Column mapping: RENAME / DROP schema evolution as metadata-only
+commits (r11 VERDICT #2 — the Delta column-mapping / Iceberg
+column-id shape).
+
+Pinned here:
+- rename and drop never touch a data file (history shows empty
+  add/remove) and old files read through the mapping;
+- time travel shows each version's OWN names;
+- a randomized op sequence (append / rename / upsert / drop / append
+  re-adding a dropped name) replayed in DuckDB via ALTER TABLE
+  RENAME/DROP agrees with read_versioned at every version;
+- re-adding a dropped name gets a FRESH column id — old values never
+  resurrect;
+- table_changes straddling a rename classifies correctly and surfaces
+  cap names (keys recorded under old names are translated);
+- file-skipping stats recorded under write-time names survive a
+  column-name SWAP (the adversarial case for pruning);
+- checkpoint + expire_log preserve the mapping; rollback past a
+  rename restores the target version's names.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gedixr_spark.sinks.versioned import (
+    checkpoint_log,
+    commit_append,
+    commit_delete,
+    commit_merge,
+    commit_upsert,
+    drop_column,
+    expire_log,
+    init_versioned,
+    read_versioned,
+    read_where,
+    rename_column,
+    rollback,
+    table_changes,
+    table_history,
+)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_rename_is_metadata_only_and_time_travel_keeps_old_names(
+    spark, tmp_path
+):
+    t = str(tmp_path / "t")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=i, v=i * 10) for i in range(5)])
+    )
+    e = rename_column(spark, t, "v", "amount")
+    assert e["add"] == [] and e["remove"] == []
+    # post-rename read: new name, old files' data intact
+    cur = read_versioned(spark, t)
+    assert set(cur.columns) == {"k", "amount"}
+    assert sorted(r["amount"] for r in cur.collect()) == [0, 10, 20, 30, 40]
+    # pre-rename snapshot keeps its own name
+    old = read_versioned(spark, t, version=1)
+    assert set(old.columns) == {"k", "v"}
+    # appends after the rename mix with pre-rename files transparently
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=9, amount=90)]),
+    )
+    allr = read_versioned(spark, t)
+    assert sorted(r["amount"] for r in allr.collect()) == [
+        0, 10, 20, 30, 40, 90,
+    ]
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_path):
+    t = str(tmp_path / "t2")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=1, secret="OLD"), Row(k=2, secret="OLD2")]),
+    )
+    drop_column(spark, t, "secret")
+    assert set(read_versioned(spark, t).columns) == {"k"}
+    # re-add the NAME via additive evolution: fresh id, NULL for old rows
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=3, secret="NEW")])
+    )
+    got = {r["k"]: r["secret"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: "NEW"}
+    # the pre-drop snapshot still serves the old values
+    v1 = {r["k"]: r["secret"] for r in read_versioned(spark, t, version=1).collect()}
+    assert v1 == {1: "OLD", 2: "OLD2"}
+
+
+def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
+    """Seeded random op walk; DuckDB replays the same ops with real
+    ALTER TABLE RENAME/DROP; every version's snapshot must agree."""
+    rng = random.Random(12012)
+    t = str(tmp_path / "rand")
+    init_versioned(spark, t)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (k BIGINT, a BIGINT, b VARCHAR)")
+    cols = ["k", "a", "b"]  # current logical schema, k always present
+    types = {"k": "long", "a": "long", "b": "string"}
+    snaps = []  # (version, sql snapshot rows, cols)
+    nid = 100
+
+    def mk(rows, use_cols=None):
+        cc = use_cols or cols
+        schema = ", ".join(f"{c} {types[c]}" for c in cc)
+        return spark.createDataFrame(
+            [tuple(r) for r in rows], schema=schema
+        )
+
+    def _key(row):
+        # NULL-safe sort key (None sorts first, tagged by presence)
+        return tuple((v is None, v if v is not None else 0) for v in row)
+
+    def duck_rows():
+        q = ", ".join(sorted(cols))
+        return sorted(
+            (tuple(r) for r in con.execute(f"SELECT {q} FROM m").fetchall()),
+            key=_key,
+        )
+
+    # v1 seed
+    rows = [(i, i * 2, f"s{i}") for i in range(8)]
+    commit_append(spark, t, mk(rows))
+    con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
+    ops = ["append", "rename", "upsert", "drop", "readd", "delete"]
+    for step in range(12):
+        op = rng.choice(ops)
+        if op == "append":
+            new = [(nid + j, rng.randint(0, 99), f"x{nid + j}")
+                   for j in range(3)]
+            nid += 3
+            vals = [
+                tuple(v for c, v in zip(["k", "a", "b"], r) if c in cols)
+                for r in new
+            ]
+            # align tuples to current cols: build dicts instead
+            recs = []
+            for r in new:
+                d = dict(zip(["k", "a", "b"], r))
+                recs.append(tuple(d.get(c) for c in cols))
+            commit_append(spark, t, mk(recs))
+            q = ", ".join(cols)
+            ph = ", ".join("?" for _ in cols)
+            con.executemany(f"INSERT INTO m ({q}) VALUES ({ph})", recs)
+        elif op == "rename":
+            candidates = [c for c in cols if c != "k"]
+            if not candidates:
+                continue
+            old = rng.choice(candidates)
+            new_name = f"{old}_r{step}"
+            rename_column(spark, t, old, new_name)
+            con.execute(f'ALTER TABLE m RENAME COLUMN "{old}" TO "{new_name}"')
+            cols = [new_name if c == old else c for c in cols]
+            types[new_name] = types.pop(old)
+        elif op == "upsert":
+            keys = sorted(
+                r[0] for r in con.execute("SELECT k FROM m").fetchall()
+            )
+            if not keys:
+                continue
+            pick = rng.sample(keys, min(2, len(keys)))
+            recs = []
+            for k in pick:
+                d = {"k": k}
+                for c in cols:
+                    if c == "k":
+                        continue
+                    d[c] = (
+                        rng.randint(500, 599)
+                        if types[c] == "long" else f"u{k}"
+                    )
+                recs.append(tuple(d.get(c) for c in cols))
+            commit_upsert(spark, t, mk(recs), keys=["k"])
+            for r in recs:
+                d = dict(zip(cols, r))
+                sets = ", ".join(
+                    f'"{c}" = ?' for c in cols if c != "k"
+                )
+                con.execute(
+                    f"UPDATE m SET {sets} WHERE k = ?",
+                    [d[c] for c in cols if c != "k"] + [d["k"]],
+                )
+        elif op == "drop":
+            candidates = [c for c in cols if c != "k"]
+            if len(candidates) < 1 or len(cols) <= 2:
+                continue
+            victim = rng.choice(candidates)
+            drop_column(spark, t, victim)
+            con.execute(f'ALTER TABLE m DROP COLUMN "{victim}"')
+            cols = [c for c in cols if c != victim]
+        elif op == "readd":
+            name = f"c{step}"
+            recs = []
+            cols2 = cols + [name]
+            for j in range(2):
+                d = {c: None for c in cols2}
+                d["k"] = nid
+                nid += 1
+                d[name] = step
+                recs.append(tuple(d.get(c) for c in cols2))
+            types[name] = "long"
+            df = mk(recs, use_cols=cols2)
+            commit_append(spark, t, df)
+            dtype = "BIGINT"
+            con.execute(f'ALTER TABLE m ADD COLUMN "{name}" {dtype}')
+            q = ", ".join(cols2)
+            ph = ", ".join("?" for _ in cols2)
+            con.executemany(f"INSERT INTO m ({q}) VALUES ({ph})", recs)
+            cols = cols2
+        elif op == "delete":
+            kmax = rng.randint(0, 120)
+            mode = rng.choice(["cow", "dv"])
+            commit_delete(spark, t, F.col("k") < kmax, mode=mode)
+            con.execute("DELETE FROM m WHERE k < ?", [kmax])
+        v = table_history(spark, t)[-1]["version"]
+        snaps.append((v, duck_rows(), list(cols)))
+    # every recorded snapshot must match the Spark read AT that version
+    for v, want, vcols in snaps:
+        df = read_versioned(spark, t, version=v)
+        assert sorted(df.columns) == sorted(vcols), (v, df.columns, vcols)
+        got = sorted(
+            (tuple(r[c] for c in sorted(vcols)) for r in df.collect()),
+            key=_key,
+        )
+        assert got == want, f"version {v} mismatch"
+    con.close()
+
+
+def test_table_changes_straddling_rename(spark, tmp_path):
+    """A CDC range crossing a rename surfaces CAP names throughout,
+    translates the old commits' recorded keys, and classifies update
+    pairs correctly."""
+    t = str(tmp_path / "cdc")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+    )
+    # v2: upsert under the OLD name (meta records keys=['k'])
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=1, v=11)]), keys=["k"]
+    )
+    rename_column(spark, t, "v", "val")  # v3
+    # v4: upsert under the NEW name
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=2, val=22)]), keys=["k"]
+    )
+    ch = table_changes(spark, t, 0)
+    assert set(ch.columns) == {"k", "val", "_change_type", "_commit_version"}
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", 1, 10),
+        (1, "insert", 2, 20),
+        (2, "update_postimage", 1, 11),
+        (2, "update_preimage", 1, 10),
+        (4, "update_postimage", 2, 22),
+        (4, "update_preimage", 2, 20),
+    ]
+
+
+def test_stats_pruning_survives_column_swap(spark, tmp_path):
+    """The adversarial case: two columns SWAP names via a temp rename.
+    Old files' stats are recorded under write-time names — a naive
+    lookup would prune on the wrong column's min/max and silently drop
+    matching rows."""
+    t = str(tmp_path / "swap")
+    init_versioned(spark, t)
+    # lo: small a (0-9), big b (1000-1009); in TWO files with stats
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [Row(k=i, a=i, b=1000 + i) for i in range(10)]
+        ).coalesce(1),
+        stats_cols=["a", "b"],
+    )
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [Row(k=100 + i, a=500 + i, b=2000 + i) for i in range(10)]
+        ).coalesce(1),
+        stats_cols=["a", "b"],
+    )
+    # swap a <-> b
+    rename_column(spark, t, "a", "tmp")
+    rename_column(spark, t, "b", "a")
+    rename_column(spark, t, "tmp", "b")
+    # query a (logically the OLD b): 1000..1009 live in file 1 under
+    # write-name b; naive pruning would consult file 1's "a" stats
+    # (0..9), rule it out, and lose every row
+    got = sorted(
+        r["k"] for r in read_where(spark, t, "a", 1000, 1009).collect()
+    )
+    assert got == list(range(10))
+    # and the complementary range on b (old a)
+    got_b = sorted(
+        r["k"] for r in read_where(spark, t, "b", 500, 509).collect()
+    )
+    assert got_b == list(range(100, 110))
+
+
+def test_merge_and_compact_through_mapping(spark, tmp_path):
+    t = str(tmp_path / "m")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=i, v=i) for i in range(6)]).coalesce(2),
+    )
+    rename_column(spark, t, "v", "val")
+    commit_merge(
+        spark, t,
+        spark.createDataFrame([Row(k=2, val=222), Row(k=99, val=999)]),
+        keys=["k"],
+        when_matched_update="all",
+    )
+    got = {r["k"]: r["val"] for r in read_versioned(spark, t).collect()}
+    assert got[2] == 222 and got[99] == 999 and got[3] == 3
+    from gedixr_spark.sinks.versioned import commit_compact
+
+    commit_compact(spark, t, n_files=1)
+    got2 = {r["k"]: r["val"] for r in read_versioned(spark, t).collect()}
+    assert got2 == got
+
+
+def test_checkpoint_and_expire_preserve_mapping(spark, tmp_path):
+    t = str(tmp_path / "ck")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)])
+    )
+    rename_column(spark, t, "v", "val")
+    commit_append(spark, t, spark.createDataFrame([Row(k=3, val=30)]))
+    checkpoint_log(spark, t)
+    expire_log(spark, t)  # deletes the activation entry
+    got = {r["k"]: r["val"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # mapping still live for future ops
+    rename_column(spark, t, "val", "v2")
+    assert set(read_versioned(spark, t).columns) == {"k", "v2"}
+
+
+def test_rollback_past_rename_restores_names(spark, tmp_path):
+    t = str(tmp_path / "rb")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=1, v=10)])
+    )
+    rename_column(spark, t, "v", "val")
+    commit_append(spark, t, spark.createDataFrame([Row(k=2, val=20)]))
+    rollback(spark, t, 1)
+    df = read_versioned(spark, t)
+    assert set(df.columns) == {"k", "v"}
+    assert _rows(df) == [(1, 10)]
+    # post-rollback appends under the restored name work
+    commit_append(spark, t, spark.createDataFrame([Row(k=5, v=50)]))
+    assert _rows(read_versioned(spark, t)) == [(1, 10), (5, 50)]
+
+
+def test_schema_op_conflicts_rebasing_writers(spark, tmp_path):
+    """An interleaved rename invalidates a rebasing writer's schema
+    decisions — it must raise, not rebase, like expectations changes."""
+    from gedixr_spark.sinks.versioned import ConcurrentCommitError
+
+    t = str(tmp_path / "race")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=i, v=i) for i in range(4)])
+    )
+    base = table_history(spark, t)[-1]["version"]
+    # a rename lands while our upsert (pinned at base) is in flight
+    rename_column(spark, t, "v", "val")
+    with pytest.raises((ConcurrentCommitError, Exception)):
+        commit_upsert(
+            spark, t,
+            spark.createDataFrame([Row(k=1, v=100)]),
+            keys=["k"], base_version=base,
+        )
+
+
+def test_rename_validation(spark, tmp_path):
+    t = str(tmp_path / "bad")
+    init_versioned(spark, t)
+    commit_append(spark, t, spark.createDataFrame([Row(k=1, v=2)]))
+    with pytest.raises(ValueError):
+        rename_column(spark, t, "nope", "x")
+    with pytest.raises(ValueError):
+        rename_column(spark, t, "v", "k")  # collision
+    with pytest.raises(ValueError):
+        drop_column(spark, t, "nope")
+    drop_column(spark, t, "v")
+    with pytest.raises(ValueError):
+        drop_column(spark, t, "k")  # last column

@@ -422,7 +422,7 @@ def test_append_collision_with_constraint_change_raises(spark, table):
     prev = vt.set_commit_guard(InterleaveOnce(vt.FsCommitGuard()))
     try:
         with pytest.raises(
-            vt.ConcurrentCommitError, match="constraint change"
+            vt.ConcurrentCommitError, match="constraint/schema-mapping"
         ):
             vt.commit_append(spark, table, bad)
     finally:
