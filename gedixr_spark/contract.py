@@ -755,6 +755,9 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_vector_index,
         q_catalog_snapshot,
         q_table_changes_feed,
+        q_schema_evolution,
+        q_quarantine_readmit,
+        q_cdc_incremental_state,
     )
 
     return {
@@ -802,6 +805,17 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: row-level CDC feed lifecycle (multi-commit => rows-only;
         # per-op classification DuckDB-pinned in test_table_changes)
         "table_changes_feed": q_table_changes_feed,
+        # r12: column-mapping rename/drop lifecycle (multi-commit =>
+        # rows-only; randomized DuckDB ALTER TABLE replay pinned in
+        # tests/test_column_mapping.py)
+        "schema_evolution": q_schema_evolution,
+        # r12: quarantine -> repair -> readmit lifecycle (multi-commit;
+        # atomic release + vacuum pinned in test_quarantine_lifecycle)
+        "quarantine_readmit": q_quarantine_readmit,
+        # r12: merge-maintained CDC aggregate + exactly-once cursor
+        # (multi-commit; differential + crash-replay pinned in
+        # tests/test_cdc_cursor.py)
+        "cdc_incremental_state": q_cdc_incremental_state,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

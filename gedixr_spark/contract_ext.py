@@ -940,6 +940,205 @@ def q_vector_index(spark, sf_dir):
     )
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Column-mapping lifecycle on the bench path (sinks/versioned.py::
+    rename_column / drop_column, r11 VERDICT #2): a customer-subset
+    versioned table advances through append (v1) → RENAME
+    c_mktsegment→segment (v2, metadata-only) → upsert under the new
+    name (v3) → DROP c_nationkey (v4, metadata-only) → append re-adding
+    the dropped NAME with fresh data (v5 — fresh column id, old values
+    must NOT resurrect). Returned as a labeled union of the v1 snapshot
+    (its own old names) and the latest (new names, NULL-backfilled
+    re-add), projected to one stable schema. Multi-commit lifecycle ⇒
+    rows-only; exactness is pinned by the seeded randomized DuckDB
+    ALTER TABLE replay in tests/test_column_mapping.py."""
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_upsert, drop_column, init_versioned,
+        read_versioned, rename_column,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .coalesce(4)
+    )
+    path = _scratch_dir("schevo", _sf_key(sf_dir)) + "/t"
+    init_versioned(spark, path)
+    commit_append(spark, path, base)
+    rename_column(spark, path, "c_mktsegment", "segment")
+    upd = (
+        base.filter(F.col("c_custkey") % 8 == 0)
+        .select(
+            "c_custkey", "c_nationkey",
+            F.lit("EVOLVED").alias("segment"),
+        )
+    )
+    commit_upsert(spark, path, upd, keys=["c_custkey"])
+    drop_column(spark, path, "c_nationkey")
+    readd = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 1)  # disjoint: never in table
+        .coalesce(2)
+        .select(
+            "c_custkey",
+            F.lit("READD").alias("segment"),
+            (F.col("c_nationkey") + 100).alias("c_nationkey"),
+        )
+    )
+    commit_append(spark, path, readd)
+    v1 = read_versioned(spark, path, version=1).select(
+        F.lit("v1").alias("snap"),
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+    )
+    latest = read_versioned(spark, path).select(
+        F.lit("latest").alias("snap"),
+        "c_custkey",
+        F.col("segment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+    )
+    return v1.unionByName(latest)
+
+
+def q_quarantine_readmit(spark, sf_dir):
+    """Expectations quarantine LIFECYCLE on the bench path
+    (set_table_expectations(on_violation='quarantine') →
+    readmit_quarantine, r11 VERDICT #7): a batch with NULL segments and
+    negative nationkeys lands split (clean rows in, violations to the
+    sidecar), then a fix re-admits the repaired rows and releases the
+    sidecars in one atomic commit. Returned as a labeled union: the
+    audit trail AT the quarantining version (time travel) + the final
+    table state — quarantine must be empty at the end (asserted by the
+    'final_quarantine' leg being rowless). Multi-commit ⇒ rows-only;
+    atomicity/vacuum/validation pinned in
+    tests/test_quarantine_lifecycle.py."""
+    from gedixr_spark.sinks.versioned import (
+        commit_append, init_versioned, read_quarantine, read_versioned,
+        readmit_quarantine, set_table_expectations,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .coalesce(4)
+    )
+    path = _scratch_dir("quar", _sf_key(sf_dir)) + "/t"
+    init_versioned(spark, path)
+    commit_append(spark, path, cust.filter(F.col("c_custkey") % 8 == 0))
+    set_table_expectations(
+        spark, path,
+        not_null=["c_mktsegment"],
+        checks={"nat_nonneg": "c_nationkey >= 0"},
+        on_violation="quarantine",
+    )
+    k = F.col("c_custkey")
+    # k%8==4 batch: k%32==4 → negative nationkey, k%32==12 → NULL
+    # segment, k%32∈{20,28} → clean (both destinations exercised)
+    batch = (
+        cust.filter((k % 8 == 4))
+        .select(
+            "c_custkey",
+            F.when(k % 32 == 4, -F.col("c_nationkey") - 1)
+            .otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+            F.when(k % 32 == 12, F.lit(None).cast("string"))
+            .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        )
+    )
+    e = commit_append(spark, path, batch)
+    q_version = e["version"]
+
+    def fix(df):
+        return df.select(
+            "c_custkey",
+            F.abs(F.col("c_nationkey")).alias("c_nationkey"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("REPAIRED")).alias(
+                "c_mktsegment"
+            ),
+        )
+
+    readmit_quarantine(spark, path, fix=fix)
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    audit = read_quarantine(spark, path, version=q_version).select(
+        F.lit("audit_at_quarantine").alias("leg"), *cols
+    )
+    final = read_versioned(spark, path).select(
+        F.lit("final_table").alias("leg"), *cols
+    )
+    final_q = read_quarantine(spark, path).select(
+        F.lit("final_quarantine").alias("leg"), *cols
+    )
+    return audit.unionByName(final).unionByName(final_q)
+
+
+def q_cdc_incremental_state(spark, sf_dir):
+    """Industrial CDC consumption on the bench path (r11 VERDICT #1):
+    a churned source table feeds (a) the MERGE-maintained incremental
+    aggregate (operators/incremental.py::refresh_incremental_agg_cdc —
+    state commits rewrite only churned-key files) and (b) an
+    exactly-once `sinks.cursor` consumer whose poll/commit cycle walks
+    the same feed. Returned as the maintained per-nation (n_rows, sum)
+    state plus a one-row consumer summary (position, rows consumed) —
+    both deterministic. Multi-commit ⇒ rows-only; the
+    differential-vs-from-scratch law and crash-replay exactly-once are
+    pinned in tests/test_cdc_cursor.py."""
+    from gedixr_spark.operators.incremental import (
+        init_incremental_agg, read_incremental_agg_cdc,
+        refresh_incremental_agg_cdc,
+    )
+    from gedixr_spark.sinks.cursor import (
+        commit_cursor, cursor_position, next_changes,
+    )
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_delete, commit_upsert, init_versioned,
+    )
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .coalesce(4)
+    )
+    root = _scratch_dir("cdcstate", _sf_key(sf_dir))
+    src, st = root + "/src", root + "/state"
+    init_versioned(spark, src)
+    init_incremental_agg(spark, st)
+    commit_append(spark, src, base)
+    refresh_incremental_agg_cdc(
+        spark, src, st, keys=["c_nationkey"], value_col="c_acctbal"
+    )
+    # churn: upsert a slice, DV-delete another, then refresh (the
+    # merge-based state path — only churned-nation files rewrite)
+    upd = base.filter(F.col("c_custkey") % 16 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    commit_upsert(spark, src, upd, keys=["c_custkey"])
+    commit_delete(spark, src, F.col("c_custkey") % 24 == 0, mode="dv")
+    refresh_incremental_agg_cdc(
+        spark, src, st, keys=["c_nationkey"], value_col="c_acctbal"
+    )
+    # exactly-once cursor pass over the same feed
+    batch = next_changes(spark, src, "bench_consumer")
+    n_changes = (
+        batch["changes"].count() if batch["changes"] is not None else 0
+    )
+    commit_cursor(spark, src, "bench_consumer", batch["to_version"])
+    pos = cursor_position(spark, src, "bench_consumer")
+    state = read_incremental_agg_cdc(spark, st).select(
+        F.lit("state").alias("leg"),
+        F.col("c_nationkey").cast("long").alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum").alias("sum"),
+    )
+    summary = spark.createDataFrame(
+        [("cursor", int(pos), int(n_changes), float(0))],
+        "leg string, key long, n_rows long, sum double",
+    )
+    return state.unionByName(summary)
+
+
 def q_table_changes_feed(spark, sf_dir):
     """Row-level CDC read on the bench path (sinks/versioned.py::
     table_changes — the Delta Change Data Feed shape): a customer-

@@ -820,9 +820,18 @@ def _column_ids_walk(
                 if n not in ids:
                     max_id += 1
                     ids[n] = max_id
+        ov = e.get("file_column_ids") or {}
         for f in e.get("add", []):
-            file_ids_raw[f] = dict(ids) if ids is not None else None
-            file_names[f] = list(names) if names is not None else None
+            if f in ov:
+                # clone entries carry each external file's EXACT
+                # write-name -> id map (the source's mapping state) —
+                # the snapshot-at-add rule would wrongly assume the
+                # file was written under this table's current names
+                file_ids_raw[f] = {n: int(i) for n, i in ov[f].items()}
+                file_names[f] = list(ov[f].keys())
+            else:
+                file_ids_raw[f] = dict(ids) if ids is not None else None
+                file_names[f] = list(names) if names is not None else None
     # resolve per-file write-name -> id maps
     file_ids: dict = {}
     for f, snap in file_ids_raw.items():
@@ -1189,6 +1198,7 @@ def _commit(
     column_ids_pre: dict | None = None,
     colmap_max_id: int | None = None,
     quarantine_release: list[str] | None = None,
+    file_column_ids: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -1231,6 +1241,10 @@ def _commit(
             entry["column_ids_pre"] = column_ids_pre
         if colmap_max_id is not None:
             entry["colmap_max_id"] = int(colmap_max_id)
+    if file_column_ids:
+        # per-file write-name -> id overrides (clone of a mapped
+        # source: external files keep the SOURCE's write-time names)
+        entry["file_column_ids"] = file_column_ids
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -3666,7 +3680,29 @@ def shallow_clone(
         }
         for d, t in src_dvs.items()
     }
-    return _commit(
+    colmap_kw: dict = {}
+    if _colmap_active(spark, src):
+        # a mapped source's external files keep their WRITE-TIME names;
+        # the clone must inherit the id mapping and each file's exact
+        # name->id map or its reads would surface stale names
+        w = _column_ids_walk(spark, src, v)
+        if w["ids"] is not None:
+            fmap = {}
+            for f in files:
+                m = w["file_ids"].get(f)
+                if m is None:
+                    raise ValueError(
+                        f"cannot clone {src}: file {f!r} has no "
+                        "resolvable write-time schema under column "
+                        "mapping"
+                    )
+                fmap[_resolve_file(src, f)] = m
+            colmap_kw = {
+                "column_ids": w["ids"],
+                "colmap_max_id": w["max_id"],
+                "file_column_ids": fmap,
+            }
+    entry = _commit(
         spark,
         dst,
         "clone",
@@ -3684,7 +3720,11 @@ def shallow_clone(
         blooms=blooms or None,
         expectations=src_exp or None,
         dv_add=dv_add or None,
+        **colmap_kw,
     )
+    if colmap_kw:
+        _touch_colmap_marker(spark, dst)
+    return entry
 
 
 def find_orphan_files(

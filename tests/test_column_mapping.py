@@ -390,6 +390,68 @@ def test_schema_op_conflicts_rebasing_writers(spark, tmp_path):
         )
 
 
+def test_mapping_free_table_keeps_plain_scan_plan(spark, tmp_path):
+    """Zero-cost gate: a table that never renamed/dropped must read
+    with a plan BYTE-IDENTICAL to the pre-mapping one — no union, no
+    per-epoch grouping, no extra projection (one fs.exists is the only
+    overhead, outside the plan)."""
+    from gedixr_spark.sinks.versioned import _scan_files, live_files
+
+    t = str(tmp_path / "plain")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=i, v=i) for i in range(5)])
+    )
+    files = live_files(spark, t)
+    import re
+
+    def norm(plan):
+        # strip expression/plan ids (#123, exprId suffixes) — they
+        # differ per DataFrame instance while the shape is identical
+        return re.sub(r"#\d+", "#x", plan)
+
+    plan_no_cap = norm(
+        _scan_files(spark, t, files, {})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_cap = norm(
+        _scan_files(spark, t, files, {}, cap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_no_cap == plan_cap
+    assert "Union" not in plan_cap
+
+
+def test_shallow_clone_of_mapped_source(spark, tmp_path):
+    """A clone of a column-mapped source must inherit the id mapping
+    AND each external file's exact write-name map — found during r12
+    self-review: without the clone-entry override the clone surfaced
+    the source files' STALE pre-rename names."""
+    from gedixr_spark.sinks.versioned import shallow_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    init_versioned(spark, src)
+    commit_append(
+        spark, src,
+        spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+    )
+    rename_column(spark, src, "v", "val")
+    commit_append(spark, src, spark.createDataFrame([Row(k=3, val=30)]))
+    drop_column(spark, src, "k")  # and a drop for good measure
+    shallow_clone(spark, src, dst)
+    got = sorted(r["val"] for r in read_versioned(spark, dst).collect())
+    assert got == [10, 20, 30]
+    assert read_versioned(spark, dst).columns == ["val"]
+    # the clone is a first-class mapped table: its own upsert + rename
+    rename_column(spark, dst, "val", "v2")
+    assert sorted(
+        r["v2"] for r in read_versioned(spark, dst).collect()
+    ) == [10, 20, 30]
+    # source untouched
+    assert read_versioned(spark, src).columns == ["val"]
+
+
 def test_rename_validation(spark, tmp_path):
     t = str(tmp_path / "bad")
     init_versioned(spark, t)

@@ -76,6 +76,10 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "catalog_snapshot",
         # r11: row-level CDC feed lifecycle (multi-commit)
         "table_changes_feed",
+        # r12: column-mapping / quarantine / CDC-consumption lifecycles
+        "schema_evolution",
+        "quarantine_readmit",
+        "cdc_incremental_state",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
