@@ -1238,8 +1238,20 @@ def update_tf_index_from_changes(
             F.col("p.tf").alias("tf"),
         )
     )
+    # retract by CHANGED DOC across the touched terms, not by the old
+    # text's (term, doc) pairs: the result is identical on first apply
+    # (a doc's current postings are exactly its old-text terms, all
+    # inside the touched set) but doc-keyed retraction is IDEMPOTENT —
+    # a crash-replay of the same range finds the new-text postings,
+    # removes them, and re-adds the same thing, instead of keeping
+    # new-only terms' postings AND re-adding them (double-counted df).
+    # That idempotence is what makes the at-least-once cursor loop
+    # (maintain_tf_index) exactly-once end-to-end.
+    changed_docs = (
+        added.select(id_col).union(removed.select(id_col)).distinct()
+    )
     merged = (
-        cur_post.join(rem_docs, ["term", id_col], "left_anti")
+        cur_post.join(changed_docs, [id_col], "left_anti")
         .unionByName(add_tf)
         .groupBy("term")
         .agg(
@@ -1254,6 +1266,10 @@ def update_tf_index_from_changes(
     postings_t = dict(cur.dtypes)["postings"]
     emptied = (
         touched_terms.join(merged.select("term"), "term", "left_anti")
+        # only terms PRESENT in the index get a delete marker — on a
+        # crash-replay the term already left, and an unmatched 'D' row
+        # would INSERT a NULL tombstone via when_not_matched_insert
+        .join(cur.select("term"), "term", "left_semi")
         .select(
             "term",
             F.lit(None).cast("long").alias("df"),
@@ -1275,6 +1291,54 @@ def update_tf_index_from_changes(
         when_not_matched_insert=True,
         meta=meta,
     )
+
+
+def maintain_tf_index(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    consumer_id: str = "tf_index",
+    max_versions: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The production loop for an index tracking a churning corpus:
+    one cursor-driven poll/apply/ack cycle. Polls the corpus table's
+    unconsumed CDC range through `sinks.cursor` (named offsets, CAS
+    advance), applies it with `update_tf_index_from_changes`, then
+    commits the cursor. A crash between apply and ack re-delivers the
+    same range; the doc-keyed retraction makes re-application a no-op,
+    so the loop is exactly-once END-TO-END without any coordination
+    beyond the two tables' own logs. N indexes (or any other
+    consumers) track the same corpus under different ``consumer_id``s
+    without interfering.
+
+    Returns {"from_version", "to_version", "consumed": bool}."""
+    from gedixr_spark.sinks.cursor import commit_cursor, next_changes
+
+    batch = next_changes(
+        spark, corpus_path, consumer_id, max_versions=max_versions
+    )
+    if batch["changes"] is None:
+        return {
+            "from_version": batch["from_version"],
+            "to_version": batch["to_version"],
+            "consumed": False,
+        }
+    update_tf_index_from_changes(
+        spark, index_path, corpus_path,
+        since_version=batch["from_version"],
+        version=batch["to_version"],
+        text_col=text_col, id_col=id_col,
+        meta={"cdc_consumer": consumer_id,
+              "cdc_range": [batch["from_version"], batch["to_version"]]},
+    )
+    commit_cursor(spark, corpus_path, consumer_id, batch["to_version"])
+    return {
+        "from_version": batch["from_version"],
+        "to_version": batch["to_version"],
+        "consumed": True,
+    }
 
 
 def chunk_documents(

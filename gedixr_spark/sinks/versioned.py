@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -1014,6 +1015,20 @@ def _schema_op_base(spark: SparkSession, path: str) -> tuple:
     return base, schema, ids, max_id, pre
 
 
+def _expectation_references(exp: dict, col: str) -> tuple[bool, list[str]]:
+    """(col is in not_null, names of CHECK exprs whose text references
+    col as an identifier token). Conservative: a quoted literal that
+    happens to contain the word also counts — refusing a rename is
+    recoverable, silently breaking a constraint is not."""
+    in_nn = col in (exp.get("not_null") or [])
+    hits = [
+        name
+        for name, expr in (exp.get("checks") or {}).items()
+        if re.search(rf"\b{re.escape(col)}\b", expr)
+    ]
+    return in_nn, hits
+
+
 def rename_column(
     spark: SparkSession, path: str, old: str, new: str
 ) -> dict:
@@ -1022,7 +1037,13 @@ def rename_column(
     each version's own names); post-rename reads translate old files
     through the stable column id. The rename conflicts with every
     concurrently-rebasing writer (their schema decisions are stale),
-    exactly like an expectations change."""
+    exactly like an expectations change.
+
+    Registered expectations follow the rename: a ``not_null`` entry is
+    rewritten to the new name in the same commit; a CHECK expression
+    referencing the column REFUSES the rename (rewriting arbitrary SQL
+    is not safe — drop or re-register the constraint first, the Delta
+    position)."""
     if not new or new == old:
         raise ValueError(f"invalid rename target {new!r}")
     base, schema, ids, max_id, pre = _schema_op_base(spark, path)
@@ -1031,6 +1052,19 @@ def rename_column(
         raise ValueError(f"column {old!r} does not exist (have {names})")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
+    exp = table_expectations(spark, path, base)
+    in_nn, check_hits = _expectation_references(exp, old)
+    if check_hits:
+        raise ValueError(
+            f"column {old!r} is referenced by CHECK constraint(s) "
+            f"{check_hits} — drop or re-register them before renaming"
+        )
+    new_exp = None
+    if in_nn:
+        new_exp = {
+            **exp,
+            "not_null": [new if c == old else c for c in exp["not_null"]],
+        }
     new_ids = {(new if n == old else n): i for n, i in ids.items()}
     new_schema = StructType(
         [
@@ -1047,6 +1081,7 @@ def rename_column(
         column_ids=new_ids,
         column_ids_pre=(dict(pre) if pre is not None else None),
         colmap_max_id=max_id,
+        expectations=new_exp,
     )
     _touch_colmap_marker(spark, path)
     return entry
@@ -1064,6 +1099,14 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
         raise ValueError(f"column {name!r} does not exist (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the last remaining column")
+    exp = table_expectations(spark, path, base)
+    in_nn, check_hits = _expectation_references(exp, name)
+    if in_nn or check_hits:
+        refs = (["not_null"] if in_nn else []) + check_hits
+        raise ValueError(
+            f"column {name!r} is referenced by constraint(s) {refs} — "
+            "drop or re-register them before dropping the column"
+        )
     new_ids = {n: i for n, i in ids.items() if n != name}
     new_schema = StructType([f for f in schema.fields if f.name != name])
     entry = _commit(

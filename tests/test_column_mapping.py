@@ -465,3 +465,44 @@ def test_rename_validation(spark, tmp_path):
     drop_column(spark, t, "v")
     with pytest.raises(ValueError):
         drop_column(spark, t, "k")  # last column
+
+
+def test_schema_ops_interact_with_expectations(spark, tmp_path):
+    """Constraints must follow (or block) schema ops: not_null entries
+    rename with the column in the same commit; CHECK references refuse
+    the rename; any reference refuses a drop."""
+    from gedixr_spark.sinks.versioned import (
+        commit_append as ca,
+        set_table_expectations,
+        table_expectations,
+    )
+
+    t = str(tmp_path / "expmap")
+    init_versioned(spark, t)
+    ca(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "a", 5.0)], "id long, name string, bal double"
+        ),
+    )
+    set_table_expectations(
+        spark, t, not_null=["name"], checks={"pos_bal": "bal >= 0"}
+    )
+    # not_null follows the rename atomically
+    rename_column(spark, t, "name", "title")
+    exp = table_expectations(spark, t)
+    assert exp["not_null"] == ["title"]
+    with pytest.raises(Exception):
+        ca(
+            spark, t,
+            spark.createDataFrame(
+                [(2, None, 1.0)], "id long, title string, bal double"
+            ),
+        )
+    # CHECK-referenced column refuses rename and drop
+    with pytest.raises(ValueError, match="CHECK"):
+        rename_column(spark, t, "bal", "balance")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(spark, t, "bal")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(spark, t, "title")  # not_null-referenced
