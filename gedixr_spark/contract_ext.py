@@ -1106,8 +1106,12 @@ def q_cdc_incremental_state(spark, sf_dir):
     init_versioned(spark, src)
     init_incremental_agg(spark, st)
     commit_append(spark, src, base)
+    # 8 range-clustered state files: enough to SHOW file-granular
+    # refresh (the churn rewrites a strict subset) without paying 32
+    # tiny-file commits at bench scale
     refresh_incremental_agg_cdc(
-        spark, src, st, keys=["c_nationkey"], value_col="c_acctbal"
+        spark, src, st, keys=["c_nationkey"], value_col="c_acctbal",
+        state_partitions=8,
     )
     # churn: upsert a slice, DV-delete another, then refresh (the
     # merge-based state path — only churned-nation files rewrite)
@@ -1119,8 +1123,9 @@ def q_cdc_incremental_state(spark, sf_dir):
     refresh_incremental_agg_cdc(
         spark, src, st, keys=["c_nationkey"], value_col="c_acctbal"
     )
-    # exactly-once cursor pass over the same feed
-    batch = next_changes(spark, src, "bench_consumer")
+    # exactly-once cursor pass over the churn (a consumer provisioned
+    # at bootstrap starts at the bootstrap version, not at table birth)
+    batch = next_changes(spark, src, "bench_consumer", start_version=1)
     n_changes = (
         batch["changes"].count() if batch["changes"] is not None else 0
     )

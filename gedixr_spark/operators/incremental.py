@@ -177,6 +177,7 @@ def refresh_incremental_agg_cdc(
     state_path: str,
     keys: Sequence[str],
     value_col: str,
+    state_partitions: int | None = None,
 ) -> dict:
     """`refresh_incremental_agg` for sources taking UPSERTS, DELETES,
     and MERGES: the delta comes from the row-level CDC feed
@@ -248,6 +249,10 @@ def refresh_incremental_agg_cdc(
             (F.col("__n") != 0)
             | (F.coalesce(F.col("__sum"), F.lit(0.0)) != 0.0)
         )
+        # the delta feeds the routing probe AND commit_merge's several
+        # pre-write actions — pin the (expensive at scale) per-commit
+        # feed diff so it executes once, not once per action
+        .localCheckpoint(eager=False)
     )
     try:
         old = read_versioned(spark, state_path)
@@ -259,7 +264,11 @@ def refresh_incremental_agg_cdc(
         # every later refresh's merge discovery prunes to the files
         # actually holding churned keys
         state0 = fresh.filter(F.col("__n") > 0)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_part = (
+            int(state_partitions)
+            if state_partitions is not None
+            else int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
         state0 = state0.repartitionByRange(
             n_part, *keys
         ).sortWithinPartitions(*keys)
