@@ -176,6 +176,23 @@ def commit_cursor(
         payload = json.dumps(entry, sort_keys=True).encode("utf-8")
         target = _cursor_dir(path, consumer_id) + f"/{seq:08d}.json"
         if _atomic_create(spark, target, payload):
+            # self-trim: only the LATEST offset is load-bearing (the
+            # monotone no-op check reads just seqs[-1]); older entries
+            # are dead weight a long-lived consumer would accumulate
+            # forever. Best effort — a failed delete is retried by the
+            # next commit, and a racer reading a just-deleted older
+            # seq still resolves the newest one from the listing.
+            for old_seq in seqs[:-1] if len(seqs) > 1 else []:
+                try:
+                    fs.delete(
+                        jpath(
+                            _cursor_dir(path, consumer_id)
+                            + f"/{old_seq:08d}.json"
+                        ),
+                        False,
+                    )
+                except Exception:
+                    pass
             return entry
         # lost the seq race: another worker with our id advanced —
         # re-read; if they covered our range the retry no-ops

@@ -251,3 +251,20 @@ def test_cursor_rejects_bad_consumer_id(spark, tmp_path):
         next_changes(spark, table, "../evil")
     with pytest.raises(ValueError):
         next_changes(spark, table, "")
+
+
+def test_cursor_offsets_self_trim(spark, tmp_path):
+    """Long-lived consumers must not accumulate offset files forever:
+    each successful advance trims all but the previous entry (only the
+    latest is load-bearing; the previous is kept for in-flight
+    listers)."""
+    import os
+
+    table = str(tmp_path / "trim")
+    init_versioned(spark, table)
+    for i in range(5):
+        commit_append(spark, table, _mk(spark, [("g", i, i)]))
+        commit_cursor(spark, table, "poller", i + 1)
+    assert cursor_position(spark, table, "poller") == 5
+    files = os.listdir(table + "/_cursors/poller")
+    assert len(files) <= 2, files
