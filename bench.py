@@ -75,6 +75,21 @@ def calibrate(spark, sf_dir: str, n_runs: int = 3) -> float | None:
     return best
 
 
+def calibrate_scheduler(spark, n_jobs: int = 30) -> float:
+    """SECOND calibration axis: total wall for ``n_jobs`` trivial
+    one-partition jobs — pure driver/scheduler round-trip latency, no
+    data. Hosts drift on TWO axes independently (r12 observed: CPU 15%
+    FASTER while many-small-job queries ran 1.3x SLOWER — a scheduler-
+    latency regression the scan calibration is blind to). Recorded for
+    adjudication of overhead-bound movers (events/iterative/multi-
+    commit families); the rerun gate deliberately keeps using the scan
+    calibration — mixing axes would mis-normalize scan-bound queries."""
+    t0 = time.perf_counter()
+    for _ in range(n_jobs):
+        spark.range(1, numPartitions=1).count()
+    return time.perf_counter() - t0
+
+
 def load_prev_timings(path: str, sf: str | None = None) -> dict[str, float]:
     """Per-query min timings from a previous round's bench record.
 
@@ -202,6 +217,7 @@ def main() -> None:
     # a wild calibration sample must not disable (or hair-trigger)
     # the gate outright.
     calib_s = calibrate(spark, sf_dir, runs)
+    calib_sched_s = calibrate_scheduler(spark)
     drift = 1.0
     if calib_s and prev_calib:
         drift = min(max(calib_s / prev_calib, 0.5), 3.0)
@@ -253,6 +269,7 @@ def main() -> None:
         "reruns": reruns,
         "rerun_why": rerun_why,
         "calib_s": round(calib_s, 4) if calib_s else None,
+        "calib_sched_s": round(calib_sched_s, 4),
         "prev_calib_s": round(prev_calib, 4) if prev_calib else None,
         "drift": round(drift, 4),
         "spread": {k: round(v, 3) for k, v in spreads.items()},
@@ -280,6 +297,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # next round's drift reference (see load_prev_calib)
                 "calib_s": round(calib_s, 3) if calib_s else None,
+                # scheduler-latency axis (see calibrate_scheduler)
+                "calib_sched_s": round(calib_sched_s, 3),
             }
         )
     )
