@@ -437,7 +437,20 @@ def _scan_files(
     return df.select(*out)
 
 
+_SCHEMA_REPLACE_OPS = frozenset(
+    {"create", "overwrite", "rollback", "clone",
+     "rename_column", "drop_column", "add_column"}
+)
+
+
 def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
+    """The table's LOGICAL schema at ``version``. Schema-op and
+    whole-table commits REPLACE it; data commits evolve it ADDITIVELY
+    (their recorded schema is the batch's — an append that omits a
+    later-added column must not shrink the table, matching what
+    mergeSchema reads actually surface). Existing fields keep their
+    recorded order and types (type flips are rejected at the door);
+    new fields append at the end."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     start, _, schema, _, _, _ = _replay_base(spark, path, cap)
@@ -446,9 +459,21 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
             continue
         if v > cap:
             break
-        s = _read_entry(spark, path, v).get("schema")
-        if s is not None:
+        e = _read_entry(spark, path, v)
+        s = e.get("schema")
+        if s is None:
+            continue
+        if schema is None or e.get("op") in _SCHEMA_REPLACE_OPS:
             schema = s
+            continue
+        have = {f["name"] for f in json.loads(schema)["fields"]}
+        new_fields = [
+            f for f in json.loads(s)["fields"] if f["name"] not in have
+        ]
+        if new_fields:
+            cur = json.loads(schema)
+            cur["fields"] = [*cur["fields"], *new_fields]
+            schema = json.dumps(cur)
     return schema
 
 
@@ -706,6 +731,15 @@ def _live_file_schemas(
     return out
 
 
+def _needs_merge_schema(spark: SparkSession, path: str, cap: int) -> bool:
+    """True when the live files' recorded write schemas disagree (or
+    are unknowable) — the signal that any whole-row scan must read with
+    parquet mergeSchema or footer sampling may silently DROP
+    later-added columns. One metadata walk, no file opened."""
+    seen = set(_live_file_schemas(spark, path, cap).values())
+    return len(seen - {None}) > 1 or None in seen
+
+
 # ---------------------------------------------------------------------------
 # Column mapping: RENAME / DROP schema evolution as metadata-only commits
 # (the Delta column-mapping / Iceberg column-id shape, r11 VERDICT #2).
@@ -763,6 +797,7 @@ def _column_ids_walk(
     """
     versions = _list_log_versions(spark, path)
     start, ids, pre, max_id = -1, None, None, -1
+    defaults: dict = {}       # id -> ADD COLUMN default (latest snapshot)
     file_ids_raw: dict = {}   # file -> ids snapshot at add (None = pre-act)
     file_names: dict = {}     # file -> [write names] | None
     cks = (
@@ -775,6 +810,10 @@ def _column_ids_walk(
         if "column_ids" in ck:
             ids = dict(ck["column_ids"]) if ck["column_ids"] is not None else None
             max_id = int(ck.get("colmap_max_id", -1))
+            defaults = {
+                int(i): v
+                for i, v in (ck.get("column_defaults") or {}).items()
+            }
             for f, m in (ck.get("file_column_ids") or {}).items():
                 file_ids_raw[f] = dict(m) if m is not None else None
         elif _colmap_active(spark, path):
@@ -809,6 +848,10 @@ def _column_ids_walk(
             if "colmap_max_id" in e:
                 # allocator state survives a drop of the highest id
                 max_id = max(max_id, int(e["colmap_max_id"]))
+        if "column_defaults" in e:
+            defaults = {
+                int(i): v for i, v in e["column_defaults"].items()
+            }
         sch = e.get("schema")
         names = (
             [f["name"] for f in json.loads(sch)["fields"]]
@@ -830,7 +873,11 @@ def _column_ids_walk(
                 # file was written under this table's current names
                 file_ids_raw[f] = {n: int(i) for n, i in ov[f].items()}
                 file_names[f] = list(ov[f].keys())
-            else:
+            elif f not in file_ids_raw:
+                # FIRST add wins: a file is physically written exactly
+                # once — a later entry re-adding it (rollback restore)
+                # must not stamp it with rollback-time ids, the file's
+                # columns are still whatever they were at write time
                 file_ids_raw[f] = dict(ids) if ids is not None else None
                 file_names[f] = list(names) if names is not None else None
     # resolve per-file write-name -> id maps
@@ -860,6 +907,7 @@ def _column_ids_walk(
         "file_ids": file_ids,
         "file_names": file_names,
         "max_id": max_id,
+        "defaults": defaults,
     }
 
 
@@ -888,7 +936,11 @@ def _colmap_context(
     cap_by_id = {i: n for n, i in ids.items()}
     schema_json = _latest_schema(spark, path, cap)
     cap_schema = StructType.fromJson(json.loads(schema_json))
+    defaults = {
+        i: v for i, v in (w.get("defaults") or {}).items() if i in cap_by_id
+    }
     renames: dict = {}
+    fills: dict = {}
     trivial = True
     cap_names = set(ids)
     for f in files:
@@ -901,15 +953,29 @@ def _colmap_context(
             )
         ren = {n: cap_by_id[i] for n, i in fid.items() if i in cap_by_id}
         renames[f] = ren
-        if not (
+        # ADD COLUMN defaults: cap columns this file was written
+        # WITHOUT surface the default, not NULL — per file, so a later
+        # file's genuine NULL stays NULL
+        have_ids = set(fid.values())
+        fill = {
+            cap_by_id[i]: v
+            for i, v in defaults.items()
+            if i not in have_ids
+        }
+        fills[f] = fill
+        if fill or not (
             len(ren) == len(fid)
             and all(k == v for k, v in ren.items())
             and set(ren) <= cap_names
+            # a file missing a cap column (pure-metadata add_column:
+            # NO file carries it) needs the align's typed NULL
+            # backfill — the plain scan would lose the column entirely
+            and set(cap_by_id) <= have_ids
         ):
             trivial = False
     if trivial:
         return None
-    return {"renames": renames, "cap_schema": cap_schema}
+    return {"renames": renames, "fills": fills, "cap_schema": cap_schema}
 
 
 def _cap_of(spark: SparkSession, path: str, version: int | None) -> int:
@@ -966,15 +1032,25 @@ def _scan_mapped(
     the cap schema (later-added columns NULL-backfill with their
     recorded types). When ``want_meta`` the per-row source file/pos
     metadata columns ride through the union for the DV anti-join."""
+    cap_types = {f.name: f.dataType for f in ctx["cap_schema"].fields}
     groups: dict = {}
     for f in files:
-        key = tuple(sorted(ctx["renames"][f].items()))
+        key = (
+            tuple(sorted(ctx["renames"][f].items())),
+            tuple(sorted(ctx.get("fills", {}).get(f, {}).items())),
+        )
         groups.setdefault(key, []).append(f)
     parts = []
-    for key, fl in sorted(groups.items()):
-        ren = dict(key)
+    for (rkey, fkey), fl in sorted(groups.items()):
+        ren, fill = dict(rkey), dict(fkey)
         r = spark.read.parquet(*_file_paths(path, fl))
         cols = [F.col(c).alias(ren[c]) for c in r.columns if c in ren]
+        # ADD COLUMN defaults for columns this epoch predates
+        cols += [
+            F.lit(v).cast(cap_types[n]).alias(n)
+            for n, v in fill.items()
+            if n in cap_types
+        ]
         if want_meta:
             cols += [
                 F.col("_metadata.file_name").alias("__dv_file"),
@@ -1082,6 +1158,64 @@ def rename_column(
         column_ids_pre=(dict(pre) if pre is not None else None),
         colmap_max_id=max_id,
         expectations=new_exp,
+    )
+    _touch_colmap_marker(spark, path)
+    return entry
+
+
+def add_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    dtype: str,
+    default=None,
+) -> dict:
+    """ADD a column as a METADATA-ONLY commit — the Delta
+    ``ALTER TABLE ADD COLUMN [DEFAULT]`` shape. No file is touched:
+    rows written BEFORE the add surface ``default`` (NULL when none) on
+    read, per-FILE, through the column-mapping machinery — so a later
+    write that genuinely stores NULL in the column is distinguishable
+    from an old file that predates it (the distinction Delta needs
+    per-file action metadata for; our per-file write schemas already
+    carry it). Appends after the add may omit the column — their files
+    then fill the default too, matching SQL INSERT-without-column
+    semantics. The default is id-keyed in the log, so it follows
+    renames and dies with a drop. ``dtype`` is a DDL type string
+    ("long", "string", "double", ...); ``default`` must be a plain
+    JSON-able literal of that type."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    base, schema, ids, max_id, pre = _schema_op_base(spark, path)
+    names = [f.name for f in schema.fields]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists")
+    field_type = _parse_datatype_string(dtype)
+    if default is not None and not isinstance(
+        default, (int, float, str, bool)
+    ):
+        raise ValueError(
+            f"default must be a plain JSON-able literal, got "
+            f"{type(default).__name__}"
+        )
+    new_id = max_id + 1
+    new_ids = {**ids, name: new_id}
+    w = _column_ids_walk(spark, path, base)
+    live_ids = set(new_ids.values())
+    defaults = {
+        i: v for i, v in w.get("defaults", {}).items() if i in live_ids
+    }
+    if default is not None:
+        defaults[new_id] = default
+    new_schema = StructType(
+        [*schema.fields, StructField(name, field_type, True)]
+    )
+    entry = _commit(
+        spark, path, "add_column", [], [], new_schema.json(),
+        {"added": name, "default": default}, base + 1,
+        column_ids=new_ids,
+        column_ids_pre=(dict(pre) if pre is not None else None),
+        colmap_max_id=new_id,
+        column_defaults={str(i): v for i, v in defaults.items()},
     )
     _touch_colmap_marker(spark, path)
     return entry
@@ -1242,6 +1376,7 @@ def _commit(
     colmap_max_id: int | None = None,
     quarantine_release: list[str] | None = None,
     file_column_ids: dict | None = None,
+    column_defaults: dict | None = None,
 ) -> dict:
     entry = {
         "version": expected_version,
@@ -1288,6 +1423,10 @@ def _commit(
         # per-file write-name -> id overrides (clone of a mapped
         # source: external files keep the SOURCE's write-time names)
         entry["file_column_ids"] = file_column_ids
+    if column_defaults is not None:
+        # id-keyed ADD COLUMN defaults snapshot (follows renames, dies
+        # with drops); {} is meaningful (clears them)
+        entry["column_defaults"] = column_defaults
     payload = json.dumps(entry, sort_keys=True).encode("utf-8")
     target = _log_dir(path) + "/" + _entry_name(expected_version)
     if not _atomic_create(spark, target, payload):
@@ -2103,6 +2242,10 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
             colmap_kw = {
                 "column_ids": ids,
                 "colmap_max_id": max(w_to["max_id"], w_now["max_id"]),
+                "column_defaults": {
+                    str(i): v
+                    for i, v in (w_to.get("defaults") or {}).items()
+                },
             }
     return _commit(
         spark, path, "rollback",
@@ -2250,7 +2393,12 @@ def commit_compact(
     if sort_by and zorder_by:
         raise ValueError("pass sort_by OR zorder_by, not both")
     n_out = n_files if n_files else max(1, -(-small_bytes // target_bytes))
-    df = _scan_files(spark, path, small, dvs, cap=base)
+    # the compacted slice can straddle additive schema evolution —
+    # footer sampling would silently drop later-added columns from the
+    # REWRITTEN files (latent until r12's model-based property caught
+    # it via an addcol+compact walk)
+    ms = _needs_merge_schema(spark, path, base)
+    df = _scan_files(spark, path, small, dvs, merge_schema=ms, cap=base)
     if zorder_by:
         # multi-column clustering: range-partition + sort on the Morton
         # key so each output file covers a compact hyper-rectangle of
@@ -2421,9 +2569,10 @@ def _commit_delete_impl(
     # must not re-match (double-counted positions would corrupt the
     # metadata row counts and double-anti-join harmlessly but lie in
     # the audit trail)
+    ms = _needs_merge_schema(spark, path, base)
     target = _scan_files(
         spark, path, files, dvs, file_col="__file", pos_col="__pos",
-        cap=base,
+        merge_schema=ms, cap=base,
     )
     schema_json = _latest_schema(spark, path, base)
 
@@ -2499,7 +2648,9 @@ def _commit_delete_impl(
     # the rewrite reads THROUGH live DVs, so it also materializes
     # prior DV deletions on the touched files (replay then drops
     # those DV targets)
-    kept = keep(_scan_files(spark, path, touched, dvs, cap=base))
+    kept = keep(
+        _scan_files(spark, path, touched, dvs, merge_schema=ms, cap=base)
+    )
     names = _write_data_files(spark, path, kept, base + 1)
     stats = (
         _file_column_stats(spark, path, names, list(stats_cols))
@@ -3154,7 +3305,11 @@ def read_where_all(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
+        cap = _cap_of(spark, path, version)
+        out = _scan_files(
+            spark, path, keep, dvs,
+            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+        )
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
         if lo is not None:
@@ -3188,7 +3343,11 @@ def read_where(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
+        cap = _cap_of(spark, path, version)
+        out = _scan_files(
+            spark, path, keep, dvs,
+            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+        )
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(lo))
@@ -3343,7 +3502,11 @@ def read_point(
         out = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     else:
         # merge-on-read: live delete vectors apply to pruned reads too
-        out = _scan_files(spark, path, keep, dvs, cap=_cap_of(spark, path, version))
+        cap = _cap_of(spark, path, version)
+        out = _scan_files(
+            spark, path, keep, dvs,
+            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+        )
     return out.filter(F.col(col) == F.lit(value))
 
 
@@ -3477,6 +3640,9 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         w = _column_ids_walk(spark, path, cap)
         ck["column_ids"] = w["ids"]
         ck["colmap_max_id"] = w["max_id"]
+        ck["column_defaults"] = {
+            str(i): v for i, v in (w.get("defaults") or {}).items()
+        }
         live_set = set(ck["live"])
         ck["file_column_ids"] = {
             f: m for f, m in w["file_ids"].items() if f in live_set
@@ -3484,6 +3650,7 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     else:
         ck["column_ids"] = None
         ck["colmap_max_id"] = -1
+        ck["column_defaults"] = {}
         ck["file_column_ids"] = {}
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")
@@ -3744,6 +3911,10 @@ def shallow_clone(
                 "column_ids": w["ids"],
                 "colmap_max_id": w["max_id"],
                 "file_column_ids": fmap,
+                "column_defaults": {
+                    str(i): v
+                    for i, v in (w.get("defaults") or {}).items()
+                },
             }
     entry = _commit(
         spark,

@@ -133,7 +133,8 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
     rows = [(i, i * 2, f"s{i}") for i in range(8)]
     commit_append(spark, t, mk(rows))
     con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
-    ops = ["append", "rename", "upsert", "drop", "readd", "delete"]
+    ops = ["append", "rename", "upsert", "drop", "readd", "delete",
+           "adddef"]
     for step in range(12):
         op = rng.choice(ops)
         if op == "append":
@@ -218,6 +219,17 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
             ph = ", ".join("?" for _ in cols2)
             con.executemany(f"INSERT INTO m ({q}) VALUES ({ph})", recs)
             cols = cols2
+        elif op == "adddef":
+            from gedixr_spark.sinks.versioned import add_column
+
+            name = f"d{step}"
+            dv = rng.randint(1, 9)
+            add_column(spark, t, name, "long", default=dv)
+            con.execute(
+                f'ALTER TABLE m ADD COLUMN "{name}" BIGINT DEFAULT {dv}'
+            )
+            cols = cols + [name]
+            types[name] = "long"
         elif op == "delete":
             kmax = rng.randint(0, 120)
             mode = rng.choice(["cow", "dv"])
@@ -506,3 +518,90 @@ def test_schema_ops_interact_with_expectations(spark, tmp_path):
         drop_column(spark, t, "bal")
     with pytest.raises(ValueError, match="constraint"):
         drop_column(spark, t, "title")  # not_null-referenced
+
+
+def test_add_column_with_default(spark, tmp_path):
+    """ADD COLUMN DEFAULT (Delta shape): metadata-only; files written
+    BEFORE the add surface the default per-file; files written after
+    carry real values including genuine NULL; appends may omit the
+    column (they fill the default, SQL INSERT semantics); the default
+    follows a rename (id-keyed) and dies with a drop; pre-add
+    snapshots don't show the column."""
+    from gedixr_spark.sinks.versioned import add_column
+
+    t = str(tmp_path / "dflt")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)])
+    )
+    e = add_column(spark, t, "tier", "string", default="bronze")
+    assert e["add"] == [] and e["remove"] == []
+    got = {r["k"]: r["tier"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: "bronze", 2: "bronze"}
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [Row(k=3, v=30, tier="gold"), Row(k=4, v=40, tier=None)]
+        ),
+    )
+    commit_append(spark, t, spark.createDataFrame([Row(k=5, v=50)]))
+    got = {r["k"]: r["tier"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: "bronze", 2: "bronze", 3: "gold", 4: None, 5: "bronze"}
+    # default follows rename; upsert through it keeps semantics
+    rename_column(spark, t, "tier", "level")
+    commit_upsert(
+        spark, t,
+        spark.createDataFrame([Row(k=1, v=11, level="silver")]),
+        keys=["k"],
+    )
+    got = {r["k"]: r["level"] for r in read_versioned(spark, t).collect()}
+    assert got[1] == "silver" and got[2] == "bronze" and got[4] is None
+    # pre-add snapshot clean; post-drop clean
+    assert "tier" not in read_versioned(spark, t, version=1).columns
+    drop_column(spark, t, "level")
+    assert set(read_versioned(spark, t).columns) == {"k", "v"}
+
+
+def test_add_column_default_survives_checkpoint_and_rollback(
+    spark, tmp_path
+):
+    from gedixr_spark.sinks.versioned import add_column
+
+    t = str(tmp_path / "dflt2")
+    init_versioned(spark, t)
+    commit_append(spark, t, spark.createDataFrame([Row(k=1, v=10)]))
+    add_column(spark, t, "w", "long", default=7)          # v2
+    commit_append(spark, t, spark.createDataFrame([Row(k=2, v=20, w=99)]))
+    checkpoint_log(spark, t)
+    expire_log(spark, t)
+    got = {r["k"]: r["w"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: 7, 2: 99}
+    # rollback past the add removes column AND default
+    # (fresh table: expiry deleted pre-checkpoint entries above, so
+    # exercise rollback on a second table)
+    t2 = str(tmp_path / "dflt3")
+    init_versioned(spark, t2)
+    commit_append(spark, t2, spark.createDataFrame([Row(k=1, v=10)]))
+    add_column(spark, t2, "w", "long", default=7)
+    commit_append(spark, t2, spark.createDataFrame([Row(k=2, v=20, w=1)]))
+    rollback(spark, t2, 1)
+    assert set(read_versioned(spark, t2).columns) == {"k", "v"}
+    # and re-adding after the rollback starts from a clean default
+    add_column(spark, t2, "w", "long", default=5)
+    got2 = {r["k"]: r["w"] for r in read_versioned(spark, t2).collect()}
+    assert got2 == {1: 5}
+
+
+def test_add_column_validation(spark, tmp_path):
+    from gedixr_spark.sinks.versioned import add_column
+
+    t = str(tmp_path / "dflt4")
+    init_versioned(spark, t)
+    commit_append(spark, t, spark.createDataFrame([Row(k=1)]))
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(spark, t, "k", "long")
+    with pytest.raises(ValueError, match="JSON-able"):
+        add_column(spark, t, "x", "array<long>", default=[1, 2])
+    # default=None is a plain metadata add: NULL everywhere until set
+    add_column(spark, t, "x", "long")
+    assert [r["x"] for r in read_versioned(spark, t).collect()] == [None]
