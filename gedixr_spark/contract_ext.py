@@ -953,8 +953,8 @@ def q_schema_evolution(spark, sf_dir):
     rows-only; exactness is pinned by the seeded randomized DuckDB
     ALTER TABLE replay in tests/test_column_mapping.py."""
     from gedixr_spark.sinks.versioned import (
-        commit_append, commit_upsert, drop_column, init_versioned,
-        read_versioned, rename_column,
+        add_column, commit_append, commit_upsert, drop_column,
+        init_versioned, read_versioned, rename_column,
     )
 
     base = (
@@ -987,6 +987,21 @@ def q_schema_evolution(spark, sf_dir):
         )
     )
     commit_append(spark, path, readd)
+    # v6: metadata-only ADD COLUMN with DEFAULT — every pre-add row
+    # must surface 'bronze' per-file, the post-add append a real value
+    add_column(spark, path, "tier", "string", default="bronze")
+    commit_append(
+        spark, path,
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 9)
+        .coalesce(2)
+        .select(
+            "c_custkey",
+            F.lit("LATE").alias("segment"),
+            (F.col("c_nationkey") + 200).alias("c_nationkey"),
+            F.lit("gold").alias("tier"),
+        ),
+    )
     v1 = read_versioned(spark, path, version=1).select(
         F.lit("v1").alias("snap"),
         "c_custkey",
@@ -995,8 +1010,8 @@ def q_schema_evolution(spark, sf_dir):
     )
     latest = read_versioned(spark, path).select(
         F.lit("latest").alias("snap"),
-        "c_custkey",
-        F.col("segment").alias("seg"),
+        F.col("c_custkey"),
+        F.concat(F.col("segment"), F.lit("/"), F.col("tier")).alias("seg"),
         F.col("c_nationkey").cast("long").alias("nat"),
     )
     return v1.unionByName(latest)

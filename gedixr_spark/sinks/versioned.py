@@ -3828,6 +3828,41 @@ def export_manifest(
         _write(del_target, sorted(dvs))
     elif fs.exists(jpath(del_target)):
         fs.delete(jpath(del_target), False)
+    # column mapping: data files carry WRITE-TIME names — an external
+    # reader needs the per-file translation or a post-rename manifest
+    # read surfaces stale (or swapped!) columns. Emit the Iceberg
+    # name-mapping shape as a JSON sidecar: per-file write-name ->
+    # logical-name maps plus ADD COLUMN default fills. Absent when
+    # mapping is inactive or every file already matches (the sidecar's
+    # absence IS the "plain parquet is safe" signal).
+    col_target = f"{mdir}/manifest-{v:08d}-columns.json"
+    ctx = (
+        _colmap_context(spark, path, list(files), v) if files else None
+    )
+    if ctx is not None:
+        payload = json.dumps(
+            {
+                "columns": [f.name for f in ctx["cap_schema"].fields],
+                "renames": {
+                    os.path.abspath(_strip_scheme(_resolve_file(path, f))):
+                        ctx["renames"][f]
+                    for f in files
+                },
+                "fills": {
+                    os.path.abspath(_strip_scheme(_resolve_file(path, f))):
+                        ctx.get("fills", {}).get(f, {})
+                    for f in files
+                },
+            },
+            sort_keys=True,
+        ).encode("utf-8")
+        out = fs.create(jpath(col_target), True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+    elif fs.exists(jpath(col_target)):
+        fs.delete(jpath(col_target), False)
     return target
 
 
