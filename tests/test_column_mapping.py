@@ -661,3 +661,29 @@ def test_manifest_columns_sidecar_roundtrips_externally(spark, tmp_path):
     assert rows == want
     assert ("1", ) != rows  # sanity: non-empty comparison happened
     assert any(r[-1] == "bronze" for r in rows)  # defaults surfaced
+
+
+def test_table_changes_straddling_defaulted_add(spark, tmp_path):
+    """A CDC range crossing ADD COLUMN DEFAULT surfaces cap's schema
+    with the default filled for pre-add slices — insert rows from
+    before the add must not read as NULL-tier when the snapshot shows
+    bronze."""
+    from gedixr_spark.sinks.versioned import add_column
+
+    t = str(tmp_path / "cdcdflt")
+    init_versioned(spark, t)
+    commit_append(spark, t, spark.createDataFrame([Row(k=1, v=10)]))
+    add_column(spark, t, "tier", "string", default="bronze")
+    commit_append(
+        spark, t, spark.createDataFrame([Row(k=2, v=20, tier="gold")])
+    )
+    commit_delete(spark, t, F.col("k") == 1, mode="dv")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["tier"])
+        for r in table_changes(spark, t, 0).collect()
+    )
+    assert got == [
+        (1, "insert", 1, "bronze"),
+        (3, "insert", 2, "gold"),
+        (4, "delete", 1, "bronze"),
+    ]
