@@ -1190,13 +1190,32 @@ def add_column(
     if name in names:
         raise ValueError(f"column {name!r} already exists")
     field_type = _parse_datatype_string(dtype)
-    if default is not None and not isinstance(
-        default, (int, float, str, bool)
-    ):
-        raise ValueError(
-            f"default must be a plain JSON-able literal, got "
-            f"{type(default).__name__}"
+    if default is not None:
+        if not isinstance(default, (int, float, str, bool)):
+            raise ValueError(
+                f"default must be a plain JSON-able literal, got "
+                f"{type(default).__name__}"
+            )
+        # type-check the default NOW: a mismatched literal would cast
+        # to NULL on every read — silently, much later, per file
+        ts = field_type.simpleString()
+        ok = (
+            (ts in ("tinyint", "smallint", "int", "bigint")
+             and isinstance(default, int) and not isinstance(default, bool))
+            or (ts in ("float", "double")
+                and isinstance(default, (int, float))
+                and not isinstance(default, bool))
+            or (ts.startswith("decimal")
+                and isinstance(default, (int, float))
+                and not isinstance(default, bool))
+            or (ts == "string" and isinstance(default, str))
+            or (ts == "boolean" and isinstance(default, bool))
         )
+        if not ok:
+            raise ValueError(
+                f"default {default!r} ({type(default).__name__}) does "
+                f"not fit column type {ts} — it would read as NULL"
+            )
     new_id = max_id + 1
     new_ids = {**ids, name: new_id}
     w = _column_ids_walk(spark, path, base)

@@ -602,6 +602,12 @@ def test_add_column_validation(spark, tmp_path):
         add_column(spark, t, "k", "long")
     with pytest.raises(ValueError, match="JSON-able"):
         add_column(spark, t, "x", "array<long>", default=[1, 2])
+    with pytest.raises(ValueError, match="does not fit"):
+        add_column(spark, t, "x", "bigint", default="not-a-number")
+    with pytest.raises(ValueError, match="does not fit"):
+        add_column(spark, t, "x", "string", default=5)
+    with pytest.raises(ValueError, match="does not fit"):
+        add_column(spark, t, "x", "bigint", default=True)
     # default=None is a plain metadata add: NULL everywhere until set
     add_column(spark, t, "x", "long")
     assert [r["x"] for r in read_versioned(spark, t).collect()] == [None]

@@ -23,6 +23,7 @@ _op = st.one_of(
     ),
     st.tuples(st.just("rename"), st.integers(0, 99)),
     st.tuples(st.just("addcol"), st.integers(0, 7)),
+    st.tuples(st.just("adddef"), st.integers(0, 7)),
     st.tuples(st.just("dropcol"), st.integers(0, 99)),
     st.tuples(st.just("delete_cow"), st.integers(0, 7)),
     st.tuples(st.just("delete_dv"), st.integers(0, 7)),
@@ -40,6 +41,7 @@ def test_schema_ops_interleaved_match_dict_model(
     from pyspark.sql import functions as F
 
     from gedixr_spark.sinks.versioned import (
+        add_column,
         commit_append,
         commit_compact,
         commit_delete,
@@ -115,6 +117,15 @@ def test_schema_ops_interleaved_match_dict_model(
             for d in rows.values():
                 d.setdefault(new, None)
             rows.update(batch)
+        elif op == "adddef":
+            new = f"d{step_id}"
+            dval = f"def{arg}"
+            entry = add_column(spark, path, new, "string", default=dval)
+            schema = schema + [new]
+            # every existing row surfaces the default; rows written
+            # later carry whatever their batch says
+            for d in rows.values():
+                d[new] = dval
         elif op == "dropcol":
             candidates = [c for c in schema if c != "k"]
             if len(candidates) < 2:
