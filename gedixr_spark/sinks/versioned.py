@@ -1337,8 +1337,7 @@ def read_versioned(
         # happened before the checkpoint and silently drop columns);
         # an unknown schema (None — legacy checkpoint) merges
         # conservatively: footer-merge cost, never a wrong result.
-        seen = set(_live_file_schemas(spark, path, cap).values())
-        merge_schema = len(seen - {None}) > 1 or None in seen
+        merge_schema = _needs_merge_schema(spark, path, cap)
     return _scan_files(
         spark, path, files, dvs, merge_schema=bool(merge_schema), cap=cap
     )
@@ -1829,8 +1828,7 @@ def commit_upsert(
     # DV-deleted row must neither pull its file into the touched set
     # nor resurrect in the rewrite (the rewrite materializes the DV
     # for the files it removes — replay prunes the DV automatically)
-    seen_sch = set(_live_file_schemas(spark, path, base).values())
-    ms = len(seen_sch - {None}) > 1 or None in seen_sch
+    ms = _needs_merge_schema(spark, path, base)
     target = _scan_files(
         spark, path, files, dvs, merge_schema=ms, file_col="__file",
         cap=base,
@@ -2016,8 +2014,7 @@ def commit_merge(
     # live files may straddle an additive schema evolution; footer
     # sampling could infer the pre-evolution schema and leave the
     # merge expressions unresolved — detect and union like upsert does
-    seen_sch = set(_live_file_schemas(spark, path, base).values())
-    ms = len(seen_sch - {None}) > 1 or None in seen_sch
+    ms = _needs_merge_schema(spark, path, base)
     if files:
         # discovery reads THROUGH live delete vectors — a DV-deleted
         # row must not pull its file into the rewrite set
@@ -2732,9 +2729,14 @@ def read_appended(
             raise ValueError(f"{path} has no recorded schema")
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     # cap routes the scan through column mapping when active (a feed
-    # range straddling a rename surfaces cap's names); plain read
-    # otherwise — byte-identical to the pre-mapping plan
-    return _scan_files(spark, path, added, {}, cap=cap)
+    # range straddling a rename surfaces cap's names); mergeSchema
+    # when the table's files disagree (a feed range straddling
+    # additive evolution must not footer-sample the old shape); plain
+    # read otherwise — byte-identical to the pre-mapping plan
+    return _scan_files(
+        spark, path, added, {},
+        merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+    )
 
 
 def table_changes(
