@@ -201,6 +201,41 @@ def commit_cursor(
     )
 
 
+def list_cursors(spark: SparkSession, path: str) -> dict:
+    """{consumer_id: processed_through} for every cursor on the table —
+    the observability view an operator checks before vacuuming or
+    retiring consumers (a cursor far behind the tip is a consumer that
+    stopped polling; its lag bounds how far `expire_log` can safely
+    advance without breaking its next table_changes read)."""
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(path.rstrip("/") + "/_cursors")
+    if not fs.exists(root):
+        return {}
+    out: dict = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        cid = st.getPath().getName()
+        pos = cursor_position(spark, path, cid)
+        if pos is not None:
+            out[cid] = pos
+    return out
+
+
+def drop_cursor(spark: SparkSession, path: str, consumer_id: str) -> bool:
+    """Retire a consumer: delete its offset log. Returns True if it
+    existed. A later send under the same id starts fresh (from
+    ``start_version``) — dropping is for decommissioned consumers, not
+    a rewind mechanism."""
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    d = jpath(_cursor_dir(path, consumer_id))
+    if not fs.exists(d):
+        return False
+    return bool(fs.delete(d, True))
+
+
 def consume_changes(
     spark: SparkSession,
     path: str,

@@ -268,3 +268,23 @@ def test_cursor_offsets_self_trim(spark, tmp_path):
     assert cursor_position(spark, table, "poller") == 5
     files = os.listdir(table + "/_cursors/poller")
     assert len(files) <= 2, files
+
+
+def test_list_and_drop_cursors(spark, tmp_path):
+    from gedixr_spark.sinks.cursor import drop_cursor, list_cursors
+
+    table = str(tmp_path / "lc")
+    init_versioned(spark, table)
+    commit_append(spark, table, _mk(spark, [("a", 1, 1)]))
+    commit_append(spark, table, _mk(spark, [("b", 2, 2)]))
+    assert list_cursors(spark, table) == {}
+    commit_cursor(spark, table, "etl", 1)
+    commit_cursor(spark, table, "dashboard", 2)
+    assert list_cursors(spark, table) == {"etl": 1, "dashboard": 2}
+    assert drop_cursor(spark, table, "etl") is True
+    assert drop_cursor(spark, table, "etl") is False
+    assert list_cursors(spark, table) == {"dashboard": 2}
+    # a re-provisioned consumer under the same id starts fresh
+    assert cursor_position(spark, table, "etl") is None
+    b = next_changes(spark, table, "etl")
+    assert b["from_version"] == 0
