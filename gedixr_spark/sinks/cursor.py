@@ -91,17 +91,43 @@ def _read_offset(
     return json.loads(raw.decode("utf-8"))
 
 
+def _is_missing_file_error(err: Exception) -> bool:
+    """True for "that file is gone" from either FS path — the local
+    fast path's FileNotFoundError or the JVM's FileNotFoundException
+    surfacing through py4j."""
+    return isinstance(err, FileNotFoundError) or "FileNotFoundException" in str(err)
+
+
 def cursor_position(
     spark: SparkSession, path: str, consumer_id: str
 ) -> int | None:
     """The version this consumer has processed THROUGH (inclusive), or
     None if it has never committed. One directory listing + one small
-    JSON read — no log replay, no data scan."""
-    seqs = _list_offsets(spark, path, consumer_id)
-    if not seqs:
-        return None
-    return int(
-        _read_offset(spark, path, consumer_id, seqs[-1])["processed_through"]
+    JSON read — no log replay, no data scan.
+
+    The read retries on a missing-file error: a concurrent
+    `commit_cursor` under the same id self-trims older offsets, and its
+    delete can land between our listing and our read of ``seqs[-1]``
+    (reader two commits stale). Re-listing resolves the NEWER offset
+    the trimmer just wrote — the documented graceful re-poll, not a raw
+    py4j FileNotFoundException (ADVICE r12). Bounded like the
+    commit-side CAS loop."""
+    for _ in range(5):
+        seqs = _list_offsets(spark, path, consumer_id)
+        if not seqs:
+            return None
+        try:
+            return int(
+                _read_offset(spark, path, consumer_id, seqs[-1])[
+                    "processed_through"
+                ]
+            )
+        except Exception as err:  # noqa: BLE001 — filtered below
+            if not _is_missing_file_error(err):
+                raise
+    raise ConcurrentCommitError(
+        f"cursor {consumer_id!r} at {path}: offset file kept vanishing "
+        "under concurrent trims after 5 attempts"
     )
 
 

@@ -1151,7 +1151,13 @@ def rename_column(
             for f in schema.fields
         ]
     )
-    entry = _commit(
+    # marker BEFORE the commit: a crash between the two must never
+    # leave a durable rename invisible (reads would plain-scan under
+    # stale write-time names). The other order's failure mode is
+    # benign — a marker with no mapping commit makes the walk return
+    # ids=None and readers behave as unmapped (ADVICE r12).
+    _touch_colmap_marker(spark, path)
+    return _commit(
         spark, path, "rename_column", [], [], new_schema.json(),
         {"renamed": [old, new]}, base + 1,
         column_ids=new_ids,
@@ -1159,8 +1165,6 @@ def rename_column(
         colmap_max_id=max_id,
         expectations=new_exp,
     )
-    _touch_colmap_marker(spark, path)
-    return entry
 
 
 def add_column(
@@ -1228,7 +1232,11 @@ def add_column(
     new_schema = StructType(
         [*schema.fields, StructField(name, field_type, True)]
     )
-    entry = _commit(
+    # marker BEFORE the commit (see rename_column): a crash between
+    # commit and marker would make the defaulted column vanish from
+    # every read until the next schema op
+    _touch_colmap_marker(spark, path)
+    return _commit(
         spark, path, "add_column", [], [], new_schema.json(),
         {"added": name, "default": default}, base + 1,
         column_ids=new_ids,
@@ -1236,8 +1244,6 @@ def add_column(
         colmap_max_id=new_id,
         column_defaults={str(i): v for i, v in defaults.items()},
     )
-    _touch_colmap_marker(spark, path)
-    return entry
 
 
 def drop_column(spark: SparkSession, path: str, name: str) -> dict:
@@ -1262,15 +1268,15 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
         )
     new_ids = {n: i for n, i in ids.items() if n != name}
     new_schema = StructType([f for f in schema.fields if f.name != name])
-    entry = _commit(
+    # marker BEFORE the commit (see rename_column)
+    _touch_colmap_marker(spark, path)
+    return _commit(
         spark, path, "drop_column", [], [], new_schema.json(),
         {"dropped": name}, base + 1,
         column_ids=new_ids,
         column_ids_pre=(dict(pre) if pre is not None else None),
         colmap_max_id=max_id,
     )
-    _touch_colmap_marker(spark, path)
-    return entry
 
 
 def seen_stream_batch_ids(spark: SparkSession, path: str) -> set:
@@ -2712,10 +2718,20 @@ def read_appended(
             # which keep working until vacuum ages the files out)
             continue
         if e["op"] not in ("append", "create", "readmit"):
-            if not e.get("add") and not e.get("remove") and not e.get("dv_add"):
+            if (
+                not e.get("add")
+                and not e.get("remove")
+                and not e.get("dv_add")
+                and "restore_dv" not in e
+            ):
                 # metadata-only marker (e.g. a tombstone stream's no-op
                 # ledger entry): no files changed, nothing to feed —
-                # it must not poison the table for append consumers
+                # it must not poison the table for append consumers.
+                # A DV-only rollback (add/remove empty but restore_dv
+                # present — rolling back a DV delete) is NOT a marker:
+                # it resurrects rows the append feed can't represent,
+                # so it must fall through to the loud raise below, the
+                # same rule as table_changes' is_marker (ADVICE r12).
                 continue
             raise ValueError(
                 f"version {v} is op={e['op']!r} — the file-granularity "
@@ -3972,7 +3988,12 @@ def shallow_clone(
                     for i, v in (w.get("defaults") or {}).items()
                 },
             }
-    entry = _commit(
+    if colmap_kw:
+        # marker BEFORE the clone commit (see rename_column): a crash
+        # between the two must not leave a mapped clone whose reads
+        # surface stale pre-rename names
+        _touch_colmap_marker(spark, dst)
+    return _commit(
         spark,
         dst,
         "clone",
@@ -3992,9 +4013,6 @@ def shallow_clone(
         dv_add=dv_add or None,
         **colmap_kw,
     )
-    if colmap_kw:
-        _touch_colmap_marker(spark, dst)
-    return entry
 
 
 def find_orphan_files(
