@@ -2286,6 +2286,7 @@ def vacuum_versioned(
     keep_last: int = 1,
     retention_hours: float = 168.0,
     dry_run: bool = False,
+    respect_cursors: bool = True,
 ) -> list[str]:
     """Delete data files not live in any of the last ``keep_last``
     versions, plus crashed-commit staging dirs and orphaned data files
@@ -2294,6 +2295,17 @@ def vacuum_versioned(
     ``delta vacuum``. Returns deleted names. ``dry_run`` lists what
     WOULD be deleted without touching anything — run it before a
     destructive vacuum on a table other jobs time-travel into.
+
+    CDC-consumer safety (r12 VERDICT #1): with ``respect_cursors``
+    (default) the retained set is EXTENDED to every file any pending
+    `table_changes` range still needs — the union of live data files
+    and delete vectors at every version from the slowest registered
+    cursor's position through the tip (each commit's old-side files
+    were live at the version before it, its new side at the version of
+    it, so that union covers every slice a catch-up diff scans). Vacuum
+    still collects everything below the slowest consumer, so a lagging
+    cursor bounds, not blocks, garbage collection; pass
+    ``respect_cursors=False`` to knowingly break lagging consumers.
 
     ``retention_hours`` (default 7 days, Delta's default) skips any
     candidate whose mtime is newer than the cutoff. This is the race
@@ -2316,6 +2328,26 @@ def vacuum_versioned(
         # live delete vectors are part of the snapshot: deleting one
         # would resurrect its rows
         retained.update(dvs)
+    if respect_cursors:
+        from gedixr_spark.sinks.cursor import list_cursors  # lazy import
+
+        positions = list_cursors(spark, path).values()
+        if positions:
+            # one incremental replay from the slowest cursor to the tip,
+            # retaining the live+DV state at every version in between —
+            # exactly what that consumer's pending diff legs will scan.
+            # A cursor below the oldest surviving entry (force-expired)
+            # is already unrecoverable: clamp, retain what still exists.
+            start = max(min(positions), versions[0])
+            live, dvs = _replay_state(spark, path, start)
+            retained.update(live)
+            retained.update(dvs)
+            for v in versions:
+                if v <= start:
+                    continue
+                live, dvs = _apply_entry(live, dvs, _read_entry(spark, path, v))
+                retained.update(live)
+                retained.update(dvs)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
@@ -3709,16 +3741,50 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     return {"version": cap, "n_live": len(ck["live"])}
 
 
-def expire_log(spark: SparkSession, path: str) -> list[int]:
+def _lagging_cursors(spark: SparkSession, path: str, cutoff: int) -> dict:
+    """{consumer_id: processed_through} for every registered CDC cursor
+    whose position sits BELOW ``cutoff``. A consumer at position p next
+    polls ``table_changes(p, tip)``, which needs entry p itself (the
+    since-version existence check) and every entry after it — so any
+    p < cutoff is stranded the moment entries below cutoff expire."""
+    from gedixr_spark.sinks.cursor import list_cursors  # lazy: cursor imports us
+
+    return {
+        cid: pos
+        for cid, pos in list_cursors(spark, path).items()
+        if pos < cutoff
+    }
+
+
+def expire_log(spark: SparkSession, path: str, force: bool = False) -> list[int]:
     """Delete log entries strictly BELOW the newest checkpoint (whose
     state the checkpoint fully reproduces; the checkpoint version's
     own entry stays so the log is never empty). Time travel to expired
     versions stops working — pair with `vacuum_versioned`, same
-    retention trade. Returns the expired version numbers."""
+    retention trade. Returns the expired version numbers.
+
+    CDC-consumer safety (r12 VERDICT #1): a registered cursor whose
+    ``processed_through`` is below the cutoff would get an
+    unrecoverable ValueError on its next `table_changes` poll — the
+    entries its range needs would be gone, and the failure is silent
+    until the consumer polls. Expiry therefore REFUSES while any cursor
+    lags below the cutoff, naming the consumers; retire dead consumers
+    with `drop_cursor` (or pass ``force=True`` to knowingly strand
+    them). A consumer exactly AT the cutoff is safe: its next range
+    starts from the checkpoint version, whose entry survives."""
     cks = _list_checkpoints(spark, path)
     if not cks:
         raise ValueError(f"no checkpoint at {path}; run checkpoint_log first")
     cutoff = cks[-1]
+    if not force:
+        lag = _lagging_cursors(spark, path, cutoff)
+        if lag:
+            raise ValueError(
+                f"expire_log at {path} would strand {len(lag)} CDC "
+                f"consumer(s) below cutoff {cutoff}: "
+                + ", ".join(f"{c}@{p}" for c, p in sorted(lag.items()))
+                + " — drop_cursor the dead ones or pass force=True"
+            )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     expired = []
