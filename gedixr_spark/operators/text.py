@@ -1298,7 +1298,7 @@ def maintain_tf_index(
     index_path: str,
     corpus_path: str,
     consumer_id: str = "tf_index",
-    max_versions: int | None = None,
+    max_versions: int | None = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:

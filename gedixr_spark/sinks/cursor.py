@@ -38,11 +38,16 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from gedixr_spark.operators.layout import _hadoop_fs
 from gedixr_spark.sinks.versioned import (
     ConcurrentCommitError,
     _atomic_create,
+    _is_local_path,
     _list_log_versions,
+    _read_small_file,
+    _strip_scheme,
     table_changes,
 )
 
@@ -59,13 +64,22 @@ def _cursor_dir(path: str, consumer_id: str) -> str:
 
 def _list_offsets(spark: SparkSession, path: str, consumer_id: str) -> list[int]:
     """Sorted sequence numbers of the consumer's offset entries."""
+    d = _cursor_dir(path, consumer_id)
+    if _is_local_path(d):
+        try:
+            names = os.listdir(_strip_scheme(d))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[: -len(".json")]) for n in names if n.endswith(".json")
+        )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    d = jpath(_cursor_dir(path, consumer_id))
-    if not fs.exists(d):
+    jd = jpath(d)
+    if not fs.exists(jd):
         return []
     out = []
-    for st in fs.listStatus(d):
+    for st in fs.listStatus(jd):
         name = st.getPath().getName()
         if name.endswith(".json"):
             out.append(int(name[: -len(".json")]))
@@ -75,19 +89,11 @@ def _list_offsets(spark: SparkSession, path: str, consumer_id: str) -> list[int]
 def _read_offset(
     spark: SparkSession, path: str, consumer_id: str, seq: int
 ) -> dict:
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    target = jpath(_cursor_dir(path, consumer_id) + f"/{seq:08d}.json")
-    stream = fs.open(target)
-    try:
-        # read fully through the JVM stream (FS-agnostic) — the same
-        # idiom as versioned._read_entry
-        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
-        bos = spark._jvm.java.io.ByteArrayOutputStream()
-        ioutils.copyBytes(stream, bos, 65536, False)
-        raw = bytes(bos.toByteArray())
-    finally:
-        stream.close()
+    # offsets are tiny immutable JSON — same read idiom as
+    # versioned._read_small_file (local syscall, JVM stream elsewhere)
+    raw = _read_small_file(
+        spark, _cursor_dir(path, consumer_id) + f"/{seq:08d}.json"
+    )
     return json.loads(raw.decode("utf-8"))
 
 
@@ -135,7 +141,7 @@ def next_changes(
     spark: SparkSession,
     path: str,
     consumer_id: str,
-    max_versions: int | None = None,
+    max_versions: int | None = 64,
     start_version: int = 0,
 ) -> dict:
     """Poll the consumer's unconsumed change range.
@@ -147,7 +153,13 @@ def next_changes(
     the cursor position (or ``start_version`` for a brand-new
     consumer: 0 = since table creation). ``max_versions`` bounds the
     range so a consumer that fell far behind catches up in bounded
-    batches instead of one giant diff."""
+    batches instead of one giant diff — and it DEFAULTS to 64 (r12
+    VERDICT #3): append runs coalesce to O(1) scan legs, but each
+    non-append commit in a range still plans its own counting-diff
+    leg, so an unbounded poll after a thousand-upsert backlog would
+    compile a thousand-leg plan. A bounded consumer loops (to_version
+    < tip means more waiting) with each cycle's plan size capped; pass
+    ``None`` to deliberately take the whole backlog in one plan."""
     versions = _list_log_versions(spark, path)
     tip = versions[-1]
     pos = cursor_position(spark, path, consumer_id)
@@ -233,16 +245,29 @@ def list_cursors(spark: SparkSession, path: str) -> dict:
     retiring consumers (a cursor far behind the tip is a consumer that
     stopped polling; its lag bounds how far `expire_log` can safely
     advance without breaking its next table_changes read)."""
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    root = jpath(path.rstrip("/") + "/_cursors")
-    if not fs.exists(root):
-        return {}
+    root = path.rstrip("/") + "/_cursors"
+    if _is_local_path(root):
+        local = _strip_scheme(root)
+        try:
+            cids = [
+                n for n in os.listdir(local)
+                if os.path.isdir(os.path.join(local, n))
+            ]
+        except FileNotFoundError:
+            return {}
+    else:
+        fs, _ = _hadoop_fs(spark, path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        jroot = jpath(root)
+        if not fs.exists(jroot):
+            return {}
+        cids = [
+            st.getPath().getName()
+            for st in fs.listStatus(jroot)
+            if st.isDirectory()
+        ]
     out: dict = {}
-    for st in fs.listStatus(root):
-        if not st.isDirectory():
-            continue
-        cid = st.getPath().getName()
+    for cid in cids:
         pos = cursor_position(spark, path, cid)
         if pos is not None:
             out[cid] = pos
@@ -267,7 +292,7 @@ def consume_changes(
     path: str,
     consumer_id: str,
     process,
-    max_versions: int | None = None,
+    max_versions: int | None = 64,
     start_version: int = 0,
 ) -> dict:
     """One poll-process-commit cycle: fetch the unconsumed range, call
@@ -276,7 +301,9 @@ def consume_changes(
     crash mid-process re-delivers the same range next cycle
     (at-least-once; make ``process`` idempotent for exactly-once
     end-to-end). Returns {"from_version", "to_version", "consumed":
-    bool}."""
+    bool} — ``to_version < tip`` after a call means a bounded batch
+    was taken (see `next_changes`); loop until ``consumed`` is False
+    to drain a backlog."""
     batch = next_changes(
         spark, path, consumer_id,
         max_versions=max_versions, start_version=start_version,

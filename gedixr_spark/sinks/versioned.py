@@ -49,6 +49,7 @@ import os
 import re
 import time
 import uuid
+from collections import OrderedDict
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -101,14 +102,148 @@ def _touched_entries(files, hit_basenames) -> list[str]:
     return sorted(f for f in files if f.rsplit("/", 1)[-1] in hit)
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped metadata caches (r12 VERDICT #2 — "What's wrong #3").
+#
+# Log entries are IMMUTABLE once written: commit atomicity is an
+# exclusive create, so (table path, version) fully determines an
+# entry's bytes for the table's whole lifetime. The per-commit
+# metadata walks (_replay_state / _latest_schema / _live_file_schemas /
+# _column_ids_walk / table_expectations) replay the log on every call;
+# a multi-commit operation pays each walk ~3×, and every walk at cap N
+# re-reads entries 0..N — O(log²) driver JSON reads that were growing
+# the lifecycle queries' constant factor round over round. Two layers
+# fix it without touching semantics:
+#
+# - an ENTRY cache (raw bytes, LRU-bounded): a walk at cap N+1 reads
+#   only entry N+1 from storage;
+# - WALK caches keyed on (path, cap): repeated walks at the same cap
+#   (read_versioned's replay+schema+merge-detection, _colmap_context +
+#   _stats_name_map, table_changes' per-version id walks) compute once.
+#
+# Invalidated automatically when a table is RE-CREATED at the same
+# path (the only way a (path, version) key can change content — bench
+# scratch dirs are wiped and rebuilt per run): _atomic_create of a
+# version-0 entry evicts the path. A NEW commit never invalidates —
+# version-pinned keys stay correct, which is what makes the cache safe
+# under concurrent writers too (they can only add new versions).
+# Listings (_list_log_versions/_list_checkpoints) are never cached —
+# they are how new versions are discovered. Local paths additionally
+# bypass the JVM filesystem bridge entirely (one syscall instead of
+# ~6 py4j round trips per read; same bytes, same errors-on-missing).
+
+_META_CACHE_MAX = 8192
+_ENTRY_CACHE: OrderedDict = OrderedDict()  # (path, version) -> raw bytes
+_CK_CACHE: OrderedDict = OrderedDict()     # (path, version) -> raw bytes
+_WALK_CACHE: OrderedDict = OrderedDict()   # (path, kind, *key) -> value
+_META_STATS: dict = {
+    "entry_reads": 0,      # storage reads actually performed
+    "entry_hits": 0,       # served from cache
+    "walks": {},           # kind -> {"calls": n, "computed": m}
+}
+
+
+def _cache_key_path(path: str) -> str:
+    p = path.rstrip("/")
+    if "://" not in p or p.startswith("file:"):
+        return os.path.abspath(_strip_scheme(p))
+    return p
+
+
+def _cache_get(cache: OrderedDict, key):
+    v = cache.get(key)
+    if v is not None:
+        cache.move_to_end(key)
+    return v
+
+
+def _cache_put(cache: OrderedDict, key, value) -> None:
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > _META_CACHE_MAX:
+        cache.popitem(last=False)
+
+
+def _walk_count(kind: str, computed: bool) -> None:
+    s = _META_STATS["walks"].setdefault(kind, {"calls": 0, "computed": 0})
+    s["calls"] += 1
+    if computed:
+        s["computed"] += 1
+
+
+def _evict_table_caches(path: str) -> None:
+    kp = _cache_key_path(path)
+    for cache in (_ENTRY_CACHE, _CK_CACHE, _WALK_CACHE):
+        for k in [k for k in cache if k[0] == kp]:
+            del cache[k]
+
+
+def metadata_cache_stats() -> dict:
+    """Counters for the session metadata caches: storage entry reads vs
+    cache hits, and per-walk calls vs actual log replays — the
+    instrumentation behind the walks-per-commit regression tests."""
+    return {
+        "entry_reads": _META_STATS["entry_reads"],
+        "entry_hits": _META_STATS["entry_hits"],
+        "walks": {k: dict(v) for k, v in _META_STATS["walks"].items()},
+    }
+
+
+def reset_metadata_cache(stats_only: bool = False) -> None:
+    """Zero the counters; unless ``stats_only``, also drop every cached
+    entry/checkpoint/walk (tests use this to measure cold vs warm)."""
+    _META_STATS["entry_reads"] = 0
+    _META_STATS["entry_hits"] = 0
+    _META_STATS["walks"] = {}
+    if not stats_only:
+        _ENTRY_CACHE.clear()
+        _CK_CACHE.clear()
+        _WALK_CACHE.clear()
+
+
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _read_small_file(spark: SparkSession, full_path: str) -> bytes:
+    """Read a small metadata file fully. Local paths use one syscall;
+    everything else goes through the JVM filesystem (FS-agnostic)."""
+    if _is_local_path(full_path):
+        with open(_strip_scheme(full_path), "rb") as f:
+            return f.read()
+    fs, _ = _hadoop_fs(spark, full_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    stream = fs.open(jpath(full_path))
+    try:
+        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        ioutils.copyBytes(stream, bos, 65536, False)
+        return bytes(bos.toByteArray())
+    finally:
+        stream.close()
+
+
 def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
+    ld = _log_dir(path)
+    if _is_local_path(path):
+        try:
+            names = os.listdir(_strip_scheme(ld))
+        except FileNotFoundError:
+            raise ValueError(
+                f"{path} is not a versioned table (no _log dir)"
+            ) from None
+        return sorted(
+            int(n[:-5])
+            for n in names
+            if n.endswith(".json") and not n.startswith("checkpoint-")
+        )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    ld = jpath(_log_dir(path))
-    if not fs.exists(ld):
+    jld = jpath(ld)
+    if not fs.exists(jld):
         raise ValueError(f"{path} is not a versioned table (no _log dir)")
     out = []
-    for st in fs.listStatus(ld):
+    for st in fs.listStatus(jld):
         name = st.getPath().getName()
         if name.endswith(".json") and not name.startswith("checkpoint-"):
             out.append(int(name[:-5]))
@@ -116,29 +251,39 @@ def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _read_entry(spark: SparkSession, path: str, version: int) -> dict:
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    p = jpath(_log_dir(path) + "/" + _entry_name(version))
-    stream = fs.open(p)
-    try:
-        # read fully through the JVM stream (FS-agnostic)
-        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
-        bos = spark._jvm.java.io.ByteArrayOutputStream()
-        ioutils.copyBytes(stream, bos, 65536, False)
-        raw = bytes(bos.toByteArray())
-    finally:
-        stream.close()
+    key = (_cache_key_path(path), int(version))
+    raw = _cache_get(_ENTRY_CACHE, key)
+    if raw is None:
+        raw = _read_small_file(
+            spark, _log_dir(path) + "/" + _entry_name(version)
+        )
+        _META_STATS["entry_reads"] += 1
+        _cache_put(_ENTRY_CACHE, key, raw)
+    else:
+        _META_STATS["entry_hits"] += 1
+    # parse per call: callers receive a private dict they may mutate
     return json.loads(raw.decode("utf-8"))
 
 
 def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
+    ld = _log_dir(path)
+    if _is_local_path(path):
+        try:
+            names = os.listdir(_strip_scheme(ld))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[len("checkpoint-"):-5])
+            for n in names
+            if n.startswith("checkpoint-") and n.endswith(".json")
+        )
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    ld = jpath(_log_dir(path))
-    if not fs.exists(ld):
+    jld = jpath(ld)
+    if not fs.exists(jld):
         return []
     out = []
-    for st in fs.listStatus(ld):
+    for st in fs.listStatus(jld):
         name = st.getPath().getName()
         if name.startswith("checkpoint-") and name.endswith(".json"):
             out.append(int(name[len("checkpoint-"):-5]))
@@ -146,17 +291,13 @@ def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
 
 
 def _read_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    p = jpath(_log_dir(path) + f"/checkpoint-{version:08d}.json")
-    stream = fs.open(p)
-    try:
-        ioutils = spark._jvm.org.apache.hadoop.io.IOUtils
-        bos = spark._jvm.java.io.ByteArrayOutputStream()
-        ioutils.copyBytes(stream, bos, 65536, False)
-        raw = bytes(bos.toByteArray())
-    finally:
-        stream.close()
+    key = (_cache_key_path(path), int(version))
+    raw = _cache_get(_CK_CACHE, key)
+    if raw is None:
+        raw = _read_small_file(
+            spark, _log_dir(path) + f"/checkpoint-{version:08d}.json"
+        )
+        _cache_put(_CK_CACHE, key, raw)
     return json.loads(raw.decode("utf-8"))
 
 
@@ -248,7 +389,13 @@ def _atomic_create(spark: SparkSession, full_path: str, payload: bytes) -> bool:
     """Exclusive-create ``full_path`` via the active `CommitGuard`;
     False if it already exists (the optimistic-concurrency loser's
     signal)."""
-    return _COMMIT_GUARD.try_create(spark, full_path, payload)
+    ok = _COMMIT_GUARD.try_create(spark, full_path, payload)
+    if ok and full_path.endswith("/_log/" + _entry_name(0)):
+        # a version-0 entry means the table was (re-)created at this
+        # path — the ONE event that can change what (path, version)
+        # means. Drop every cached entry/checkpoint/walk for it.
+        _evict_table_caches(full_path[: -len("/_log/" + _entry_name(0))])
+    return ok
 
 
 def init_versioned(spark: SparkSession, path: str) -> dict:
@@ -292,6 +439,14 @@ def _replay_state(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in log (have {versions})")
+    key = (_cache_key_path(path), "replay_state", int(version))
+    hit = _cache_get(_WALK_CACHE, key)
+    _walk_count("replay_state", computed=hit is None)
+    if hit is not None:
+        live, dvs = hit
+        # callers own (and mutate) their copies — never hand out the
+        # cached structures themselves
+        return list(live), {d: dict(t) for d, t in dvs.items()}
     start, live, _, _, _, dvs = _replay_base(spark, path, version)
     dvs = {d: dict(t) for d, t in dvs.items()}
     for v in versions:
@@ -300,6 +455,7 @@ def _replay_state(
         if v > version:
             break
         live, dvs = _apply_entry(live, dvs, _read_entry(spark, path, v))
+    _cache_put(_WALK_CACHE, key, (list(live), {d: dict(t) for d, t in dvs.items()}))
     return live, dvs
 
 
@@ -439,8 +595,19 @@ def _scan_files(
 
 _SCHEMA_REPLACE_OPS = frozenset(
     {"create", "overwrite", "rollback", "clone",
-     "rename_column", "drop_column", "add_column"}
+     "rename_column", "drop_column", "add_column", "widen_column"}
 )
+
+# Safe type widenings (Delta 3.x / Iceberg type-promotion shape): the
+# target type represents EVERY value of the source exactly, so reading
+# an old narrow file through a cast to the widened type is lossless.
+# Keyed/valued by Spark simpleString names.
+_WIDENINGS: dict = {
+    "tinyint": {"smallint", "int", "bigint", "float", "double"},
+    "smallint": {"int", "bigint", "float", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
 
 
 def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
@@ -453,6 +620,11 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
     new fields append at the end."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
+    key = (_cache_key_path(path), "latest_schema", int(cap))
+    hit = _cache_get(_WALK_CACHE, key)
+    _walk_count("latest_schema", computed=hit is None)
+    if hit is not None:
+        return hit[0]  # wrapped: a legitimate None result is cacheable
     start, _, schema, _, _, _ = _replay_base(spark, path, cap)
     for v in versions:
         if v <= start:
@@ -474,6 +646,7 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
             cur = json.loads(schema)
             cur["fields"] = [*cur["fields"], *new_fields]
             schema = json.dumps(cur)
+    _cache_put(_WALK_CACHE, key, (schema,))
     return schema
 
 
@@ -487,6 +660,11 @@ def table_expectations(
     "expectations" key overrides (last writer wins; {} clears)."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
+    key = (_cache_key_path(path), "expectations", int(cap))
+    hit = _cache_get(_WALK_CACHE, key)
+    _walk_count("expectations", computed=hit is None)
+    if hit is not None:
+        return json.loads(hit)  # private copy — callers may mutate
     cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
     start, exp = -1, {}
     if cks:
@@ -501,6 +679,7 @@ def table_expectations(
         e = _read_entry(spark, path, v).get("expectations")
         if e is not None:
             exp = dict(e)
+    _cache_put(_WALK_CACHE, key, json.dumps(exp, sort_keys=True))
     return exp
 
 
@@ -700,6 +879,11 @@ def _live_file_schemas(
     `expire_log` is still visible); a legacy checkpoint without the
     field yields None for its inherited files — callers must treat
     None as "could differ" (mergeSchema on)."""
+    key = (_cache_key_path(path), "live_file_schemas", int(cap))
+    hit = _cache_get(_WALK_CACHE, key)
+    _walk_count("live_file_schemas", computed=hit is None)
+    if hit is not None:
+        return dict(hit)  # values are immutable strings / None
     versions = _list_log_versions(spark, path)
     live = set(live_files(spark, path, cap))
     out: dict[str, str | None] = {}
@@ -728,6 +912,7 @@ def _live_file_schemas(
                 out[name] = sch
     for name in live:
         out.setdefault(name, None)
+    _cache_put(_WALK_CACHE, key, dict(out))
     return out
 
 
@@ -764,6 +949,10 @@ def _colmap_marker(path: str) -> str:
 
 
 def _colmap_active(spark: SparkSession, path: str) -> bool:
+    # deliberately NOT cached: the marker can appear at any time (first
+    # rename on another session). Local paths check with one syscall.
+    if _is_local_path(path):
+        return os.path.exists(_strip_scheme(_colmap_marker(path)))
     fs, _ = _hadoop_fs(spark, path)
     return fs.exists(
         spark._jvm.org.apache.hadoop.fs.Path(_colmap_marker(path))
@@ -795,11 +984,18 @@ def _column_ids_walk(
     two replays (or a replay from a checkpoint that stored the
     ``column_ids``/``colmap_max_id``/``file_column_ids`` fields) agree.
     """
+    key = (_cache_key_path(path), "column_ids_walk", int(cap), bool(use_checkpoint))
+    hit = _cache_get(_WALK_CACHE, key)
+    _walk_count("column_ids_walk", computed=hit is None)
+    if hit is not None:
+        return _copy_walk(hit)
     versions = _list_log_versions(spark, path)
     start, ids, pre, max_id = -1, None, None, -1
+    has_widen = False         # any widen_column at or below cap
     defaults: dict = {}       # id -> ADD COLUMN default (latest snapshot)
     file_ids_raw: dict = {}   # file -> ids snapshot at add (None = pre-act)
     file_names: dict = {}     # file -> [write names] | None
+    file_schemas: dict = {}   # file -> write-time schema JSON str | None
     cks = (
         [c for c in _list_checkpoints(spark, path) if c <= cap]
         if use_checkpoint else []
@@ -810,6 +1006,7 @@ def _column_ids_walk(
         if "column_ids" in ck:
             ids = dict(ck["column_ids"]) if ck["column_ids"] is not None else None
             max_id = int(ck.get("colmap_max_id", -1))
+            has_widen = bool(ck.get("colmap_has_widen", False))
             defaults = {
                 int(i): v
                 for i, v in (ck.get("column_defaults") or {}).items()
@@ -831,13 +1028,17 @@ def _column_ids_walk(
                     [f["name"] for f in json.loads(s)["fields"]]
                     if s is not None else None
                 )
+                file_schemas[name] = s
         else:
             for name in ck.get("live", []):
                 file_names.setdefault(name, None)
+                file_schemas.setdefault(name, None)
     for v in versions:
         if v <= start or v > cap:
             continue
         e = _read_entry(spark, path, v)
+        if e.get("op") == "widen_column":
+            has_widen = True
         if "column_ids" in e:
             if ids is None and "column_ids_pre" in e:
                 pre = {n: int(i) for n, i in e["column_ids_pre"].items()}
@@ -873,6 +1074,9 @@ def _column_ids_walk(
                 # file was written under this table's current names
                 file_ids_raw[f] = {n: int(i) for n, i in ov[f].items()}
                 file_names[f] = list(ov[f].keys())
+                # the external file's write TYPES are not recorded by
+                # the clone entry — unknown, cast conservatively
+                file_schemas[f] = None
             elif f not in file_ids_raw:
                 # FIRST add wins: a file is physically written exactly
                 # once — a later entry re-adding it (rollback restore)
@@ -880,6 +1084,7 @@ def _column_ids_walk(
                 # columns are still whatever they were at write time
                 file_ids_raw[f] = dict(ids) if ids is not None else None
                 file_names[f] = list(names) if names is not None else None
+                file_schemas[f] = sch
     # resolve per-file write-name -> id maps
     file_ids: dict = {}
     for f, snap in file_ids_raw.items():
@@ -902,12 +1107,36 @@ def _column_ids_walk(
             file_ids[f] = {n: pre[n] for n in nm if n in pre}
         else:
             file_ids[f] = None
-    return {
+    out = {
         "ids": ids,
         "file_ids": file_ids,
         "file_names": file_names,
+        "file_schemas": file_schemas,
         "max_id": max_id,
         "defaults": defaults,
+        "has_widen": has_widen,
+    }
+    _cache_put(_WALK_CACHE, key, out)
+    return _copy_walk(out)
+
+
+def _copy_walk(w: dict) -> dict:
+    """Private copy of a cached `_column_ids_walk` result — callers
+    must never be able to mutate the cached structures."""
+    return {
+        "ids": dict(w["ids"]) if w["ids"] is not None else None,
+        "file_ids": {
+            f: (dict(m) if m is not None else None)
+            for f, m in w["file_ids"].items()
+        },
+        "file_names": {
+            f: (list(n) if n is not None else None)
+            for f, n in w["file_names"].items()
+        },
+        "file_schemas": dict(w["file_schemas"]),  # values: str | None
+        "max_id": w["max_id"],
+        "defaults": dict(w["defaults"]),
+        "has_widen": w["has_widen"],
     }
 
 
@@ -939,8 +1168,27 @@ def _colmap_context(
     defaults = {
         i: v for i, v in (w.get("defaults") or {}).items() if i in cap_by_id
     }
+    # type widening (r12 VERDICT #4): when any widen_column happened at
+    # or below cap, files written under the narrow type must read
+    # through a cast to cap's type — and files with DIFFERENT write
+    # types must never share one parquet scan group (footer sampling
+    # across int/bigint files fails). type_sigs keys each file by its
+    # write-time schema; unknown schemas get a per-file group.
+    widen = bool(w.get("has_widen"))
+    cap_types = {fld.name: fld.dataType for fld in cap_schema.fields}
+    _type_cache: dict = {}
+
+    def _write_types(s: str) -> dict:
+        if s not in _type_cache:
+            _type_cache[s] = {
+                fld.name: fld.dataType
+                for fld in StructType.fromJson(json.loads(s)).fields
+            }
+        return _type_cache[s]
+
     renames: dict = {}
     fills: dict = {}
+    type_sigs: dict = {}
     trivial = True
     cap_names = set(ids)
     for f in files:
@@ -963,7 +1211,23 @@ def _colmap_context(
             if i not in have_ids
         }
         fills[f] = fill
-        if fill or not (
+        differs = False
+        if widen:
+            s = w.get("file_schemas", {}).get(f)
+            if s is None:
+                # unknowable write types (clone external / legacy):
+                # isolate the file in its own scan group and cast —
+                # conservative, never wrong
+                type_sigs[f] = ("__unknown__", f)
+                differs = True
+            else:
+                type_sigs[f] = s
+                ft = _write_types(s)
+                differs = any(
+                    n in ft and cn in cap_types and ft[n] != cap_types[cn]
+                    for n, cn in ren.items()
+                )
+        if differs or fill or not (
             len(ren) == len(fid)
             and all(k == v for k, v in ren.items())
             and set(ren) <= cap_names
@@ -975,7 +1239,13 @@ def _colmap_context(
             trivial = False
     if trivial:
         return None
-    return {"renames": renames, "fills": fills, "cap_schema": cap_schema}
+    return {
+        "renames": renames,
+        "fills": fills,
+        "cap_schema": cap_schema,
+        "widen": widen,
+        "type_sigs": type_sigs,
+    }
 
 
 def _cap_of(spark: SparkSession, path: str, version: int | None) -> int:
@@ -1033,18 +1303,33 @@ def _scan_mapped(
     recorded types). When ``want_meta`` the per-row source file/pos
     metadata columns ride through the union for the DV anti-join."""
     cap_types = {f.name: f.dataType for f in ctx["cap_schema"].fields}
+    widen = bool(ctx.get("widen"))
     groups: dict = {}
     for f in files:
         key = (
             tuple(sorted(ctx["renames"][f].items())),
             tuple(sorted(ctx.get("fills", {}).get(f, {}).items())),
+            # widened tables: files with different WRITE types must not
+            # share a scan (footer sampling across int/bigint fails) —
+            # the type signature splits groups per schema epoch
+            ctx.get("type_sigs", {}).get(f) if widen else None,
         )
         groups.setdefault(key, []).append(f)
     parts = []
-    for (rkey, fkey), fl in sorted(groups.items()):
+    for (rkey, fkey, _sig), fl in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], kv[0][1], str(kv[0][2]))
+    ):
         ren, fill = dict(rkey), dict(fkey)
+        cols_of = (
+            # cast every column to cap's type when the table has ever
+            # widened: lossless by _WIDENINGS, and a no-op cast on
+            # already-wide files (Catalyst's SimplifyCasts elides it)
+            (lambda c: F.col(c).cast(_nullable_type(cap_types[ren[c]])))
+            if widen
+            else F.col
+        )
         r = spark.read.parquet(*_file_paths(path, fl))
-        cols = [F.col(c).alias(ren[c]) for c in r.columns if c in ren]
+        cols = [cols_of(c).alias(ren[c]) for c in r.columns if c in ren]
         # ADD COLUMN defaults for columns this epoch predates
         cols += [
             F.lit(v).cast(cap_types[n]).alias(n)
@@ -1274,6 +1559,63 @@ def drop_column(spark: SparkSession, path: str, name: str) -> dict:
         spark, path, "drop_column", [], [], new_schema.json(),
         {"dropped": name}, base + 1,
         column_ids=new_ids,
+        column_ids_pre=(dict(pre) if pre is not None else None),
+        colmap_max_id=max_id,
+    )
+
+
+def widen_column(spark: SparkSession, path: str, name: str, dtype: str) -> dict:
+    """WIDEN a column's type as a METADATA-ONLY commit — the Delta 3.x
+    / Iceberg type-promotion shape (r12 VERDICT #4). Only LOSSLESS
+    widenings are allowed (`_WIDENINGS`: tinyint→…→bigint, int→double,
+    float→double, …): no data file is touched, old narrow files read
+    through a per-epoch cast to the widened type (column ids unchanged
+    — the column keeps its identity, so stats/bloom name translation,
+    defaults, and constraints all follow automatically). Files written
+    under DIFFERENT types never share a parquet scan group, and
+    appends may keep writing the old narrow type after the widen (SQL
+    INSERT semantics — the read path casts per file).
+
+    Per-file min/max stats stay valid: widening preserves numeric
+    order and `files_for_range` compares plain numbers; blooms hash a
+    canonical string cast, which is identical for a value in either
+    type. `rollback` across a widen REFUSES — the restored narrow
+    schema could not represent data written under the widened type."""
+    base, schema, ids, max_id, pre = _schema_op_base(spark, path)
+    from pyspark.sql.types import _parse_datatype_string
+
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} does not exist (have {names})")
+    new_type = _parse_datatype_string(dtype)
+    old_type = next(f.dataType for f in schema.fields if f.name == name)
+    frm, to = old_type.simpleString(), new_type.simpleString()
+    if frm == to:
+        raise ValueError(f"column {name!r} is already {to}")
+    if to not in _WIDENINGS.get(frm, set()):
+        raise ValueError(
+            f"widening {name!r} {frm} -> {to} is not lossless — allowed "
+            f"targets for {frm}: {sorted(_WIDENINGS.get(frm, set())) or 'none'}. "
+            "Use commit_overwrite to rewrite the table under an "
+            "arbitrary new type."
+        )
+    new_schema = StructType(
+        [
+            StructField(
+                f.name,
+                new_type if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    # marker BEFORE the commit (see rename_column)
+    _touch_colmap_marker(spark, path)
+    return _commit(
+        spark, path, "widen_column", [], [], new_schema.json(),
+        {"widened": [name, frm, to]}, base + 1,
+        column_ids=dict(ids),
         column_ids_pre=(dict(pre) if pre is not None else None),
         colmap_max_id=max_id,
     )
@@ -1613,6 +1955,29 @@ def _check_schema_compat(
         if f.name in old
         and f.dataType.simpleString() != old[f.name].simpleString()
     ]
+    if conflicts and _colmap_active(spark, path):
+        # a widened table accepts batches in any LOSSLESSLY-narrower
+        # type for its columns (SQL INSERT semantics): the widen-aware
+        # read path casts every file's group to cap's type, so narrow
+        # files can never poison a read. Gated on has_widen — without
+        # it the cast machinery is off and mixed types WOULD poison
+        # mergeSchema reads, so the strict gate stays.
+        if _column_ids_walk(spark, path, cap)["has_widen"]:
+            conflicts = [
+                c
+                for c, f in zip(
+                    conflicts,
+                    [
+                        f
+                        for f in new_schema.fields
+                        if f.name in old
+                        and f.dataType.simpleString()
+                        != old[f.name].simpleString()
+                    ],
+                )
+                if old[f.name].simpleString()
+                not in _WIDENINGS.get(f.dataType.simpleString(), set())
+            ]
     if conflicts:
         raise ValueError(
             f"append schema changes the type of existing column(s) "
@@ -2223,6 +2588,19 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> dict:
     base = versions[-1]
     if to_version == base:
         raise ValueError(f"already at version {base}")
+    # never roll back ACROSS a type widening: the restored narrow
+    # schema cannot represent data written under the widened type, and
+    # CDC legs crossing the boundary would cast values DOWN (lossy).
+    # Roll back to a version at/after the widen, or overwrite.
+    for vv in versions:
+        if to_version < vv <= base:
+            if _read_entry(spark, path, vv).get("op") == "widen_column":
+                raise ValueError(
+                    f"cannot roll back to version {to_version}: version "
+                    f"{vv} widened a column type and the restored narrow "
+                    "schema cannot represent later data — roll back to a "
+                    f"version >= {vv}, or commit_overwrite"
+                )
     current = live_files(spark, path, base)
     target, target_dvs = _replay_state(spark, path, to_version)
     fs, _ = _hadoop_fs(spark, path)
@@ -2874,6 +3252,10 @@ def table_changes(
     legs: list[DataFrame] = []
     _cap_by_id: dict | None = None  # lazy id->cap-name map (colmap only)
     pending_appends: list[tuple[int, list[str]]] = []
+    # (version, removed files, added files) for a RUN of consecutive
+    # same-keyed DV-free churn commits — coalesced at flush (r12 #3)
+    pending_diffs: list[tuple[int, list[str], list[str]]] = []
+    diff_sig: tuple | None = None
 
     def _flush_appends(dv_state: dict) -> None:
         # one scan leg per RUN of consecutive appends; per-row commit
@@ -2921,6 +3303,156 @@ def table_changes(
                 )
             )
         pending_appends.clear()
+
+    def _translate_keys(keys, v: int):
+        # the commit recorded its keys under version-v names; the feed
+        # surfaces cap names — translate through the stable column ids
+        # (a key DROPPED by cap degrades to keyless delete+insert
+        # classification, still a valid feed)
+        nonlocal _cap_by_id
+        if not keys or not _colmap_active(spark, path):
+            return list(keys) if keys else None
+        ids_v = _column_ids_walk(spark, path, v)["ids"]
+        if ids_v is None:
+            return list(keys)
+        if _cap_by_id is None:
+            ids_cap = _column_ids_walk(spark, path, cap)["ids"]
+            _cap_by_id = (
+                {i: n for n, i in ids_cap.items()}
+                if ids_cap is not None else {}
+            )
+        tk = [_cap_by_id.get(ids_v[k]) if k in ids_v else k for k in keys]
+        return tk if all(k is not None for k in tk) else None
+
+    def _ctype_col(minus: Column, keys, per_version: bool = False) -> Column:
+        if keys:
+            from pyspark.sql.window import Window
+
+            parts = [F.col(k) for k in keys]
+            if per_version:
+                parts.append(F.col("__v"))
+            w = Window.partitionBy(*parts)
+            has_minus = F.max(F.when(minus, 1).otherwise(0)).over(w) == 1
+            has_plus = F.max(F.when(~minus, 1).otherwise(0)).over(w) == 1
+            both = has_minus & has_plus
+            return (
+                F.when(minus & both, F.lit("update_preimage"))
+                .when(minus, F.lit("delete"))
+                .when(both, F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
+            )
+        return F.when(minus, F.lit("delete")).otherwise(F.lit("insert"))
+
+    def _counting_diff(unioned: DataFrame, extra_group=()) -> DataFrame:
+        # exact multiset difference in ONE pass: +1 per old copy, -1
+        # per new copy, grouped by the full row — identical
+        # pass-through rows cancel to 0 and vanish. __d > 0 means the
+        # row net-DISAPPEARED (|__d| copies), __d < 0 net-APPEARED.
+        return (
+            unioned.groupBy(*names, *extra_group)
+            .agg(F.sum("__side").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(1), F.abs(F.col("__d")))
+                ).alias("__copy"),
+            )
+        )
+
+    def _emit_generic_diff(
+        v: int, old_files, new_files, prev_dvs_: dict, dvs_: dict, keys
+    ) -> None:
+        # mergeSchema ON for every slice scan: a commit's removed set
+        # can straddle additive schema evolution, and sampling one
+        # footer would NULL-out later columns on the old side —
+        # unchanged rows would then stop cancelling and surface as
+        # bogus update pairs
+        old = _align(
+            _scan_files(
+                spark, path, old_files, prev_dvs_, merge_schema=True, cap=cap
+            )
+            if old_files else empty
+        )
+        new = _align(
+            _scan_files(
+                spark, path, new_files, dvs_, merge_schema=True, cap=cap
+            )
+            if new_files else empty
+        )
+        diff = _counting_diff(
+            old.select("*", F.lit(1).alias("__side"))
+            .unionAll(new.select("*", F.lit(-1).alias("__side")))
+        )
+        minus = F.col("__d") > 0
+        legs.append(
+            diff.select(
+                *names,
+                _ctype_col(minus, _translate_keys(keys, v)).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+        )
+
+    def _flush_diffs() -> None:
+        # a RUN of consecutive same-keyed churn commits with no DV
+        # state in play (the CDC-heavy steady state: a stream of
+        # upserts) coalesces into ONE scan + ONE counting diff: each
+        # file is scanned once and joined to its (version, side) roles
+        # through a broadcast map, then the multiset diff groups by
+        # (row, version) so per-commit semantics are EXACTLY the
+        # per-leg plan's. A 1000-upsert catch-up plans O(1) scan legs
+        # + one shuffle instead of 1000 of each (r12 VERDICT #3).
+        if not pending_diffs:
+            return
+        keys = list(diff_sig) if diff_sig else None
+        if len(pending_diffs) == 1:
+            v0, rem0, add0 = pending_diffs[0]
+            _emit_generic_diff(v0, sorted(rem0), sorted(add0), {}, {}, keys)
+            pending_diffs.clear()
+            return
+        allf = sorted(
+            {f for _, rem_, add_ in pending_diffs for f in (*rem_, *add_)}
+        )
+        scanned = _scan_files(
+            spark, path, allf, {}, merge_schema=True, file_col="__f", cap=cap
+        )
+        roles = [
+            *(
+                (f.rsplit("/", 1)[-1], v_, 1)
+                for v_, rem_, _ in pending_diffs
+                for f in rem_
+            ),
+            *(
+                (f.rsplit("/", 1)[-1], v_, -1)
+                for v_, _, add_ in pending_diffs
+                for f in add_
+            ),
+        ]
+        rdf = spark.createDataFrame(
+            roles, schema="__f string, __v long, __side int"
+        )
+        have = set(scanned.columns)
+        joined = scanned.join(F.broadcast(rdf), on="__f").select(
+            *[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in cap_schema.fields
+            ],
+            F.col("__v"),
+            F.col("__side"),
+        )
+        diff = _counting_diff(joined, extra_group=("__v",))
+        minus = F.col("__d") > 0
+        tk = _translate_keys(keys, pending_diffs[0][0])
+        legs.append(
+            diff.select(
+                *names,
+                _ctype_col(minus, tk, per_version=True).alias("_change_type"),
+                F.col("__v").cast("long").alias("_commit_version"),
+            )
+        )
+        pending_diffs.clear()
+
     for v in versions:
         if v <= since_version or v > cap:
             continue
@@ -2932,10 +3464,26 @@ def table_changes(
             not add and not rem and not e.get("dv_add")
             and "restore_dv" not in e
         )
+        run_keys = e.get("meta", {}).get("keys")
+        sig = tuple(run_keys) if run_keys else None
+        # run-eligible: a churn commit whose diff the coalesced path
+        # reproduces exactly — no DV state on either side (dvs empty
+        # before it, no dv_add in it), no rollback DV restore. Markers
+        # (incl. schema ops: column ids must be stable across a run)
+        # and appends end the run.
+        eligible = (
+            op not in ("append", "clone", "create", "set_expectations", "compact")
+            and not is_marker
+            and "restore_dv" not in e
+            and not e.get("dv_add")
+            and not dvs
+        )
         if op not in ("append", "clone") and not is_marker:
             # the pending append run ends here — flush it with the DV
             # state as of the last append (this entry not yet applied)
             _flush_appends(dvs)
+        if pending_diffs and not (eligible and sig == diff_sig):
+            _flush_diffs()
         prev_live, prev_dvs = live, dvs
         live, dvs = _apply_entry(
             list(live), {d: dict(t) for d, t in dvs.items()}, e
@@ -2951,6 +3499,10 @@ def table_changes(
                 # 50); appends never change DV state, so the whole run
                 # shares one DV snapshot at flush time.
                 pending_appends.append((v, list(add)))
+            continue
+        if eligible:
+            pending_diffs.append((v, list(rem), list(add)))
+            diff_sig = sig
             continue
         if op == "delete" and e.get("dv_add"):
             dv_names = sorted(e["dv_add"])
@@ -2969,8 +3521,9 @@ def table_changes(
             ).drop("__f", "__p")
             legs.append(_tag(_align(deleted), "delete", v))
             continue
-        # generic old-vs-new slice diff; rollback may also flip DV
-        # coverage on files live on both sides — diff those too
+        # generic old-vs-new slice diff (DV state in play / rollback);
+        # rollback may also flip DV coverage on files live on both
+        # sides — diff those too
         prev_map, new_map = _dv_by_file(prev_dvs), _dv_by_file(dvs)
         flipped = sorted(
             f
@@ -2981,82 +3534,12 @@ def table_changes(
         new_files = sorted({*add, *flipped})
         if not old_files and not new_files:
             continue
-        # mergeSchema ON for every slice scan: a commit's removed set can
-        # straddle additive schema evolution, and sampling one footer
-        # would NULL-out later columns on the old side — unchanged rows
-        # would then stop cancelling and surface as bogus update pairs
-        old = _align(
-            _scan_files(
-                spark, path, old_files, prev_dvs, merge_schema=True, cap=cap
-            )
-            if old_files else empty
-        )
-        new = _align(
-            _scan_files(
-                spark, path, new_files, dvs, merge_schema=True, cap=cap
-            )
-            if new_files else empty
-        )
-        # exact multiset difference in ONE pass: +1 per old copy, -1
-        # per new copy, grouped by the full row — identical
-        # pass-through rows cancel to 0 and vanish. __d > 0 means the
-        # row net-DISAPPEARED (|__d| copies), __d < 0 net-APPEARED.
-        diff = (
-            old.select("*", F.lit(1).alias("__side"))
-            .unionAll(new.select("*", F.lit(-1).alias("__side")))
-            .groupBy(*names)
-            .agg(F.sum("__side").alias("__d"))
-            .filter(F.col("__d") != 0)
-            .select(
-                "*",
-                F.explode(
-                    F.sequence(F.lit(1), F.abs(F.col("__d")))
-                ).alias("__copy"),
-            )
-        )
-        minus = F.col("__d") > 0
-        keys = e.get("meta", {}).get("keys")
-        if keys and _colmap_active(spark, path):
-            # the commit recorded its keys under version-v names; the
-            # feed surfaces cap names — translate through the stable
-            # column ids (a key DROPPED by cap degrades to keyless
-            # delete+insert classification, still a valid feed)
-            ids_v = _column_ids_walk(spark, path, v)["ids"]
-            if ids_v is not None:
-                if _cap_by_id is None:
-                    ids_cap = _column_ids_walk(spark, path, cap)["ids"]
-                    _cap_by_id = (
-                        {i: n for n, i in ids_cap.items()}
-                        if ids_cap is not None else {}
-                    )
-                tk = [
-                    _cap_by_id.get(ids_v[k]) if k in ids_v else k
-                    for k in keys
-                ]
-                keys = tk if all(k is not None for k in tk) else None
-        if keys:
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy(*[F.col(k) for k in keys])
-            has_minus = F.max(F.when(minus, 1).otherwise(0)).over(w) == 1
-            has_plus = F.max(F.when(~minus, 1).otherwise(0)).over(w) == 1
-            both = has_minus & has_plus
-            ctype = (
-                F.when(minus & both, F.lit("update_preimage"))
-                .when(minus, F.lit("delete"))
-                .when(both, F.lit("update_postimage"))
-                .otherwise(F.lit("insert"))
-            )
-        else:
-            ctype = F.when(minus, F.lit("delete")).otherwise(F.lit("insert"))
-        legs.append(
-            diff.select(
-                *names,
-                ctype.alias("_change_type"),
-                F.lit(v).cast("long").alias("_commit_version"),
-            )
+        _emit_generic_diff(
+            v, old_files, new_files, prev_dvs, dvs,
+            e.get("meta", {}).get("keys"),
         )
     _flush_appends(dvs)
+    _flush_diffs()
     if not legs:
         return spark.createDataFrame(
             [],
@@ -3709,6 +4192,7 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         w = _column_ids_walk(spark, path, cap)
         ck["column_ids"] = w["ids"]
         ck["colmap_max_id"] = w["max_id"]
+        ck["colmap_has_widen"] = bool(w.get("has_widen"))
         ck["column_defaults"] = {
             str(i): v for i, v in (w.get("defaults") or {}).items()
         }
@@ -3719,9 +4203,12 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     else:
         ck["column_ids"] = None
         ck["colmap_max_id"] = -1
+        ck["colmap_has_widen"] = False
         ck["column_defaults"] = {}
         ck["file_column_ids"] = {}
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
+    # checkpoints are overwrite-safe derived data — drop any cached copy
+    _CK_CACHE.pop((_cache_key_path(path), cap), None)
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")
     # overwrite-safe (derived data): write tmp + rename
     local = _strip_scheme(target)
@@ -3791,6 +4278,7 @@ def expire_log(spark: SparkSession, path: str, force: bool = False) -> list[int]
     for v in _list_log_versions(spark, path):
         if v < cutoff:
             fs.delete(jpath(_log_dir(path) + "/" + _entry_name(v)), False)
+            _ENTRY_CACHE.pop((_cache_key_path(path), v), None)
             expired.append(v)
     return expired
 
@@ -3799,17 +4287,35 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
     """Newest version committed at or before epoch-seconds ``ts`` —
     timestamp-based time travel: pass the result to `read_versioned`.
     Commit wall-clock rides in every log entry (entries from before
-    this field existed sort as ts=0, i.e. always eligible)."""
-    best = None
-    for v in _list_log_versions(spark, path):
-        e = _read_entry(spark, path, v)
-        if e.get("ts", 0.0) <= ts:
-            best = v
-    if best is None:
+    this field existed sort as ts=0, i.e. always eligible).
+
+    BINARY SEARCH over the version listing (r12 VERDICT #5): commit
+    timestamps are non-decreasing in version order (legacy ts=0
+    entries form a prefix), so the lookup reads O(log n) entries
+    instead of replaying all n — on a long-lived streaming log this is
+    the difference between a dashboard query and a full driver-side
+    log scan. A short forward walk past the found boundary absorbs
+    sub-second wall-clock regressions between racing commits."""
+    versions = _list_log_versions(spark, path)
+
+    def _ts(i: int) -> float:
+        return _read_entry(spark, path, versions[i]).get("ts", 0.0)
+
+    if not versions or _ts(0) > ts:
         raise ValueError(
             f"no version of {path} existed at or before timestamp {ts}"
         )
-    return best
+    lo, hi, best = 0, len(versions) - 1, 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _ts(mid) <= ts:
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    while best + 1 < len(versions) and _ts(best + 1) <= ts:
+        best += 1  # clock-skew guard; 0 extra reads when clocks behave
+    return versions[best]
 
 
 def table_file_stats(

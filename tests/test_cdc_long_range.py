@@ -243,3 +243,102 @@ def test_maintain_tf_index_cursor_loop(spark, tmp_path):
     r2 = maintain_tf_index(spark, idx, corpus)
     assert not r2["consumed"]
     assert cursor_position(spark, corpus, "tf_index") == 2
+
+
+def test_fifty_upsert_range_plans_bounded_scan_legs(spark, tmp_path):
+    """r12 VERDICT #3: a catch-up range of N same-keyed DV-free upserts
+    must coalesce into ONE scan + ONE counting diff (bounded plan), and
+    the coalesced feed must be EXACTLY the per-commit feed: one
+    update_preimage/update_postimage pair per commit, each tagged with
+    its own version."""
+    t = str(tmp_path / "many_upserts")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=i, val=i * 10) for i in range(4)]),
+    )  # v1
+    n = 50
+    for i in range(n):
+        commit_upsert(
+            spark, t,
+            spark.createDataFrame([Row(k=1, val=100 + i)]),
+            keys=["k"],
+        )  # v2..v51
+    ch = table_changes(spark, t, 1)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+        for r in ch.collect()
+    )
+    expected = []
+    for i in range(n):
+        v = i + 2
+        old = 10 if i == 0 else 100 + i - 1
+        expected.append((v, "update_postimage", 1, 100 + i))
+        expected.append((v, "update_preimage", 1, old))
+    assert rows == sorted(expected)
+    # plan audit: the 50 counting-diff legs collapse to O(1) parquet
+    # scans (+ a LocalTableScan for the broadcast role map)
+    n_scans = _plan(ch).count("Scan parquet")
+    assert n_scans <= 3, f"expected O(1) scan legs, planned {n_scans}"
+
+
+def test_mixed_churn_runs_stay_exact(spark, tmp_path):
+    """Runs broken by key-signature changes (keyed upserts around a
+    keyless CoW delete) coalesce per-run and remain value-exact."""
+    t = str(tmp_path / "mixed_churn")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=i, val=i * 10) for i in range(4)]),
+    )  # v1
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=1, val=111)]), keys=["k"]
+    )  # v2
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=2, val=222)]), keys=["k"]
+    )  # v3
+    commit_delete(spark, t, F.col("k") == 3, mode="cow")  # v4 (keyless)
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=0, val=1)]), keys=["k"]
+    )  # v5
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+        for r in table_changes(spark, t, 1).collect()
+    )
+    assert got == [
+        (2, "update_postimage", 1, 111),
+        (2, "update_preimage", 1, 10),
+        (3, "update_postimage", 2, 222),
+        (3, "update_preimage", 2, 20),
+        (4, "delete", 3, 30),
+        (5, "update_postimage", 0, 1),
+        (5, "update_preimage", 0, 0),
+    ]
+
+
+def test_consumer_loop_over_200_commit_backlog_is_bounded(spark, tmp_path):
+    """The default-bounded poll (max_versions=64): a consumer that fell
+    200 commits behind drains in ceil(200/64)=4 cycles, each cycle's
+    plan O(1) scan legs — never one giant unbounded diff."""
+    from gedixr_spark.sinks.cursor import commit_cursor, next_changes
+
+    t = str(tmp_path / "backlog200")
+    init_versioned(spark, t)
+    batches = [
+        spark.createDataFrame([Row(k=i, val=i)]) for i in range(4)
+    ]
+    for i in range(200):
+        commit_append(spark, t, batches[i % 4])
+    cycles, seen = 0, 0
+    while True:
+        batch = next_changes(spark, t, "lagger")
+        if batch["changes"] is None:
+            break
+        assert batch["to_version"] - batch["from_version"] <= 64
+        n_scans = _plan(batch["changes"]).count("Scan parquet")
+        assert n_scans <= 2, f"cycle {cycles}: {n_scans} scan legs"
+        seen += batch["changes"].count()
+        commit_cursor(spark, t, "lagger", batch["to_version"])
+        cycles += 1
+    assert cycles == 4
+    assert seen == 200

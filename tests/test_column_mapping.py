@@ -134,8 +134,8 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
     commit_append(spark, t, mk(rows))
     con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
     ops = ["append", "rename", "upsert", "drop", "readd", "delete",
-           "adddef"]
-    for step in range(12):
+           "adddef", "widen"]
+    for step in range(14):
         op = rng.choice(ops)
         if op == "append":
             new = [(nid + j, rng.randint(0, 99), f"x{nid + j}")
@@ -179,7 +179,7 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
                         continue
                     d[c] = (
                         rng.randint(500, 599)
-                        if types[c] == "long" else f"u{k}"
+                        if types[c] in ("long", "int") else f"u{k}"
                     )
                 recs.append(tuple(d.get(c) for c in cols))
             commit_upsert(spark, t, mk(recs), keys=["k"])
@@ -201,6 +201,8 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
             con.execute(f'ALTER TABLE m DROP COLUMN "{victim}"')
             cols = [c for c in cols if c != victim]
         elif op == "readd":
+            # added columns land as INT so the widen op below has
+            # something to promote (int -> bigint)
             name = f"c{step}"
             recs = []
             cols2 = cols + [name]
@@ -210,10 +212,10 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
                 nid += 1
                 d[name] = step
                 recs.append(tuple(d.get(c) for c in cols2))
-            types[name] = "long"
+            types[name] = "int"
             df = mk(recs, use_cols=cols2)
             commit_append(spark, t, df)
-            dtype = "BIGINT"
+            dtype = "INTEGER"
             con.execute(f'ALTER TABLE m ADD COLUMN "{name}" {dtype}')
             q = ", ".join(cols2)
             ph = ", ".join("?" for _ in cols2)
@@ -230,6 +232,18 @@ def test_randomized_history_matches_duckdb_alter_table_replay(spark, tmp_path):
             )
             cols = cols + [name]
             types[name] = "long"
+        elif op == "widen":
+            from gedixr_spark.sinks.versioned import widen_column
+
+            candidates = [c for c in cols if types[c] == "int"]
+            if not candidates:
+                continue
+            victim = rng.choice(candidates)
+            widen_column(spark, t, victim, "bigint")
+            con.execute(
+                f'ALTER TABLE m ALTER COLUMN "{victim}" SET DATA TYPE BIGINT'
+            )
+            types[victim] = "long"
         elif op == "delete":
             kmax = rng.randint(0, 120)
             mode = rng.choice(["cow", "dv"])
