@@ -949,12 +949,17 @@ def q_schema_evolution(spark, sf_dir):
     the dropped NAME with fresh data (v5 — fresh column id, old values
     must NOT resurrect). Returned as a labeled union of the v1 snapshot
     (its own old names) and the latest (new names, NULL-backfilled
-    re-add), projected to one stable schema. Multi-commit lifecycle ⇒
-    rows-only; exactness is pinned by the seeded randomized DuckDB
-    ALTER TABLE replay in tests/test_column_mapping.py."""
+    re-add), projected to one stable schema. r13 adds the TYPE
+    WIDENING legs (widen_column, r12 VERDICT #4): an int score column
+    lands additively, widens to bigint metadata-only, then takes a
+    value only the wide type holds AND another batch still in the old
+    narrow int (both must land; old files read through the per-epoch
+    cast). Multi-commit lifecycle ⇒ rows-only; exactness is pinned by
+    the seeded randomized DuckDB ALTER TABLE replay (incl. SET DATA
+    TYPE) in tests/test_column_mapping.py + tests/test_type_widening.py."""
     from gedixr_spark.sinks.versioned import (
         add_column, commit_append, commit_upsert, drop_column,
-        init_versioned, read_versioned, rename_column,
+        init_versioned, read_versioned, rename_column, widen_column,
     )
 
     base = (
@@ -1002,17 +1007,64 @@ def q_schema_evolution(spark, sf_dir):
             F.lit("gold").alias("tier"),
         ),
     )
+    # v8: additive evolution lands an INT score column
+    commit_append(
+        spark, path,
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 5)
+        .coalesce(2)
+        .select(
+            "c_custkey",
+            F.lit("SCORED").alias("segment"),
+            (F.col("c_nationkey") + 300).alias("c_nationkey"),
+            F.lit("silver").alias("tier"),
+            (F.col("c_custkey") % 97).cast("int").alias("score"),
+        ),
+    )
+    # v9: WIDEN score int -> bigint (metadata-only; ids unchanged)
+    widen_column(spark, path, "score", "bigint")
+    # v10: a value only the wide type holds...
+    commit_append(
+        spark, path,
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 13)
+        .coalesce(2)
+        .select(
+            "c_custkey",
+            F.lit("WIDE").alias("segment"),
+            (F.col("c_nationkey") + 400).alias("c_nationkey"),
+            F.lit("gold").alias("tier"),
+            (F.lit(1099511627776) + F.col("c_custkey")).alias("score"),
+        ),
+    )
+    # ...and v11: a batch STILL in the old narrow int also lands (SQL
+    # INSERT semantics — the read path casts per file)
+    commit_append(
+        spark, path,
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 16 == 3)
+        .coalesce(2)
+        .select(
+            "c_custkey",
+            F.lit("NARROW").alias("segment"),
+            (F.col("c_nationkey") + 500).alias("c_nationkey"),
+            F.lit("iron").alias("tier"),
+            (F.col("c_custkey") % 89).cast("int").alias("score"),
+        ),
+    )
     v1 = read_versioned(spark, path, version=1).select(
         F.lit("v1").alias("snap"),
         "c_custkey",
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").cast("long").alias("nat"),
+        F.lit(None).cast("long").alias("score"),
     )
     latest = read_versioned(spark, path).select(
         F.lit("latest").alias("snap"),
         F.col("c_custkey"),
         F.concat(F.col("segment"), F.lit("/"), F.col("tier")).alias("seg"),
         F.col("c_nationkey").cast("long").alias("nat"),
+        F.col("score").cast("long").alias("score"),
     )
     return v1.unionByName(latest)
 

@@ -2140,20 +2140,32 @@ def commit_upsert(
     exp_aggs, exp_validate = _expectation_aggs(
         not_null=texp.get("not_null", ()), checks=texp.get("checks")
     )
-    row = updates.agg(
+    # batch facts (count + one-row-per-key contract + expectation sums)
+    # as ONE single-row aggregate — on a non-empty table it rides the
+    # SAME driver action as file discovery (crossJoin of two one-row
+    # aggregates, below), so an upsert runs exactly two actions total:
+    # one combined pre-write collect, then the write (r13: was three —
+    # at bench scale each extra action is a fixed scheduler round trip,
+    # and at 100 TB it is an extra pass over the batch)
+    facts = updates.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(c) for c in keys]).alias("nk"),
         *exp_aggs[1:],  # exp_aggs[0] is a duplicate count
-    ).collect()[0]
-    n_upserted, n_keys = row["n"], row["nk"]
-    if n_keys != n_upserted:
-        raise ValueError(
-            f"updates batch has {n_upserted} rows but {n_keys} distinct keys "
-            "(NULL-keyed rows excluded — they are never a valid upsert) — "
-            "compact to one row per key (last-write-wins) before upsert"
-        )
-    if texp:
-        exp_validate({**row.asDict(), "__n": row["n"]})
+    )
+
+    def _validate_facts(row) -> tuple[int, int]:
+        n_upserted, n_keys = row["n"], row["nk"]
+        if n_keys != n_upserted:
+            raise ValueError(
+                f"updates batch has {n_upserted} rows but {n_keys} distinct "
+                "keys (NULL-keyed rows excluded — they are never a valid "
+                "upsert) — compact to one row per key (last-write-wins) "
+                "before upsert"
+            )
+        if texp:
+            exp_validate({**row.asDict(), "__n": row["n"]})
+        return n_upserted, n_keys
+
     def _indexes(names):
         st = (
             _file_column_stats(spark, path, names, list(stats_cols))
@@ -2165,11 +2177,6 @@ def commit_upsert(
         )
         return st, bl
 
-    qnames = (
-        _write_data_files(spark, path, quarantined, base + 1, dest="quarantine")
-        if quarantined is not None
-        else []
-    )
     exp_extra = {"expectations": exp_meta} if exp_meta is not None else {}
 
     def _probe(new_files):
@@ -2186,7 +2193,20 @@ def commit_upsert(
             > 0
         )
 
+    def _qnames():
+        # quarantine sidecars land only AFTER the batch contract
+        # validated — a rejected batch must leave no orphan files
+        return (
+            _write_data_files(
+                spark, path, quarantined, base + 1, dest="quarantine"
+            )
+            if quarantined is not None
+            else []
+        )
+
     if not files:
+        n_upserted, _ = _validate_facts(facts.collect()[0])
+        qnames = _qnames()
         names = _write_data_files(spark, path, updates, base + 1)
         st, bl = _indexes(names)
         return _commit_with_rebase(
@@ -2212,13 +2232,16 @@ def commit_upsert(
             "full-row replace, partial-column updates need a pre-join"
         )
     updates = updates.select(*t_cols)
-    hit = (
-        target.join(F.broadcast(updates.select(*keys).distinct()), on=list(keys))
-        .select(F.col("__file").alias("name"))
-        .distinct()
-        .collect()
-    )
-    touched = _touched_entries(files, (r["name"] for r in hit))
+    # ONE pre-write action: batch facts and the touched-file set are
+    # both single-row aggregates — crossJoin them and collect once
+    row = facts.crossJoin(
+        target.join(
+            F.broadcast(updates.select(*keys).distinct()), on=list(keys)
+        ).agg(F.collect_set("__file").alias("__hit_files"))
+    ).collect()[0]
+    n_upserted, _ = _validate_facts(row)
+    qnames = _qnames()
+    touched = _touched_entries(files, row["__hit_files"])
     if touched:
         kept = (
             _scan_files(

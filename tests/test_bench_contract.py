@@ -189,3 +189,53 @@ def test_scratch_root_is_private_and_process_scoped(spark):
 
     assert _sf_key("/a/data/sf0.1") != _sf_key("/b/data/sf0.1")
     assert _sf_key("/a/data/sf0.1") == _sf_key("/a/data/sf0.1/")
+
+
+def test_axis_rule_normalizes_overhead_bound_queries(tmp_path):
+    """r12 VERDICT #6: overhead-bound queries (commit/iteration-bound)
+    compare against prev×(calib_sched/prev_calib_sched), scan-bound
+    ones against prev×(calib/prev_calib) — the r12 drift episode had
+    the two axes moving OPPOSITE ways (scan 0.79, scheduler ~1.3) and
+    a single-axis gate burned reruns on unchanged code."""
+    import json
+
+    from bench import OVERHEAD_BOUND, load_prev_calib, load_prev_timings
+
+    rec = tmp_path / "BENCH_r99.json"
+    rec.write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "queries": {"month_filter": 1.0, "versioned_snapshot": 5.0},
+                    "sf": 0.1,
+                    "calib_s": 2.0,
+                    "calib_sched_s": 2.0,
+                }
+            }
+        )
+    )
+    assert "versioned_snapshot" in OVERHEAD_BOUND
+    assert "month_filter" not in OVERHEAD_BOUND
+    prev = load_prev_timings(str(rec), "0.1")
+    prev_calib = load_prev_calib(str(rec))
+    prev_sched = load_prev_calib(str(rec), key="calib_sched_s")
+    assert (prev_calib, prev_sched) == (2.0, 2.0)
+
+    def gate(name, m, calib_s, calib_sched_s):
+        drift = min(max(calib_s / prev_calib, 0.5), 3.0)
+        sched_drift = min(max(calib_sched_s / prev_sched, 0.5), 3.0)
+        q_drift = sched_drift if name in OVERHEAD_BOUND else drift
+        bar = prev[name] * q_drift
+        return m > 1.5 * bar and m - bar > 0.3
+
+    # scheduler axis 1.4x slower, scan axis flat: versioned_snapshot at
+    # 8.0s (1.6x raw) is drift, not regression — sched-normalized bar
+    # is 5.0*1.4=7.0, 8.0 < 1.5*7.0
+    assert not gate("versioned_snapshot", 8.0, calib_s=2.0, calib_sched_s=2.8)
+    # but under the SCAN axis the same number would have fired
+    assert 8.0 > 1.5 * (5.0 * min(max(2.0 / 2.0, 0.5), 3.0))
+    # a genuine regression still fires on the sched axis
+    assert gate("versioned_snapshot", 12.0, calib_s=2.0, calib_sched_s=2.8)
+    # scan-bound queries keep using the scan axis: month_filter at 1.6s
+    # with sched drifted but scan flat IS flagged
+    assert gate("month_filter", 1.6, calib_s=2.0, calib_sched_s=2.8)

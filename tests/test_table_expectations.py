@@ -106,9 +106,10 @@ def test_upsert_gates_without_extra_action(spark, table, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", counting)
     vt.commit_upsert(spark, table, ok, keys=["id"])
     monkeypatch.undo()
-    # collects: batch facts (1) + touched-file discovery (1); anything
-    # more means the constraint gained its own action
-    assert counts["n"] == 2, counts
+    # ONE combined pre-write collect (r13): batch facts + constraint
+    # sums + touched-file discovery ride a single crossJoin of two
+    # one-row aggregates; anything more means a gate grew its own action
+    assert counts["n"] == 1, counts
     got = {
         r["id"]: r["balance"] for r in vt.read_versioned(spark, table).collect()
     }
