@@ -3276,9 +3276,11 @@ def table_changes(
     _cap_by_id: dict | None = None  # lazy id->cap-name map (colmap only)
     pending_appends: list[tuple[int, list[str]]] = []
     # (version, removed files, added files) for a RUN of consecutive
-    # same-keyed DV-free churn commits — coalesced at flush (r12 #3)
+    # same-keyed churn commits whose DV state is CONSTANT (no dv_add,
+    # no touched file DV-targeted) — coalesced at flush (r12 #3)
     pending_diffs: list[tuple[int, list[str], list[str]]] = []
     diff_sig: tuple | None = None
+    run_dvs: dict = {}  # the run's (constant) DV state snapshot
 
     def _flush_appends(dv_state: dict) -> None:
         # one scan leg per RUN of consecutive appends; per-row commit
@@ -3430,14 +3432,19 @@ def table_changes(
         keys = list(diff_sig) if diff_sig else None
         if len(pending_diffs) == 1:
             v0, rem0, add0 = pending_diffs[0]
-            _emit_generic_diff(v0, sorted(rem0), sorted(add0), {}, {}, keys)
+            _emit_generic_diff(
+                v0, sorted(rem0), sorted(add0), run_dvs, run_dvs, keys
+            )
             pending_diffs.clear()
             return
         allf = sorted(
             {f for _, rem_, add_ in pending_diffs for f in (*rem_, *add_)}
         )
+        # the run's DV state is constant and targets none of its files
+        # (eligibility), so one shared snapshot is exact for both sides
         scanned = _scan_files(
-            spark, path, allf, {}, merge_schema=True, file_col="__f", cap=cap
+            spark, path, allf, run_dvs, merge_schema=True, file_col="__f",
+            cap=cap,
         )
         roles = [
             *(
@@ -3490,16 +3497,21 @@ def table_changes(
         run_keys = e.get("meta", {}).get("keys")
         sig = tuple(run_keys) if run_keys else None
         # run-eligible: a churn commit whose diff the coalesced path
-        # reproduces exactly — no DV state on either side (dvs empty
-        # before it, no dv_add in it), no rollback DV restore. Markers
-        # (incl. schema ops: column ids must be stable across a run)
-        # and appends end the run.
+        # reproduces exactly — DV state CONSTANT across it (no dv_add,
+        # no rollback DV restore, and none of its touched files is
+        # DV-targeted, so applying the entry cannot prune a DV). A live
+        # DV in an untouched corner of the table does NOT break the
+        # run. Markers (incl. schema ops: column ids must be stable
+        # across a run) and appends end the run.
+        dv_targets = (
+            {f for t in dvs.values() for f in t} if dvs else set()
+        )
         eligible = (
             op not in ("append", "clone", "create", "set_expectations", "compact")
             and not is_marker
             and "restore_dv" not in e
             and not e.get("dv_add")
-            and not dvs
+            and not (dv_targets and dv_targets.intersection((*rem, *add)))
         )
         if op not in ("append", "clone") and not is_marker:
             # the pending append run ends here — flush it with the DV
@@ -3524,6 +3536,10 @@ def table_changes(
                 pending_appends.append((v, list(add)))
             continue
         if eligible:
+            if not pending_diffs:
+                # run start: pin the (constant) DV state both sides of
+                # every diff in the run will read through
+                run_dvs = prev_dvs
             pending_diffs.append((v, list(rem), list(add)))
             diff_sig = sig
             continue

@@ -342,3 +342,58 @@ def test_consumer_loop_over_200_commit_backlog_is_bounded(spark, tmp_path):
         cycles += 1
     assert cycles == 4
     assert seen == 200
+
+
+def test_untouched_dv_does_not_break_diff_coalescing(spark, tmp_path):
+    """A live DV in a corner of the table the churn run never touches
+    must not force per-version legs: the run's DV state is constant,
+    so one shared snapshot is exact for both diff sides."""
+    t = str(tmp_path / "dv_corner")
+    init_versioned(spark, t)
+    # two disjoint key regions in separate files
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=i, val=i * 10) for i in range(4)])
+        .repartition(1),
+    )  # v1: file A (k 0..3)
+    commit_append(
+        spark, t,
+        spark.createDataFrame([Row(k=i, val=i * 10) for i in range(100, 104)])
+        .repartition(1),
+    )  # v2: file B (k 100..103)
+    commit_delete(spark, t, F.col("k") == 101, mode="dv")  # v3: DV on B
+    # churn run on file A only — B's DV is live but untouched
+    for i in range(8):
+        commit_upsert(
+            spark, t,
+            spark.createDataFrame([Row(k=1, val=1000 + i)]),
+            keys=["k"],
+        )  # v4..v11
+    ch = table_changes(spark, t, 3)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+        for r in ch.collect()
+    )
+    expected = []
+    for i in range(8):
+        v = i + 4
+        old = 10 if i == 0 else 1000 + i - 1
+        expected.append((v, "update_postimage", 1, 1000 + i))
+        expected.append((v, "update_preimage", 1, old))
+    assert rows == sorted(expected)
+    # the 8 upserts coalesce: O(1) scan legs despite the live DV
+    n_scans = _plan(ch).count("Scan parquet")
+    assert n_scans <= 3, f"expected coalesced legs, planned {n_scans}"
+    # and a run that DOES hit the DV'd file falls back exactly: the
+    # rewrite materializes the deletion, so k=101 must NOT resurrect
+    commit_upsert(
+        spark, t, spark.createDataFrame([Row(k=100, val=9)]), keys=["k"]
+    )  # v12 rewrites file B through its DV
+    got = sorted(
+        (r["_change_type"], r["k"], r["val"])
+        for r in table_changes(spark, t, 11).collect()
+    )
+    assert got == [
+        ("update_postimage", 100, 9),
+        ("update_preimage", 100, 1000),
+    ]
