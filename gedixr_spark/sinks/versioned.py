@@ -601,13 +601,38 @@ _SCHEMA_REPLACE_OPS = frozenset(
 # Safe type widenings (Delta 3.x / Iceberg type-promotion shape): the
 # target type represents EVERY value of the source exactly, so reading
 # an old narrow file through a cast to the widened type is lossless.
-# Keyed/valued by Spark simpleString names.
+# Keyed/valued by Spark simpleString names; decimal rules (parametric)
+# live in `_is_lossless_widening`.
 _WIDENINGS: dict = {
     "tinyint": {"smallint", "int", "bigint", "float", "double"},
     "smallint": {"int", "bigint", "float", "double"},
     "int": {"bigint", "double"},
     "float": {"double"},
 }
+
+# max decimal digits an integer type needs to round-trip exactly
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+
+def _is_lossless_widening(frm_dt, to_dt) -> bool:
+    """True when every value of ``frm_dt`` casts to ``to_dt`` exactly:
+    the `_WIDENINGS` name pairs, decimal(p1,s1)→decimal(p2,s2) with no
+    fractional truncation (s2≥s1) and no overflow (p2−s2 ≥ p1−s1), and
+    integer→decimal with enough integer digits."""
+    from pyspark.sql.types import DecimalType
+
+    frm, to = frm_dt.simpleString(), to_dt.simpleString()
+    if to in _WIDENINGS.get(frm, set()):
+        return True
+    if isinstance(frm_dt, DecimalType) and isinstance(to_dt, DecimalType):
+        return (
+            to_dt.scale >= frm_dt.scale
+            and (to_dt.precision - to_dt.scale)
+            >= (frm_dt.precision - frm_dt.scale)
+        )
+    if frm in _INT_DIGITS and isinstance(to_dt, DecimalType):
+        return (to_dt.precision - to_dt.scale) >= _INT_DIGITS[frm]
+    return False
 
 
 def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str | None:
@@ -1592,12 +1617,13 @@ def widen_column(spark: SparkSession, path: str, name: str, dtype: str) -> dict:
     frm, to = old_type.simpleString(), new_type.simpleString()
     if frm == to:
         raise ValueError(f"column {name!r} is already {to}")
-    if to not in _WIDENINGS.get(frm, set()):
+    if not _is_lossless_widening(old_type, new_type):
         raise ValueError(
-            f"widening {name!r} {frm} -> {to} is not lossless — allowed "
-            f"targets for {frm}: {sorted(_WIDENINGS.get(frm, set())) or 'none'}. "
-            "Use commit_overwrite to rewrite the table under an "
-            "arbitrary new type."
+            f"widening {name!r} {frm} -> {to} is not lossless — allowed: "
+            f"{sorted(_WIDENINGS.get(frm, set())) or 'wider decimals'} "
+            "(decimals: scale and integer digits may only grow). Use "
+            "commit_overwrite to rewrite the table under an arbitrary "
+            "new type."
         )
     new_schema = StructType(
         [
@@ -1975,8 +2001,7 @@ def _check_schema_compat(
                         != old[f.name].simpleString()
                     ],
                 )
-                if old[f.name].simpleString()
-                not in _WIDENINGS.get(f.dataType.simpleString(), set())
+                if not _is_lossless_widening(f.dataType, old[f.name])
             ]
     if conflicts:
         raise ValueError(
@@ -4050,17 +4075,52 @@ def files_for_point(
     # "1.0" (what the build side saw), not "1" — a mismatch would
     # false-negative and silently skip files with real matches even
     # though the final equality filter matches via coercion
-    lit = F.lit(value)
+    cap_type = None
     schema_json = _latest_schema(spark, path, version)
     if schema_json is not None:
         st = StructType.fromJson(json.loads(schema_json))
         if col in st.fieldNames():
-            lit = lit.cast(st[col].dataType)
-    lit = lit.cast("string")  # match the build's canonical cast
-    probe = spark.range(1).select(
-        F.array(*_positions(lit, _BLOOM_M_BITS, _BLOOM_K)).alias("p")
-    ).collect()[0]["p"]
+            cap_type = st[col].dataType
+
+    probes: dict = {}  # type simpleString -> probe positions
+
+    def _probe_for(dtype) -> list:
+        key = dtype.simpleString() if dtype is not None else "__raw__"
+        if key not in probes:
+            lit = F.lit(value)
+            if dtype is not None:
+                lit = lit.cast(_nullable_type(dtype))
+            lit = lit.cast("string")  # match the build's canonical cast
+            probes[key] = spark.range(1).select(
+                F.array(*_positions(lit, _BLOOM_M_BITS, _BLOOM_K)).alias("p")
+            ).collect()[0]["p"]
+        return probes[key]
+
     tr = _stats_name_map(spark, path, files, version, [col])
+    # under TYPE WIDENING a file's bloom hashed its WRITE-TIME type's
+    # canonical strings (decimal(10,2) renders "5.00", the widened
+    # (12,3) renders "5.000") — probing with cap's type would silently
+    # false-negative and skip files holding real matches. Probe each
+    # file with ITS write type; unknown write types read conservatively.
+    wtypes: dict | None = None
+    if tr is not None:
+        cap_v = _cap_of(spark, path, version)
+        w = _column_ids_walk(spark, path, cap_v)
+        if w.get("has_widen"):
+            wtypes = {}
+            schema_types: dict = {}
+            for f in files:
+                s = w.get("file_schemas", {}).get(f)
+                wn = tr[f][col]
+                if s is None or wn is None:
+                    wtypes[f] = "__unknown__"
+                    continue
+                if s not in schema_types:
+                    schema_types[s] = {
+                        fld.name: fld.dataType
+                        for fld in StructType.fromJson(json.loads(s)).fields
+                    }
+                wtypes[f] = schema_types[s].get(wn, "__unknown__")
     keep = []
     for f in files:
         wname = tr[f][col] if tr is not None else col
@@ -4068,6 +4128,11 @@ def files_for_point(
         if bits is None:
             keep.append(f)  # no bloom recorded — must read
             continue
+        ftype = cap_type if wtypes is None else wtypes.get(f, cap_type)
+        if ftype == "__unknown__":
+            keep.append(f)  # unknowable write type — must read
+            continue
+        probe = _probe_for(ftype)
         if all((bits[p >> 6] >> (p % 64)) & 1 for p in probe):
             keep.append(f)
     return keep, len(files)

@@ -189,3 +189,85 @@ def test_widen_survives_checkpoint_and_expiry(spark, tmp_path):
     commit_append(spark, t, _mk(spark, [(3, 30)], "k int, v int"))
     got = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
     assert got == {1: 10, 2: 2**40, 3: 30}
+
+
+def test_decimal_precision_widening(spark, tmp_path):
+    """decimal(p1,s1) → decimal(p2,s2) is lossless iff the scale and
+    the integer digits both only grow; integers widen into decimals
+    with enough integer digits."""
+    from decimal import Decimal
+
+    t = str(tmp_path / "widen_decimal")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        _mk(
+            spark,
+            [(1, Decimal("5.25")), (2, Decimal("99999999.99"))],
+            "k int, amt decimal(10,2)",
+        ),
+    )
+    with pytest.raises(ValueError, match="not lossless"):
+        widen_column(spark, t, "amt", "decimal(10,1)")   # scale shrinks
+    with pytest.raises(ValueError, match="not lossless"):
+        widen_column(spark, t, "amt", "decimal(9,2)")    # digits shrink
+    widen_column(spark, t, "amt", "decimal(14,4)")
+    df = read_versioned(spark, t)
+    assert dict(df.dtypes)["amt"] == "decimal(14,4)"
+    got = {r["k"]: r["amt"] for r in df.collect()}
+    assert got == {1: Decimal("5.2500"), 2: Decimal("99999999.9900")}
+    # a wide value only the new type holds
+    commit_append(
+        spark, t,
+        _mk(spark, [(3, Decimal("999999999.1234"))], "k int, amt decimal(14,4)"),
+    )
+    assert read_versioned(spark, t).count() == 3
+    # int -> decimal needs >= 10 integer digits
+    commit_append(
+        spark, t,
+        _mk(spark, [(4, Decimal("1.0000"), 7)],
+            "k int, amt decimal(14,4), n int"),
+    )
+    with pytest.raises(ValueError, match="not lossless"):
+        widen_column(spark, t, "n", "decimal(9,0)")
+    widen_column(spark, t, "n", "decimal(12,2)")
+    got = {r["k"]: r["n"] for r in read_versioned(spark, t).collect()}
+    assert got[4] == Decimal("7.00")
+
+
+def test_bloom_point_lookup_across_widened_decimals(spark, tmp_path):
+    """The bloom probe must hash each file's WRITE-TIME canonical
+    string (decimal(10,2) renders "5.00", decimal(12,3) "5.000") — a
+    cap-typed probe would false-negative and silently skip files with
+    real matches."""
+    from decimal import Decimal
+
+    from gedixr_spark.sinks.versioned import files_for_point
+
+    t = str(tmp_path / "widen_bloom")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        _mk(spark, [(i, Decimal(i)) for i in range(10)],
+            "k int, amt decimal(10,2)").repartition(1),
+        bloom_cols=["amt"],
+    )
+    widen_column(spark, t, "amt", "decimal(12,3)")
+    commit_append(
+        spark, t,
+        _mk(spark, [(100, Decimal("777.125"))], "k int, amt decimal(12,3)")
+        .repartition(1),
+        bloom_cols=["amt"],
+    )
+    # value in the NARROW file — must be found through its own type
+    got = [r["k"] for r in read_point(spark, t, "amt", Decimal("5")).collect()]
+    assert got == [5]
+    # value in the WIDE file
+    got = [
+        r["k"]
+        for r in read_point(spark, t, "amt", Decimal("777.125")).collect()
+    ]
+    assert got == [100]
+    # and pruning still WORKS: a value present nowhere skips both files
+    keep, total = files_for_point(spark, t, "amt", Decimal("123456"))
+    assert total == 2 and keep == []
