@@ -54,7 +54,8 @@ def bench_coalesced_feed(spark, mult: int) -> dict:
         commit_upsert(
             spark, t,
             spark.range(i * 3, i * 3 + 3).select(
-                F.col("id").alias("k"), F.lit(1000 + i).alias("val")
+                F.col("id").alias("k"),
+                F.lit(1000 + i).cast("long").alias("val"),
             ),
             keys=["k"],
         )
