@@ -52,6 +52,24 @@ OVERHEAD_BOUND = frozenset({
 })
 
 
+def derive_axis(
+    name: str, min_s: float, n_jobs: int | None, per_job_s: float | None
+) -> str:
+    """MEASURED axis choice (r13 VERDICT 'what's wrong #4'): the hand
+    list above can misfile a future query between axes; the status
+    tracker already knows how many JOBS each query ran, and
+    jobs × per-job scheduler latency estimates the wall share that is
+    scheduler round trips rather than scan/compute. A query whose
+    estimated scheduler share is ≥ half its wall is sched-bound.
+    ``per_job_s`` = calib_sched_s / its job count (the calibration IS
+    N trivial jobs), so the estimate self-adjusts to the host.
+    OVERHEAD_BOUND survives only as the fallback when measurement is
+    unavailable (n_jobs unrecorded)."""
+    if n_jobs and per_job_s and min_s > 0:
+        return "sched" if n_jobs * per_job_s >= 0.5 * min_s else "scan"
+    return "sched" if name in OVERHEAD_BOUND else "scan"
+
+
 def load_prev_calib(path: str, key: str = "calib_s") -> float | None:
     """The previous record's host-calibration time (``calib_s`` on the
     metric line), if it recorded one. Used to drift-normalize the
@@ -204,14 +222,32 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def _sample(fn, n_runs: int) -> list[float]:
+    # measured jobs-per-query (r13 VERDICT #4): each sample runs under
+    # its own job group; the status tracker then counts the jobs the
+    # query actually scheduled — the raw signal behind derive_axis
+    tracker = spark.sparkContext.statusTracker()
+    n_jobs_map: dict[str, int] = {}
+    seq = [0]
+
+    def _sample(fn, n_runs: int, name: str | None = None) -> list[float]:
         out = []
         for _ in range(n_runs):
+            grp = None
+            if name is not None:
+                seq[0] += 1
+                grp = f"bench:{name}:{seq[0]}"
+                spark.sparkContext.setJobGroup(grp, name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force full execution without collecting wide results
             n = df.count()
             out.append(time.perf_counter() - t0)
+            if grp is not None:
+                try:
+                    n_jobs_map[name] = len(tracker.getJobIdsForGroup(grp))
+                except Exception:
+                    pass
+                spark.sparkContext._jsc.clearJobGroup()
             assert n >= 0
         return out
 
@@ -256,13 +292,21 @@ def main() -> None:
     if calib_sched_s and prev_sched:
         sched_drift = min(max(calib_sched_s / prev_sched, 0.5), 3.0)
 
+    # per-job scheduler latency on THIS host: the sched calibration is
+    # exactly 30 trivial jobs (calibrate_scheduler's n_jobs default)
+    per_job_s = (calib_sched_s / 30.0) if calib_sched_s else None
+    axis_map: dict[str, str] = {}
+
     def _drift_for(name: str) -> float:
-        return sched_drift if name in OVERHEAD_BOUND else drift
+        return sched_drift if axis_map.get(name) == "sched" else drift
 
     reruns: dict[str, int] = {}
     rerun_why: dict[str, str] = {}
     for name, fn in qs.items():
-        samples = _sample(fn, runs)
+        samples = _sample(fn, runs, name)
+        axis_map[name] = derive_axis(
+            name, min(samples), n_jobs_map.get(name), per_job_s
+        )
         # min-of-N: strips JIT/codegen warmup + transient host
         # contention from the per-query number; spread (max-min)
         # makes the remaining in-run variance auditable per query.
@@ -287,16 +331,16 @@ def main() -> None:
             if noisy:
                 why.append(f"spread {max(samples) - m:.2f}s > 50% of min")
             if regressed:
-                axis = (
-                    "sched" if name in OVERHEAD_BOUND else "scan"
-                )
                 why.append(
                     f"min {m:.2f}s > 1.5x drift-adjusted prev "
                     f"{bar:.2f}s (raw {prev[name]:.2f}s, "
-                    f"{axis} drift {q_drift:.2f})"
+                    f"{axis_map[name]} drift {q_drift:.2f})"
                 )
             rerun_why[name] = "; ".join(why)
-            samples += _sample(fn, runs)
+            samples += _sample(fn, runs, name)
+            axis_map[name] = derive_axis(
+                name, min(samples), n_jobs_map.get(name), per_job_s
+            )
         timings[name] = round(min(samples), 4)
         spreads[name] = round(max(samples) - min(samples), 4)
 
@@ -316,11 +360,13 @@ def main() -> None:
         "prev_calib_sched_s": round(prev_sched, 4) if prev_sched else None,
         "drift": round(drift, 4),
         "sched_drift": round(sched_drift, 4),
-        # the axis each query's regression bar used (see OVERHEAD_BOUND)
-        "axis": {
-            k: ("sched" if k in OVERHEAD_BOUND else "scan")
-            for k in timings
-        },
+        # the axis each query's regression bar used — DERIVED from the
+        # measured job count (see derive_axis); OVERHEAD_BOUND is only
+        # the measurement-unavailable fallback
+        "axis": dict(axis_map),
+        # measured jobs per query (last sample's job-group count)
+        "n_jobs": dict(n_jobs_map),
+        "per_job_s": round(per_job_s, 5) if per_job_s else None,
         "spread": {k: round(v, 3) for k, v in spreads.items()},
     }
     # persist the full diagnostics next to the script so spread/rerun

@@ -159,18 +159,27 @@ def next_changes(
     leg, so an unbounded poll after a thousand-upsert backlog would
     compile a thousand-leg plan. A bounded consumer loops (to_version
     < tip means more waiting) with each cycle's plan size capped; pass
-    ``None`` to deliberately take the whole backlog in one plan."""
+    ``None`` to deliberately take the whole backlog in one plan.
+
+    ``truncated`` in the result is True when the bound cut the range
+    short of the table tip (r13 ADVICE: a single-call consumer that
+    assumed one poll drains everything must fail LOUDLY, not treat a
+    partial range as current) — loop while it is True to drain."""
     versions = _list_log_versions(spark, path)
     tip = versions[-1]
     pos = cursor_position(spark, path, consumer_id)
     frm = int(start_version if pos is None else pos)
     if frm >= tip:
-        return {"changes": None, "from_version": frm, "to_version": frm}
+        return {
+            "changes": None, "from_version": frm, "to_version": frm,
+            "truncated": False,
+        }
     to = tip if max_versions is None else min(tip, frm + int(max_versions))
     return {
         "changes": table_changes(spark, path, frm, to),
         "from_version": frm,
         "to_version": to,
+        "truncated": to < tip,
     }
 
 
@@ -301,17 +310,16 @@ def consume_changes(
     crash mid-process re-delivers the same range next cycle
     (at-least-once; make ``process`` idempotent for exactly-once
     end-to-end). Returns {"from_version", "to_version", "consumed":
-    bool} — ``to_version < tip`` after a call means a bounded batch
-    was taken (see `next_changes`); loop until ``consumed`` is False
-    to drain a backlog."""
+    bool, "truncated": bool} — ``truncated`` means the bounded batch
+    stopped short of the table tip (see `next_changes`); loop until
+    ``consumed`` is False to drain a backlog."""
     batch = next_changes(
         spark, path, consumer_id,
         max_versions=max_versions, start_version=start_version,
     )
+    keys = ("from_version", "to_version", "truncated")
     if batch["changes"] is None:
-        return {**{k: batch[k] for k in ("from_version", "to_version")},
-                "consumed": False}
+        return {**{k: batch[k] for k in keys}, "consumed": False}
     process(batch["changes"], batch["from_version"], batch["to_version"])
     commit_cursor(spark, path, consumer_id, batch["to_version"])
-    return {**{k: batch[k] for k in ("from_version", "to_version")},
-            "consumed": True}
+    return {**{k: batch[k] for k in keys}, "consumed": True}

@@ -176,6 +176,7 @@ def _evict_table_caches(path: str) -> None:
     for cache in (_ENTRY_CACHE, _CK_CACHE, _WALK_CACHE):
         for k in [k for k in cache if k[0] == kp]:
             del cache[k]
+    _TABLE_SIG.pop(kp, None)
 
 
 def metadata_cache_stats() -> dict:
@@ -199,6 +200,7 @@ def reset_metadata_cache(stats_only: bool = False) -> None:
         _ENTRY_CACHE.clear()
         _CK_CACHE.clear()
         _WALK_CACHE.clear()
+        _TABLE_SIG.clear()
 
 
 def _is_local_path(path: str) -> bool:
@@ -223,6 +225,32 @@ def _read_small_file(spark: SparkSession, full_path: str) -> bytes:
         stream.close()
 
 
+# {cache path key: (oldest version, its entry-file size, mtime)} — the
+# cross-process re-create guard (r13 ADVICE): a table deleted and
+# re-created at the same path by ANOTHER process never goes through
+# this session's _atomic_create eviction hook, so the immutability
+# premise of the (path, version) caches would silently break. The
+# oldest surviving entry's identity is checked on every listing (the
+# one metadata call that is never cached — it is how new state is
+# discovered); a changed signature evicts the path's caches. Costs one
+# os.stat on local paths and nothing remote (listStatus already
+# returns size+mtime).
+_TABLE_SIG: dict = {}
+
+
+def _check_table_sig(path: str, oldest: int, size: int, mtime) -> None:
+    kp = _cache_key_path(path)
+    sig = (oldest, size, mtime)
+    prev = _TABLE_SIG.get(kp)
+    if prev is not None and prev != sig and prev[0] >= oldest:
+        # same-or-older oldest version with different bytes = re-create.
+        # A NEWER oldest (prev[0] < oldest) is log expiry, where caches
+        # stay correct for surviving versions (expire_log sweeps the
+        # rest in-process).
+        _evict_table_caches(path)
+    _TABLE_SIG[kp] = sig
+
+
 def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
     ld = _log_dir(path)
     if _is_local_path(path):
@@ -232,21 +260,36 @@ def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
             raise ValueError(
                 f"{path} is not a versioned table (no _log dir)"
             ) from None
-        return sorted(
+        out = sorted(
             int(n[:-5])
             for n in names
             if n.endswith(".json") and not n.startswith("checkpoint-")
         )
+        if out:
+            try:
+                st = os.stat(
+                    os.path.join(_strip_scheme(ld), _entry_name(out[0]))
+                )
+                _check_table_sig(path, out[0], st.st_size, st.st_mtime_ns)
+            except FileNotFoundError:
+                pass  # raced an expiry; next listing re-checks
+        return out
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     jld = jpath(ld)
     if not fs.exists(jld):
         raise ValueError(f"{path} is not a versioned table (no _log dir)")
     out = []
+    oldest_st = None
     for st in fs.listStatus(jld):
         name = st.getPath().getName()
         if name.endswith(".json") and not name.startswith("checkpoint-"):
-            out.append(int(name[:-5]))
+            v = int(name[:-5])
+            out.append(v)
+            if oldest_st is None or v < oldest_st[0]:
+                oldest_st = (v, st.getLen(), st.getModificationTime())
+    if oldest_st is not None:
+        _check_table_sig(path, *oldest_st)
     return sorted(out)
 
 
@@ -1975,8 +2018,16 @@ def _check_schema_compat(
         f.name: f.dataType
         for f in StructType.fromJson(json.loads(latest)).fields
     }
+    # one list of (message, field) pairs — the lossless-widening filter
+    # below derives from the SAME list, so the two can never drift out
+    # of lockstep (r13 ADVICE: the old shape re-ran the comprehension
+    # and zip-paired the copies)
     conflicts = [
-        f"{f.name}: {old[f.name].simpleString()} -> {f.dataType.simpleString()}"
+        (
+            f"{f.name}: {old[f.name].simpleString()} -> "
+            f"{f.dataType.simpleString()}",
+            f,
+        )
         for f in new_schema.fields
         if f.name in old
         and f.dataType.simpleString() != old[f.name].simpleString()
@@ -1990,26 +2041,18 @@ def _check_schema_compat(
         # mergeSchema reads, so the strict gate stays.
         if _column_ids_walk(spark, path, cap)["has_widen"]:
             conflicts = [
-                c
-                for c, f in zip(
-                    conflicts,
-                    [
-                        f
-                        for f in new_schema.fields
-                        if f.name in old
-                        and f.dataType.simpleString()
-                        != old[f.name].simpleString()
-                    ],
-                )
+                (c, f)
+                for c, f in conflicts
                 if not _is_lossless_widening(f.dataType, old[f.name])
             ]
     if conflicts:
         raise ValueError(
             f"append schema changes the type of existing column(s) "
-            f"[{'; '.join(conflicts)}] — parquet mergeSchema cannot "
-            f"reconcile that and every later read would fail. Cast the "
-            f"batch to the table's types, or commit_overwrite to "
-            f"deliberately rewrite the table under the new schema."
+            f"[{'; '.join(c for c, _ in conflicts)}] — parquet "
+            f"mergeSchema cannot reconcile that and every later read "
+            f"would fail. Cast the batch to the table's types, or "
+            f"commit_overwrite to deliberately rewrite the table under "
+            f"the new schema."
         )
 
 
@@ -2249,7 +2292,19 @@ def commit_upsert(
         spark, path, files, dvs, merge_schema=ms, file_col="__file",
         cap=base,
     )
-    t_cols = [c for c in target.columns if c != "__file"]
+    # the target column set comes from the LOG's logical schema, not
+    # the file scan: a metadata-only add_column has no data file
+    # carrying the new column yet, so scan-derived columns would
+    # silently narrow the batch; and the full-scan union can likewise
+    # miss nothing the log knows about (r13 VERDICT #1)
+    schema_json = _latest_schema(spark, path, base)
+    t_fields = (
+        list(StructType.fromJson(json.loads(schema_json)).fields)
+        if schema_json is not None
+        else [StructField(c, target.schema[c].dataType, True)
+              for c in target.columns if c != "__file"]
+    )
+    t_cols = [f.name for f in t_fields]
     missing = [c for c in t_cols if c not in updates.columns]
     if missing:
         raise ValueError(
@@ -2268,11 +2323,29 @@ def commit_upsert(
     qnames = _qnames()
     touched = _touched_entries(files, row["__hit_files"])
     if touched:
-        kept = (
-            _scan_files(
-                spark, path, touched, dvs, merge_schema=ms, cap=base
+        kept_scan = _scan_files(
+            spark, path, touched, dvs, merge_schema=ms, cap=base
+        )
+        # the touched slice may predate an additive schema evolution
+        # (append-evolved or metadata-only add_column): parquet
+        # mergeSchema can only surface columns SOME scanned file has,
+        # so a touched set that is entirely pre-evolution comes back
+        # narrow and unionByName(updates) would throw
+        # NUM_COLUMNS_MISMATCH. Surface the missing columns as typed
+        # NULLs — the same projection commit_merge applies to its
+        # touched slice (r13 VERDICT #1).
+        have = set(kept_scan.columns)
+        new_fields = [f for f in t_fields if f.name not in have]
+        if new_fields:
+            kept_scan = kept_scan.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in new_fields
+                ],
             )
-            .join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
+        kept = kept_scan.select(*t_cols).join(
+            updates.select(*keys).distinct(), on=list(keys), how="left_anti"
         )
         out_df = kept.unionByName(updates)
     else:
@@ -4384,6 +4457,18 @@ def expire_log(spark: SparkSession, path: str, force: bool = False) -> list[int]
             fs.delete(jpath(_log_dir(path) + "/" + _entry_name(v)), False)
             _ENTRY_CACHE.pop((_cache_key_path(path), v), None)
             expired.append(v)
+    if expired:
+        # r13 VERDICT "what's wrong #3": memoized walks capped below the
+        # cutoff would keep serving expired snapshots in THIS session
+        # while a cold session raises — warm and cold must agree that
+        # time travel below the cutoff is gone. Walk keys are
+        # (path, kind, cap, ...); caps >= cutoff replay from the
+        # surviving checkpoint and stay valid.
+        kp = _cache_key_path(path)
+        for k in [
+            k for k in _WALK_CACHE if k[0] == kp and k[2] < cutoff
+        ]:
+            del _WALK_CACHE[k]
     return expired
 
 
@@ -4399,13 +4484,41 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
     instead of replaying all n — on a long-lived streaming log this is
     the difference between a dashboard query and a full driver-side
     log scan. A short forward walk past the found boundary absorbs
-    sub-second wall-clock regressions between racing commits."""
+    sub-second wall-clock regressions between racing commits.
+
+    Clock-skew contract (r13 ADVICE): if the probes themselves witness
+    a timestamp INVERSION (multi-writer clock skew or an NTP
+    step-back — e.g. ts 10,20,15,30), the binary search's premise is
+    void and the lookup falls back to the exact linear scan, returning
+    what the pre-r13 implementation returned. An inversion the O(log n)
+    probes never touch cannot be detected without reading every entry;
+    such a lookup behaves as if timestamps were monotone-clamped to
+    their running maximum (Delta's history-reconstruction rule), which
+    only ever errs toward an OLDER (still-existing) version, never a
+    future one."""
     versions = _list_log_versions(spark, path)
 
+    probed: dict[int, float] = {}
+
     def _ts(i: int) -> float:
-        return _read_entry(spark, path, versions[i]).get("ts", 0.0)
+        if i not in probed:
+            probed[i] = _read_entry(spark, path, versions[i]).get("ts", 0.0)
+        return probed[i]
+
+    def _linear() -> int:
+        best_v = None
+        for v in versions:
+            if _read_entry(spark, path, v).get("ts", 0.0) <= ts:
+                best_v = v
+        if best_v is None:
+            raise ValueError(
+                f"no version of {path} existed at or before timestamp {ts}"
+            )
+        return best_v
 
     if not versions or _ts(0) > ts:
+        # exact even under skew: clamped ts are all >= ts[0], so a
+        # query below the table's birth has no answer either way
         raise ValueError(
             f"no version of {path} existed at or before timestamp {ts}"
         )
@@ -4419,6 +4532,11 @@ def version_at_timestamp(spark: SparkSession, path: str, ts: float) -> int:
             hi = mid - 1
     while best + 1 < len(versions) and _ts(best + 1) <= ts:
         best += 1  # clock-skew guard; 0 extra reads when clocks behave
+    # the probes are free evidence: if they contradict monotonicity
+    # anywhere, the search result is unreliable — take the exact path
+    seq = [probed[i] for i in sorted(probed)]
+    if any(a > b for a, b in zip(seq, seq[1:])):
+        return _linear()
     return versions[best]
 
 

@@ -35,8 +35,11 @@ _op = st.one_of(
 )
 
 
+# r13 VERDICT #2: raised from 4 unseeded examples (too thin to mean
+# anything twice) to 25 derandomized — every run explores the same
+# sampled space, so a green artifact is reproducible.
 @given(ops=st.lists(_op, min_size=2, max_size=5))
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=25, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_full_op_surface_matches_dict_model(spark, tmp_path_factory, ops):
     from pyspark.sql import Row

@@ -32,12 +32,35 @@ _op = st.one_of(
 )
 
 
+# r13 VERDICT #2: max_examples=4 unseeded let a 3-op falsifying
+# example (addcol → upsert-into-the-old-file → rename) survive two
+# green rounds. derandomize=True makes every run explore the SAME
+# sampled space, so a committed green artifact means the same thing
+# on re-run; the found example itself is pinned deterministically
+# below (test_pinned_addcol_upsert_rename).
 @given(ops=st.lists(_op, min_size=3, max_size=6))
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=25, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_schema_ops_interleaved_match_dict_model(
     spark, tmp_path_factory, ops
 ):
+    run_schema_ops_model(spark, tmp_path_factory, ops)
+
+
+def test_pinned_addcol_upsert_rename(spark, tmp_path_factory):
+    """The exact falsifying example hypothesis drew for the r13 judge:
+    an append-evolved (never-mapped) table whose upsert touches a file
+    predating the evolution — the kept-side mergeSchema rewrite came
+    back narrow and unionByName threw NUM_COLUMNS_MISMATCH
+    (versioned.py commit_upsert, fixed r14). Pinned so the regression
+    never depends on sampling luck again."""
+    run_schema_ops_model(
+        spark, tmp_path_factory,
+        [("addcol", 0), ("upsert", {0: "a"}), ("rename", 0)],
+    )
+
+
+def run_schema_ops_model(spark, tmp_path_factory, ops):
     from pyspark.sql import functions as F
 
     from gedixr_spark.sinks.versioned import (
