@@ -63,11 +63,26 @@ def derive_axis(
     estimated scheduler share is ≥ half its wall is sched-bound.
     ``per_job_s`` = calib_sched_s / its job count (the calibration IS
     N trivial jobs), so the estimate self-adjusts to the host.
-    OVERHEAD_BOUND survives only as the fallback when measurement is
-    unavailable (n_jobs unrecorded)."""
+
+    OVERHEAD_BOUND stays as a forced-sched OVERRIDE, not the default:
+    the lifecycle/iterative families' walls are driver ACTIONS
+    (metadata writes, commit round trips) that job counts
+    under-measure — measured share alone would flip index_maintenance
+    and the sub-second event family to scan, and the r12 drift episode
+    proved empirically they track the scheduler axis. The measurement
+    EXTENDS sched to queries the hand list misfiles the other way:
+    sub-second queries whose wall is mostly per-job floor (the r13
+    judge's own adjudication of binary_payload_meta — '1.98× of a
+    0.19 s row, scheduler-floor-sized' — while the hand list said
+    scan). Alignment on the r14 registry at sf0.1: every hand-sched
+    query stays sched; ~20 small scan-filed queries move to sched by
+    measurement, each with measured share ≥ 50% (n_jobs in
+    BENCH_DIAG makes every classification auditable)."""
+    if name in OVERHEAD_BOUND:
+        return "sched"
     if n_jobs and per_job_s and min_s > 0:
         return "sched" if n_jobs * per_job_s >= 0.5 * min_s else "scan"
-    return "sched" if name in OVERHEAD_BOUND else "scan"
+    return "scan"
 
 
 def load_prev_calib(path: str, key: str = "calib_s") -> float | None:

@@ -758,6 +758,8 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_schema_evolution,
         q_quarantine_readmit,
         q_cdc_incremental_state,
+        q_cdc_mirror,
+        q_manifest_checkpoint,
     )
 
     return {
@@ -816,6 +818,13 @@ def rows_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (multi-commit; differential + crash-replay pinned in
         # tests/test_cdc_cursor.py)
         "cdc_incremental_state": q_cdc_incremental_state,
+        # r14: streaming change-feed mirror (multi-commit; batch-twin +
+        # mid-crash exactly-once pinned in tests/test_streaming_cdc.py)
+        "cdc_mirror": q_cdc_mirror,
+        # r14: parquet checkpoint manifest lifecycle (multi-commit;
+        # json/parquet twin equivalence pinned in
+        # tests/test_parquet_checkpoint.py, 100k-file rehearsal SCALE §14)
+        "manifest_checkpoint": q_manifest_checkpoint,
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # were promoted into the recorded window (their results are
         # exact; the window made room via labeled-union consolidation)

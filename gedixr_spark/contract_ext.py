@@ -1243,6 +1243,112 @@ def q_table_changes_feed(spark, sf_dir):
     return table_changes(spark, path, 0)
 
 
+def q_cdc_mirror(spark, sf_dir):
+    """Streaming change-feed consumption on the bench path
+    (streaming/cdc.py — r13 VERDICT #4): a churned source table is
+    replicated into a MIRROR through bounded micro-batch
+    poll→apply→commit cycles — cursor CAS watermark underneath,
+    ledger-deduped upsert/tombstone sub-commits on top, never more
+    than max_versions commit legs per cycle. Returned as the mirrored
+    per-nation counts plus a one-row stream summary (batches, final
+    cursor position). Multi-commit lifecycle ⇒ rows-only; the batch-
+    twin law (stream-of-micro-batches ≡ one table_changes) and
+    mid-crash exactly-once are pinned in tests/test_streaming_cdc.py."""
+    from gedixr_spark.sinks.cursor import cursor_position
+    from gedixr_spark.sinks.versioned import (
+        commit_append, commit_delete, commit_upsert, init_versioned,
+        read_versioned,
+    )
+    from gedixr_spark.streaming.cdc import mirror_table_changes
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .coalesce(4)
+    )
+    root = _scratch_dir("cdcmirror", _sf_key(sf_dir))
+    src, dst = root + "/src", root + "/dst"
+    init_versioned(spark, src)
+    commit_append(spark, src, base)
+    upd = base.filter(F.col("c_custkey") % 16 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    commit_upsert(spark, src, upd, keys=["c_custkey"])
+    commit_delete(spark, src, F.col("c_custkey") % 24 == 0, mode="dv")
+    out = mirror_table_changes(
+        spark, src, dst, keys=["c_custkey"], max_versions=2
+    )
+    mirrored = read_versioned(spark, dst).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.lit("mirror").alias("leg"),
+        F.col("c_nationkey").cast("long").alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    pos = cursor_position(spark, src, "mirror")
+    summary = spark.createDataFrame(
+        [("stream", int(pos), int(out["batches"]))],
+        "leg string, key long, n_rows long",
+    )
+    return mirrored.unionByName(summary)
+
+
+def q_manifest_checkpoint(spark, sf_dir):
+    """Metadata-at-scale checkpoint on the bench path (r13 VERDICT #3):
+    a lineitem-subset table is range-clustered by compaction,
+    checkpointed as light-JSON + PARQUET MANIFEST, expired down to the
+    checkpoint, then a selective range read plans through the
+    vectorized manifest fast path (typed min/max bound columns — no
+    per-file JSON parse) and `manifest_df` re-derives the same
+    survivor set as a Spark filter over metadata-as-data. Returned as
+    the pruned read's per-flag aggregate plus a one-row planning
+    summary. Multi-commit lifecycle ⇒ rows-only; json/parquet twin
+    equivalence is pinned in tests/test_parquet_checkpoint.py and the
+    100k-file rehearsal in SCALE §14 / tools/manifest_rehearsal.py."""
+    from gedixr_spark.sinks.versioned import (
+        checkpoint_log, commit_append, commit_compact, expire_log,
+        files_for_range, init_versioned, manifest_df, read_where,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .coalesce(4)
+    )
+    path = _scratch_dir("manifestck", _sf_key(sf_dir)) + "/t"
+    init_versioned(spark, path)
+    commit_append(spark, path, li, stats_cols=["l_orderkey"])
+    commit_compact(
+        spark, path, sort_by=["l_orderkey"], n_files=8,
+        stats_cols=["l_orderkey"],
+    )
+    checkpoint_log(spark, path, format="parquet")
+    expire_log(spark, path)
+    b = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    lo = int(b["mn"] + (b["mx"] - b["mn"]) * 0.45)
+    hi = int(b["mn"] + (b["mx"] - b["mn"]) * 0.55)
+    keep, total = files_for_range(spark, path, "l_orderkey", lo, hi)
+    surv = manifest_df(spark, path).filter(
+        (F.col("`max::l_orderkey`") >= lo) & (F.col("`min::l_orderkey`") <= hi)
+    ).count()
+    pruned = read_where(spark, path, "l_orderkey", lo, hi).groupBy(
+        "l_returnflag"
+    ).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("pruned_read").alias("leg"),
+        F.col("l_returnflag").alias("key"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+    summary = spark.createDataFrame(
+        [("planning", f"{len(keep)}/{total}", int(surv))],
+        "leg string, key string, n_rows long",
+    )
+    return pruned.unionByName(summary)
+
+
 def q_catalog_snapshot(spark, sf_dir):
     """Multi-table atomic publish on the bench path (sinks/catalog.py):
     a customer table and a per-nation count table DERIVED from it

@@ -136,6 +136,8 @@ _META_CACHE_MAX = 8192
 _ENTRY_CACHE: OrderedDict = OrderedDict()  # (path, version) -> raw bytes
 _CK_CACHE: OrderedDict = OrderedDict()     # (path, version) -> raw bytes
 _WALK_CACHE: OrderedDict = OrderedDict()   # (path, kind, *key) -> value
+# (path, ck version, field) -> loaded manifest field (see _LazyCheckpoint)
+_MANIFEST_CACHE: OrderedDict = OrderedDict()
 _META_STATS: dict = {
     "entry_reads": 0,      # storage reads actually performed
     "entry_hits": 0,       # served from cache
@@ -173,7 +175,7 @@ def _walk_count(kind: str, computed: bool) -> None:
 
 def _evict_table_caches(path: str) -> None:
     kp = _cache_key_path(path)
-    for cache in (_ENTRY_CACHE, _CK_CACHE, _WALK_CACHE):
+    for cache in (_ENTRY_CACHE, _CK_CACHE, _WALK_CACHE, _MANIFEST_CACHE):
         for k in [k for k in cache if k[0] == kp]:
             del cache[k]
     _TABLE_SIG.pop(kp, None)
@@ -200,6 +202,7 @@ def reset_metadata_cache(stats_only: bool = False) -> None:
         _ENTRY_CACHE.clear()
         _CK_CACHE.clear()
         _WALK_CACHE.clear()
+        _MANIFEST_CACHE.clear()
         _TABLE_SIG.clear()
 
 
@@ -341,20 +344,274 @@ def _read_checkpoint(spark: SparkSession, path: str, version: int) -> dict:
             spark, _log_dir(path) + f"/checkpoint-{version:08d}.json"
         )
         _cache_put(_CK_CACHE, key, raw)
-    return json.loads(raw.decode("utf-8"))
+    base = json.loads(raw.decode("utf-8"))
+    if "manifest" in base:
+        return _LazyCheckpoint(spark, path, base)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Parquet checkpoint manifests (r13 VERDICT #3 — metadata at scale).
+#
+# A JSON checkpoint serializes the FULL live set + per-file stats +
+# blooms into one blob the driver parses single-threaded on every cold
+# read: O(#files) bytes and O(#files) parse time before the first scan
+# plans. At 100 TB (10^6-10^7 files) that is GBs of JSON — the exact
+# problem Delta solved with parquet checkpoints and Iceberg with avro
+# manifests read AS DATA. Here a checkpoint can instead split into
+#
+# - a LIGHT JSON (``"manifest": <basename>``) carrying only the
+#   table-sized-independent state (version, schema, dvs, schema pool,
+#   expectations, colmap ids, stream ledger, quarantine refs), and
+# - a parquet MANIFEST with ONE ROW PER LIVE FILE: the file ref, its
+#   stats/bloom/column-id payloads as JSON cells, its schema-pool
+#   index — plus TYPED per-column min/max bounds so range pruning is a
+#   vectorized columnar filter, not a Python dict walk.
+#
+# Readers are lazy: `_LazyCheckpoint` loads each heavy field only when
+# an operation actually touches it, reading ONLY that field's columns
+# (columnar projection). A cold snapshot read therefore parses KBs of
+# JSON + the manifest's `file` column; stats/bloom bytes are paid only
+# by reads that prune. `files_for_range` gets a pyarrow-vectorized
+# fast path over the typed bound columns, and `manifest_df` exposes
+# the manifest as a Spark DataFrame — at cluster scale file-skipping
+# becomes a distributed join against it (the Iceberg planning shape).
+#
+# Manifests are derived data like JSON checkpoints: overwrite-safe,
+# re-creatable, never required for correctness (replay falls back to
+# entries). Local filesystems only (pyarrow single-file write); remote
+# paths keep the single-JSON shape.
+
+_CK_MANIFEST_FIELDS = (
+    "live", "stats", "blooms", "file_schemas", "file_column_ids",
+)
+# auto format: manifest when the live set is at least this big
+_CK_MANIFEST_MIN_FILES = 4096
+# typed bound columns are skipped past this many distinct stat columns
+_CK_MANIFEST_MAX_TYPED = 256
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return _log_dir(path) + f"/checkpoint-{version:08d}-manifest.parquet"
+
+
+def _manifest_table(
+    spark: SparkSession, path: str, version: int, columns: list[str]
+):
+    """Arrow table of just ``columns`` from a checkpoint manifest, in
+    row order (columnar projection — untouched columns cost nothing)."""
+    import pyarrow.parquet as papq
+
+    return papq.read_table(
+        _strip_scheme(_manifest_path(path, version)), columns=columns
+    )
+
+
+def _manifest_columns(
+    spark: SparkSession, path: str, version: int, columns: list[str]
+) -> dict[str, list]:
+    """Read only ``columns`` from a checkpoint manifest, in row order.
+    {column name: values}; missing columns raise (callers probe the
+    schema first via _manifest_schema_names)."""
+    t = _manifest_table(spark, path, version, columns)
+    return {c: t.column(c).to_pylist() for c in columns}
+
+
+def _manifest_schema_names(
+    spark: SparkSession, path: str, version: int
+) -> list[str]:
+    import pyarrow.parquet as papq
+
+    return list(
+        papq.read_schema(_strip_scheme(_manifest_path(path, version))).names
+    )
+
+
+class _LazyCheckpoint:
+    """Dict-shaped view of a light checkpoint whose table-sized fields
+    live in the parquet manifest. Heavy fields load on first access —
+    column-projected, LRU-cached per (table, version, field) — so a
+    reader pays only for the state its operation touches."""
+
+    def __init__(self, spark: SparkSession, path: str, base: dict):
+        self._spark, self._path, self._base = spark, path, base
+
+    def get(self, key, default=None):
+        if key in _CK_MANIFEST_FIELDS:
+            return self._load(key)
+        return self._base.get(key, default)
+
+    def __getitem__(self, key):
+        if key in _CK_MANIFEST_FIELDS:
+            return self._load(key)
+        return self._base[key]
+
+    def __contains__(self, key):
+        return key in _CK_MANIFEST_FIELDS or key in self._base
+
+    def _load(self, key):
+        ver = int(self._base["version"])
+        ck_key = (_cache_key_path(self._path), ver, key)
+        hit = _cache_get(_MANIFEST_CACHE, ck_key)
+        if hit is not None:
+            return hit
+        if key == "live":
+            out = _manifest_columns(
+                self._spark, self._path, ver, ["file"]
+            )["file"]
+        else:
+            src = {
+                "stats": "stats", "blooms": "bloom",
+                "file_schemas": "schema_idx",
+                "file_column_ids": "col_ids",
+            }[key]
+            cols = _manifest_columns(
+                self._spark, self._path, ver, ["file", src]
+            )
+            if key == "file_schemas":
+                out = dict(zip(cols["file"], cols[src]))
+            else:
+                # JSON cells; arrow null = absent from the original map
+                out = {
+                    f: json.loads(v)
+                    for f, v in zip(cols["file"], cols[src])
+                    if v is not None
+                }
+        _cache_put(_MANIFEST_CACHE, ck_key, out)
+        return out
+
+
+def _stat_bound_type(values: list):
+    """Arrow type for a stat column's min/max values, or None when the
+    values are not uniformly orderable as one primitive (the typed
+    fast path then skips this column; the JSON cells stay exact)."""
+    import pyarrow as pa
+
+    kinds = {type(v) for v in values}
+    if kinds <= {int} and kinds:
+        return pa.int64()
+    if kinds <= {int, float} and kinds:
+        return pa.float64()
+    if kinds == {str}:
+        return pa.string()
+    return None
+
+
+def _write_checkpoint_manifest(
+    spark: SparkSession, path: str, cap: int, ck: dict
+) -> dict:
+    """Write the parquet manifest for checkpoint ``ck`` and return the
+    LIGHT json dict that replaces the heavy fields with a manifest
+    reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    live = list(ck["live"])
+    stats, blooms = ck["stats"], ck["blooms"]
+    fsch, fcid = ck["file_schemas"], ck["file_column_ids"]
+    arrays: dict = {
+        "seq": pa.array(range(len(live)), pa.int64()),
+        "file": pa.array(live, pa.string()),
+        "schema_idx": pa.array(
+            [fsch.get(f) for f in live], pa.int32()
+        ),
+        "stats": pa.array(
+            [json.dumps(stats[f]) if f in stats else None for f in live],
+            pa.string(),
+        ),
+        "bloom": pa.array(
+            [json.dumps(blooms[f]) if f in blooms else None for f in live],
+            pa.string(),
+        ),
+        "col_ids": pa.array(
+            [json.dumps(fcid[f]) if f in fcid else None for f in live],
+            pa.string(),
+        ),
+    }
+    # typed per-column bounds: what makes range pruning a vectorized
+    # filter instead of a JSON parse per file. Only [min, max] range
+    # entries qualify — reserved scalar keys (__nrows) stay JSON-only.
+    stat_cols = sorted({
+        c
+        for st in stats.values()
+        for c, v in st.items()
+        if isinstance(v, (list, tuple)) and len(v) == 2
+    })
+    if len(stat_cols) <= _CK_MANIFEST_MAX_TYPED:
+        for c in stat_cols:
+            mns, mxs, has = [], [], []
+            for f in live:
+                rng = stats.get(f, {}).get(c)
+                if not (isinstance(rng, (list, tuple)) and len(rng) == 2):
+                    rng = None
+                has.append(rng is not None)
+                mns.append(None if rng is None else rng[0])
+                mxs.append(None if rng is None else rng[1])
+            typ = _stat_bound_type(
+                [v for v in mns + mxs if v is not None]
+            )
+            if typ is None:
+                continue
+            arrays[f"has::{c}"] = pa.array(has, pa.bool_())
+            arrays[f"min::{c}"] = pa.array(mns, typ)
+            arrays[f"max::{c}"] = pa.array(mxs, typ)
+    table = pa.table(arrays)
+    target = _strip_scheme(_manifest_path(path, cap))
+    tmp = target + ".tmp"
+    papq.write_table(table, tmp)
+    os.replace(tmp, target)
+    light = {k: v for k, v in ck.items() if k not in _CK_MANIFEST_FIELDS}
+    light["manifest"] = os.path.basename(target)
+    light["n_live"] = len(live)
+    return light
+
+
+def manifest_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The newest checkpoint manifest at or below ``version`` as a
+    Spark DataFrame (one row per then-live file: ref, schema index,
+    stats/bloom/column-id JSON, typed min/max bounds). THE planning
+    surface at cluster scale: a 10^7-file table's file-skipping is a
+    distributed filter/join against this frame — metadata read as
+    data, never a driver-side dict (the Iceberg manifest shape).
+    Raises when no parquet-manifest checkpoint covers ``version``."""
+    versions = _list_log_versions(spark, path)
+    cap = versions[-1] if version is None else version
+    for c in reversed([c for c in _list_checkpoints(spark, path) if c <= cap]):
+        if isinstance(_read_checkpoint(spark, path, c), _LazyCheckpoint):
+            return spark.read.parquet(_manifest_path(path, c))
+    raise ValueError(
+        f"no parquet-manifest checkpoint at or below version {cap} of "
+        f"{path} — run checkpoint_log(format='parquet') first"
+    )
+
+
+def _replay_ck(spark: SparkSession, path: str, cap: int):
+    """(start_version_exclusive, checkpoint or None): the newest
+    checkpoint at or below ``cap`` to begin a replay at. Callers pull
+    ONLY the fields they need — under a parquet-manifest checkpoint
+    each heavy field loads column-projected on first touch, so a
+    replay that needs just the live list never pays for stats or
+    bloom bytes (the metadata-at-scale contract)."""
+    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
+    if not cks:
+        return -1, None
+    return cks[-1], _read_checkpoint(spark, path, cks[-1])
 
 
 def _replay_base(
     spark: SparkSession, path: str, cap: int
 ) -> tuple[int, list[str], str | None, dict, dict, dict]:
     """(start_version_exclusive, live, schema, stats, blooms, dvs) to
-    begin a replay at: the newest checkpoint <= cap, or a cold start."""
-    cks = [c for c in _list_checkpoints(spark, path) if c <= cap]
-    if not cks:
+    begin a replay at: the newest checkpoint <= cap, or a cold start.
+    EAGER — loads every heavy field; hot paths use `_replay_ck` and
+    touch only what they need."""
+    start, ck = _replay_ck(spark, path, cap)
+    if ck is None:
         return -1, [], None, {}, {}, {}
-    ck = _read_checkpoint(spark, path, cks[-1])
     return (
-        ck["version"],
+        start,
         list(ck["live"]),
         ck.get("schema"),
         dict(ck.get("stats", {})),
@@ -490,8 +747,12 @@ def _replay_state(
         # callers own (and mutate) their copies — never hand out the
         # cached structures themselves
         return list(live), {d: dict(t) for d, t in dvs.items()}
-    start, live, _, _, _, dvs = _replay_base(spark, path, version)
-    dvs = {d: dict(t) for d, t in dvs.items()}
+    start, ck = _replay_ck(spark, path, version)
+    live = list(ck["live"]) if ck is not None else []
+    dvs = {
+        d: dict(t)
+        for d, t in (ck.get("dvs", {}) if ck is not None else {}).items()
+    }
     for v in versions:
         if v <= start:
             continue
@@ -693,7 +954,8 @@ def _latest_schema(spark: SparkSession, path: str, version: int | None) -> str |
     _walk_count("latest_schema", computed=hit is None)
     if hit is not None:
         return hit[0]  # wrapped: a legitimate None result is cacheable
-    start, _, schema, _, _, _ = _replay_base(spark, path, cap)
+    start, ck = _replay_ck(spark, path, cap)
+    schema = ck.get("schema") if ck is not None else None
     for v in versions:
         if v <= start:
             continue
@@ -3874,7 +4136,8 @@ def file_range_stats(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap) if live is None else live)
-    start, _, _, base_stats, _, _ = _replay_base(spark, path, cap)
+    start, ck = _replay_ck(spark, path, cap)
+    base_stats = ck.get("stats", {}) if ck is not None else {}
     out: dict = {n: st for n, st in base_stats.items() if n in live}
     for v in versions:
         if v <= start:
@@ -3885,6 +4148,99 @@ def file_range_stats(
             if name in live:
                 out[name] = st
     return out
+
+
+def _post_ck_stats(
+    spark: SparkSession, path: str, start: int, cap: int, names: set
+) -> dict:
+    """Per-file stats recorded by entries AFTER the checkpoint at
+    ``start`` (up to ``cap``), restricted to ``names`` — the O(Δ)
+    complement of a manifest's base stats."""
+    out: dict = {}
+    for v in _list_log_versions(spark, path):
+        if v <= start or v > cap:
+            continue
+        for name, st in _read_entry(spark, path, v).get("stats", {}).items():
+            if name in names:
+                out[name] = st
+    return out
+
+
+def _manifest_range_prune(
+    spark: SparkSession, path: str, col: str, lo, hi, cap: int
+):
+    """Vectorized file-skipping against the newest parquet-manifest
+    checkpoint at or below ``cap``: (checkpoint version, covered file
+    set, keep file set), or None when the fast path does not apply
+    (no manifest, column mapping active, no typed bounds recorded for
+    ``col``, or a bound/column type mismatch) — the caller then takes
+    the exact dict path. Skip semantics mirror `files_for_range`
+    exactly: no stats entry → read; entry proving zero non-null
+    values → skip; one-sided bounds → read; else the overlap test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if _colmap_active(spark, path):
+        return None
+    start, ck = _replay_ck(spark, path, cap)
+    if not isinstance(ck, _LazyCheckpoint):
+        return None
+    needed = ["file", f"has::{col}", f"min::{col}", f"max::{col}"]
+    if not all(
+        n in _manifest_schema_names(spark, path, start) for n in needed[1:]
+    ):
+        return None
+    t = _manifest_table(spark, path, start, needed)
+    has = t.column(f"has::{col}")
+    mn, mx = t.column(f"min::{col}"), t.column(f"max::{col}")
+    typ = mn.type
+    if pa.types.is_string(typ):
+        if not all(b is None or isinstance(b, str) for b in (lo, hi)):
+            return None
+    elif pa.types.is_integer(typ):
+        import math
+
+        if not all(
+            b is None or (isinstance(b, (int, float))
+                          and not isinstance(b, bool))
+            for b in (lo, hi)
+        ):
+            return None
+        # fractional bounds against integer stats: tighten to the
+        # equivalent integer test (mx >= 2.5 <=> mx >= 3 for int mx)
+        if lo is not None and isinstance(lo, float):
+            lo = math.ceil(lo)
+        if hi is not None and isinstance(hi, float):
+            hi = math.floor(hi)
+    elif pa.types.is_floating(typ):
+        if not all(
+            b is None or (isinstance(b, (int, float))
+                          and not isinstance(b, bool)
+                          and abs(b) < 2 ** 53)
+            for b in (lo, hi)
+        ):
+            return None
+    else:
+        return None
+    has_f = pc.fill_null(has, False)
+    no_stats = pc.invert(has_f)
+    mn_null, mx_null = pc.is_null(mn), pc.is_null(mx)
+    both_null = pc.and_(mn_null, mx_null)
+    one_null = pc.xor(mn_null, mx_null)
+    ok = pa.array([True] * len(t), pa.bool_())
+    if lo is not None:
+        ok = pc.and_(ok, pc.greater_equal(mx, pa.scalar(lo, typ)))
+    if hi is not None:
+        ok = pc.and_(ok, pc.less_equal(mn, pa.scalar(hi, typ)))
+    keep_entry = pc.and_(
+        pc.invert(both_null), pc.or_(one_null, pc.fill_null(ok, False))
+    )
+    keep_mask = pc.or_(no_stats, pc.and_(has_f, keep_entry))
+    return (
+        start,
+        set(t.column("file").to_pylist()),
+        set(pc.filter(t.column("file"), keep_mask).to_pylist()),
+    )
 
 
 def files_for_range(
@@ -3906,6 +4262,39 @@ def files_for_range(
     if files is None:
         files = live_files(spark, path, version)
     if stats is None:
+        cap = (
+            _list_log_versions(spark, path)[-1]
+            if version is None else version
+        )
+        fast = _manifest_range_prune(spark, path, col, lo, hi, cap)
+        if fast is not None:
+            # manifest fast path: the checkpoint-covered files were
+            # pruned vectorized; only post-checkpoint stats (O(Δ
+            # entries)) go through the dict logic. Post-checkpoint
+            # stats win over manifest rows for re-added files — the
+            # same last-writer-wins merge file_range_stats applies.
+            start, covered, keep_base = fast
+            post = _post_ck_stats(spark, path, start, cap, set(files))
+            keep = []
+            for f in files:
+                if f not in post:
+                    if f not in covered or f in keep_base:
+                        keep.append(f)
+                    continue
+                rng = post[f].get(col)
+                if rng is None:
+                    keep.append(f)
+                    continue
+                mn, mx = rng
+                if mn is None and mx is None:
+                    continue
+                if mn is None or mx is None:
+                    keep.append(f)
+                    continue
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    continue
+                keep.append(f)
+            return keep, len(files)
         stats = file_range_stats(spark, path, version, live=files)
     tr = _stats_name_map(spark, path, files, version, [col])
     keep = []
@@ -4109,7 +4498,8 @@ def file_bloom_index(
     versions = _list_log_versions(spark, path)
     cap = versions[-1] if version is None else version
     live = set(live_files(spark, path, cap) if live is None else live)
-    start, _, _, _, base_blooms, _ = _replay_base(spark, path, cap)
+    start, ck = _replay_ck(spark, path, cap)
+    base_blooms = ck.get("blooms", {}) if ck is not None else {}
     out: dict = {n: bl for n, bl in base_blooms.items() if n in live}
     for v in versions:
         if v <= start:
@@ -4314,7 +4704,9 @@ def check_expectations(
     return validate(df.agg(*aggs).collect()[0])
 
 
-def checkpoint_log(spark: SparkSession, path: str) -> dict:
+def checkpoint_log(
+    spark: SparkSession, path: str, format: str = "auto"
+) -> dict:
     """Write a log CHECKPOINT at the current latest version: one file
     consolidating the live set, schema, and per-file stats/bloom
     indexes. Every replay (live_files / schema / stats / blooms)
@@ -4322,7 +4714,20 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
     entries past it — O(Δ commits) instead of O(all commits), which is
     what keeps a table taking thousands of streaming commits readable
     (the Delta `_last_checkpoint` shape). Checkpoints are derived data:
-    safe to re-create, never required for correctness."""
+    safe to re-create, never required for correctness.
+
+    ``format`` (r13 VERDICT #3 — metadata at scale):
+
+    - ``"json"``: everything in one JSON blob — O(#files) bytes the
+      driver parses on every cold read;
+    - ``"parquet"``: a LIGHT json plus a parquet MANIFEST holding the
+      per-file state (one row per live file, column-projected lazy
+      reads, typed min/max bounds for vectorized range pruning — see
+      the module section above `_LazyCheckpoint`); local paths only;
+    - ``"auto"`` (default): parquet once the live set reaches
+      ``_CK_MANIFEST_MIN_FILES`` on a local path, else json — small
+      tables keep the single-file shape, big ones stop paying
+      O(#files) JSON on cold reads without anyone opting in."""
     versions = _list_log_versions(spark, path)
     cap = versions[-1]
     # per-file schemas (pooled — many files share one schema string) and
@@ -4383,9 +4788,28 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
         ck["colmap_has_widen"] = False
         ck["column_defaults"] = {}
         ck["file_column_ids"] = {}
+    if format not in ("auto", "json", "parquet"):
+        raise ValueError(
+            f"format must be 'auto', 'json' or 'parquet', got {format!r}"
+        )
+    if format == "parquet" and not _is_local_path(path):
+        raise ValueError(
+            "parquet checkpoint manifests are single-file pyarrow writes "
+            "— local paths only; remote tables keep the JSON shape"
+        )
+    n_live = len(ck["live"])
+    use_manifest = _is_local_path(path) and (
+        format == "parquet"
+        or (format == "auto" and n_live >= _CK_MANIFEST_MIN_FILES)
+    )
     target = _log_dir(path) + f"/checkpoint-{cap:08d}.json"
     # checkpoints are overwrite-safe derived data — drop any cached copy
-    _CK_CACHE.pop((_cache_key_path(path), cap), None)
+    kp = _cache_key_path(path)
+    _CK_CACHE.pop((kp, cap), None)
+    for k in [k for k in _MANIFEST_CACHE if k[0] == kp and k[1] == cap]:
+        del _MANIFEST_CACHE[k]
+    if use_manifest:
+        ck = _write_checkpoint_manifest(spark, path, cap, ck)
     payload = json.dumps(ck, sort_keys=True).encode("utf-8")
     # overwrite-safe (derived data): write tmp + rename
     local = _strip_scheme(target)
@@ -4402,7 +4826,8 @@ def checkpoint_log(spark: SparkSession, path: str) -> dict:
             out.write(bytearray(payload))
         finally:
             out.close()
-    return {"version": cap, "n_live": len(ck["live"])}
+    return {"version": cap, "n_live": n_live,
+            "format": "parquet" if use_manifest else "json"}
 
 
 def _lagging_cursors(spark: SparkSession, path: str, cutoff: int) -> dict:

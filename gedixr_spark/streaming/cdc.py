@@ -1,0 +1,235 @@
+"""Streaming consumption of a versioned table's change feed — the
+micro-batch CDC reader (r13 VERDICT #4) completing the consumption
+story: cursor protocol (sinks/cursor.py) + bounded polls underneath, a
+stream-shaped surface on top.
+
+Design: the feed is DRIVEN, not polled through Spark's source API — a
+`ChangeFeedStream` runs poll→process→commit cycles where each cycle is
+
+  1. `next_changes(consumer, max_versions)`: one bounded
+     `table_changes` plan (coalesced append runs, counting diffs for
+     churn — never more than ``max_versions`` commit legs);
+  2. the user sink over that DataFrame (at-least-once: a crash before
+     step 3 re-delivers the same range — make the sink idempotent for
+     exactly-once end to end, exactly what `mirror_changes_batch`
+     does via the commit-log ledger);
+  3. `commit_cursor` CAS — the watermark only advances after the sink
+     returned, and two racing workers on one consumer id see exactly
+     one winner.
+
+This is deliberately the same discipline as Structured Streaming's
+`foreachBatch` + checkpoint (offsets commit after the batch), with the
+CURSOR as the checkpoint — so the batch twin of every cycle is
+`table_changes(from, to)` and the stream-of-micro-batches ≡ one batch
+read over the same range, pinned by tests. A 100 TB table's feed costs
+each cycle O(churned slice) scan + O(1) cursor I/O; a 1000-commit
+backlog drains in ⌈1000/max_versions⌉ bounded-plan cycles.
+
+The flagship composition is the CDC MIRROR (`mirror_table_changes`):
+replicate a source table into a target through the feed —
+inserts/updates upsert, deletes tombstone, per-range ledger ids make
+replays no-ops, so a mid-stream crash (or a re-run of the whole
+stream) never double-applies. The Delta-CDF-replication shape.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_CDC_COLS = ("_change_type", "_commit_version")
+
+
+class ChangeFeedStream:
+    """Micro-batch runner over one consumer's change feed. Not a
+    Structured Streaming query — the driver loop IS the trigger —
+    but the same lifecycle surface: `process_once` (one micro-batch),
+    `process_available` (drain-and-stop, the availableNow trigger),
+    `run` (continuous with a poll interval, for completeness)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        consumer_id: str,
+        sink: Callable[[DataFrame, int, int], None],
+        max_versions: int | None = 64,
+        start_version: int = 0,
+    ):
+        self.spark, self.path = spark, path
+        self.consumer_id, self.sink = consumer_id, sink
+        self.max_versions, self.start_version = max_versions, start_version
+        self.cycles = 0
+
+    def process_once(self) -> dict:
+        """One poll→sink→commit cycle; {"consumed": bool,
+        "from_version", "to_version", "truncated"}."""
+        from gedixr_spark.sinks.cursor import consume_changes
+
+        out = consume_changes(
+            self.spark, self.path, self.consumer_id, self.sink,
+            max_versions=self.max_versions,
+            start_version=self.start_version,
+        )
+        if out["consumed"]:
+            self.cycles += 1
+        return out
+
+    def process_available(self, max_cycles: int = 10_000) -> dict:
+        """Drain the backlog in bounded-plan cycles and stop — the
+        `trigger(availableNow=True)` twin. Returns the final cycle's
+        status plus the number of batches processed."""
+        out = self.process_once()
+        n = 1 if out["consumed"] else 0
+        while out["consumed"] and n < max_cycles:
+            out = self.process_once()
+            if out["consumed"]:
+                n += 1
+        return {**out, "batches": n}
+
+    def run(
+        self, poll_interval_s: float = 1.0, max_polls: int | None = None
+    ) -> dict:
+        """Continuous mode: drain, sleep, repeat. ``max_polls`` bounds
+        the loop for tests/maintenance windows (None = forever)."""
+        polls, last = 0, {}
+        while max_polls is None or polls < max_polls:
+            last = self.process_available()
+            polls += 1
+            if max_polls is None or polls < max_polls:
+                time.sleep(poll_interval_s)
+        return {**last, "polls": polls}
+
+
+def stream_table_changes(
+    spark: SparkSession,
+    path: str,
+    consumer_id: str,
+    sink: Callable[[DataFrame, int, int], None],
+    max_versions: int | None = 64,
+    start_version: int = 0,
+) -> ChangeFeedStream:
+    """Construct (not start) the micro-batch change-feed stream for
+    ``consumer_id``; see `ChangeFeedStream`."""
+    return ChangeFeedStream(
+        spark, path, consumer_id, sink, max_versions, start_version
+    )
+
+
+def _final_changes_per_key(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse a CDC range to each key's FINAL state: drop preimages,
+    keep the newest remaining change per key (ties within one commit
+    cannot happen — a commit records one change per key). NULL-keyed
+    rows cannot exist in a keyed feed (upsert/merge reject them)."""
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    return (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def mirror_changes_batch(
+    changes: DataFrame,
+    target_path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int,
+    consumer_id: str,
+) -> dict:
+    """Apply one change-feed micro-batch to a versioned MIRROR table,
+    idempotently: per key take the range's final state; final deletes
+    tombstone (DV mode), everything else upserts. The two sub-commits
+    carry ledger ids derived from (consumer, range), so a crash-replay
+    of the same range no-ops — exactly-once into the mirror without
+    coordination. Additive source evolution is forwarded: columns the
+    feed carries that the mirror lacks are added (metadata-only)
+    before the upsert."""
+    from gedixr_spark.sinks.versioned import _latest_schema, add_column
+    from gedixr_spark.streaming.bronze import (
+        delete_stream_batch, upsert_stream_batch,
+    )
+
+    spark = changes.sparkSession
+    final = _final_changes_per_key(changes, keys).cache()
+    try:
+        data_cols = [c for c in final.columns if c not in _CDC_COLS]
+        # forward additive evolution before the data lands
+        import json as _json
+
+        sch = _latest_schema(spark, target_path, None)
+        have = (
+            {f["name"] for f in _json.loads(sch)["fields"]}
+            if sch is not None else set(data_cols)
+        )
+        for f in final.schema.fields:
+            if f.name in have or f.name in _CDC_COLS:
+                continue
+            add_column(
+                spark, target_path, f.name, f.dataType.simpleString()
+            )
+        upserts = final.filter(
+            F.col("_change_type") != "delete"
+        ).select(*data_cols)
+        deletes = final.filter(
+            F.col("_change_type") == "delete"
+        ).select(*keys)
+        rng = f"{consumer_id}:{from_version}-{to_version}"
+        out = {"range": rng, "n_upserted": 0, "n_deleted_keys": 0}
+        if upserts.limit(1).count() > 0:
+            upsert_stream_batch(
+                upserts, target_path, batch_id=f"{rng}:u", keys=keys
+            )
+            out["n_upserted"] = upserts.count()
+        if deletes.limit(1).count() > 0:
+            delete_stream_batch(
+                deletes, target_path, batch_id=f"{rng}:d", keys=keys
+            )
+            out["n_deleted_keys"] = deletes.count()
+        return out
+    finally:
+        final.unpersist()
+
+
+def mirror_table_changes(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    keys: list[str],
+    consumer_id: str = "mirror",
+    max_versions: int | None = 64,
+) -> dict:
+    """Replicate ``src`` into the versioned table ``dst`` through the
+    change feed, exactly-once (creates ``dst`` when absent), draining
+    the current backlog in bounded cycles. Re-run any time — a second
+    call applies only new commits; a crashed call resumes where the
+    cursor left off with ledger-deduped sub-commits. After a drain,
+    ``dst``'s latest snapshot row-set equals ``src``'s (test-pinned)."""
+    from gedixr_spark.sinks.versioned import _log_dir, init_versioned
+
+    if not _exists(spark, _log_dir(dst)):
+        init_versioned(spark, dst)
+
+    def _sink(df: DataFrame, frm: int, to: int) -> None:
+        mirror_changes_batch(df, dst, keys, frm, to, consumer_id)
+
+    return stream_table_changes(
+        spark, src, consumer_id, _sink, max_versions=max_versions
+    ).process_available()
+
+
+def _exists(spark: SparkSession, full_path: str) -> bool:
+    from gedixr_spark.sinks.versioned import _is_local_path, _strip_scheme
+
+    if _is_local_path(full_path):
+        import os
+
+        return os.path.exists(_strip_scheme(full_path))
+    from gedixr_spark.operators.layout import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, full_path)
+    return fs.exists(spark._jvm.org.apache.hadoop.fs.Path(full_path))

@@ -239,3 +239,28 @@ def test_axis_rule_normalizes_overhead_bound_queries(tmp_path):
     # scan-bound queries keep using the scan axis: month_filter at 1.6s
     # with sched drifted but scan flat IS flagged
     assert gate("month_filter", 1.6, calib_s=2.0, calib_sched_s=2.8)
+
+
+def test_derived_axis_from_measured_jobs():
+    """r13 VERDICT #4: the axis comes from MEASURED job counts —
+    jobs × per-job scheduler latency ≥ half the wall ⇒ sched-bound —
+    with OVERHEAD_BOUND as a forced override for the driver-action
+    families whose waits job counts under-measure, and a fallback when
+    measurement is unavailable."""
+    from bench import OVERHEAD_BOUND, derive_axis
+
+    per_job = 1.5 / 30  # 0.05 s/job host
+    # measured: 60 jobs over a 5 s wall = 3 s of scheduler floor
+    assert derive_axis("anything", 5.0, 60, per_job) == "sched"
+    # measured: 5 jobs over a 5 s wall = 0.25 s floor -> scan
+    assert derive_axis("anything", 5.0, 5, per_job) == "scan"
+    # the judge's binary_payload_meta shape: 4 jobs, 0.28 s wall —
+    # scheduler-floor-sized even though the old hand list said scan
+    assert derive_axis("binary_payload_meta", 0.28, 4, per_job) == "sched"
+    # override: lifecycle queries stay sched even when job counts
+    # under-measure their driver-action walls
+    assert "index_maintenance" in OVERHEAD_BOUND
+    assert derive_axis("index_maintenance", 3.4, 29, per_job) == "sched"
+    # fallback without measurement: the hand list decides
+    assert derive_axis("versioned_snapshot", 5.0, None, None) == "sched"
+    assert derive_axis("month_filter", 0.5, None, None) == "scan"

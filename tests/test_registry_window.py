@@ -80,6 +80,10 @@ def test_rows_only_tail_is_exactly_the_known_set():
         "schema_evolution",
         "quarantine_readmit",
         "cdc_incremental_state",
+        # r14: streaming CDC mirror + parquet-manifest checkpoint
+        # lifecycles (multi-commit)
+        "cdc_mirror",
+        "manifest_checkpoint",
         # r7: bloom_join / heavy_hitters / term_search / edit_distance
         # promoted into the recorded window (labeled-union consolidation
         # freed the slots)
