@@ -417,6 +417,32 @@ def _manifest_columns(
     return {c: t.column(c).to_pylist() for c in columns}
 
 
+def _manifest_blooms_subset(
+    spark: SparkSession, path: str, version: int, names
+) -> dict:
+    """Bloom entries for just ``names`` from a checkpoint manifest —
+    the JSON bitsets are parsed only for those rows (the expensive
+    part; a point lookup's candidates are a handful of files, the
+    manifest may hold 10^5+)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = list(names)
+    if not names:
+        return {}
+    t = _manifest_table(spark, path, version, ["file", "bloom"])
+    ft = t.filter(
+        pc.is_in(t.column("file"), value_set=pa.array(names, pa.string()))
+    )
+    return {
+        f: json.loads(b)
+        for f, b in zip(
+            ft.column("file").to_pylist(), ft.column("bloom").to_pylist()
+        )
+        if b is not None
+    }
+
+
 def _manifest_schema_names(
     spark: SparkSession, path: str, version: int
 ) -> list[str]:
@@ -4166,17 +4192,30 @@ def _post_ck_stats(
     return out
 
 
-def _manifest_range_prune(
-    spark: SparkSession, path: str, col: str, lo, hi, cap: int
+def _manifest_prune(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    cap: int,
+    skip_unbounded: bool,
 ):
     """Vectorized file-skipping against the newest parquet-manifest
     checkpoint at or below ``cap``: (checkpoint version, covered file
     set, keep file set), or None when the fast path does not apply
-    (no manifest, column mapping active, no typed bounds recorded for
-    ``col``, or a bound/column type mismatch) — the caller then takes
-    the exact dict path. Skip semantics mirror `files_for_range`
-    exactly: no stats entry → read; entry proving zero non-null
-    values → skip; one-sided bounds → read; else the overlap test."""
+    (no manifest, column mapping active, missing typed bounds for a
+    queried column, or a bound/column type mismatch) — the caller then
+    takes the exact dict path. Per-column skip semantics mirror the
+    dict pruners exactly: no stats entry → read; entry proving zero
+    non-null values → skip; one-sided bounds → read; else the overlap
+    test. The conjunctive keep-mask is the AND of the per-column masks
+    (`files_for_ranges`' multiplicative Z-order pruning, vectorized).
+    ``skip_unbounded``: a fully-unbounded (None, None) column
+    contributes nothing (files_for_ranges' rule — its exact filter is
+    a no-op, so even all-NULL files must be kept); files_for_range
+    passes False (its unbounded call still skips provably-empty
+    stats, the documented single-column semantics)."""
+    import math
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -4185,61 +4224,79 @@ def _manifest_range_prune(
     start, ck = _replay_ck(spark, path, cap)
     if not isinstance(ck, _LazyCheckpoint):
         return None
-    needed = ["file", f"has::{col}", f"min::{col}", f"max::{col}"]
-    if not all(
-        n in _manifest_schema_names(spark, path, start) for n in needed[1:]
-    ):
-        return None
+    live_cols = set(_manifest_schema_names(spark, path, start))
+    active = {
+        c: b for c, b in ranges.items()
+        if not (skip_unbounded and b[0] is None and b[1] is None)
+    }
+    needed = ["file"]
+    for c in active:
+        cols = [f"has::{c}", f"min::{c}", f"max::{c}"]
+        if not all(n in live_cols for n in cols):
+            return None
+        needed += cols
     t = _manifest_table(spark, path, start, needed)
-    has = t.column(f"has::{col}")
-    mn, mx = t.column(f"min::{col}"), t.column(f"max::{col}")
-    typ = mn.type
-    if pa.types.is_string(typ):
-        if not all(b is None or isinstance(b, str) for b in (lo, hi)):
+    keep_mask = pa.array([True] * len(t), pa.bool_())
+    for c, (lo, hi) in active.items():
+        has = t.column(f"has::{c}")
+        mn, mx = t.column(f"min::{c}"), t.column(f"max::{c}")
+        typ = mn.type
+        if pa.types.is_string(typ):
+            if not all(b is None or isinstance(b, str) for b in (lo, hi)):
+                return None
+        elif pa.types.is_integer(typ):
+            if not all(
+                b is None or (isinstance(b, (int, float))
+                              and not isinstance(b, bool))
+                for b in (lo, hi)
+            ):
+                return None
+            # fractional bounds against integer stats: tighten to the
+            # equivalent integer test (mx >= 2.5 <=> mx >= 3 for ints)
+            if lo is not None and isinstance(lo, float):
+                lo = math.ceil(lo)
+            if hi is not None and isinstance(hi, float):
+                hi = math.floor(hi)
+        elif pa.types.is_floating(typ):
+            if not all(
+                b is None or (isinstance(b, (int, float))
+                              and not isinstance(b, bool)
+                              and abs(b) < 2 ** 53)
+                for b in (lo, hi)
+            ):
+                return None
+        else:
             return None
-    elif pa.types.is_integer(typ):
-        import math
-
-        if not all(
-            b is None or (isinstance(b, (int, float))
-                          and not isinstance(b, bool))
-            for b in (lo, hi)
-        ):
-            return None
-        # fractional bounds against integer stats: tighten to the
-        # equivalent integer test (mx >= 2.5 <=> mx >= 3 for int mx)
-        if lo is not None and isinstance(lo, float):
-            lo = math.ceil(lo)
-        if hi is not None and isinstance(hi, float):
-            hi = math.floor(hi)
-    elif pa.types.is_floating(typ):
-        if not all(
-            b is None or (isinstance(b, (int, float))
-                          and not isinstance(b, bool)
-                          and abs(b) < 2 ** 53)
-            for b in (lo, hi)
-        ):
-            return None
-    else:
-        return None
-    has_f = pc.fill_null(has, False)
-    no_stats = pc.invert(has_f)
-    mn_null, mx_null = pc.is_null(mn), pc.is_null(mx)
-    both_null = pc.and_(mn_null, mx_null)
-    one_null = pc.xor(mn_null, mx_null)
-    ok = pa.array([True] * len(t), pa.bool_())
-    if lo is not None:
-        ok = pc.and_(ok, pc.greater_equal(mx, pa.scalar(lo, typ)))
-    if hi is not None:
-        ok = pc.and_(ok, pc.less_equal(mn, pa.scalar(hi, typ)))
-    keep_entry = pc.and_(
-        pc.invert(both_null), pc.or_(one_null, pc.fill_null(ok, False))
-    )
-    keep_mask = pc.or_(no_stats, pc.and_(has_f, keep_entry))
+        has_f = pc.fill_null(has, False)
+        no_stats = pc.invert(has_f)
+        mn_null, mx_null = pc.is_null(mn), pc.is_null(mx)
+        both_null = pc.and_(mn_null, mx_null)
+        one_null = pc.xor(mn_null, mx_null)
+        ok = pa.array([True] * len(t), pa.bool_())
+        if lo is not None:
+            ok = pc.and_(ok, pc.greater_equal(mx, pa.scalar(lo, typ)))
+        if hi is not None:
+            ok = pc.and_(ok, pc.less_equal(mn, pa.scalar(hi, typ)))
+        keep_entry = pc.and_(
+            pc.invert(both_null), pc.or_(one_null, pc.fill_null(ok, False))
+        )
+        keep_mask = pc.and_(
+            keep_mask, pc.or_(no_stats, pc.and_(has_f, keep_entry))
+        )
     return (
         start,
         set(t.column("file").to_pylist()),
         set(pc.filter(t.column("file"), keep_mask).to_pylist()),
+    )
+
+
+def _manifest_range_prune(
+    spark: SparkSession, path: str, col: str, lo, hi, cap: int
+):
+    """Single-column wrapper over `_manifest_prune` (files_for_range's
+    fast path)."""
+    return _manifest_prune(
+        spark, path, {col: (lo, hi)}, cap, skip_unbounded=False
     )
 
 
@@ -4332,6 +4389,44 @@ def files_for_ranges(
     if files is None:
         files = live_files(spark, path, version)
     if stats is None:
+        cap = (
+            _list_log_versions(spark, path)[-1]
+            if version is None else version
+        )
+        fast = _manifest_prune(spark, path, ranges, cap, skip_unbounded=True)
+        if fast is not None:
+            # conjunctive manifest fast path (the Z-order multiplicative
+            # prune, vectorized); post-checkpoint files keep the exact
+            # dict logic over O(Δ) entry stats
+            start, covered, keep_base = fast
+            post = _post_ck_stats(spark, path, start, cap, set(files))
+            keep = []
+            for f in files:
+                if f not in post:
+                    if f not in covered or f in keep_base:
+                        keep.append(f)
+                    continue
+                ok = True
+                for col, (lo, hi) in ranges.items():
+                    if lo is None and hi is None:
+                        continue
+                    rng = post[f].get(col)
+                    if rng is None:
+                        continue
+                    mn, mx = rng
+                    if mn is None and mx is None:
+                        ok = False
+                        break
+                    if mn is None or mx is None:
+                        continue
+                    if (lo is not None and mx < lo) or (
+                        hi is not None and mn > hi
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(f)
+            return keep, len(files)
         stats = file_range_stats(spark, path, version, live=files)
     tr = _stats_name_map(spark, path, files, version, list(ranges))
     keep = []
@@ -4531,8 +4626,67 @@ def files_for_point(
 
     if files is None:
         files = live_files(spark, path, version)
+    total = len(files)
     if index is None:
-        index = file_bloom_index(spark, path, version, live=files)
+        # manifest fast path (r14): stats rule files out FIRST
+        # (min <= value <= max is sound for equality; an all-NULL
+        # stats entry can't match — the exact filter drops NULLs),
+        # then bloom JSON is parsed ONLY for the surviving candidates.
+        # On a 100k-file manifest this turns a point lookup's metadata
+        # cost from "parse every bloom bitset" into "parse a handful".
+        # Sound for re-added files too: data files are immutable, so a
+        # checkpoint-time stats verdict never goes stale.
+        cap = (
+            _list_log_versions(spark, path)[-1]
+            if version is None else version
+        )
+        fast = (
+            _manifest_prune(
+                spark, path, {col: (value, value)}, cap,
+                skip_unbounded=False,
+            )
+            if isinstance(value, (int, float, str))
+            and not isinstance(value, bool)
+            else None
+        )
+        if fast is not None:
+            start, covered, keep_base = fast
+            post = _post_ck_stats(
+                spark, path, start, cap,
+                {f for f in files if f not in covered},
+            )
+
+            def _post_rules_out(f: str) -> bool:
+                rng = post.get(f, {}).get(col)
+                if not (isinstance(rng, (list, tuple)) and len(rng) == 2):
+                    return False
+                mn, mx = rng
+                if mn is None and mx is None:
+                    return True  # zero non-null values — can't match
+                if mn is None or mx is None:
+                    return False
+                try:
+                    return value < mn or value > mx
+                except TypeError:
+                    return False  # incomparable probe — read it
+
+            files = [
+                f for f in files
+                if (f in keep_base if f in covered
+                    else not _post_rules_out(f))
+            ]
+            index = _manifest_blooms_subset(spark, path, start, files)
+            fset = set(files)
+            for v in _list_log_versions(spark, path):
+                if v <= start or v > cap:
+                    continue
+                for name, bl in _read_entry(spark, path, v).get(
+                    "blooms", {}
+                ).items():
+                    if name in fset:
+                        index[name] = bl
+        else:
+            index = file_bloom_index(spark, path, version, live=files)
     # cast the probe literal to the COLUMN's type before the canonical
     # string cast: probing int 1 against a double column must hash
     # "1.0" (what the build side saw), not "1" — a mismatch would
@@ -4598,7 +4752,7 @@ def files_for_point(
         probe = _probe_for(ftype)
         if all((bits[p >> 6] >> (p % 64)) & 1 for p in probe):
             keep.append(f)
-    return keep, len(files)
+    return keep, total
 
 
 def read_point(

@@ -30,6 +30,13 @@ replicate a source table into a target through the feed —
 inserts/updates upsert, deletes tombstone, per-range ledger ids make
 replays no-ops, so a mid-stream crash (or a re-run of the whole
 stream) never double-applies. The Delta-CDF-replication shape.
+
+Evolution contract of the mirror: ADDITIVE source evolution is
+forwarded (new feed columns become add_column on the mirror before the
+batch lands); RENAME/DROP on the source is NOT — the feed then stops
+carrying a column the mirror still requires and the next apply fails
+LOUDLY on the upsert's full-row contract (never silent divergence).
+Apply the same rename to the mirror first, or re-point at a fresh one.
 """
 
 from __future__ import annotations

@@ -236,3 +236,88 @@ def test_clustered_layout_prunes_like_a_partition_spec(spark, tmp_path):
     ra = sorted(r["k"] for r in vt.read_where(spark, ta, "k", lo, hi).collect())
     rb = sorted(r["k"] for r in vt.read_where(spark, tb, "k", lo, hi).collect())
     assert ra == rb == list(range(lo, hi + 1))
+
+
+def test_conjunctive_prune_fast_path_equals_dict_path(spark, tmp_path):
+    """files_for_ranges through the manifest: the vectorized AND of
+    per-column masks equals the dict path on every bound shape —
+    incl. fully-unbounded columns (which must keep all-NULL files,
+    files_for_ranges' documented rule) and post-checkpoint files."""
+    vt = _vt()
+    t = str(tmp_path / "t")
+    vt.init_versioned(spark, t)
+    for i in range(5):
+        vt.commit_append(
+            spark, t,
+            spark.createDataFrame(
+                [(i * 10 + j, (i * 10 + j) % 7, f"s{i}{j}") for j in range(3)],
+                "k long, m long, v string",
+            ).coalesce(1),
+            stats_cols=["k", "m", "v"],
+        )
+    vt.commit_append(
+        spark, t,
+        spark.createDataFrame([(None, None, None)], "k long, m long, v string")
+        .coalesce(1),
+        stats_cols=["k", "m", "v"],
+    )
+    vt.checkpoint_log(spark, t, format="parquet")
+    vt.commit_append(
+        spark, t,
+        spark.createDataFrame([(80, 3, "post")], "k long, m long, v string")
+        .coalesce(1),
+        stats_cols=["k", "m"],
+    )
+    vt.reset_metadata_cache()
+    stats = vt.file_range_stats(spark, t)
+    cases = [
+        {"k": (10, 25), "m": (0, 3)},
+        {"k": (None, None), "m": (2, 2)},
+        {"k": (10, 45), "v": ("s10", "s31")},
+        {"k": (1000, None)},
+        {"k": (None, None), "m": (None, None)},
+    ]
+    for ranges in cases:
+        fast, tot1 = vt.files_for_ranges(spark, t, dict(ranges))
+        slow, tot2 = vt.files_for_ranges(spark, t, dict(ranges), stats=stats)
+        assert (fast, tot1) == (slow, tot2), (ranges, fast, slow)
+    got = sorted(
+        r["k"]
+        for r in vt.read_where_all(spark, t, {"k": (10, 25), "m": (0, 3)})
+        .collect()
+    )
+    assert all(10 <= k <= 25 for k in got) and got
+
+
+def test_point_lookup_through_manifest(spark, tmp_path):
+    """files_for_point on a manifest table: stats rule out clustered
+    files first, blooms are parsed only for candidates, results exact
+    — incl. a post-checkpoint file and a bloomless candidate."""
+    vt = _vt()
+    t = str(tmp_path / "t")
+    vt.init_versioned(spark, t)
+    for i in range(5):
+        vt.commit_append(
+            spark, t,
+            _mk(spark, [(i * 10 + j, f"s{i}{j}") for j in range(3)]).coalesce(1),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    vt.checkpoint_log(spark, t, format="parquet")
+    vt.commit_append(
+        spark, t, _mk(spark, [(80, "post")]).coalesce(1), stats_cols=["k"]
+    )
+    vt.reset_metadata_cache()
+    keep, total = vt.files_for_point(spark, t, "k", 21)
+    assert total == 6
+    # stats alone confine the probe to the one file whose range holds
+    # 21, plus the bloomless post file is ruled out by ITS stats too
+    assert len(keep) == 1, keep
+    assert [r["v"] for r in vt.read_point(spark, t, "k", 21).collect()] == ["s21"]
+    # absent key: blooms prove absence within the surviving range file
+    keep, _ = vt.files_for_point(spark, t, "k", 85)
+    assert keep == []
+    assert vt.read_point(spark, t, "k", 85).count() == 0
+    # post-checkpoint file is a candidate for ITS range and readable
+    keep, _ = vt.files_for_point(spark, t, "k", 80)
+    assert len(keep) == 1
+    assert vt.read_point(spark, t, "k", 80).count() == 1
