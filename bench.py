@@ -44,6 +44,7 @@ OVERHEAD_BOUND = frozenset({
     "versioned_snapshot", "vector_index", "index_maintenance",
     "catalog_snapshot", "table_changes_feed", "schema_evolution",
     "quarantine_readmit", "cdc_incremental_state", "incremental_dedup",
+    "cdc_mirror", "manifest_checkpoint",
     # iterative (a driver-coordinated job per round)
     "triangle_count", "pagerank", "kmeans_clusters", "bpe_tokens",
     # many-small-jobs event/window family (r12 drift movers)

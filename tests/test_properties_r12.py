@@ -29,6 +29,10 @@ _op = st.one_of(
     st.tuples(st.just("delete_dv"), st.integers(0, 7)),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("rollback"), st.integers(0, 9)),
+    # r14: checkpoint (derived data, no model effect) in BOTH shapes —
+    # random interleavings with renames/drops/widens/rollbacks are
+    # where a manifest field that forgot colmap state would surface
+    st.tuples(st.just("checkpoint"), st.integers(0, 1)),
 )
 
 
@@ -170,6 +174,13 @@ def run_schema_ops_model(spark, tmp_path_factory, ops):
             entry = commit_compact(spark, path, purge_dvs=True, n_files=1)
             if entry.get("op") == "noop":
                 continue
+        elif op == "checkpoint":
+            from gedixr_spark.sinks.versioned import checkpoint_log
+
+            checkpoint_log(
+                spark, path, format="parquet" if arg else "json"
+            )
+            continue  # derived data: no version, no model change
         else:  # rollback
             if not checkpoints:
                 continue
