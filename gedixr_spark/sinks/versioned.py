@@ -446,11 +446,17 @@ def _manifest_blooms_subset(
 def _manifest_schema_names(
     spark: SparkSession, path: str, version: int
 ) -> list[str]:
+    key = (_cache_key_path(path), int(version), "__schema_names__")
+    hit = _cache_get(_MANIFEST_CACHE, key)
+    if hit is not None:
+        return hit
     import pyarrow.parquet as papq
 
-    return list(
+    names = list(
         papq.read_schema(_strip_scheme(_manifest_path(path, version))).names
     )
+    _cache_put(_MANIFEST_CACHE, key, names)
+    return names
 
 
 class _LazyCheckpoint:
