@@ -299,16 +299,35 @@ def _list_log_versions(spark: SparkSession, path: str) -> list[int]:
 def _read_entry(spark: SparkSession, path: str, version: int) -> dict:
     key = (_cache_key_path(path), int(version))
     raw = _cache_get(_ENTRY_CACHE, key)
-    if raw is None:
+    if raw is not None:
+        _META_STATS["entry_hits"] += 1
+        return json.loads(raw.decode("utf-8"))
+    # Local entries appear atomically (link-publish in FsCommitGuard);
+    # HDFS-like stores still have a create-vs-write window where a
+    # just-listed entry reads empty/partial. Retry briefly — the
+    # writer already won the CAS, its bytes are coming — and NEVER
+    # cache bytes that fail to parse (a poisoned cache would serve
+    # the torn read forever).
+    last_err = None
+    for attempt in range(10):
         raw = _read_small_file(
             spark, _log_dir(path) + "/" + _entry_name(version)
         )
         _META_STATS["entry_reads"] += 1
+        try:
+            out = json.loads(raw.decode("utf-8"))
+        except ValueError as err:
+            last_err = err
+            time.sleep(0.01 * (attempt + 1))
+            continue
+        # parse per call: callers receive a private dict they may mutate
         _cache_put(_ENTRY_CACHE, key, raw)
-    else:
-        _META_STATS["entry_hits"] += 1
-    # parse per call: callers receive a private dict they may mutate
-    return json.loads(raw.decode("utf-8"))
+        return out
+    raise ValueError(
+        f"log entry {version} of {path} is unreadable after 10 attempts "
+        f"(torn concurrent write, or a crashed writer's empty file): "
+        f"{last_err}"
+    )
 
 
 def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
@@ -683,14 +702,26 @@ class FsCommitGuard(CommitGuard):
     ) -> bool:
         local = _strip_scheme(full_path)
         if "://" not in full_path or full_path.startswith("file://"):
-            # local filesystem: O_CREAT|O_EXCL is the atomic primitive
+            # local filesystem: write the payload to a private temp
+            # name, then HARD-LINK it to the final name — link(2) is
+            # the atomic compare-and-swap (EEXIST = loser) AND makes
+            # the entry appear with its full content in one step. The
+            # older O_CREAT|O_EXCL-then-write shape had a window where
+            # a concurrent reader saw the file existing but EMPTY
+            # (caught by the threaded rebase stress in r14: a racing
+            # _read_entry hit JSONDecodeError on a mid-write entry).
+            # Temp names end in ".tmp" so no listing matches them;
+            # a crashed writer leaves only a harmless orphan temp.
+            tmp = f"{local}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
             try:
-                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                os.link(tmp, local)
+                return True
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "wb") as f:
-                f.write(payload)
-            return True
+            finally:
+                os.unlink(tmp)
         # HDFS-like: create(path, overwrite=false) throws if present
         fs, _ = _hadoop_fs(spark, full_path)
         jpath = spark._jvm.org.apache.hadoop.fs.Path(full_path)

@@ -155,3 +155,45 @@ def test_consume_changes_reports_truncation(spark, tmp_path):
         )
     assert not r["truncated"]
     assert seen == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_commit_guard_link_publish_is_atomic_and_clean(spark, tmp_path):
+    """r14 (found by the threaded rebase stress): local commits publish
+    via write-temp + hard-link, so an entry either does not exist or
+    carries its FULL payload — no reader can see an empty file — and
+    the CAS semantics hold: one winner, loser's payload discarded, no
+    temp litter either way."""
+    import os
+
+    vt = _vt()
+    target = str(tmp_path / "e.json")
+    guard = vt.FsCommitGuard()
+    assert guard.try_create(spark, target, b'{"v": 1}') is True
+    assert guard.try_create(spark, target, b'{"v": 2}') is False
+    with open(target, "rb") as f:
+        assert f.read() == b'{"v": 1}'  # loser never clobbers
+    leftovers = [n for n in os.listdir(tmp_path) if n.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_read_entry_never_caches_torn_bytes(spark, tmp_path):
+    """A torn/empty entry (HDFS-window shape, or a pre-fix crash
+    leftover) must raise a clear error after bounded retries and must
+    NOT poison the entry cache: once the writer's bytes land, the next
+    read succeeds."""
+    import json
+    import os
+
+    vt = _vt()
+    t = str(tmp_path / "t")
+    vt.init_versioned(spark, t)
+    # hand-plant an EMPTY version-1 entry (bypassing the atomic guard)
+    p = os.path.join(vt._strip_scheme(vt._log_dir(t)), vt._entry_name(1))
+    open(p, "wb").close()
+    with pytest.raises(ValueError, match="unreadable after"):
+        vt._read_entry(spark, t, 1)
+    # writer's bytes arrive; the cache must not remember the torn read
+    with open(p, "w") as f:
+        json.dump({"version": 1, "op": "append", "add": [], "remove": [],
+                   "schema": None, "meta": {}}, f)
+    assert vt._read_entry(spark, t, 1)["op"] == "append"
