@@ -4311,9 +4311,25 @@ def _manifest_prune(
         one_null = pc.xor(mn_null, mx_null)
         ok = pa.array([True] * len(t), pa.bool_())
         if lo is not None:
-            ok = pc.and_(ok, pc.greater_equal(mx, pa.scalar(lo, typ)))
+            cmp = pc.greater_equal(mx, pa.scalar(lo, typ))
+            if pa.types.is_floating(typ):
+                # a NaN bound proves NOTHING (Spark max() propagates
+                # NaN): IEEE makes NaN >= lo FALSE, which would skip a
+                # file that still holds matching non-NaN rows — the
+                # dict path's NaN comparisons all fall to "keep", so
+                # must ours (caught by an r14 self-review repro:
+                # read_where lost a real row)
+                cmp = pc.or_kleene(
+                    pc.fill_null(pc.is_nan(mx), False), cmp
+                )
+            ok = pc.and_(ok, cmp)
         if hi is not None:
-            ok = pc.and_(ok, pc.less_equal(mn, pa.scalar(hi, typ)))
+            cmp = pc.less_equal(mn, pa.scalar(hi, typ))
+            if pa.types.is_floating(typ):
+                cmp = pc.or_kleene(
+                    pc.fill_null(pc.is_nan(mn), False), cmp
+                )
+            ok = pc.and_(ok, cmp)
         keep_entry = pc.and_(
             pc.invert(both_null), pc.or_(one_null, pc.fill_null(ok, False))
         )

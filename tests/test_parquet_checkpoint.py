@@ -321,3 +321,39 @@ def test_point_lookup_through_manifest(spark, tmp_path):
     keep, _ = vt.files_for_point(spark, t, "k", 80)
     assert len(keep) == 1
     assert vt.read_point(spark, t, "k", 80).count() == 1
+
+
+def test_nan_float_stats_never_skip_real_rows(spark, tmp_path):
+    """Spark max() propagates NaN into per-file stats; IEEE makes
+    NaN >= lo FALSE, so a naive vectorized prune would skip a file
+    that still holds matching non-NaN rows (found by r14 self-review:
+    read_where silently LOST a row). NaN bounds must fall to 'keep',
+    exactly like the dict path's comparisons."""
+    vt = _vt()
+    t = str(tmp_path / "t")
+    vt.init_versioned(spark, t)
+    vt.commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [(1, 5.0), (2, float("nan"))], "k long, x double"
+        ).coalesce(1),
+        stats_cols=["x"],
+    )
+    vt.commit_append(
+        spark, t,
+        spark.createDataFrame([(3, 100.0)], "k long, x double").coalesce(1),
+        stats_cols=["x"],
+    )
+    vt.checkpoint_log(spark, t, format="parquet")
+    vt.reset_metadata_cache()
+    stats = vt.file_range_stats(spark, t)
+    for lo, hi in ((1.0, 10.0), (200.0, 300.0), (None, 10.0), (6.0, None)):
+        fast, _ = vt.files_for_range(spark, t, "x", lo, hi)
+        slow, _ = vt.files_for_range(spark, t, "x", lo, hi, stats=stats)
+        assert fast == slow, (lo, hi, fast, slow)
+    # the row the pre-fix path lost
+    assert [r["k"] for r in vt.read_where(spark, t, "x", 1.0, 10.0).collect()] == [1]
+    # conjunctive path too
+    fast, _ = vt.files_for_ranges(spark, t, {"x": (1.0, 10.0)})
+    slow, _ = vt.files_for_ranges(spark, t, {"x": (1.0, 10.0)}, stats=stats)
+    assert fast == slow
