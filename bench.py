@@ -39,6 +39,12 @@ def _same_sf(a, b) -> bool:
 # queries the r12 drift episode showed moving 1.2-1.4x on unchanged
 # code while scan-bound queries ran 0.8x FASTER. Everything else
 # defaults to the scan axis.
+# number of trivial jobs the scheduler calibration runs — shared by
+# calibrate_scheduler and the per-job latency derivation below so the
+# two can never silently disagree (ADVICE r14: a changed default would
+# have skewed axis derivation with no error)
+N_CALIB_JOBS = 30
+
 OVERHEAD_BOUND = frozenset({
     # multi-commit lifecycle (commit machinery dominates)
     "versioned_snapshot", "vector_index", "index_maintenance",
@@ -134,7 +140,7 @@ def calibrate(spark, sf_dir: str, n_runs: int = 3) -> float | None:
     return best
 
 
-def calibrate_scheduler(spark, n_jobs: int = 30) -> float:
+def calibrate_scheduler(spark, n_jobs: int = N_CALIB_JOBS) -> float:
     """SECOND calibration axis: total wall for ``n_jobs`` trivial
     one-partition jobs — pure driver/scheduler round-trip latency, no
     data. Hosts drift on TWO axes independently (r12 observed: CPU 15%
@@ -253,17 +259,24 @@ def main() -> None:
                 seq[0] += 1
                 grp = f"bench:{name}:{seq[0]}"
                 spark.sparkContext.setJobGroup(grp, name)
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # force full execution without collecting wide results
-            n = df.count()
-            out.append(time.perf_counter() - t0)
-            if grp is not None:
-                try:
-                    n_jobs_map[name] = len(tracker.getJobIdsForGroup(grp))
-                except Exception:
-                    pass
-                spark.sparkContext._jsc.clearJobGroup()
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # force full execution without collecting wide results
+                n = df.count()
+                out.append(time.perf_counter() - t0)
+                if grp is not None:
+                    try:
+                        n_jobs_map[name] = len(
+                            tracker.getJobIdsForGroup(grp)
+                        )
+                    except Exception:
+                        pass
+            finally:
+                # a query that raises must not leave its job group
+                # attached to every later sample (ADVICE r14)
+                if grp is not None:
+                    spark.sparkContext._jsc.clearJobGroup()
             assert n >= 0
         return out
 
@@ -309,8 +322,8 @@ def main() -> None:
         sched_drift = min(max(calib_sched_s / prev_sched, 0.5), 3.0)
 
     # per-job scheduler latency on THIS host: the sched calibration is
-    # exactly 30 trivial jobs (calibrate_scheduler's n_jobs default)
-    per_job_s = (calib_sched_s / 30.0) if calib_sched_s else None
+    # exactly N_CALIB_JOBS trivial jobs
+    per_job_s = (calib_sched_s / N_CALIB_JOBS) if calib_sched_s else None
     axis_map: dict[str, str] = {}
 
     def _drift_for(name: str) -> float:
