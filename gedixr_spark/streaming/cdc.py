@@ -155,7 +155,21 @@ def mirror_changes_batch(
     of the same range no-ops — exactly-once into the mirror without
     coordination. Additive source evolution is forwarded: columns the
     feed carries that the mirror lacks are added (metadata-only)
-    before the upsert."""
+    before the upsert.
+
+    Intra-batch VISIBILITY: a batch with both updates and deletes
+    lands as two commits (upsert, then tombstone), so a concurrent
+    reader of the mirror can observe the intermediate snapshot —
+    updates applied, same-batch deletes not yet — a state the source
+    never held. Readers needing batch-atomic visibility should read
+    the mirror at a version from AFTER a drain completed (or consume
+    its change feed per-range); folding both legs into one commit
+    would close the window at the cost of rewriting kept-side rows of
+    every touched file even for pure-delete batches.
+
+    Sizing runs ONE aggregate over the cached final frame (the
+    engine's two-action writer discipline — r14 'what's wrong' #3):
+    each sub-commit then pays only its own write-side job."""
     from gedixr_spark.sinks.versioned import _latest_schema, add_column
     from gedixr_spark.streaming.bronze import (
         delete_stream_batch, upsert_stream_batch,
@@ -185,21 +199,51 @@ def mirror_changes_batch(
         deletes = final.filter(
             F.col("_change_type") == "delete"
         ).select(*keys)
+        is_del = F.col("_change_type") == "delete"
+        row = final.agg(
+            F.count(F.when(~is_del, F.lit(1))).alias("u"),
+            F.count(F.when(is_del, F.lit(1))).alias("d"),
+        ).collect()[0]
+        n_up, n_del = int(row["u"]), int(row["d"])
         rng = f"{consumer_id}:{from_version}-{to_version}"
         out = {"range": rng, "n_upserted": 0, "n_deleted_keys": 0}
-        if upserts.limit(1).count() > 0:
+        if n_up:
             upsert_stream_batch(
                 upserts, target_path, batch_id=f"{rng}:u", keys=keys
             )
-            out["n_upserted"] = upserts.count()
-        if deletes.limit(1).count() > 0:
+            out["n_upserted"] = n_up
+        if n_del:
             delete_stream_batch(
                 deletes, target_path, batch_id=f"{rng}:d", keys=keys
             )
-            out["n_deleted_keys"] = deletes.count()
+            out["n_deleted_keys"] = n_del
         return out
     finally:
         final.unpersist()
+
+
+def _crashed_range_head(
+    spark: SparkSession, dst: str, consumer_id: str, frm: int
+) -> int | None:
+    """Head version of a range that was APPLIED to the mirror but whose
+    cursor CAS never landed (crash between sink and commit_cursor),
+    recovered from the mirror's own stream-batch ledger: the newest
+    sub-commit id of the form ``{consumer}:{frm}-{to}:[ud]`` with
+    ``frm`` at the current cursor position. O(ledger) string matches,
+    no data scan."""
+    import re
+
+    from gedixr_spark.sinks.versioned import seen_stream_batch_ids
+
+    pat = re.compile(
+        re.escape(f"{consumer_id}:{frm}-") + r"(\d+):[ud]$"
+    )
+    heads = [
+        int(m.group(1))
+        for bid in seen_stream_batch_ids(spark, dst)
+        if (m := pat.match(str(bid)))
+    ]
+    return max(heads) if heads else None
 
 
 def mirror_table_changes(
@@ -215,11 +259,35 @@ def mirror_table_changes(
     the current backlog in bounded cycles. Re-run any time — a second
     call applies only new commits; a crashed call resumes where the
     cursor left off with ledger-deduped sub-commits. After a drain,
-    ``dst``'s latest snapshot row-set equals ``src``'s (test-pinned)."""
-    from gedixr_spark.sinks.versioned import _log_dir, init_versioned
+    ``dst``'s latest snapshot row-set equals ``src``'s (test-pinned).
+
+    Crash-resume is exactly-once PER RANGE even when the source
+    advances between the crash and the resume (r14 'what's wrong'
+    #4): before polling, the resume checks the mirror's ledger for a
+    range starting at the cursor position that was already applied
+    but never cursor-committed, replays exactly THAT range (both
+    sub-commits no-op via their ledger ids — a crash between the two
+    applies only the missing leg), and advances the cursor past it.
+    New source commits then land in their own cycle, so the mirror's
+    history never records a duplicate upsert commit for the crashed
+    range."""
+    from gedixr_spark.sinks.cursor import commit_cursor, cursor_position
+    from gedixr_spark.sinks.versioned import (
+        _log_dir, init_versioned, table_changes,
+    )
 
     if not _exists(spark, _log_dir(dst)):
         init_versioned(spark, dst)
+
+    pos = cursor_position(spark, src, consumer_id)
+    frm = 0 if pos is None else int(pos)
+    head = _crashed_range_head(spark, dst, consumer_id, frm)
+    if head is not None and head > frm:
+        mirror_changes_batch(
+            table_changes(spark, src, frm, head),
+            dst, keys, frm, head, consumer_id,
+        )
+        commit_cursor(spark, src, consumer_id, head)
 
     def _sink(df: DataFrame, frm: int, to: int) -> None:
         mirror_changes_batch(df, dst, keys, frm, to, consumer_id)

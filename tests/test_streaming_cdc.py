@@ -189,3 +189,100 @@ def test_mirror_forwards_additive_evolution(spark, tmp_path):
     got = _rows(vt.read_versioned(spark, dst))
     assert got == _rows(vt.read_versioned(spark, src))
     assert ("c1" in vt.read_versioned(spark, dst).columns)
+
+
+def test_resume_after_crash_with_grown_tip_replays_exact_range(spark, tmp_path):
+    """r14 'what's wrong' #4: crash AFTER both sub-commits landed but
+    BEFORE the cursor CAS, then the SOURCE ADVANCES before the resume.
+    The resume must recover the crashed range from the mirror's ledger
+    and replay exactly IT (no-op via ledger ids), then consume the new
+    commits as their own range — never one widened range whose upsert
+    re-applies already-mirrored keys as a duplicate commit."""
+    import re
+
+    from gedixr_spark.sinks.cursor import cursor_position
+    from gedixr_spark.streaming.cdc import (
+        mirror_changes_batch, mirror_table_changes, stream_table_changes,
+    )
+
+    vt = _vt()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    vt.init_versioned(spark, src)
+    vt.commit_append(spark, src, _mk(spark, [(1, "a"), (2, "b")]))
+    vt.commit_upsert(spark, src, _mk(spark, [(2, "b2")]), keys=["k"])
+    tip_at_crash = vt.table_history(spark, src)[-1]["version"]
+    vt.init_versioned(spark, dst)
+
+    def crashing_sink(df, frm, to):
+        # the full apply lands; only the cursor CAS is lost
+        mirror_changes_batch(df, dst, ["k"], frm, to, "mirror")
+        raise RuntimeError("crash before cursor CAS")
+
+    with pytest.raises(RuntimeError, match="crash before cursor"):
+        stream_table_changes(
+            spark, src, "mirror", crashing_sink, max_versions=None
+        ).process_once()
+    assert cursor_position(spark, src, "mirror") is None
+
+    # the source advances BETWEEN the crash and the resume
+    vt.commit_append(spark, src, _mk(spark, [(3, "c")]))
+
+    mirror_table_changes(spark, src, dst, keys=["k"], max_versions=None)
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+
+    # ledger ranges partition the consumed span: the crashed range
+    # replayed as ITSELF, the post-crash commit landed as its own
+    # range — no overlapping/widened range exists
+    spans = sorted(
+        tuple(map(int, m.groups()))
+        for bid in vt.seen_stream_batch_ids(spark, dst)
+        if (m := re.match(r"^mirror:(\d+)-(\d+):u$", str(bid)))
+    )
+    src_tip = vt.table_history(spark, src)[-1]["version"]
+    assert spans == [(0, tip_at_crash), (tip_at_crash, src_tip)], spans
+    # and the mirror's own change feed records key 1 exactly once —
+    # a widened-range replay would have re-upserted it
+    dst_tip = vt.table_history(spark, dst)[-1]["version"]
+    feed = vt.table_changes(spark, dst, 0, dst_tip)
+    k1 = feed.filter(
+        (F.col("k") == 1) & (F.col("_change_type") != "update_preimage")
+    ).count()
+    assert k1 == 1
+
+
+def test_mirror_batch_sizing_is_one_action(spark, tmp_path):
+    """The per-cycle sizing discipline (r14 'what's wrong' #3): one
+    aggregate on the cached final frame decides both sub-commits —
+    not limit(1).count() + count() per side (4 actions)."""
+    from gedixr_spark.streaming import cdc as cdc_mod
+
+    vt = _vt()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    vt.init_versioned(spark, src)
+    vt.commit_append(spark, src, _mk(spark, [(1, "a"), (2, "b")]))
+    vt.commit_delete(spark, src, F.col("k") == 2, mode="cow")
+    vt.init_versioned(spark, dst)
+
+    from unittest import mock
+
+    calls = {"n": 0}
+    orig = type(
+        vt.read_versioned(spark, src).agg(F.count(F.lit(1)))
+    ).collect
+
+    changes = vt.table_changes(spark, src, 0)
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    with mock.patch(
+        "pyspark.sql.classic.dataframe.DataFrame.collect",
+        counting_collect,
+    ):
+        cdc_mod.mirror_changes_batch(changes, dst, ["k"], 0, 2, "m1")
+    # one sizing aggregate + whatever the sub-commits themselves
+    # collect; the former 4 extra sizing actions are gone. Bound the
+    # TOTAL so a future sizing regression trips this.
+    assert calls["n"] <= 8, calls["n"]
