@@ -401,11 +401,21 @@ def main() -> None:
     # persist the full diagnostics next to the script so spread/rerun
     # adjudication survives even if the driver's stdout tail truncates
     # the diagnostics line (ADVICE r8: the r8 spread line was cut
-    # mid-record and the contended queries' spreads were unauditable)
+    # mid-record and the contended queries' spreads were unauditable).
+    # BENCH_DIAG_last.json is reserved for the DRIVER's sf (0.1): it
+    # is the committed adjudication record for the two-axis drift
+    # gate, and the r14 close accidentally clobbered a min-of-3 run
+    # with a test-suite sf0.001 run (VERDICT r14 'what's wrong' #1) —
+    # other sf runs (test_bench_contract, local iteration) now write
+    # an sf-suffixed scratch file instead.
+    diag_name = (
+        "BENCH_DIAG_last.json" if _same_sf(sf, "0.1")
+        else f"BENCH_DIAG_sf{sf}.json"
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DIAG_last.json"), "w"
+                         diag_name), "w"
         ) as fh:
             json.dump({**diag, "timings": timings}, fh, indent=1)
     except OSError:

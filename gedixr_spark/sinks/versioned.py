@@ -4665,6 +4665,194 @@ def files_for_ranges(
     return keep, len(files)
 
 
+# Distributed read planning engages above this many checkpoint-live
+# files; below it the in-memory (arrow/dict) planners win — one Spark
+# job costs more than parsing a small manifest. Module var so tests
+# and rehearsals can force either side.
+_SCALE_PLAN_MIN_FILES = 200_000
+
+
+def _scale_plan(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+    cap: int,
+    skip_unbounded: bool,
+):
+    """Distributed range-read planning (r14 VERDICT #5 — the Iceberg
+    planning shape): above `_SCALE_PLAN_MIN_FILES` checkpoint-live
+    files the driver never materializes the live list. Spark filters
+    the checkpoint MANIFEST with a predicate mirroring
+    `_manifest_prune`'s keep-mask semantics (equivalence-tested,
+    incl. NaN bounds) — the driver receives only (survivor, schema
+    index) rows — and the O(Δ) post-checkpoint entries adjust
+    membership, stats and DV state. Returns
+    ``(keep files, total live, dvs, merge_schema)`` or None when
+    inapplicable (small table, no manifest checkpoint, column mapping
+    active — its translation walks are O(#files) themselves — or
+    missing/mistyped bounds for a queried column): callers then take
+    the standard in-memory path, which is exact for every shape.
+
+    Two conservative corners, both read-more-never-less: a checkpoint
+    file re-added post-checkpoint with no fresh stats is read
+    unconditionally, and ``merge_schema`` derives from the SURVIVING
+    files' schema set (exactly the files the scan will open)."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType, FloatType, IntegerType, LongType, StringType,
+    )
+
+    versions = _list_log_versions(spark, path)
+    if cap not in versions:
+        return None  # standard path raises the canonical error
+    start, ck = _replay_ck(spark, path, cap)
+    if not isinstance(ck, _LazyCheckpoint):
+        return None
+    base = ck._base
+    n_live = base.get("n_live")
+    if n_live is None or int(n_live) < _SCALE_PLAN_MIN_FILES:
+        return None
+    if _colmap_active(spark, path):
+        return None
+    active = {
+        c: b for c, b in ranges.items()
+        if not (skip_unbounded and b[0] is None and b[1] is None)
+    }
+    mdf = spark.read.parquet(_manifest_path(path, start))
+    mtypes = {f.name: f.dataType for f in mdf.schema.fields}
+    pred = F.lit(True)
+    for c, (lo, hi) in active.items():
+        if not all(
+            f"{p}::{c}" in mtypes for p in ("has", "min", "max")
+        ):
+            return None
+        typ = mtypes[f"min::{c}"]
+        floating = isinstance(typ, (DoubleType, FloatType))
+        if isinstance(typ, StringType):
+            if not all(b is None or isinstance(b, str) for b in (lo, hi)):
+                return None
+        elif isinstance(typ, (IntegerType, LongType)):
+            if not all(
+                b is None or (isinstance(b, (int, float))
+                              and not isinstance(b, bool))
+                for b in (lo, hi)
+            ):
+                return None
+            if lo is not None and isinstance(lo, float):
+                lo = math.ceil(lo)
+            if hi is not None and isinstance(hi, float):
+                hi = math.floor(hi)
+        elif floating:
+            if not all(
+                b is None or (isinstance(b, (int, float))
+                              and not isinstance(b, bool)
+                              and abs(b) < 2 ** 53)
+                for b in (lo, hi)
+            ):
+                return None
+        else:
+            return None
+        has_f = F.coalesce(F.col(f"has::{c}"), F.lit(False))
+        mn, mx = F.col(f"min::{c}"), F.col(f"max::{c}")
+        both_null = mn.isNull() & mx.isNull()
+        one_null = mn.isNull() != mx.isNull()
+        ok = F.lit(True)
+        if lo is not None:
+            cmp = mx >= F.lit(lo)
+            if floating:
+                # a NaN bound proves NOTHING — same rule as the arrow
+                # path (Spark isnan(NULL) is false, matching fill_null)
+                cmp = F.isnan(mx) | cmp
+            ok = ok & cmp
+        if hi is not None:
+            cmp = mn <= F.lit(hi)
+            if floating:
+                cmp = F.isnan(mn) | cmp
+            ok = ok & cmp
+        keep_entry = (~both_null) & (
+            one_null | F.coalesce(ok, F.lit(False))
+        )
+        pred = pred & ((~has_f) | (has_f & keep_entry))
+    rows = mdf.where(pred).select("file", "schema_idx").collect()
+    survivors = [r["file"] for r in rows]
+    sidx = {r["schema_idx"] for r in rows}
+
+    # O(Δ) post-checkpoint fold: membership, stats, schemas, DV state
+    # (the dvs evolution mirrors _apply_entry without the live list)
+    dvs = {d: dict(t) for d, t in base.get("dvs", {}).items()}
+    delta_last: dict = {}      # name -> final 'add' | 'remove'
+    removed_manifest: set = set()
+    post_stats: dict = {}
+    post_schema: dict = {}
+    for v in versions:
+        if v <= start or v > cap:
+            continue
+        e = _read_entry(spark, path, v)
+        if "restore_dv" in e:
+            dvs = {
+                d: {f: int(n) for f, n in t.items()}
+                for d, t in e["restore_dv"].items()
+            }
+        removed = set(e.get("remove", []))
+        for n in removed:
+            if delta_last.get(n) == "add":
+                pass  # a delta-added file dying is net zero
+            else:
+                removed_manifest.add(n)
+            delta_last[n] = "remove"
+        if removed:
+            for d in list(dvs):
+                t = dvs[d]
+                for r in removed.intersection(t):
+                    del t[r]
+                if not t:
+                    del dvs[d]
+        for n in e.get("add", []):
+            delta_last[n] = "add"
+            post_schema[n] = e.get("schema")
+        for d, t in e.get("dv_add", {}).items():
+            dvs[d] = {f: int(n) for f, n in t.items()}
+        for n, st in e.get("stats", {}).items():
+            post_stats[n] = st
+    delta_live = [n for n, op in delta_last.items() if op == "add"]
+    total = int(n_live) - len(removed_manifest) + len(delta_live)
+
+    keep = [f for f in survivors if f not in delta_last]
+    for f in delta_live:
+        st = post_stats.get(f, {})
+        ok = True
+        for col, (lo, hi) in active.items():
+            rng = st.get(col)
+            if not (isinstance(rng, (list, tuple)) and len(rng) == 2):
+                continue  # no stats — can't rule out
+            mn, mx = rng
+            if mn is None and mx is None:
+                ok = False
+                break
+            if mn is None or mx is None:
+                continue
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+
+    pool = base.get("schema_pool")
+    kept_delta = set(keep) & set(delta_live)
+    seen = {post_schema.get(f) for f in kept_delta}
+    kept_manifest = [f for f in survivors if f not in delta_last]
+    if kept_manifest:
+        if pool is None:
+            seen.add(None)  # legacy checkpoint — unknowable, merge
+        else:
+            seen |= {
+                (pool[i] if i is not None else None) for i in sidx
+            }
+    merge = len(seen - {None}) > 1 or None in seen
+    return keep, total, dvs, merge
+
+
 def read_where_all(
     spark: SparkSession,
     path: str,
@@ -4676,8 +4864,16 @@ def read_where_all(
     multiplicatively — each clustered dimension cuts the survivor set
     again), scan only the intersection, then apply the exact
     filters."""
-    live, dvs = _replay_state(spark, path, version)
-    keep, _ = files_for_ranges(spark, path, ranges, version, files=live)
+    scale = _scale_plan(
+        spark, path, ranges, _cap_of(spark, path, version),
+        skip_unbounded=True,
+    )
+    if scale is not None:
+        keep, _, dvs, merge = scale
+    else:
+        live, dvs = _replay_state(spark, path, version)
+        keep, _ = files_for_ranges(spark, path, ranges, version, files=live)
+        merge = None
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -4688,7 +4884,11 @@ def read_where_all(
         cap = _cap_of(spark, path, version)
         out = _scan_files(
             spark, path, keep, dvs,
-            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+            merge_schema=(
+                _needs_merge_schema(spark, path, cap)
+                if merge is None else merge
+            ),
+            cap=cap,
         )
     for col, (lo, hi) in ranges.items():
         c = F.col(col)
@@ -4714,8 +4914,18 @@ def read_where(
     parquet footer is opened. Clustering the data (`commit_compact`
     with a sorted write, or Z-ordered appends) is what makes per-file
     ranges disjoint enough to skip most of the table."""
-    live, dvs = _replay_state(spark, path, version)
-    keep, _ = files_for_range(spark, path, col, lo, hi, version, files=live)
+    scale = _scale_plan(
+        spark, path, {col: (lo, hi)}, _cap_of(spark, path, version),
+        skip_unbounded=False,
+    )
+    if scale is not None:
+        keep, _, dvs, merge = scale
+    else:
+        live, dvs = _replay_state(spark, path, version)
+        keep, _ = files_for_range(
+            spark, path, col, lo, hi, version, files=live
+        )
+        merge = None
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -4726,7 +4936,11 @@ def read_where(
         cap = _cap_of(spark, path, version)
         out = _scan_files(
             spark, path, keep, dvs,
-            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+            merge_schema=(
+                _needs_merge_schema(spark, path, cap)
+                if merge is None else merge
+            ),
+            cap=cap,
         )
     c = F.col(col)
     if lo is not None:
