@@ -4832,9 +4832,14 @@ def _scale_plan(
                 break
             if mn is None or mx is None:
                 continue
-            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-                ok = False
-                break
+            try:
+                if (lo is not None and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
+                    ok = False
+                    break
+            except TypeError:
+                continue  # incomparable recorded stats — must read
         if ok:
             keep.append(f)
 
@@ -5192,9 +5197,42 @@ def read_point(
     """Point lookup with Bloom file skipping: scan only the files the
     log can't rule out, then apply the exact equality filter. With
     key-clustered files (commit_compact sort_by) a needle lookup on a
-    100 TB table opens a handful of files instead of every footer."""
-    live, dvs = _replay_state(spark, path, version)
-    keep, _ = files_for_point(spark, path, col, value, version, files=live)
+    100 TB table opens a handful of files instead of every footer.
+    Above `_SCALE_PLAN_MIN_FILES` the stats-level candidates come from
+    the distributed manifest plan (driver state O(candidates), never
+    the live list) and bloom bytes are parsed only for them."""
+    scale = (
+        _scale_plan(
+            spark, path, {col: (value, value)},
+            _cap_of(spark, path, version), skip_unbounded=False,
+        )
+        if isinstance(value, (int, float, str))
+        and not isinstance(value, bool)
+        else None
+    )
+    if scale is not None:
+        cand, _, dvs, merge = scale
+        cap = _cap_of(spark, path, version)
+        start, _ck = _replay_ck(spark, path, cap)
+        index = _manifest_blooms_subset(spark, path, start, cand)
+        cset = set(cand)
+        for v in _list_log_versions(spark, path):
+            if v <= start or v > cap:
+                continue
+            for name, bl in _read_entry(spark, path, v).get(
+                "blooms", {}
+            ).items():
+                if name in cset:
+                    index[name] = bl
+        keep, _ = files_for_point(
+            spark, path, col, value, version, files=cand, index=index
+        )
+    else:
+        live, dvs = _replay_state(spark, path, version)
+        keep, _ = files_for_point(
+            spark, path, col, value, version, files=live
+        )
+        merge = None
     if not keep:
         schema = _latest_schema(spark, path, version)
         if schema is None:
@@ -5205,7 +5243,11 @@ def read_point(
         cap = _cap_of(spark, path, version)
         out = _scan_files(
             spark, path, keep, dvs,
-            merge_schema=_needs_merge_schema(spark, path, cap), cap=cap,
+            merge_schema=(
+                _needs_merge_schema(spark, path, cap)
+                if merge is None else merge
+            ),
+            cap=cap,
         )
     return out.filter(F.col(col) == F.lit(value))
 

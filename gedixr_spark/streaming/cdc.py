@@ -31,12 +31,19 @@ inserts/updates upsert, deletes tombstone, per-range ledger ids make
 replays no-ops, so a mid-stream crash (or a re-run of the whole
 stream) never double-applies. The Delta-CDF-replication shape.
 
-Evolution contract of the mirror: ADDITIVE source evolution is
-forwarded (new feed columns become add_column on the mirror before the
-batch lands); RENAME/DROP on the source is NOT — the feed then stops
-carrying a column the mirror still requires and the next apply fails
-LOUDLY on the upsert's full-row contract (never silent divergence).
-Apply the same rename to the mirror first, or re-point at a fresh one.
+Evolution contract of the mirror (r15 — full forwarding): the feed
+emits every range's rows under the range-HEAD's column names, so
+before a batch lands the mirror REPLAYS the source's metadata-only
+schema ops from the same range (`forward_schema_ops`): renames,
+drops and type widenings apply to the mirror in commit order —
+idempotently, so a crash-replay of the range re-forwards as no-ops —
+and columns the feed carries that the mirror still lacks are added
+(additive evolution, incl. a column added-then-renamed within one
+range, which forwards as a single add under the final name). A shape
+that genuinely cannot be replayed (e.g. a rename whose source column
+the mirror never had while the target name is also missing is fine —
+but a diverged mirror edited out-of-band) still fails LOUDLY on the
+upsert's full-row contract rather than silently diverging.
 """
 
 from __future__ import annotations
@@ -170,7 +177,9 @@ def mirror_changes_batch(
     Sizing runs ONE aggregate over the cached final frame (the
     engine's two-action writer discipline — r14 'what's wrong' #3):
     each sub-commit then pays only its own write-side job."""
-    from gedixr_spark.sinks.versioned import _latest_schema, add_column
+    from gedixr_spark.sinks.versioned import (
+        _latest_schema, add_column, commit_append,
+    )
     from gedixr_spark.streaming.bronze import (
         delete_stream_batch, upsert_stream_batch,
     )
@@ -207,6 +216,18 @@ def mirror_changes_batch(
         n_up, n_del = int(row["u"]), int(row["d"])
         rng = f"{consumer_id}:{from_version}-{to_version}"
         out = {"range": rng, "n_upserted": 0, "n_deleted_keys": 0}
+        if sch is None and n_up == 0:
+            # SCHEMA BOOTSTRAP (r15 model fuzz find): a first consumed
+            # range can net to zero upserts — every inserted row was
+            # deleted within it — leaving the mirror schema-less while
+            # the emptied SOURCE still reads as a typed empty frame.
+            # Commit an empty append carrying the feed's data schema so
+            # the replica reads exactly like its source. Idempotent on
+            # crash-replay: the recorded schema makes this branch skip.
+            commit_append(
+                spark, target_path, final.select(*data_cols).limit(0),
+                meta={"mirror_schema_bootstrap": True},
+            )
         if n_up:
             upsert_stream_batch(
                 upserts, target_path, batch_id=f"{rng}:u", keys=keys
@@ -220,6 +241,82 @@ def mirror_changes_batch(
         return out
     finally:
         final.unpersist()
+
+
+_FORWARDED_SCHEMA_OPS = ("rename_column", "drop_column", "widen_column")
+
+
+def forward_schema_ops(
+    spark: SparkSession, src: str, dst: str, frm: int, to: int
+) -> list:
+    """Replay the source's metadata-only schema ops committed in
+    ``(frm, to]`` onto the mirror, in commit order (r14 'what's
+    missing' #5 — evolution forwarding beyond additive). The feed's
+    rows for the range arrive under the range-head's names, so the
+    mirror must take the same renames/drops/widenings BEFORE the data
+    lands. Idempotent by construction — each op checks the mirror's
+    current schema first — so a crash-replayed range re-forwards as
+    no-ops:
+
+    - rename old→new: applied when the mirror has ``old``; skipped
+      when it already has ``new`` (crash replay) or has NEITHER (the
+      column was added within this same range — the additive diff in
+      `mirror_changes_batch` then adds it under the final name);
+    - drop: applied when the mirror has the column, else skipped
+      (added-then-dropped within the range never reaches the mirror);
+    - widen: applied when the mirror's recorded type still differs
+      (lossless by `widen_column`'s own validation), skipped when the
+      column is absent (the additive add will use the feed's already-
+      wide type).
+
+    O(Δ) entry reads per range — metadata only, no data scanned."""
+    import json as _json
+
+    from gedixr_spark.sinks.versioned import (
+        _latest_schema, _list_log_versions, _read_entry,
+        drop_column, rename_column, widen_column,
+    )
+
+    applied = []
+    for v in _list_log_versions(spark, src):
+        if v <= frm or v > to:
+            continue
+        e = _read_entry(spark, src, v)
+        op = e.get("op")
+        if op not in _FORWARDED_SCHEMA_OPS:
+            continue
+        from pyspark.sql.types import StructType
+
+        sch = _latest_schema(spark, dst, None)
+        # {name: simpleString type} — widen meta records simpleStrings
+        # ("bigint"), schema JSON records JSON names ("long")
+        fields = (
+            {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(_json.loads(sch)).fields
+            }
+            if sch is not None else {}
+        )
+        meta = e.get("meta", {})
+        if op == "rename_column":
+            old, new = meta["renamed"]
+            if new in fields or old not in fields:
+                continue
+            rename_column(spark, dst, old, new)
+            applied.append(("rename", old, new))
+        elif op == "drop_column":
+            name = meta["dropped"]
+            if name not in fields:
+                continue
+            drop_column(spark, dst, name)
+            applied.append(("drop", name))
+        else:  # widen_column
+            name, _from_t, to_t = meta["widened"]
+            if name not in fields or fields[name] == to_t:
+                continue
+            widen_column(spark, dst, name, to_t)
+            applied.append(("widen", name, to_t))
+    return applied
 
 
 def _crashed_range_head(
@@ -283,6 +380,7 @@ def mirror_table_changes(
     frm = 0 if pos is None else int(pos)
     head = _crashed_range_head(spark, dst, consumer_id, frm)
     if head is not None and head > frm:
+        forward_schema_ops(spark, src, dst, frm, head)
         mirror_changes_batch(
             table_changes(spark, src, frm, head),
             dst, keys, frm, head, consumer_id,
@@ -290,6 +388,7 @@ def mirror_table_changes(
         commit_cursor(spark, src, consumer_id, head)
 
     def _sink(df: DataFrame, frm: int, to: int) -> None:
+        forward_schema_ops(spark, src, dst, frm, to)
         mirror_changes_batch(df, dst, keys, frm, to, consumer_id)
 
     return stream_table_changes(

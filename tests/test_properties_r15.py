@@ -1,9 +1,10 @@
 """Round-15 model-based property (r14 VERDICT #7): the CDC MIRROR
 against a source-op alphabet (append / upsert / delete-cow /
-delete-dv / additive addcol) with CRASHES injected at every
-interesting point of the apply (before the upsert leg, between the
-sub-commits, after the apply but before the cursor CAS). Invariants
-after a final clean drain:
+delete-dv / addcol / RENAME / DROP — the last two exercising r15's
+schema-op forwarding) with CRASHES injected at every interesting
+point of the apply (before the upsert leg, between the sub-commits,
+after the apply but before the cursor CAS). Invariants after a final
+clean drain:
 
 1. the mirror's latest row-set ≡ the source's (incl. forwarded
    additive evolution);
@@ -40,6 +41,8 @@ _src_op = st.one_of(
     st.tuples(st.just("delete_cow"), st.integers(0, 9)),
     st.tuples(st.just("delete_dv"), st.integers(0, 9)),
     st.tuples(st.just("addcol"), st.integers(0, 2)),
+    st.tuples(st.just("rename"), st.integers(0, 9)),
+    st.tuples(st.just("dropcol"), st.integers(0, 9)),
 )
 # per step: a source op, then optionally a drain attempt whose apply
 # crashes at one of the three spots (None = clean drain, "skip" = no
@@ -112,6 +115,22 @@ def run_mirror_model(spark, tmp_path_factory, steps, monkeypatch_ctx=None):
             next_col[0] += 1
             vt.add_column(spark, src, name, "string")
             cols.append(name)
+        elif op == "rename":
+            cands = cols[1:]
+            if not cands:
+                return  # nothing non-key to rename — no-op step
+            old = cands[arg % len(cands)]
+            new = f"r{next_col[0]}"
+            next_col[0] += 1
+            vt.rename_column(spark, src, old, new)
+            cols[cols.index(old)] = new
+        elif op == "dropcol":
+            cands = cols[1:]
+            if not cands:
+                return  # nothing non-key to drop — no-op step
+            name = cands[arg % len(cands)]
+            vt.drop_column(spark, src, name)
+            cols.remove(name)
 
     def drain(crash_mode):
         """One mirror drain; crash_mode injects a failure inside the
@@ -187,7 +206,9 @@ def test_mirror_crash_mode_sweep(spark, tmp_path_factory):
             (("upsert", {1: "x"}), "mid"),
             (("delete_dv", 2), "after"),
             (("addcol", 0), "skip"),
-            (("upsert", {3: "c"}), "after"),
+            (("rename", 0), "after"),
+            (("upsert", {3: "c"}), "mid"),
+            (("dropcol", 1), "before"),
             (("delete_cow", 1), None),
         ],
     )

@@ -175,3 +175,31 @@ def test_scale_plan_declines_colmap_and_missing_bounds(
         .filter(F.col("kk") <= 150).collect()
     )
     assert got == want
+
+
+def test_scale_point_lookup_equals_standard(spark, tmp_path, low_threshold):
+    """read_point through the distributed plan: stats-level candidates
+    from the manifest job, bloom bytes parsed only for them — results
+    equal the standard path, present and absent needles alike."""
+    vt = low_threshold
+    t = str(tmp_path / "t")
+    vt.init_versioned(spark, t)
+    for i in range(5):
+        vt.commit_append(
+            spark, t,
+            _mk(spark, [(i * 100 + j, float(j), f"x{i}{j}")
+                        for j in range(5)]).coalesce(1),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    vt.checkpoint_log(spark, t, format="parquet")
+    # post-checkpoint file with blooms, and a DV delete
+    vt.commit_append(
+        spark, t, _mk(spark, [(1000, 1.0, "p")]).coalesce(1),
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    vt.commit_delete(spark, t, F.col("k") == 203, mode="dv")
+
+    assert [r["k"] for r in vt.read_point(spark, t, "k", 301).collect()] == [301]
+    assert [r["k"] for r in vt.read_point(spark, t, "k", 1000).collect()] == [1000]
+    assert vt.read_point(spark, t, "k", 203).count() == 0   # DV held
+    assert vt.read_point(spark, t, "k", 777).count() == 0   # absent needle

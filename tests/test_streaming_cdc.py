@@ -286,3 +286,124 @@ def test_mirror_batch_sizing_is_one_action(spark, tmp_path):
     # collect; the former 4 extra sizing actions are gone. Bound the
     # TOTAL so a future sizing regression trips this.
     assert calls["n"] <= 8, calls["n"]
+
+
+def test_mirror_forwards_rename_widen_drop(spark, tmp_path):
+    """r14 'what's missing' #5: the mirror replays the source's
+    metadata-only schema ops per range — rename, widen, drop — so the
+    replica tracks FULL schema evolution, not just additive."""
+    from gedixr_spark.streaming.cdc import mirror_table_changes
+
+    vt = _vt()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    vt.init_versioned(spark, src)
+    vt.commit_append(
+        spark, src,
+        spark.createDataFrame([(1, "a", 7), (2, "b", 8)],
+                              "k long, v string, n int"),
+    )
+    mirror_table_changes(spark, src, dst, keys=["k"])
+
+    # rename + a data commit in one range
+    vt.rename_column(spark, src, "v", "w")
+    vt.commit_upsert(
+        spark, src,
+        spark.createDataFrame([(2, "B", 9)], "k long, w string, n int"),
+        keys=["k"],
+    )
+    mirror_table_changes(spark, src, dst, keys=["k"])
+    assert sorted(vt.read_versioned(spark, dst).columns) == ["k", "n", "w"]
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+
+    # widen n int -> bigint, then a wide value lands
+    vt.widen_column(spark, src, "n", "bigint")
+    vt.commit_upsert(
+        spark, src,
+        spark.createDataFrame([(1, "A", 2**40)], "k long, w string, n long"),
+        keys=["k"],
+    )
+    mirror_table_changes(spark, src, dst, keys=["k"])
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+
+    # drop w
+    vt.drop_column(spark, src, "w")
+    vt.commit_append(
+        spark, src, spark.createDataFrame([(5, 5)], "k long, n long")
+    )
+    mirror_table_changes(spark, src, dst, keys=["k"])
+    assert sorted(vt.read_versioned(spark, dst).columns) == ["k", "n"]
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+
+
+def test_mirror_add_then_rename_within_one_range(spark, tmp_path):
+    """A column added AND renamed inside a single consumed range: the
+    mirror never saw the intermediate name — the rename forward skips
+    (neither name present) and the additive diff adds the FINAL name."""
+    from gedixr_spark.streaming.cdc import mirror_table_changes
+
+    vt = _vt()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    vt.init_versioned(spark, src)
+    vt.commit_append(spark, src, _mk(spark, [(1, "a")]))
+    mirror_table_changes(spark, src, dst, keys=["k"])
+
+    vt.add_column(spark, src, "c0", "string")
+    vt.commit_append(
+        spark, src,
+        spark.createDataFrame([(2, "b", "x")], "k long, v string, c0 string"),
+    )
+    vt.rename_column(spark, src, "c0", "cz")
+    mirror_table_changes(spark, src, dst, keys=["k"], max_versions=None)
+    assert "cz" in vt.read_versioned(spark, dst).columns
+    assert "c0" not in vt.read_versioned(spark, dst).columns
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+
+
+def test_mirror_rename_range_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash after a rename-containing range fully applied but before
+    the cursor CAS; the source advances; the resume re-forwards the
+    range's schema ops as no-ops and replays the exact range."""
+    from gedixr_spark.sinks.cursor import cursor_position
+    from gedixr_spark.streaming.cdc import (
+        forward_schema_ops, mirror_changes_batch, mirror_table_changes,
+        stream_table_changes,
+    )
+
+    vt = _vt()
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    vt.init_versioned(spark, src)
+    vt.commit_append(spark, src, _mk(spark, [(1, "a"), (2, "b")]))
+    # establish the mirror under the OLD name, so the rename range
+    # genuinely has something to forward
+    mirror_table_changes(spark, src, dst, keys=["k"])
+    vt.rename_column(spark, src, "v", "w")
+    vt.commit_upsert(
+        spark, src,
+        spark.createDataFrame([(2, "B")], "k long, w string"), keys=["k"],
+    )
+
+    def crashing_sink(df, frm, to):
+        forward_schema_ops(spark, src, dst, frm, to)
+        mirror_changes_batch(df, dst, ["k"], frm, to, "mirror")
+        raise RuntimeError("crash before cursor CAS")
+
+    pos_before = cursor_position(spark, src, "mirror")
+    with pytest.raises(RuntimeError, match="crash before cursor"):
+        stream_table_changes(
+            spark, src, "mirror", crashing_sink, max_versions=None
+        ).process_once()
+    assert cursor_position(spark, src, "mirror") == pos_before
+
+    vt.commit_append(
+        spark, src, spark.createDataFrame([(3, "c")], "k long, w string")
+    )
+    mirror_table_changes(spark, src, dst, keys=["k"], max_versions=None)
+    assert _rows(vt.read_versioned(spark, dst)) == \
+        _rows(vt.read_versioned(spark, src))
+    # exactly one rename commit landed on the mirror
+    hist = vt.table_history(spark, dst)
+    assert sum(1 for e in hist if e["op"] == "rename_column") == 1
