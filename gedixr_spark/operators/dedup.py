@@ -329,9 +329,9 @@ def incremental_dedup(
     # (history_is_store=True) is already a cheap parquet scan.
     new_store = signature_store(
         new_df, k=k, n=n, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # first consumer materializes it
     if not history_is_store:
-        hist = hist.localCheckpoint(eager=True)
+        hist = hist.localCheckpoint(eager=False)
     r = k // bands
 
     def band_keys(store: DataFrame, out_id: str) -> DataFrame:
@@ -425,7 +425,7 @@ def dedup_clusters(
     # dedup_clusters_star already did this (same reasoning).
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
@@ -443,7 +443,10 @@ def dedup_clusters(
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
                 (F.col("nbr_lbl") < F.col("lbl")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the probe below (and any
+        # partitions it leaves uncomputed, backfilled by Spark's
+        # missing-partition checkpoint job) materializes the round —
+        # an eager checkpoint here was a whole extra pass per round
         labels = new_labels
         if new_labels.filter(F.col("__changed")).limit(1).isEmpty():
             converged = True
@@ -512,18 +515,30 @@ def dedup_clusters_star(
     component minimum)."""
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     nodes = (
         edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
     )
     converged = False
+    # per-round action budget (lazy checkpoints + carried counts): ONE
+    # count job per round — it materializes the round's checkpoint as a
+    # side effect (the pagerank pattern) — plus the exceptAll probe only
+    # on rounds whose edge count reached a fixed point. The former
+    # eager-checkpoint + fresh count-of-BOTH-sides shape ran 3-4 jobs a
+    # round for the same booleans.
+    n_edges: int | None = None
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
+        n_new = new_edges.count()
+        if n_edges is None:
+            n_edges = edges.count()  # first round only; checkpointed
         same = (
-            new_edges.count() == edges.count()
+            n_new == n_edges
             and new_edges.exceptAll(edges).limit(1).isEmpty()
         )
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
         if same:
             converged = True
             break

@@ -151,19 +151,36 @@ def refresh_incremental_agg(
     fresh = _aggregate_batch(delta, keys, value_col)
     try:
         old = read_versioned(spark, state_path)
-        has_state = len(old.columns) > 0 and old.limit(1).count() > 0
+        if len(old.columns) == 0:
+            has_state = False
+        else:
+            # metadata-first emptiness probe: every state commit
+            # records per-file row counts (stats_cols), so the probe
+            # normally costs zero jobs; only a state table written
+            # without stats pays the one-row scan fallback
+            from gedixr_spark.sinks.versioned import snapshot_row_count
+
+            n_live = snapshot_row_count(spark, state_path)
+            has_state = (
+                n_live > 0 if n_live is not None
+                else old.limit(1).count() > 0
+            )
     except ValueError:  # no schema recorded yet — first refresh
         has_state = False
     merged = (
         _merge_states(old.unionByName(fresh), keys) if has_state else fresh
     )
-    n_keys = merged.count()
     # the watermark rides on the state commit itself: state and
     # source_version move in ONE atomic log entry, so a crash can
-    # never record one without the other
+    # never record one without the other. stats_cols makes the commit
+    # record per-file row counts, so n_keys is a metadata read after
+    # the write instead of a full extra evaluation of `merged` before
+    # it (the union+groupBy lineage ran twice for one number).
     commit_overwrite(
-        spark, state_path, merged, meta={"source_version": to_version}
+        spark, state_path, merged, meta={"source_version": to_version},
+        stats_cols=[],
     )
+    n_keys = snapshot_row_count_safe(spark, state_path)
     return {
         "from_version": from_version,
         "to_version": to_version,
@@ -256,7 +273,20 @@ def refresh_incremental_agg_cdc(
     )
     try:
         old = read_versioned(spark, state_path)
-        has_state = len(old.columns) > 0 and old.limit(1).count() > 0
+        if len(old.columns) == 0:
+            has_state = False
+        else:
+            # metadata-first emptiness probe: every state commit
+            # records per-file row counts (stats_cols), so the probe
+            # normally costs zero jobs; only a state table written
+            # without stats pays the one-row scan fallback
+            from gedixr_spark.sinks.versioned import snapshot_row_count
+
+            n_live = snapshot_row_count(spark, state_path)
+            has_state = (
+                n_live > 0 if n_live is not None
+                else old.limit(1).count() > 0
+            )
     except ValueError:  # no schema recorded yet — first refresh
         has_state = False
     if not has_state:
@@ -277,7 +307,9 @@ def refresh_incremental_agg_cdc(
             meta={"source_version": to_version},
             stats_cols=list(keys),
         )
-        n_keys = read_versioned(spark, state_path).count()
+        # the overwrite just recorded per-file row counts — the key
+        # count is a metadata read, not another scan job
+        n_keys = snapshot_row_count_safe(spark, state_path)
         return {
             "from_version": from_version,
             "to_version": to_version,

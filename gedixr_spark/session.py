@@ -45,6 +45,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (coalesce/skew-split) the stages that
+        # feed a .cache()/.persist() too: off, a cached micro-batch
+        # pins spark.sql.shuffle.partitions tiny partitions and every
+        # downstream action pays that task count (measured: the CDC
+        # mirror's cached per-key batch ran 32-partition stages for
+        # KB-sized data); on, cached exchanges right-size by the AQE
+        # advisory target at every scale. Trade-off per the docs is
+        # only that a cache consumer can no longer REUSE the cached
+        # partitioning to elide its own exchange — none of our cache
+        # consumers joins/groups on the cached key without
+        # re-aggregating, so nothing is lost.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")

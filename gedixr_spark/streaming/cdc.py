@@ -51,7 +51,7 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CDC_COLS = ("_change_type", "_commit_version")
@@ -137,13 +137,24 @@ def _final_changes_per_key(changes: DataFrame, keys: list[str]) -> DataFrame:
     """Collapse a CDC range to each key's FINAL state: drop preimages,
     keep the newest remaining change per key (ties within one commit
     cannot happen — a commit records one change per key). NULL-keyed
-    rows cannot exist in a keyed feed (upsert/merge reject them)."""
-    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
-    return (
-        changes.filter(F.col("_change_type") != "update_preimage")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    rows cannot exist in a keyed feed (upsert/merge reject them).
+
+    One ``max_by`` aggregate rather than a rank window: a groupBy does
+    PARTIAL (map-side) aggregation, so the exchange carries one row
+    per (partition, key) instead of every change row, and no per-key
+    sort runs after it — at a 100 TB table's churn rate that is the
+    difference between shuffling the batch and shuffling its keys.
+    Same rows out (commit versions are unique per key in a range)."""
+    rest = changes.filter(F.col("_change_type") != "update_preimage")
+    others = [c for c in changes.columns if c not in keys]
+    agged = rest.groupBy(*keys).agg(
+        F.max_by(F.struct(*others), F.col("_commit_version")).alias("__s")
+    )
+    return agged.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__s.{c}").alias(c)
+            for c in changes.columns
+        ]
     )
 
 

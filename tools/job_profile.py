@@ -31,7 +31,21 @@ def parse_log(log_dir: str) -> list[dict]:
         if not f.startswith(".")
     ]
     path = max(files, key=os.path.getmtime)
+    if os.path.isdir(path):  # Spark 4 rolling event-log dir
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if "events" in f
+        )
+    else:
+        parts = [path]
     jobs: dict[int, dict] = {}
+    for part in parts:
+        _parse_part(part, jobs)
+    return [j for j in jobs.values() if "t1" in j]
+
+
+def _parse_part(path: str, jobs: dict) -> None:
     with open(path) as fh:
         for line in fh:
             try:
@@ -55,7 +69,6 @@ def parse_log(log_dir: str) -> list[dict]:
                 }
             elif e == "SparkListenerJobEnd" and ev["Job ID"] in jobs:
                 jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
-    return [j for j in jobs.values() if "t1" in j]
 
 
 def main() -> None:
@@ -77,6 +90,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": LOGDIR,
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
