@@ -986,6 +986,85 @@ def live_delete_vectors(
     return _replay_state(spark, path, version)[1]
 
 
+# delete-vector parquet files always carry exactly (file string,
+# pos long) — schema inference over them is a footer read per scan
+# plan for a schema that never varies
+_DV_SCHEMA = StructType(
+    [StructField("file", StringType()), StructField("pos", LongType())]
+)
+
+# parsed-and-stripped reader schemas keyed by their write-schema JSON:
+# the JSON strings are interned per table metadata walk, so this stays
+# tiny while avoiding a JSON parse per scan plan
+_SCHEMA_PARSE_CACHE: dict[str, StructType] = {}
+
+
+def _strip_field_metadata(dt):
+    """Recursively drop field metadata. Parquet schema inference never
+    returns any, and the file-source reader already forces every
+    nullability flag (top-level and nested — verified against Spark
+    4.1), so a recorded write schema with its metadata stripped is
+    BIT-IDENTICAL to what inference would produce for files written
+    under it."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _strip_field_metadata(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _strip_field_metadata(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_field_metadata(dt.keyType),
+            _strip_field_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _files_known_schema(
+    spark: SparkSession, path: str, files: Sequence[str], cap: int
+) -> StructType | None:
+    """Reader schema the LOG can prove equals what footer inference
+    would produce for ``files``: every file's recorded write schema is
+    known and they all agree. None = not provable (unknown file, files
+    straddling evolution, legacy checkpoint) — caller falls back to
+    inference. Eliminates the per-scan-plan footer read (and, for
+    uniform mergeSchema scans, the distributed footer-merge job):
+    at bench scale each is a driver round trip per commit/read, at
+    100 TB it is an object-store GET per planning cycle."""
+    try:
+        m = _live_file_schemas(spark, path, cap)
+    except Exception:
+        return None
+    sj: str | None = None
+    for f in files:
+        s = m.get(f)
+        if s is None:  # unknown schema or file not live at cap
+            return None
+        if sj is None:
+            sj = s
+        elif s != sj:
+            return None
+    if sj is None:
+        return None
+    hit = _SCHEMA_PARSE_CACHE.get(sj)
+    if hit is None:
+        hit = _strip_field_metadata(StructType.fromJson(json.loads(sj)))
+        if len(_SCHEMA_PARSE_CACHE) > 256:
+            _SCHEMA_PARSE_CACHE.clear()
+        _SCHEMA_PARSE_CACHE[sj] = hit
+    return hit
+
+
 def _scan_files(
     spark: SparkSession,
     path: str,
@@ -1038,9 +1117,9 @@ def _scan_files(
             return df
         data_cols = [c for c in df.columns if c not in ("__dv_file", "__dv_pos")]
         if hit:
-            dv = spark.read.parquet(*_file_paths(path, hit)).select(
-                "file", "pos"
-            )
+            dv = spark.read.schema(_DV_SCHEMA).parquet(
+                *_file_paths(path, hit)
+            ).select("file", "pos")
             df = df.join(
                 dv,
                 (df["__dv_file"] == dv["file"]) & (df["__dv_pos"] == dv["pos"]),
@@ -1053,7 +1132,17 @@ def _scan_files(
             out.append(F.col("__dv_pos").alias(pos_col))
         return df.select(*out)
     reader = spark.read
-    if merge_schema:
+    ks = (
+        _files_known_schema(spark, path, files, cap)
+        if cap is not None
+        else None
+    )
+    if ks is not None:
+        # provably-uniform files: the recorded write schema IS the
+        # inference result (mergeSchema over identical footers
+        # included), so skip footer reads at plan time entirely
+        reader = reader.schema(ks)
+    elif merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*_file_paths(path, files))
     hit_dvs = sorted(
@@ -1068,9 +1157,9 @@ def _scan_files(
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
     if hit_dvs:
-        dv = spark.read.parquet(*_file_paths(path, hit_dvs)).select(
-            "file", "pos"
-        )
+        dv = spark.read.schema(_DV_SCHEMA).parquet(
+            *_file_paths(path, hit_dvs)
+        ).select("file", "pos")
         df = df.join(
             dv,
             (df["__dv_file"] == dv["file"]) & (df["__dv_pos"] == dv["pos"]),
@@ -3602,7 +3691,8 @@ def _commit_delete_impl(
         # per-(dv file, target file) row counts: one job over the
         # freshly-written DV files (deleted-rows-sized, two columns)
         rows = (
-            spark.read.parquet(*_file_paths(path, dv_names))
+            spark.read.schema(_DV_SCHEMA)
+            .parquet(*_file_paths(path, dv_names))
             .groupBy(
                 F.element_at(
                     F.split(F.input_file_name(), "/"), -1
@@ -4093,9 +4183,9 @@ def table_changes(
         if op == "delete" and e.get("dv_add"):
             dv_names = sorted(e["dv_add"])
             targets = sorted({f for t in e["dv_add"].values() for f in t})
-            dv_new = spark.read.parquet(*_file_paths(path, dv_names)).select(
-                "file", "pos"
-            )
+            dv_new = spark.read.schema(_DV_SCHEMA).parquet(
+                *_file_paths(path, dv_names)
+            ).select("file", "pos")
             tgt = _scan_files(
                 spark, path, targets, prev_dvs, merge_schema=True,
                 file_col="__f", pos_col="__p", cap=cap,
