@@ -1056,6 +1056,12 @@ def _files_known_schema(
             return None
     if sj is None:
         return None
+    return _parse_known_schema(sj)
+
+
+def _parse_known_schema(sj: str) -> StructType:
+    """Write-schema JSON -> inference-identical reader schema, cached
+    per JSON string (see `_strip_field_metadata`)."""
     hit = _SCHEMA_PARSE_CACHE.get(sj)
     if hit is None:
         hit = _strip_field_metadata(StructType.fromJson(json.loads(sj)))
@@ -1074,6 +1080,7 @@ def _scan_files(
     file_col: str | None = None,
     pos_col: str | None = None,
     cap: int | None = None,
+    known_schema: StructType | None = None,
 ) -> DataFrame:
     """Scan ``files`` (recorded log refs) with the table's live delete
     vectors applied — the MERGE-ON-READ half of DV deletes. When no
@@ -1132,11 +1139,12 @@ def _scan_files(
             out.append(F.col("__dv_pos").alias(pos_col))
         return df.select(*out)
     reader = spark.read
-    ks = (
-        _files_known_schema(spark, path, files, cap)
-        if cap is not None
-        else None
-    )
+    # ``known_schema``: a caller that tracked per-file write schemas
+    # itself (table_changes' log walk covers files no longer live at
+    # cap) short-circuits the live-map proof below
+    ks = known_schema
+    if ks is None and cap is not None:
+        ks = _files_known_schema(spark, path, files, cap)
     if ks is not None:
         # provably-uniform files: the recorded write schema IS the
         # inference result (mergeSchema over identical footers
@@ -3909,6 +3917,27 @@ def table_changes(
 
     live, dvs = _replay_state(spark, path, since_version)
     empty = spark.createDataFrame([], cap_schema)
+    # per-file write schemas, tracked through the walk so every leg
+    # scan over provably-uniform files (removed-at-cap old sides
+    # included, which the live-at-cap proof can't see) plans from the
+    # log instead of a distributed footer merge
+    try:
+        _fsch: dict = dict(_live_file_schemas(spark, path, since_version))
+    except Exception:
+        _fsch = {}
+
+    def _leg_schema(file_list) -> StructType | None:
+        sj = None
+        for f in file_list:
+            s = _fsch.get(f)
+            if s is None:
+                return None
+            if sj is None:
+                sj = s
+            elif s != sj:
+                return None
+        return _parse_known_schema(sj) if sj is not None else None
+
     legs: list[DataFrame] = []
     _cap_by_id: dict | None = None  # lazy id->cap-name map (colmap only)
     pending_appends: list[tuple[int, list[str]]] = []
@@ -3932,7 +3961,7 @@ def table_changes(
                     _align(
                         _scan_files(
                             spark, path, fl, dv_state, merge_schema=True,
-                            cap=cap,
+                            cap=cap, known_schema=_leg_schema(fl),
                         )
                     ),
                     "insert", v0,
@@ -3942,7 +3971,7 @@ def table_changes(
             allf = [f for _, fl in pending_appends for f in fl]
             scanned = _scan_files(
                 spark, path, allf, dv_state, merge_schema=True,
-                file_col="__f", cap=cap,
+                file_col="__f", cap=cap, known_schema=_leg_schema(allf),
             )
             vdf = spark.createDataFrame(
                 [
@@ -4032,13 +4061,15 @@ def table_changes(
         # bogus update pairs
         old = _align(
             _scan_files(
-                spark, path, old_files, prev_dvs_, merge_schema=True, cap=cap
+                spark, path, old_files, prev_dvs_, merge_schema=True,
+                cap=cap, known_schema=_leg_schema(old_files),
             )
             if old_files else empty
         )
         new = _align(
             _scan_files(
-                spark, path, new_files, dvs_, merge_schema=True, cap=cap
+                spark, path, new_files, dvs_, merge_schema=True,
+                cap=cap, known_schema=_leg_schema(new_files),
             )
             if new_files else empty
         )
@@ -4081,7 +4112,7 @@ def table_changes(
         # (eligibility), so one shared snapshot is exact for both sides
         scanned = _scan_files(
             spark, path, allf, run_dvs, merge_schema=True, file_col="__f",
-            cap=cap,
+            cap=cap, known_schema=_leg_schema(allf),
         )
         roles = [
             *(
@@ -4127,6 +4158,9 @@ def table_changes(
         op = e["op"]
         add = e.get("add", [])
         rem = e.get("remove", [])
+        _esch = e.get("schema")
+        for _f in add:
+            _fsch[_f] = _esch
         is_marker = (
             not add and not rem and not e.get("dv_add")
             and "restore_dv" not in e
@@ -4189,6 +4223,7 @@ def table_changes(
             tgt = _scan_files(
                 spark, path, targets, prev_dvs, merge_schema=True,
                 file_col="__f", pos_col="__p", cap=cap,
+                known_schema=_leg_schema(targets),
             )
             deleted = tgt.join(
                 dv_new,
