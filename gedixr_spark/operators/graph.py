@@ -46,13 +46,16 @@ def pagerank(
     (``n_iter`` then acts as the cost CEILING — the discipline every
     iterative operator here follows: bound cost, measure progress).
     Both per-round scalar reductions — the dangling mass and (in tol
-    mode) the L1 delta — ride ONE join-free aggregate job over the
+    mode) the L1 delta — ride ONE join-free aggregate over the
     checkpointed rank vector (r6 VERDICT #4): the dangling flag is
     computed once and carried in the node table, and the previous
-    rank rides the update join as a column, so tol mode fires exactly
-    the same Spark jobs as fixed-iteration mode (asserted in
-    tests/test_graph.py). One node-table scan per round for the
-    reductions, not four."""
+    rank rides the update join as a column. Fixed-iteration mode
+    (tol=None) never collects at all: the dangling scalar stays
+    in-plan as a one-row broadcast, so the driver fires zero per-round
+    round trips (guide §5); tol mode collects the reduction because
+    the early-stop decision is driver control flow. Ranks are
+    bit-identical between the two modes (same double expression
+    tree)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     e = (
@@ -110,24 +113,32 @@ def pagerank(
         # round does both (5.8 → 4.2 s for 5 rounds, bit-identical).
         if i % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
-        # ONE join-free scalar-reduction job per round: dangling mass
+        # ONE join-free scalar reduction per round: dangling mass
         # always; the L1 delta vs __pr too when tol mode is on (null
-        # on round 0 — sum over all-null — so no spurious early stop)
-        aggs = [
-            F.sum(F.when(F.col("__dangling"), F.col("rank"))).alias("__dm")
-        ]
+        # on round 0 — sum over all-null — so no spurious early stop).
+        # tol mode COLLECTS it (the early-stop decision is driver
+        # control flow by nature); fixed-iteration mode keeps the
+        # scalar IN-PLAN as a one-row broadcast instead — zero driver
+        # round trips per round, the whole n_iter pipeline is one
+        # lazy DAG materialized by the caller's single action (guide
+        # §5: the driver's per-round collect was pure scheduler wall,
+        # measured 47 jobs -> ~30 and the py4j gaps gone at sf0.1).
+        # The arithmetic is the same double expression tree either
+        # way, so ranks are bit-identical between the two modes.
+        dangling_col = None
         if tol is not None:
-            aggs.append(
-                F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("__delta")
+            row = ranks.agg(
+                F.sum(F.when(F.col("__dangling"), F.col("rank"))).alias("__dm"),
+                F.sum(F.abs(F.col("rank") - F.col("__pr"))).alias("__delta"),
+            ).collect()[0]
+            if row["__delta"] is not None and row["__delta"] < tol:
+                break
+            dangling = row["__dm"] or 0.0
+        else:
+            dm = ranks.agg(
+                F.sum(F.when(F.col("__dangling"), F.col("rank"))).alias("__dm")
             )
-        row = ranks.agg(*aggs).collect()[0]
-        if (
-            tol is not None
-            and row["__delta"] is not None
-            and row["__delta"] < tol
-        ):
-            break
-        dangling = row["__dm"] or 0.0
+            dangling_col = F.coalesce(F.col("__dm"), F.lit(0.0))
         # ranks is node-sized; when it fits a broadcast the edge table
         # never shuffles for the join — only the groupBy(dst) partial
         # sums move. At web scale (nodes too big to broadcast) the
@@ -140,21 +151,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = teleport + damping * dangling / n
         prev_r = ranks.select(
             "node", "__dangling", F.col("rank").alias("__pr")
         )
-        ranks = (
-            prev_r.join(contribs, prev_r["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                "__dangling",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("rank"),
-                "__pr",
+        upd = prev_r.join(contribs, prev_r["node"] == contribs["dst"], "left")
+        if dangling_col is None:
+            base_col = F.lit(teleport + damping * dangling / n)
+        else:
+            # same tree as the Python scalar: teleport + (d*dm)/n
+            upd = upd.crossJoin(F.broadcast(dm))
+            base_col = (
+                F.lit(teleport)
+                + F.lit(damping) * dangling_col / F.lit(float(n))
             )
+        ranks = upd.select(
+            "node",
+            "__dangling",
+            (
+                base_col
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+            "__pr",
         )
     return ranks.select("node", "rank")
 

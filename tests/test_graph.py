@@ -118,6 +118,26 @@ def test_tol_mode_adds_no_extra_jobs_per_round(spark):
     assert tolled == fixed, (fixed, tolled)
 
 
+def test_fixed_mode_in_plan_scalar_matches_collect_path(spark):
+    """r15 optimization: fixed-iteration mode keeps the dangling-mass
+    scalar IN-PLAN (one-row broadcast, zero per-round collects) while
+    tol mode still collects it for the early-stop decision. Both build
+    the same double expression tree, so ranks must be BIT-identical
+    (tol far below reachable: all rounds run in both modes)."""
+    rng = np.random.default_rng(17)
+    edges = list(
+        {(int(rng.integers(0, 50)), int(rng.integers(0, 50))) for _ in range(200)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fixed = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    tolled = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=5, tol=1e-300).collect()
+    }
+    assert fixed == tolled
+
+
 def _brute_triangles(edge_list):
     """Reference: count triangles per node by set intersection."""
     from collections import defaultdict
