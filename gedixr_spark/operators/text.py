@@ -910,25 +910,29 @@ def bm25_topk(
         raise ValueError("terms must be non-empty")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    # corpus stats (N, avgdl) stay IN-PLAN as a one-row broadcast on a
+    # constant key instead of a blocking driver collect (guide §5):
+    # same aggregates, same double expression tree, so scores are
+    # bit-identical to the literal form — and the whole retrieval is
+    # one lazy DAG with zero pre-actions. An empty corpus flows
+    # through as an empty result with the same schema.
     stats = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
-    if not n_docs:
-        return tf_index.sparkSession.createDataFrame(
-            [], "doc_id long, score double, rank int"
-        )
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("dl").alias("__avgdl")
+    ).withColumn("__k", F.lit(1))
     hits = (
         tf_index.filter(F.col("term").isin(want))
         .select("df", F.explode("postings").alias("p"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
         .select(
             F.col("p.doc_id").alias("doc_id"),
             F.col("p.tf").alias("tf"),
             F.log(
                 F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                + (F.col("__n_docs").cast("double") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ).alias("idf"),
+            "__avgdl",
         )
     )
     scored = (
@@ -941,7 +945,7 @@ def bm25_topk(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
                 )
             ).alias("s"),
         )
@@ -996,14 +1000,12 @@ def bm25_topk_multi(
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
     spark = tf_index.sparkSession
+    # corpus stats in-plan (one-row constant-key broadcast, zero
+    # pre-actions) — same trees as the literal form, bit-identical
+    # scores; see bm25_topk
     stats = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
-    if not n_docs:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank int"
-        )
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("dl").alias("__avgdl")
+    ).withColumn("__k", F.lit(1))
     qt = spark.createDataFrame(pairs, "query_id long, term string")
     want = sorted({t for _, t in pairs})
     hits = (
@@ -1014,15 +1016,18 @@ def bm25_topk_multi(
             "df",
             F.explode("postings").alias("p"),
         )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
         .select(
             "query_id",
             F.col("p.doc_id").alias("doc_id"),
             F.col("p.tf").alias("tf"),
             F.log(
                 F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                + (F.col("__n_docs").cast("double") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ).alias("idf"),
+            "__avgdl",
         )
     )
     scored = (
@@ -1036,7 +1041,7 @@ def bm25_topk_multi(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
                 )
             ).alias("s"),
         )

@@ -85,14 +85,23 @@ def test_budget_select_deterministic_under_partitioning(spark, docs):
 
 
 def test_no_single_partition_exchange_in_plan(spark, docs):
-    """The whole point: the prefix sum must never funnel the corpus
-    through one task. The physical plan must contain no
-    SinglePartition exchange (which is exactly what a global ORDER BY
-    window would introduce)."""
+    """The whole point: the prefix sum must never funnel the CORPUS
+    through one task. The row-bearing window must partition by bucket,
+    and the only SinglePartition exchange allowed is the one over the
+    ≤ n_buckets-row totals aggregate that computes the in-plan bucket
+    offsets (r15: the ungrouped offsets moved from a driver collect to
+    this window — a bookkeeping frame, not the corpus)."""
     out = running_total(docs, "n_tokens", "score", n_buckets=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan, plan
-    assert "Window" in plan
+    lines = plan.splitlines()
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(singles) == 1, plan
+    # the funnel sits over the per-bucket totals aggregate only
+    assert "HashAggregate(keys=[__bucket" in lines[singles[0] + 1], plan
+    # the corpus window itself stays bucket-partitioned
+    assert any(
+        "Window [sum(n_tokens" in ln and ", [__bucket" in ln for ln in lines
+    ), plan
 
 
 def test_budget_select_validates(spark, docs):
