@@ -910,20 +910,19 @@ def bm25_topk(
         raise ValueError("terms must be non-empty")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    # corpus stats (N, avgdl) stay IN-PLAN as a one-row broadcast on a
-    # constant key instead of a blocking driver collect (guide §5):
+    # corpus stats (N, avgdl) stay IN-PLAN as a one-row broadcast
+    # instead of a blocking driver collect (guide §5):
     # same aggregates, same double expression tree, so scores are
     # bit-identical to the literal form — and the whole retrieval is
     # one lazy DAG with zero pre-actions. An empty corpus flows
     # through as an empty result with the same schema.
     stats = lengths.agg(
         F.count(F.lit(1)).alias("__n_docs"), F.avg("dl").alias("__avgdl")
-    ).withColumn("__k", F.lit(1))
+    )
     hits = (
         tf_index.filter(F.col("term").isin(want))
         .select("df", F.explode("postings").alias("p"))
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(stats), "__k")
+        .crossJoin(F.broadcast(stats))
         .select(
             F.col("p.doc_id").alias("doc_id"),
             F.col("p.tf").alias("tf"),
@@ -1005,7 +1004,7 @@ def bm25_topk_multi(
     # scores; see bm25_topk
     stats = lengths.agg(
         F.count(F.lit(1)).alias("__n_docs"), F.avg("dl").alias("__avgdl")
-    ).withColumn("__k", F.lit(1))
+    )
     qt = spark.createDataFrame(pairs, "query_id long, term string")
     want = sorted({t for _, t in pairs})
     hits = (
@@ -1016,8 +1015,7 @@ def bm25_topk_multi(
             "df",
             F.explode("postings").alias("p"),
         )
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(stats), "__k")
+        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             F.col("p.doc_id").alias("doc_id"),

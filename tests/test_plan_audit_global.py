@@ -50,6 +50,13 @@ NESTED_LOOP_ALLOWED = {
     "contrastive_triplets",  # mining.py: anchors × BOUNDED broadcast
     # pool (pool_size rows, corpus-independent) — quadratic only in
     # |anchors|·pool_size by construction
+    "bm25_search",  # text.py bm25_topk: 1-row (N, avgdl) corpus-stats
+    # broadcast — the r15 in-plan replacement for the driver collect;
+    # same shape as term_rankings' corpus total
+    "pagerank",  # graph.py pagerank fixed-iteration mode: 1-row
+    # dangling-mass broadcast per round rides the node-keyed update
+    # join (r15 in-plan replacement for the per-round collect); the
+    # visible plan is the LAST round's update over checkpoint leaves
 }
 
 # hard ceiling on SHUFFLE-exchange count per query plan (broadcast
