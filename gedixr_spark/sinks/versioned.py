@@ -1859,6 +1859,11 @@ def _colmap_context(
         "cap_schema": cap_schema,
         "widen": widen,
         "type_sigs": type_sigs,
+        # per-file recorded write schemas: lets _scan_mapped skip the
+        # per-group footer read when a group's files provably share
+        # one write schema (same known-schema fast path as unmapped
+        # scans, r15)
+        "schemas": w.get("file_schemas", {}),
     }
 
 
@@ -1942,7 +1947,25 @@ def _scan_mapped(
             if widen
             else F.col
         )
-        r = spark.read.parquet(*_file_paths(path, fl))
+        # known-schema fast path (r15, same proof as _files_known_schema):
+        # when every file in the group has the same recorded write
+        # schema, pass it to the reader — the group scan then skips the
+        # footer read at plan time (an object-store GET per group per
+        # planning cycle at scale). Any unknown or disagreeing schema
+        # falls back to inference; widened groups are already keyed by
+        # their exact write-schema signature.
+        schemas = ctx.get("schemas") or {}
+        gsj: str | None = None
+        for f in fl:
+            s = schemas.get(f)
+            if s is None or (gsj is not None and s != gsj):
+                gsj = None
+                break
+            gsj = s
+        reader = spark.read
+        if gsj is not None:
+            reader = reader.schema(_parse_known_schema(gsj))
+        r = reader.parquet(*_file_paths(path, fl))
         cols = [cols_of(c).alias(ren[c]) for c in r.columns if c in ren]
         # ADD COLUMN defaults for columns this epoch predates
         cols += [

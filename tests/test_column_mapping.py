@@ -707,3 +707,67 @@ def test_table_changes_straddling_defaulted_add(spark, tmp_path):
         (3, "insert", 2, "gold"),
         (4, "delete", 1, "bronze"),
     ]
+
+
+def test_mapped_scan_known_schema_path_equals_inference(spark, tmp_path):
+    """r15: _scan_mapped gives each uniform file group its recorded
+    write schema so the group scan skips the footer read at plan time.
+    The fast path must be invisible: rows and schema identical to the
+    footer-inference path (ctx['schemas'] withheld), across rename +
+    drop + defaulted add + widen + DV-delete history."""
+    from gedixr_spark.sinks import versioned as V
+
+    t = str(tmp_path / "ksmap")
+    init_versioned(spark, t)
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, i * 2, i % 3) for i in range(40)], "k long, v long, w int"
+        ),
+    )
+    rename_column(spark, t, "v", "val")
+    commit_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(i, 999, 7) for i in range(0, 40, 8)], "k long, val long, w int"
+        ),
+        keys=["k"],
+    )
+    V.add_column(spark, t, "tier", "string", default="bronze")
+    V.widen_column(spark, t, "w", "bigint")
+    commit_append(
+        spark, t,
+        spark.createDataFrame(
+            [(i, i, 2**40 + i, "gold") for i in range(100, 110)],
+            "k long, val long, w long, tier string",
+        ),
+    )
+    drop_column(spark, t, "val")
+    commit_delete(spark, t, F.col("k") % 10 == 1, mode="dv")
+
+    fast = read_versioned(spark, t)
+    orig_ctx = V._colmap_context
+
+    def no_schemas(*a, **kw):
+        ctx = orig_ctx(*a, **kw)
+        if ctx is not None:
+            ctx = dict(ctx)
+            ctx["schemas"] = {}
+        return ctx
+
+    V._colmap_context = no_schemas
+    try:
+        slow = read_versioned(spark, t)
+        assert fast.schema == slow.schema
+        assert _rows(fast) == _rows(slow)
+    finally:
+        V._colmap_context = orig_ctx
+    # sanity: the fast path actually fired for at least one group
+    calls = []
+    orig_parse = V._parse_known_schema
+    V._parse_known_schema = lambda sj: calls.append(sj) or orig_parse(sj)
+    try:
+        read_versioned(spark, t).count()
+    finally:
+        V._parse_known_schema = orig_parse
+    assert calls, "known-schema fast path never fired on a mapped table"
