@@ -1613,12 +1613,20 @@ def q_versioned_snapshot(spark, sf_dir):
     )
     path = _scratch_dir("vsnap", _sf_key(sf_dir)) + "/t"
     init_versioned(spark, path)
-    commit_append(spark, path, base)
+    ap_entry = commit_append(spark, path, base)
     upd = base.filter(F.col("c_custkey") % 8 == 0).withColumn(
         "c_mktsegment", F.lit("UPDATED")
     )
-    commit_upsert(spark, path, upd, keys=["c_custkey"])
-    commit_delete(spark, path, F.col("c_nationkey") == 3)
+    up_entry = commit_upsert(spark, path, upd, keys=["c_custkey"])
+    del_entry = commit_delete(spark, path, F.col("c_nationkey") == 3)
+    # read the versions the commits ACTUALLY created: at tiny SFs a
+    # predicate can match nothing and the commit noops WITHOUT
+    # consuming a version (same guard the dv leg below always had) —
+    # hardcoded version numbers then silently read the wrong snapshot
+    # (sf0.001: the rewrite delete noops, so version 3 is the MERGE).
+    # A nooped step's snapshot is its predecessor's.
+    up_version = up_entry.get("version") or ap_entry["version"]
+    del_version = del_entry.get("version") or up_version
     # v4: one op-coded CDC batch drives all three MERGE clauses.
     # Keys: U = multiples of 12 (⊂ %4==0) not multiples of 20 and
     # still live (nationkey≠3); D = live multiples of 20; I = %16==1
@@ -1666,10 +1674,10 @@ def q_versioned_snapshot(spark, sf_dir):
         dv_version = table_history(spark, path)[-1]["version"]
     commit_compact(spark, path, purge_dvs=True)
     cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
-    v2 = read_versioned(spark, path, version=2).select(
+    v2 = read_versioned(spark, path, version=up_version).select(
         F.lit("v2").alias("snap"), *cols
     )
-    v3 = read_versioned(spark, path, version=3).select(
+    v3 = read_versioned(spark, path, version=del_version).select(
         F.lit("v3").alias("snap"), *cols
     )
     dv = read_versioned(spark, path, version=dv_version).select(

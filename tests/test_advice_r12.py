@@ -148,3 +148,30 @@ def test_versioned_snapshot_query_survives_zero_match_dv_delete(spark):
         if v is None:
             v = table_history(spark, table)[-1]["version"]
         assert read_versioned(spark, table, version=v).count() == 2
+
+
+def test_zero_match_rewrite_delete_consumes_no_version(spark, tmp_path):
+    """r15 inherited-bug shape (versioned_snapshot at sf0.001): a
+    rewrite-mode (cow) commit_delete whose predicate matches nothing
+    noops WITHOUT consuming a version, so hardcoded version numbers
+    downstream silently read the wrong snapshot. The noop dict must
+    carry the predecessor's version so callers can chain reads off the
+    versions the commits ACTUALLY created."""
+    table = str(tmp_path / "t")
+    init_versioned(spark, table)
+    ap = commit_append(
+        spark, table, spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    )
+    res = commit_delete(spark, table, F.col("k") == 999, mode="cow")
+    assert res.get("op") == "noop"
+    # version chain: the noop's version IS the predecessor's
+    assert res.get("version") == ap["version"]
+    # the next real commit lands at predecessor+1, not predecessor+2
+    ap2 = commit_append(spark, table, spark.createDataFrame([Row(k=4)]))
+    assert ap2["version"] == ap["version"] + 1
+    # snapshot read off the noop's version sees the pre-delete state
+    got = sorted(
+        r["k"]
+        for r in read_versioned(spark, table, version=res["version"]).collect()
+    )
+    assert got == [1, 2, 3]
