@@ -418,6 +418,69 @@ def _rings_to_arrays(rings: list[list[tuple[float, float]]]) -> tuple[np.ndarray
     )
 
 
+def rings_to_edge_tuples(
+    rings: list[list[tuple[float, float]]],
+) -> list[tuple[float, float, float, float]]:
+    """Flatten rings into ``(x1, y1, x2, y2)`` edge tuples — the row
+    form `pip_edges_predicate` consumes (same segment set, same order,
+    as the numpy arrays `_rings_to_arrays` builds for the UDF kernel)."""
+    out = []
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            out.append((float(ax), float(ay), float(bx), float(by)))
+    return out
+
+
+#: createDataFrame column type for an AOI's edge list
+EDGES_SQL_TYPE = "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+
+
+def pip_edges_predicate(lon: Column, lat: Column, edges: Column) -> Column:
+    """Even-odd ray-cast + boundary membership over an
+    ``array<struct<x1,y1,x2,y2>>`` edge column, entirely JVM-side via
+    higher-order functions (guide §4.1: built-ins over UDFs) — no
+    ArrowEvalPython stage, no Python boundary, no row serialization.
+
+    Bit-identical to the numpy kernel in ``named_polygons_pip_udf`` /
+    ``st_intersects_polygon``: per edge the SAME IEEE-double ops in the
+    SAME order (ray x-intercept ``x1 + (y-y1)*(x2-x1)/(y2-y1)``; cross
+    product / projection-parameter boundary test at 1e-9), and the
+    crossing count is an integer sum, so summation order cannot matter.
+    The div-by-zero corners agree too: a horizontal edge (y2==y1) can
+    make ``xint`` NaN/Inf, but only when the crossing condition is
+    already false (both endpoint tests equal), and a NaN ``t`` on a
+    degenerate zero-length edge fails ``t <= 1`` under Spark's
+    NaN-is-largest ordering exactly as it fails ``t >= 0`` under
+    IEEE — property-pinned against the UDF on boundary grids."""
+
+    def _crossing(acc: Column, e: Column) -> Column:
+        cond = (e["y1"] <= lat) != (e["y2"] <= lat)
+        xint = e["x1"] + (lat - e["y1"]) * (e["x2"] - e["x1"]) / (
+            e["y2"] - e["y1"]
+        )
+        return acc + F.when(cond & (lon < xint), 1).otherwise(0)
+
+    inside = F.aggregate(edges, F.lit(0), _crossing) % 2 == 1
+
+    def _on_edge(e: Column) -> Column:
+        dx = e["x2"] - e["x1"]
+        dy = e["y2"] - e["y1"]
+        cross = (lon - e["x1"]) * dy - (lat - e["y1"]) * dx
+        t = ((lon - e["x1"]) * dx + (lat - e["y1"]) * dy) / (
+            dx * dx + dy * dy
+        )
+        return (F.abs(cross) < 1e-9) & (t >= 0) & (t <= 1)
+
+    return inside | F.exists(edges, _on_edge)
+
+
+#: st_intersects_polygon builds the edge array as a plan literal (it
+#: returns a bare Column — no DataFrame to hang a broadcast off), so a
+#: pathological multi-thousand-vertex WKT would bloat the expression
+#: tree; past this bound the constant-size pandas-UDF closure wins.
+PIP_LITERAL_MAX_EDGES = 4096
+
+
 def is_rectangle(verts: list[tuple[float, float]]) -> bool:
     """True if the ring is an axis-aligned rectangle — the fast path that
     compiles to pushdown-able range predicates."""
@@ -469,9 +532,13 @@ def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
     rectilinear multi-ring geometries (holed rectangles, rectangle
     unions) → boundary-or-odd-strict-containment column math (still no
     UDF). General polygons — including interior rings (holes) and
-    MULTIPOLYGON — → bbox prefilter AND a vectorized even-odd ray-cast
-    pandas UDF; boundary points (outer OR hole edges) count as inside,
-    matching shapely ``intersects``.
+    MULTIPOLYGON — → bbox prefilter AND the JVM even-odd ray-cast
+    higher-order expression over an edge-array literal (no Python
+    boundary; `pip_edges_predicate`), falling back to the vectorized
+    pandas-UDF kernel only past ``PIP_LITERAL_MAX_EDGES`` vertices
+    where a plan literal would bloat the expression tree. Boundary
+    points (outer OR hole edges) count as inside, matching shapely
+    ``intersects``; both engines are bit-identical (property-pinned).
     """
     rings = parse_wkt_rings(wkt)
     xmin, ymin, xmax, ymax = rings_bounds(rings)
@@ -480,6 +547,21 @@ def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
         return bbox
     if rings_all_rects(rings):
         return bbox & rect_rings_predicate(lon, lat, rings)
+
+    edge_tuples = rings_to_edge_tuples(rings)
+    if len(edge_tuples) <= PIP_LITERAL_MAX_EDGES:
+        edges_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(x1).alias("x1"),
+                    F.lit(y1).alias("y1"),
+                    F.lit(x2).alias("x2"),
+                    F.lit(y2).alias("y2"),
+                )
+                for (x1, y1, x2, y2) in edge_tuples
+            ]
+        )
+        return bbox & pip_edges_predicate(lon, lat, edges_lit)
 
     p1, p2 = _rings_to_arrays(rings)
 

@@ -179,45 +179,64 @@ def spatial_join_aoi_indexed(
     and outgrow codegen). Holed and multi-part AOIs are supported
     (even-odd over all rings)."""
     from gedixr_spark.geo import (
+        EDGES_SQL_TYPE,
         is_rectangle,
-        named_polygons_pip_udf,
         parse_wkt_rings,
+        pip_edges_predicate,
         rect_rings_predicate,
         rings_all_rects,
         rings_bounds,
+        rings_to_edge_tuples,
     )
 
     rows = aois.select(name_col, wkt_col).collect()
     if not rows:
         raise MergeError("empty AOI table")
 
-    # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, nonrect)
+    # 1. driver-side cell index: (cell_x, cell_y, aoi_name, bounds, edges)
     # Refinement strategy per AOI: plain rectangle → the bbox IS the
     # polygon; rectilinear rings (holed/multi rectangles) → pure
     # column-math predicate (JVM, no UDF) while the count is small
-    # enough to compile; general polygons → the single batched
-    # ray-cast UDF.
+    # enough to compile; general polygons → edge arrays carried ON the
+    # broadcast index rows, refined by the JVM even-odd higher-order
+    # expression (`pip_edges_predicate`) — no Python boundary at any
+    # AOI count.
     _MAX_RECTILINEAR_COMPILED = 64
-    index_rows = []
+    parsed = []
     non_rect_polys = {}
     rectilinear = {}
     for r in rows:
         rings = parse_wkt_rings(r[wkt_col])
-        xmin, ymin, xmax, ymax = rings_bounds(rings)
+        bounds = rings_bounds(rings)
         nonrect = not (len(rings) == 1 and is_rectangle(rings[0]))
         if nonrect:
             if rings_all_rects(rings):
                 rectilinear[r[name_col]] = rings
             else:
                 non_rect_polys[r[name_col]] = rings
+        parsed.append((r[name_col], rings, bounds, nonrect))
+    # 1a. decide the rectilinear strategy BEFORE building the index so
+    # overflow AOIs get edge arrays too: past the compile bound the
+    # when-chain outgrows codegen, so they refine through the same
+    # edge-array expression as general polygons
+    if len(rectilinear) > _MAX_RECTILINEAR_COMPILED:
+        non_rect_polys.update(rectilinear)
+        rectilinear = {}
+    index_rows = []
+    for name, rings, (xmin, ymin, xmax, ymax), nonrect in parsed:
+        # edge arrays ride the index rows (duplicated per covered cell:
+        # AOI polygons are small by contract, and the duplication buys
+        # zero extra plan nodes — the one broadcast join carries both
+        # the candidate pairing and the refinement geometry)
+        edges = rings_to_edge_tuples(rings) if name in non_rect_polys else None
         for cx in range(int(math.floor(xmin / cell_deg)), int(math.floor(xmax / cell_deg)) + 1):
             for cy in range(int(math.floor(ymin / cell_deg)), int(math.floor(ymax / cell_deg)) + 1):
-                index_rows.append((cx, cy, r[name_col], xmin, ymin, xmax, ymax, nonrect))
+                index_rows.append((cx, cy, name, xmin, ymin, xmax, ymax, nonrect, edges))
     spark = shots.sparkSession
     index = spark.createDataFrame(
         index_rows,
         "cell_x int, cell_y int, aoi_name string, xmin double, ymin double, "
-        "xmax double, ymax double, nonrect boolean",
+        f"xmax double, ymax double, nonrect boolean, edges {EDGES_SQL_TYPE}",
     )
 
     # 2. global-envelope prefilter: ONE range predicate over the bbox
@@ -254,12 +273,9 @@ def spatial_join_aoi_indexed(
         & bbox_ok,
     )
 
-    # 4a. rectilinear AOIs refine JVM-side while the compiled when-chain
-    # stays small; at many rectilinear AOIs they fall back into the UDF
-    # dict (codegen pressure beats Arrow cost only up to a point)
-    if len(rectilinear) > _MAX_RECTILINEAR_COMPILED:
-        non_rect_polys.update(rectilinear)
-        rectilinear = {}
+    # 4a. rectilinear AOIs refine JVM-side through the compiled
+    # when-chain while it stays small (overflow was folded into the
+    # edge-array path above)
     if rectilinear:
         keep_rect = F.lit(True)
         for n, rings in rectilinear.items():
@@ -269,18 +285,20 @@ def spatial_join_aoi_indexed(
             ).otherwise(F.lit(True))
         refined = refined.filter(keep_rect)
 
-    # 4b. ONE batched ray-cast UDF for the general non-rect survivors
-    # (other rows short-circuit on the flag — Spark still ships the
-    # batch to Arrow, but the kernel skips names absent from the dict,
-    # so they cost one hash lookup)
+    # 4b. general non-rect survivors refine through the JVM even-odd
+    # higher-order expression over the edge array their index row
+    # carried through the join — one filter, zero Python boundary,
+    # any AOI count (the old single-batched-Arrow design shipped every
+    # candidate row out to a pandas kernel; this ships none). Rows of
+    # rect/rectilinear AOIs carry NULL edges and pass through.
     if non_rect_polys:
-        pip = named_polygons_pip_udf(non_rect_polys)
-        keep = ~F.col("nonrect") | pip(
-            F.col(lon_col), F.col(lat_col), F.col(name_col)
+        keep = F.col("edges").isNull() | pip_edges_predicate(
+            F.col(lon_col), F.col(lat_col), F.col("edges")
         )
         refined = refined.filter(keep)
     return refined.drop(
-        "__cx", "__cy", "cell_x", "cell_y", "xmin", "ymin", "xmax", "ymax", "nonrect"
+        "__cx", "__cy", "cell_x", "cell_y", "xmin", "ymin", "xmax", "ymax",
+        "nonrect", "edges",
     )
 
 

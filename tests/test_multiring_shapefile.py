@@ -108,8 +108,11 @@ def test_rect_rings_predicate_matches_raycast(spark):
 
 
 def test_indexed_join_single_udf_node_at_many_nonrect_aois(spark):
-    """VERDICT r1 'done' criterion: >=100 non-rectangular AOIs refine
-    through ONE vectorized UDF node (not a per-AOI when/udf chain)."""
+    """VERDICT r1 'done' criterion, strengthened in r15: >=100
+    non-rectangular AOIs refine through a SINGLE JVM higher-order
+    filter over per-AOI edge arrays — zero Python-evaluation nodes
+    (the r1 criterion was ONE vectorized UDF node, not a per-AOI
+    when/udf chain; the edge-array expression removes even that)."""
     many = {}
     for i in range(120):
         x, y = -10 + (i % 20), 40 + (i // 20) * 0.8
@@ -121,7 +124,7 @@ def test_indexed_join_single_udf_node_at_many_nonrect_aois(spark):
         shots_l2a(spark, "/root/testdata/sf0.001"), aoi_from_wkt(spark, many)
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert out.count() >= 0  # and it executes
 
 
