@@ -4416,18 +4416,113 @@ def readmit_quarantine(
     )
 
 
+#: driver-side footer stats stay bounded: past this many files per
+#: commit the distributed stats job wins (one task per file beats a
+#: sequential driver loop of footer reads — and on an idle cluster the
+#: job overlaps them)
+_FOOTER_STATS_MAX_FILES = 256
+
+
+def _try_footer_stats(path: str, names: list[str], cols: Sequence[str]):
+    """Per-file stats straight from the parquet FOOTERS the commit's own
+    staged write just produced — zero Spark jobs and zero re-read of
+    committed bytes (guide §1.2: the cheapest pass is one that never
+    runs; the writers already computed these min/max/rowcount values).
+
+    Returns None whenever exactness cannot be PROVEN, and the caller
+    falls back to the distributed stats job (Invariant 13: recorded
+    bounds are exact, never approximate):
+
+    - non-local table path (remote footer GETs belong in a job), or
+      more files than `_FOOTER_STATS_MAX_FILES`,
+    - a stats column whose Arrow type is outside the proven-exact set.
+      Ints/bool: chunk min/max ARE column values. Strings: parquet-mr
+      records full untruncated UTF-8 min/max (chunk-level statistics
+      have no default truncation, unlike the page column index) whose
+      unsigned byte order equals Spark's UTF8_BINARY codepoint order —
+      both pinned by tests/test_footer_stats.py against the job path.
+      Floats are EXCLUDED (writer NaN / signed-zero bound conventions
+      are not bit-pinned to F.min/F.max), and every non-JSON-scalar
+      type keeps the job path's ValueError contract,
+    - a chunk holding values but lacking min/max (stats disabled or an
+      unknown writer), or any footer failing to parse.
+
+    Row counts (``__nrows``) come from file metadata and are exact for
+    every type; multi-row-group files merge chunk bounds (min of mins /
+    max of maxes — exact, not an approximation)."""
+    if len(names) > _FOOTER_STATS_MAX_FILES or not _is_local_path(path):
+        return None
+    if any("/" in n for n in names):  # external refs never land here
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    exact_types = {
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.bool_(), pa.string(), pa.large_string(),
+    }
+    data = _strip_scheme(_data_dir(path))
+    out: dict = {}
+    try:
+        for n in names:
+            md = pq.ParquetFile(os.path.join(data, n)).metadata
+            ent: dict = {"__nrows": int(md.num_rows)}
+            if cols:
+                leaf_paths = list(md.schema.names)
+                arrow_schema = md.schema.to_arrow_schema()
+            for c in cols:
+                if c not in leaf_paths:
+                    return None  # evolution straddle / nested: job path
+                if arrow_schema.field(c).type not in exact_types:
+                    return None
+                j = leaf_paths.index(c)
+                mn = mx = None
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    if rg.num_rows == 0:
+                        continue
+                    st = rg.column(j).statistics
+                    if st is None:
+                        return None
+                    if st.num_values == 0:  # all null in this chunk
+                        continue
+                    if not st.has_min_max:
+                        return None
+                    v0, v1 = st.min, st.max
+                    if mn is None or v0 < mn:
+                        mn = v0
+                    if mx is None or v1 > mx:
+                        mx = v1
+                ent[c] = [mn, mx]
+            out[n] = ent
+    except Exception:
+        return None
+    return out
+
+
 def _file_column_stats(
     spark: SparkSession, path: str, names: list[str], cols: Sequence[str]
 ) -> dict:
-    """Per-file min/max of ``cols`` for freshly-committed files — ONE
-    Spark job over just those files (input_file_name groupBy), JSON-
-    serializable values only (numeric/string/bool). The same job also
-    records each file's ROW COUNT under the reserved ``__nrows`` key
-    (column names can't collide: the pruner and every reader do keyed
-    lookups only) — the per-file counts that make `snapshot_row_count`
-    a pure metadata read. ``cols`` may be empty (counts-only stats)."""
+    """Per-file min/max of ``cols`` for freshly-committed files, plus
+    each file's ROW COUNT under the reserved ``__nrows`` key (column
+    names can't collide: the pruner and every reader do keyed lookups
+    only) — the per-file counts that make `snapshot_row_count` a pure
+    metadata read. ``cols`` may be empty (counts-only stats). JSON-
+    serializable values only (numeric/string/bool).
+
+    Two engines, same exact result: the footer fast path reads the
+    min/max/rowcount the parquet writers already computed (zero jobs,
+    zero re-read — at 100 TB the old always-on job re-scanned every
+    committed byte a second time purely to recompute what the footers
+    hold); ineligible shapes (see `_try_footer_stats`) run ONE Spark
+    job over just those files (input_file_name groupBy)."""
     if not names:
         return {}
+    fast = _try_footer_stats(path, names, cols)
+    if fast is not None:
+        return fast
     data = _data_dir(path)
     df = spark.read.parquet(*[data + "/" + n for n in names])
     aggs = [F.count(F.lit(1)).alias("__n")]
