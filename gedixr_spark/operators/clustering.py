@@ -28,7 +28,19 @@ from pyspark.sql.types import IntegerType
 
 def _assign_udf(centroids: np.ndarray) -> Column:
     """Factory: nearest-centroid (squared-L2) assignment, vectorized;
-    first minimum wins. Closure pickles by value (bare-worker safe)."""
+    first minimum wins. Closure pickles by value (bare-worker safe).
+
+    DELIBERATELY an Arrow UDF, not a higher-order-function rewrite
+    (r15 VERDICT #2): the distances here are FLOAT — d = ||c||² − 2x·c
+    with x·c computed by a BLAS dgemm whose summation order is blocked/
+    vectorized and implementation-defined. A JVM `aggregate` fold sums
+    sequentially, so its low-order bits can differ from the matmul's,
+    and a near-tie argmin would then flip a cluster assignment — a
+    silent result change on the rows-only kmeans query. Bit-identity
+    is unprovable across the two summation orders, so the vectorized
+    Arrow kernel stays (guide §4.2's acceptable form: one numpy matmul
+    per batch, no per-row Python). The integer-exact kernels (PQ
+    encode/ADC, LSH, IVF) have no such hazard and run JVM-side."""
     cen = centroids.astype(np.float64)
     cen_sq = (cen * cen).sum(axis=1)
 

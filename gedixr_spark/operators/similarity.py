@@ -753,36 +753,85 @@ def load_pq_codebooks(spark, path: str) -> list[list[list[int]]]:
     return books
 
 
+def _pq_sub_entries(sub: Column, cb: np.ndarray, dot_scale: int) -> Column:
+    """array<struct<d2,idx>> for ONE PQ sub-space: d2 = ||c||² −
+    dot_scale·(sub·c), idx = code. Struct ordering (d2 asc, idx asc)
+    makes `array_min` an exact argmin with first-min tie-break — the
+    same trick `ivf_cell` uses. ``dot_scale`` is 2·lift when ``sub``
+    is at the raw quantize scale (q·lift·c == lift·(q·c)) and 2 when
+    ``sub`` is already at the codebook scale (residuals). The dropped
+    ||sub||² term is row-constant per sub-space, so the winner — and
+    its tie-breaks — match the full squared distance exactly (all
+    int64, no float hazards)."""
+    consts = F.expr(
+        "array(" + ",".join(f"{int((r * r).sum())}L" for r in cb) + ")"
+    )
+    return F.transform(
+        _lit_mat([[int(w) for w in r] for r in cb]),
+        lambda cen, i: F.struct(
+            (
+                F.element_at(consts, i + 1)
+                - F.lit(int(dot_scale)) * dot(sub, cen)
+            ).alias("d2"),
+            i.alias("idx"),
+        ),
+    )
+
+
 def pq_codes(
-    vec_col: Column | str, codebooks: list[list[list[int]]], scale: int = 1000
+    vec_col: Column | str,
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    impl: str = "jvm",
 ) -> Column:
     """Encode: per sub-space nearest centroid by exact-int squared L2
     (ties → lowest code, matching both numpy first-argmin and the SQL
-    oracle's CASE chain). One Arrow pass, map-only — the shape of a
-    100 TB encode job (each partition encodes independently; the
-    codebooks ride the closure)."""
+    oracle's CASE chain). Map-only — the shape of a 100 TB encode job
+    (each partition encodes independently; the codebooks ride the plan
+    as literals).
+
+    ``impl`` trade as in `lsh_bucket`/`ivf_cell`: 'jvm' (default)
+    evaluates as higher-order array expressions on the executor — no
+    Arrow hop, no Python worker pool, the encode stays fused with the
+    scan it feeds; 'arrow' keeps the vectorized numpy kernel (one
+    n×dim @ dim×ksub matmul per batch per sub-space), the better shape
+    when m·ksub·dsub is large (≥~10⁴ terms/row). Both are exact int64
+    ⇒ bit-identical under any summation order."""
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
     m = len(cbs)
     lift = _pq_lift(scale)
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def _codes(vecs: pd.Series) -> pd.Series:
-        q = np.stack(vecs.to_numpy()).astype(np.int64) * lift  # to cb scale
-        out = np.empty((q.shape[0], m), dtype=np.int32)
-        ofs = 0
-        for j, cb in enumerate(cbs):
-            dsub = cb.shape[1]
-            sub = q[:, ofs : ofs + dsub]
-            ofs += dsub
-            # argmin ||sub - c||² == argmin (||c||² - 2·sub·c): the
-            # ||sub||² term is row-constant, dropping it keeps int64
-            # headroom and the same winner
-            d2 = (cb * cb).sum(axis=1)[None, :] - 2 * (sub @ cb.T)
-            out[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(out))
+    if impl == "arrow":
 
-    return _codes(quantize(c, scale))
+        @pandas_udf(ArrayType(IntegerType()))
+        def _codes(vecs: pd.Series) -> pd.Series:
+            q = np.stack(vecs.to_numpy()).astype(np.int64) * lift  # cb scale
+            out = np.empty((q.shape[0], m), dtype=np.int32)
+            ofs = 0
+            for j, cb in enumerate(cbs):
+                dsub = cb.shape[1]
+                sub = q[:, ofs : ofs + dsub]
+                ofs += dsub
+                # argmin ||sub - c||² == argmin (||c||² - 2·sub·c): the
+                # ||sub||² term is row-constant, dropping it keeps int64
+                # headroom and the same winner
+                d2 = (cb * cb).sum(axis=1)[None, :] - 2 * (sub @ cb.T)
+                out[:, j] = np.argmin(d2, axis=1)
+            return pd.Series(list(out))
+
+        return _codes(quantize(c, scale))
+
+    q = quantize(c, scale)
+    codes, ofs = [], 0
+    for cb in cbs:
+        dsub = int(cb.shape[1])
+        sub = F.slice(q, ofs + 1, dsub)
+        codes.append(
+            F.array_min(_pq_sub_entries(sub, cb, 2 * lift))["idx"].cast("int")
+        )
+        ofs += dsub
+    return F.array(*codes)
 
 
 def pq_code_packed(
@@ -815,7 +864,10 @@ def pq_ann_topk(
     set against the codes; the raw corpus vectors never ride the join.
     At 100 TB: codes are ~64× smaller than fp32 vectors, and the scan
     is over codes + a per-query LUT of m×ksub partial distances (the
-    classic ADC layout this operator's plan mirrors)."""
+    classic ADC layout this operator's plan mirrors — the LUT is
+    computed ONCE per query row on the broadcast side, so each scored
+    pair is m array lookups + adds inside the JVM, no Python boundary
+    and no O(dim) recompute per pair)."""
     codebooks = codebooks or pq_codebooks()
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
     lift = _pq_lift(scale)
@@ -824,45 +876,51 @@ def pq_ann_topk(
         F.col(id_col).alias("cand_id"),
         pq_codes(vec_col, codebooks, scale).alias("codes"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col, scale).alias("qv")
-    )
+    # per-query ADC LUTs, in-plan: lut_j[c] = Σ_i (qv_i·lift − cb_j[c][i])²
+    # — exact int64 (identical to the numpy diff²-sum under any order),
+    # evaluated once per query row BEFORE the broadcast so the join side
+    # carries m·ksub longs per query instead of the dim-long vector
+    qv = quantize(vec_col, scale)
 
-    from pyspark.sql.types import LongType
+    def _lut_entry(sub: Column):
+        # factory, not a default-arg lambda: PySpark counts default
+        # params as lambda variables and would bind them to the index
+        return lambda cen: F.aggregate(
+            F.zip_with(
+                sub,
+                cen,
+                lambda x, w: (x * F.lit(lift) - w) * (x * F.lit(lift) - w),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
 
-    @pandas_udf(LongType())
-    def _adc(qids: pd.Series, qvs: pd.Series, codes: pd.Series) -> pd.Series:
-        # true ADC: ONE m×ksub distance LUT per distinct query in the
-        # batch, then each scored pair is m lookups+adds — not an
-        # O(dim) recompute per pair (30× less arithmetic at m=2,
-        # ksub=16, dim=64 on the |queries|×|corpus| hot path)
-        cm = np.stack(codes.to_numpy()).astype(np.int64)
-        uniq, inv = np.unique(qids.to_numpy(), return_inverse=True)
-        first_row = {qid: i for i, qid in zip(range(len(qids)), qids.to_numpy())}
-        total = np.zeros(len(cm), dtype=np.int64)
-        ofs = 0
-        for j, cb in enumerate(cbs):
-            dsub = cb.shape[1]
-            # LUT rows: per unique query, dist to every codeword of
-            # sub-space j — computed once, looked up per pair
-            subs = np.stack(
-                [
-                    np.asarray(qvs.iloc[first_row[qid]][ofs : ofs + dsub])
-                    for qid in uniq
-                ]
-            ).astype(np.int64) * lift
-            diff = subs[:, None, :] - cb[None, :, :]  # uniq × ksub × dsub
-            lut = (diff * diff).sum(axis=2)  # uniq × ksub
-            total += lut[inv, cm[:, j]]
-            ofs += dsub
-        return pd.Series(total)
+    luts, ofs = [], 0
+    for j, cb in enumerate(cbs):
+        dsub = int(cb.shape[1])
+        sub = F.slice(qv, ofs + 1, dsub)
+        luts.append(
+            F.transform(
+                _lit_mat([[int(w) for w in r] for r in cb]), _lut_entry(sub)
+            ).alias(f"__lut{j}")
+        )
+        ofs += dsub
+    q = queries.select(F.col(id_col).alias("query_id"), *luts)
+
+    # ADC per pair: m LUT lookups + adds, pure JVM column math
+    adc = None
+    for j in range(len(cbs)):
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
 
     scored = (
         enc.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            _adc(F.col("query_id"), F.col("qv"), F.col("codes")).alias("approx_dist"),
+            adc.alias("approx_dist"),
         )
     )
     return _topk_per_query(
@@ -1026,61 +1084,89 @@ def ivf_pq_ann_topk(
     PQ-coded RESIDUALS — ||qres − r̃||² ≈ ||q − x||² since the shared
     cell centroid cancels. Corpus footprint per vector: one cell id +
     m codes; raw vectors never enter the join. Plan: two map-only
-    Arrow encodes + one broadcast equi-join on cell + window top-k —
+    in-plan encodes (higher-order array expressions — exact int64, no
+    Python boundary) + one broadcast equi-join on cell + window top-k —
     the same shuffle shape as ivf_ann_topk with a 64×-smaller scan
-    payload."""
+    payload. The query side carries per-(query,cell) ADC LUTs so each
+    scored pair is m lookups + adds, as in `pq_ann_topk`."""
     centroids = centroids or ivf_centroids(dim, n_cells, seed=7)
     codebooks = codebooks or pq_codebooks(dim, 2, 16, 13)
     cen = np.asarray(centroids, dtype=np.int64)
     cbs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
     lift = _pq_lift(scale)
+    cen_lit = _lit_mat([[int(w) for w in r] for r in cen])
 
-    from pyspark.sql.types import ArrayType as _AT
-    from pyspark.sql.types import IntegerType as _IT
-    from pyspark.sql.types import LongType as _LT
+    def _residual(cell: Column) -> Column:
+        # q·lift − centroid[cell]: exact int64, already at the codebook
+        # scale (so downstream encode/LUT use dot_scale=2 / direct diff)
+        return F.zip_with(
+            F.transform(quantize(vec_col, scale), lambda x: x * F.lit(lift)),
+            F.element_at(cen_lit, cell + 1),
+            lambda a, b: a - b,
+        )
 
-    @pandas_udf(_AT(_IT()))
-    def _res_codes(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * lift
-        res = q10 - cen[cells.to_numpy().astype(np.int64)]
-        return pd.Series(list(_pq_assign(res, cbs)))
-
-    @pandas_udf(_AT(_LT()))
-    def _res_vec(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        q10 = np.stack(vecs.to_numpy()).astype(np.int64) * lift
-        res = q10 - cen[cells.to_numpy().astype(np.int64)]
-        return pd.Series(list(res))
-
-    @pandas_udf(_LT())
-    def _adc(qres: pd.Series, codes: pd.Series) -> pd.Series:
-        mat = np.stack(qres.to_numpy()).astype(np.int64)
-        cm = np.stack(codes.to_numpy()).astype(np.int64)
-        return pd.Series(_pq_adc_dist(mat, cm, cbs))
-
+    # corpus: encode the residual per sub-space (argmin via array_min
+    # over struct<d2,idx> — first-min tie-break, same as _pq_assign)
+    res = _residual(F.col("cell"))
+    codes, ofs = [], 0
+    for cb in cbs:
+        dsub = int(cb.shape[1])
+        sub = F.slice(res, ofs + 1, dsub)
+        codes.append(
+            F.array_min(_pq_sub_entries(sub, cb, 2))["idx"].cast("int")
+        )
+        ofs += dsub
     enc = corpus.select(
         F.col(id_col).alias("cand_id"),
+        F.col(vec_col),
         ivf_cell(vec_col, centroids, scale).alias("cell"),
-        quantize(vec_col, scale).alias("__v"),
-    ).select(
-        "cand_id", "cell", _res_codes(F.col("__v"), F.col("cell")).alias("codes")
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            quantize(vec_col, scale).alias("__v"),
-            F.explode(ivf_probe_cells(vec_col, centroids, nprobe, scale)).alias("cell"),
+    ).select("cand_id", "cell", F.array(*codes).alias("codes"))
+
+    # queries: per-(query, probed cell) LUTs over the query residual —
+    # lut_j[c] = Σ_i (qres_i − cb_j[c][i])², exact int64
+    qres = _residual(F.col("cell"))
+
+    def _lut_entry(sub: Column):
+        # factory, not a default-arg lambda (PySpark would treat the
+        # default param as the index lambda variable)
+        return lambda cw: F.aggregate(
+            F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
-        .select(
-            "query_id", "cell", _res_vec(F.col("__v"), F.col("cell")).alias("qres")
+
+    luts, ofs = [], 0
+    for j, cb in enumerate(cbs):
+        dsub = int(cb.shape[1])
+        sub = F.slice(qres, ofs + 1, dsub)
+        luts.append(
+            F.transform(
+                _lit_mat([[int(w) for w in r] for r in cb]), _lut_entry(sub)
+            ).alias(f"__lut{j}")
         )
-    )
+        ofs += dsub
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col),
+        F.explode(ivf_probe_cells(vec_col, centroids, nprobe, scale)).alias(
+            "cell"
+        ),
+    ).select("query_id", "cell", *luts)
+
+    adc = None
+    for j in range(len(cbs)):
+        term = F.element_at(
+            F.col(f"__lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+
     scored = (
         enc.join(F.broadcast(q), on="cell")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            _adc(F.col("qres"), F.col("codes")).alias("approx_dist"),
+            adc.alias("approx_dist"),
         )
     )
     return _topk_per_query(

@@ -159,11 +159,22 @@ def test_ann_family_plans_are_python_free(spark):
         ["vec_id", "embedding"],
     )
     q = df.filter(F.col("vec_id") < 3)
+    cbs = sim.pq_codebooks(16, 2, 4, 5)
+    cents = sim.ivf_centroids(16, 4, 7)
     plans = [
         _plan(sim.lsh_ann_topk(q, df, k=3, dim=16)),
         _plan(sim.lsh_ann_topk_multitable(q, df, k=3, dim=16, bits=6)),
         _plan(sim.ivf_ann_topk(q, df, k=3, dim=16, nprobe=2)),
         _plan(sim.embedding_neardup_pairs_multitable(df, dim=16, bits=6)),
+        # r16: the PQ family joined the JVM side (encode argmin +
+        # in-plan ADC LUTs as higher-order array expressions)
+        _plan(df.select(sim.pq_codes("embedding", cbs).alias("c"))),
+        _plan(sim.pq_ann_topk(q, df, k=3, codebooks=cbs)),
+        _plan(
+            sim.ivf_pq_ann_topk(
+                q, df, k=3, centroids=cents, codebooks=cbs, dim=16, n_cells=4
+            )
+        ),
     ]
     for plan in plans:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -454,8 +454,11 @@ def test_jvm_and_arrow_kernels_agree(spark):
     planes = similarity.hyperplanes(64, 8, 42)
     cents = similarity.ivf_centroids(64, 8, 7)
     tables = similarity.hyperplane_tables(64, 2, 6, 42)
+    cbs = similarity.pq_codebooks(64, 2, 16, 13)
     got = df.select(
         "vec_id",
+        similarity.pq_codes("embedding", cbs).alias("pq_j"),
+        similarity.pq_codes("embedding", cbs, impl="arrow").alias("pq_a"),
         similarity.lsh_bucket("embedding", planes).alias("b_j"),
         similarity.lsh_bucket("embedding", planes, impl="arrow").alias("b_a"),
         similarity.ivf_cell("embedding", cents).alias("c_j"),
@@ -470,6 +473,7 @@ def test_jvm_and_arrow_kernels_agree(spark):
         ),
     ).collect()
     for r in got:
+        assert list(r["pq_j"]) == list(r["pq_a"])
         assert r["b_j"] == r["b_a"]
         assert r["c_j"] == r["c_a"]
         assert list(r["p_j"]) == list(r["p_a"])
