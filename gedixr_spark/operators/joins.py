@@ -224,19 +224,32 @@ def spatial_join_aoi_indexed(
         rectilinear = {}
     index_rows = []
     for name, rings, (xmin, ymin, xmax, ymax), nonrect in parsed:
-        # edge arrays ride the index rows (duplicated per covered cell:
-        # AOI polygons are small by contract, and the duplication buys
-        # zero extra plan nodes — the one broadcast join carries both
-        # the candidate pairing and the refinement geometry)
-        edges = rings_to_edge_tuples(rings) if name in non_rect_polys else None
         for cx in range(int(math.floor(xmin / cell_deg)), int(math.floor(xmax / cell_deg)) + 1):
             for cy in range(int(math.floor(ymin / cell_deg)), int(math.floor(ymax / cell_deg)) + 1):
-                index_rows.append((cx, cy, name, xmin, ymin, xmax, ymax, nonrect, edges))
+                index_rows.append((cx, cy, name, xmin, ymin, xmax, ymax, nonrect))
     spark = shots.sparkSession
     index = spark.createDataFrame(
         index_rows,
         "cell_x int, cell_y int, aoi_name string, xmin double, ymin double, "
-        f"xmax double, ymax double, nonrect boolean, edges {EDGES_SQL_TYPE}",
+        "xmax double, ymax double, nonrect boolean",
+    )
+    # Edge arrays ride a SECOND tiny broadcast keyed by AOI name — ONE
+    # edge list per general polygon, not one per covered cell (r15
+    # VERDICT watch item: a continent-scale AOI at fine cell_deg made
+    # the cell index O(cells × edges); this keeps the index row width
+    # independent of cell count). The extra node is one
+    # BroadcastHashJoin over ≤|AOIs| rows on the already-broadcast
+    # candidate side — negligible against the scan it refines.
+    edge_index = (
+        spark.createDataFrame(
+            [
+                (name, rings_to_edge_tuples(rings))
+                for name, rings in non_rect_polys.items()
+            ],
+            f"aoi_name string, edges {EDGES_SQL_TYPE}",
+        )
+        if non_rect_polys
+        else None
     )
 
     # 2. global-envelope prefilter: ONE range predicate over the bbox
@@ -286,12 +299,14 @@ def spatial_join_aoi_indexed(
         refined = refined.filter(keep_rect)
 
     # 4b. general non-rect survivors refine through the JVM even-odd
-    # higher-order expression over the edge array their index row
-    # carried through the join — one filter, zero Python boundary,
-    # any AOI count (the old single-batched-Arrow design shipped every
-    # candidate row out to a pandas kernel; this ships none). Rows of
-    # rect/rectilinear AOIs carry NULL edges and pass through.
-    if non_rect_polys:
+    # higher-order expression over the edge array attached by the
+    # per-AOI edge broadcast — one left join + one filter, zero Python
+    # boundary, any AOI count (the old single-batched-Arrow design
+    # shipped every candidate row out to a pandas kernel; this ships
+    # none). Rows of rect/rectilinear AOIs get NULL edges from the
+    # left join and pass through.
+    if edge_index is not None:
+        refined = refined.join(F.broadcast(edge_index), "aoi_name", "left")
         keep = F.col("edges").isNull() | pip_edges_predicate(
             F.col(lon_col), F.col(lat_col), F.col("edges")
         )

@@ -127,3 +127,31 @@ def test_indexed_join_zero_python_nodes_with_nonrect_aois(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert out.count() > 0
+
+
+def test_edge_arrays_attach_per_aoi_not_per_cell(spark):
+    """r16: the general-polygon edge list rides a per-AOI broadcast,
+    not the cell index — the join result must be independent of how
+    many grid cells an AOI's bbox covers. Same shots, same non-rect
+    AOI, coarse vs fine cell_deg ⇒ identical row sets (fine grid =
+    many covered cells; pre-r16 each carried its own edge copy)."""
+    aois = aoi_from_wkt(
+        spark,
+        {
+            "tri": "POLYGON ((-8 40, 6 40, -8 52, -8 40))",
+            "rect": "POLYGON ((-10 40, 0 40, 0 50, -10 50, -10 40))",
+        },
+    )
+    shots = shots_l2a(spark, "/root/testdata/sf0.001")
+    key = ["shot_number", "aoi_name"]
+    coarse = {
+        tuple(r[k] for k in key)
+        for r in spatial_join_aoi_indexed(shots, aois, cell_deg=8.0)
+        .select(*key).collect()
+    }
+    fine = {
+        tuple(r[k] for k in key)
+        for r in spatial_join_aoi_indexed(shots, aois, cell_deg=0.7)
+        .select(*key).collect()
+    }
+    assert coarse == fine and len(coarse) > 0
