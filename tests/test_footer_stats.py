@@ -182,3 +182,68 @@ def test_pruned_read_equivalence_with_footer_stats(spark, tmp_path):
     )
     full = read_versioned(spark, path).filter(F.col("bucket").between(3, 5))
     assert sorted(pruned.collect()) == sorted(full.collect())
+
+
+def test_footer_stats_string_size_ceiling(spark, tmp_path, monkeypatch):
+    """r16 (r15 VERDICT #7): the string-exactness proof measured at its
+    ceiling. parquet-mr OMITS chunk min/max when the combined bound
+    size exceeds its 4096-byte statistics cap, so (a) ~1 KB values are
+    still recorded untruncated and footer == job bit for bit, and
+    (b) past the cap (~2 KB+ per bound) `has_min_max` is false and the
+    footer path falls back to the job — exactness can never silently
+    degrade to a truncated bound under the default writer conf."""
+    for size, expect_fast in ((1024, True), (2048, False), (8192, False)):
+        rows = [
+            (i, chr(ord("a") + (i % 7)) * size + f"{i:05d}")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "k long, s string").coalesce(2)
+        path = str(tmp_path / f"t{size}")
+        init_versioned(spark, path)
+        entry = commit_append(spark, path, df, stats_cols=["s"])
+        names = entry["add"]
+        fast = _try_footer_stats(path, names, ["s"])
+        job = _job_stats(monkeypatch, spark, path, names, ["s"])
+        if expect_fast:
+            assert fast is not None and fast == job
+            assert any(len(v["s"][0]) > 1000 for v in fast.values())
+        else:
+            assert fast is None  # writer omitted stats → job path
+            # and the job path recorded the true full-length bounds
+            assert all(len(v["s"][0]) > size for v in job.values())
+
+
+def test_footer_stats_string_fallback_under_truncation_conf(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (r15 ADVICE): when parquet.statistics.truncate.length is set
+    on the writer conf, string chunk stats may be truncated PREFIXES —
+    indistinguishable from exact bounds in pyarrow. The commit path
+    must then route string stats through the job (which reads values,
+    not footers) so recorded bounds stay exact; int columns stay on
+    the footer path (never truncated)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("parquet.statistics.truncate.length") is None
+    hconf.set("parquet.statistics.truncate.length", "16")
+    try:
+        rows = [(i, "z" * 64 + f"{i:04d}") for i in range(10)]
+        df = spark.createDataFrame(rows, "k long, s string").coalesce(2)
+        path = str(tmp_path / "t")
+        init_versioned(spark, path)
+        entry = commit_append(spark, path, df, stats_cols=["k", "s"])
+        names = entry["add"]
+        # the guard: strings are ineligible under the conf...
+        assert _try_footer_stats(path, names, ["s"], allow_strings=False) is None
+        # ...ints remain eligible and exact
+        fast_k = _try_footer_stats(path, names, ["k"], allow_strings=False)
+        assert fast_k is not None
+        # and the COMMIT recorded exact (job-path) string bounds: they
+        # must equal true min/max of the written values, full length
+        stats = versioned._file_column_stats(spark, path, names, ["s"])
+        vals = sorted(r[1] for r in rows)
+        allmn = min(v["s"][0] for v in stats.values())
+        allmx = max(v["s"][1] for v in stats.values())
+        assert (allmn, allmx) == (vals[0], vals[-1])
+        assert len(allmn) == 68  # untruncated, not a 16-byte prefix
+    finally:
+        hconf.unset("parquet.statistics.truncate.length")
