@@ -1134,3 +1134,72 @@ def test_scoped_compaction_where_range(spark, table):
     # scoped no-op: nothing overlaps
     res2 = commit_compact(spark, table, where_range=("k", 9000, 9999))
     assert res2["op"] == "noop"
+
+
+def test_multicolumn_bloom_single_job_matches_per_column(spark, table):
+    """r16 (r15 VERDICT #6): `_file_bloom_filters` builds EVERY bloom
+    column's bitsets in ONE job (tagged single explode + one groupBy).
+    Pinned bit-for-bit against the old per-column shape, re-derived
+    here per column with the same xxhash64 position expressions, and
+    the job count is asserted via a job group."""
+    from gedixr_spark.operators.sketches import _positions
+    from gedixr_spark.sinks import versioned as V
+
+    df = _mk(spark, [(i, f"v{i % 7}") for i in range(40)]).coalesce(2)
+    entry = commit_append(spark, table, df, bloom_cols=["k", "v"])
+    names = entry["add"]
+    assert len(names) == 2
+
+    # one ACTION regardless of column count: the job count (action +
+    # its AQE stage materializations) must not grow with columns
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom-1col", "single-column bloom build")
+    try:
+        V._file_bloom_filters(spark, table, names, ["k"])
+    finally:
+        sc.setJobGroup(None, None)
+    sc.setJobGroup("bloom-2col", "two-column bloom build")
+    try:
+        got = V._file_bloom_filters(spark, table, names, ["k", "v"])
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    n1 = len(tracker.getJobIdsForGroup("bloom-1col"))
+    n2 = len(tracker.getJobIdsForGroup("bloom-2col"))
+    assert n2 == n1, f"bloom jobs grew with column count: {n1} -> {n2}"
+
+    # old per-column shape, reproduced column by column
+    data = V._data_dir(table)
+    src = spark.read.parquet(*[data + "/" + n for n in names])
+    for c in ["k", "v"]:
+        rows = (
+            src.select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__f"),
+                F.explode(
+                    F.array(
+                        *_positions(
+                            F.col(c).cast("string"),
+                            V._BLOOM_M_BITS,
+                            V._BLOOM_K,
+                        )
+                    )
+                ).alias("pos"),
+            )
+            .groupBy("__f", F.shiftright("pos", 6).alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(pos % 64 as int))")
+                ).alias("bits")
+            )
+            .collect()
+        )
+        per_file = {}
+        for r in rows:
+            per_file.setdefault(r["__f"], [0] * (V._BLOOM_M_BITS >> 6))[
+                r["w"]
+            ] = r["bits"]
+        for n in names:
+            want = per_file.get(n, [0] * (V._BLOOM_M_BITS >> 6))
+            assert got[n][c] == want, (n, c)
