@@ -753,6 +753,19 @@ def load_pq_codebooks(spark, path: str) -> list[list[list[int]]]:
     return books
 
 
+def _let(col: Column, fn) -> Column:
+    """Let-binding for higher-order expressions: evaluate ``col`` ONCE
+    per row and pass its VALUE into ``fn`` as a lambda variable.
+    Catalyst evaluates non-lambda subtrees inside a lambda body on
+    EVERY lambda invocation (no caching in HOF bodies), so an argmin
+    that references e.g. `quantize(...)` inside a 16-codeword
+    `transform` would re-quantize the vector 16 times per row —
+    measured 6× slower than the Arrow kernel before this binding. The
+    single-element transform evaluates the bound expression once; the
+    body then reads a cheap lambda-variable value."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _pq_sub_entries(sub: Column, cb: np.ndarray, dot_scale: int) -> Column:
     """array<struct<d2,idx>> for ONE PQ sub-space: d2 = ||c||² −
     dot_scale·(sub·c), idx = code. Struct ordering (d2 asc, idx asc)
@@ -822,16 +835,26 @@ def pq_codes(
 
         return _codes(quantize(c, scale))
 
-    q = quantize(c, scale)
-    codes, ofs = [], 0
-    for cb in cbs:
-        dsub = int(cb.shape[1])
-        sub = F.slice(q, ofs + 1, dsub)
-        codes.append(
-            F.array_min(_pq_sub_entries(sub, cb, 2 * lift))["idx"].cast("int")
-        )
-        ofs += dsub
-    return F.array(*codes)
+    def _codes_of(qq: Column) -> Column:
+        # qq is the let-bound quantized vector (evaluated ONCE per
+        # row); each sub-space binds its slice the same way so the
+        # 16-codeword argmin body reads lambda variables, not
+        # re-evaluated quantize/slice subtrees (see _let)
+        def _argmin(cb):
+            # factory, not a default-arg lambda (PySpark would treat
+            # the default param as a second lambda variable)
+            return lambda s: F.array_min(
+                _pq_sub_entries(s, cb, 2 * lift)
+            )["idx"].cast("int")
+
+        cols, ofs = [], 0
+        for cb in cbs:
+            dsub = int(cb.shape[1])
+            cols.append(_let(F.slice(qq, ofs + 1, dsub), _argmin(cb)))
+            ofs += dsub
+        return F.array(*cols)
+
+    return _let(quantize(c, scale), _codes_of)
 
 
 def pq_code_packed(
@@ -880,29 +903,32 @@ def pq_ann_topk(
     # — exact int64 (identical to the numpy diff²-sum under any order),
     # evaluated once per query row BEFORE the broadcast so the join side
     # carries m·ksub longs per query instead of the dim-long vector
-    qv = quantize(vec_col, scale)
-
-    def _lut_entry(sub: Column):
-        # factory, not a default-arg lambda: PySpark counts default
-        # params as lambda variables and would bind them to the index
-        return lambda cen: F.aggregate(
-            F.zip_with(
-                sub,
-                cen,
-                lambda x, w: (x * F.lit(lift) - w) * (x * F.lit(lift) - w),
+    def _lut_over(cb):
+        # per-codeword body reads the LET-BOUND slice (lambda var) —
+        # factory form, no default-arg lambdas (PySpark counts default
+        # params as lambda variables and would bind them to the index)
+        return lambda s: F.transform(
+            _lit_mat([[int(w) for w in r] for r in cb]),
+            lambda cen: F.aggregate(
+                F.zip_with(
+                    s,
+                    cen,
+                    lambda x, w: (x * F.lit(lift) - w)
+                    * (x * F.lit(lift) - w),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
         )
 
+    qv = quantize(vec_col, scale)
     luts, ofs = [], 0
     for j, cb in enumerate(cbs):
         dsub = int(cb.shape[1])
-        sub = F.slice(qv, ofs + 1, dsub)
         luts.append(
-            F.transform(
-                _lit_mat([[int(w) for w in r] for r in cb]), _lut_entry(sub)
-            ).alias(f"__lut{j}")
+            _let(F.slice(qv, ofs + 1, dsub), _lut_over(cb)).alias(
+                f"__lut{j}"
+            )
         )
         ofs += dsub
     q = queries.select(F.col(id_col).alias("query_id"), *luts)
@@ -1106,43 +1132,52 @@ def ivf_pq_ann_topk(
         )
 
     # corpus: encode the residual per sub-space (argmin via array_min
-    # over struct<d2,idx> — first-min tie-break, same as _pq_assign)
-    res = _residual(F.col("cell"))
-    codes, ofs = [], 0
-    for cb in cbs:
-        dsub = int(cb.shape[1])
-        sub = F.slice(res, ofs + 1, dsub)
-        codes.append(
-            F.array_min(_pq_sub_entries(sub, cb, 2))["idx"].cast("int")
-        )
-        ofs += dsub
+    # over struct<d2,idx> — first-min tie-break, same as _pq_assign).
+    # The residual and each slice are let-bound so the 16-codeword
+    # argmin reads lambda variables, not a re-evaluated residual tree
+    def _res_codes_of(rr: Column) -> Column:
+        def _argmin(cb):
+            return lambda s: F.array_min(_pq_sub_entries(s, cb, 2))[
+                "idx"
+            ].cast("int")
+
+        cols, ofs = [], 0
+        for cb in cbs:
+            dsub = int(cb.shape[1])
+            cols.append(_let(F.slice(rr, ofs + 1, dsub), _argmin(cb)))
+            ofs += dsub
+        return F.array(*cols)
+
+    codes = _let(_residual(F.col("cell")), _res_codes_of)
     enc = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col),
         ivf_cell(vec_col, centroids, scale).alias("cell"),
-    ).select("cand_id", "cell", F.array(*codes).alias("codes"))
+    ).select("cand_id", "cell", codes.alias("codes"))
 
     # queries: per-(query, probed cell) LUTs over the query residual —
     # lut_j[c] = Σ_i (qres_i − cb_j[c][i])², exact int64
-    qres = _residual(F.col("cell"))
-
-    def _lut_entry(sub: Column):
-        # factory, not a default-arg lambda (PySpark would treat the
+    def _lut_over(cb):
+        # per-codeword body reads the LET-BOUND slice (lambda var) —
+        # factory form, no default-arg lambdas (PySpark would treat a
         # default param as the index lambda variable)
-        return lambda cw: F.aggregate(
-            F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        return lambda s: F.transform(
+            _lit_mat([[int(w) for w in r] for r in cb]),
+            lambda cw: F.aggregate(
+                F.zip_with(s, cw, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
         )
 
+    qres = _residual(F.col("cell"))
     luts, ofs = [], 0
     for j, cb in enumerate(cbs):
         dsub = int(cb.shape[1])
-        sub = F.slice(qres, ofs + 1, dsub)
         luts.append(
-            F.transform(
-                _lit_mat([[int(w) for w in r] for r in cb]), _lut_entry(sub)
-            ).alias(f"__lut{j}")
+            _let(F.slice(qres, ofs + 1, dsub), _lut_over(cb)).alias(
+                f"__lut{j}"
+            )
         )
         ofs += dsub
     q = queries.select(
