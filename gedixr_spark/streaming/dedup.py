@@ -83,7 +83,11 @@ def streaming_incremental_dedup_query(
     spark = docs.sparkSession
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()
+        # lazy pin (r16, same move as the r15 CC-loop change): the
+        # first consumer materializes the batch in its own job; every
+        # later consumer reuses the pinned rows. eager=True spent a
+        # dedicated job per micro-batch purely on materialization.
+        batch_df = batch_df.localCheckpoint(eager=False)
         # collapse intra-batch exact duplicates to min-id survivors
         batch_local = batch_df.join(
             exact_dedup(batch_df, text_col=text_col, id_col=id_col).select(id_col),
@@ -101,9 +105,11 @@ def streaming_incremental_dedup_query(
                 n=n, text_col=text_col, id_col=id_col, history_is_store=True,
             )
             keep_ids = decisions.filter(F.col("action") == "keep").select(id_col)
-            survivors = batch_local.join(keep_ids, id_col, "semi").localCheckpoint()
+            survivors = batch_local.join(keep_ids, id_col, "semi").localCheckpoint(
+                eager=False  # the write below materializes it
+            )
         else:
-            survivors = batch_local.localCheckpoint()
+            survivors = batch_local.localCheckpoint(eager=False)
         survivors.write.mode("overwrite").parquet(
             f"{out_dir.rstrip('/')}/batch={batch_id}"
         )
