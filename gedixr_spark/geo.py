@@ -475,10 +475,18 @@ def pip_edges_predicate(lon: Column, lat: Column, edges: Column) -> Column:
 
 
 #: st_intersects_polygon builds the edge array as a plan literal (it
-#: returns a bare Column — no DataFrame to hang a broadcast off), so a
-#: pathological multi-thousand-vertex WKT would bloat the expression
-#: tree; past this bound the constant-size pandas-UDF closure wins.
-PIP_LITERAL_MAX_EDGES = 4096
+#: returns a bare Column — no DataFrame to hang a broadcast off).
+#: Bound MEASURED (r16, 2M-point noop A/B, min-of-4 per cell): the
+#: interpreted HOF costs ~25 ns/edge·row while the vectorized numpy
+#: kernel costs ~2 ns/edge·row after a ~0.5 µs/row Arrow boundary
+#: toll, so the kernel-dominant crossover sits near 64/(25-2) ≈ 22
+#: edges — warm walls 32e: 1.22 s literal vs 0.41 s pandas; 256e:
+#: 7.26 vs 1.10; 4096e (the old bound): 117 vs 27 s. Below the bound
+#: the absolute gap is sub-second while the literal keeps the plan
+#: Python-free and skips the worker-pool cold start (first-run pandas
+#: pays 2–8 s spin-up, which dominates small row counts). At or under
+#: 32 edges literal; past it the constant-size pandas-UDF closure.
+PIP_LITERAL_MAX_EDGES = 32
 
 
 def is_rectangle(verts: list[tuple[float, float]]) -> bool:
@@ -535,8 +543,10 @@ def st_intersects_polygon(lon: Column, lat: Column, wkt: str) -> Column:
     MULTIPOLYGON — → bbox prefilter AND the JVM even-odd ray-cast
     higher-order expression over an edge-array literal (no Python
     boundary; `pip_edges_predicate`), falling back to the vectorized
-    pandas-UDF kernel only past ``PIP_LITERAL_MAX_EDGES`` vertices
-    where a plan literal would bloat the expression tree. Boundary
+    pandas-UDF kernel past ``PIP_LITERAL_MAX_EDGES`` vertices — the
+    measured crossover where interpreted per-edge HOF evaluation
+    overtakes the kernel's constant Arrow-boundary toll (A/B numbers
+    at the bound's definition). Boundary
     points (outer OR hole edges) count as inside, matching shapely
     ``intersects``; both engines are bit-identical (property-pinned).
     """

@@ -129,6 +129,69 @@ def test_indexed_join_zero_python_nodes_with_nonrect_aois(spark):
     assert out.count() > 0
 
 
+def _ngon_wkt(n: int) -> str:
+    import math
+
+    pts = [
+        (
+            5.0 + 4.0 * math.cos(2 * math.pi * k / n),
+            5.0 + 4.0 * math.sin(2 * math.pi * k / n),
+        )
+        for k in range(n)
+    ]
+    pts.append(pts[0])
+    return "POLYGON ((" + ", ".join(f"{x:.9f} {y:.9f}" for x, y in pts) + "))"
+
+
+def test_pip_literal_bound_engines_agree_at_the_ceiling(spark):
+    """r16 (r15 VERDICT #8): PIP_LITERAL_MAX_EDGES sits at the measured
+    literal-vs-kernel crossover (~25 ns/edge·row interpreted HOF vs
+    ~2 ns/edge·row numpy after a ~0.5 µs/row Arrow toll). Pins the
+    bound's behavior AT the ceiling: an exactly-at-bound polygon takes
+    the Python-free literal path, one edge past it takes the pandas
+    kernel, and the two engines return identical rows for both."""
+    from gedixr_spark.geo import PIP_LITERAL_MAX_EDGES
+    import gedixr_spark.geo as geo
+
+    df = spark.createDataFrame(
+        [((i % 40) / 3.5, (i // 40) / 3.5) for i in range(1600)],
+        "longitude double, latitude double",
+    )
+
+    def rows(wkt):
+        out = df.filter(
+            st_intersects_polygon(
+                F.col("longitude"), F.col("latitude"), wkt
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        py = "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+        return {
+            (r["longitude"], r["latitude"]) for r in out.collect()
+        }, py
+
+    at = _ngon_wkt(PIP_LITERAL_MAX_EDGES)
+    past = _ngon_wkt(PIP_LITERAL_MAX_EDGES + 1)
+    got_at, py_at = rows(at)
+    got_past, py_past = rows(past)
+    assert not py_at, "at-bound polygon must take the literal path"
+    assert py_past, "past-bound polygon must take the pandas kernel"
+    assert len(got_at) > 0 and len(got_past) > 0
+
+    # engine equality on the SAME polygons, each forced onto the other
+    # engine via the module bound (restored in finally)
+    orig = geo.PIP_LITERAL_MAX_EDGES
+    try:
+        geo.PIP_LITERAL_MAX_EDGES = 0  # force pandas for the at-bound
+        kern_at, py_k = rows(at)
+        assert py_k and kern_at == got_at
+        geo.PIP_LITERAL_MAX_EDGES = 1 << 20  # force literal past-bound
+        lit_past, py_l = rows(past)
+        assert not py_l and lit_past == got_past
+    finally:
+        geo.PIP_LITERAL_MAX_EDGES = orig
+
+
 def test_edge_arrays_attach_per_aoi_not_per_cell(spark):
     """r16: the general-polygon edge list rides a per-AOI broadcast,
     not the cell index — the join result must be independent of how
